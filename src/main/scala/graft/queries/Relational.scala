@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+import graft.ops.{Coverage, Exact, Reshape}
+import graft.ops.Exact.{davg, dsum}
+
+/** Relational operator coverage (SURVEY.md §2.1-2.8): scans, projections,
+  * filters, joins, aggregations, reshaping, scalar functions. Each query is
+  * a thin composition of library combinators so Catalyst sees one
+  * declarative plan (filters/projections reach the parquet scan; small
+  * sides broadcast).
+  */
+object Relational {
+
+  val all: Seq[Q] = Seq(
+
+    // ---- A1/A11-style grouped aggregate with filter pushdown (P5/P6/A1) ----
+    Q("q01_pricing_summary",
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- projection + conjunctive/range predicates (P2/P5/P6) ----
+    Q("q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_quantity BETWEEN 10 AND 20
+        |  AND CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_quantity").between(10, 20) &&
+          to_date(col("l_shipdate")) >= lit("1996-01-01").cast("date"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- IN-list filter (P7) ----
+    Q("q03_isin",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      orders(s, dir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- string-contains filter (P8/F5) ----
+    Q("q04_contains",
+      """SELECT p_brand, COUNT(*) AS n, CAST(SUM(p_size) AS BIGINT) AS sum_size
+        |FROM part
+        |WHERE contains(p_type, 'PROMO') OR contains(p_name, 'green')
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      part(s, dir)
+        .filter(col("p_type").contains("PROMO") || col("p_name").contains("green"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).as("sum_size"))
+        .orderBy("p_brand")
+    },
+
+    // ---- sentinel→null + null-aware aggregation (P10/R2/A10) ----
+    Q("q05_null_sentinel",
+      """SELECT event_type,
+        |  COUNT(*) AS n_rows, COUNT(v) AS n_value,
+        |  CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / COUNT(v) AS avg_v
+        |FROM (SELECT event_type,
+        |        CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |      FROM events)
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_value"),
+          davg(col("v")).as("avg_v"))
+        .orderBy("event_type")
+    },
+
+    // ---- per-column coverage stats (R3 two-pass prune, stats half) ----
+    Q("q06_coverage_stats",
+      """WITH ev AS (SELECT event_id, user_id, event_type,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events),
+        |c AS (SELECT COUNT(*) n, COUNT(event_id) a, COUNT(user_id) b,
+        |             COUNT(event_type) t, COUNT(v) d FROM ev)
+        |SELECT * FROM (
+        |  SELECT 'event_id' AS col_name, a AS n_nonnull, n AS n_rows, CAST(a AS DOUBLE)/n AS coverage FROM c
+        |  UNION ALL SELECT 'user_id', b, n, CAST(b AS DOUBLE)/n FROM c
+        |  UNION ALL SELECT 'event_type', t, n, CAST(t AS DOUBLE)/n FROM c
+        |  UNION ALL SELECT 'v', d, n, CAST(d AS DOUBLE)/n FROM c)
+        |ORDER BY col_name""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+        .select("event_id", "user_id", "event_type", "v")
+      Coverage.stats(ev).orderBy("col_name")
+    },
+
+    // ---- broadcast star join (J1) ----
+    Q("q07_join_broadcast",
+      """SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      supplier(s, dir)
+        .join(broadcast(nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_suppliers"), dsum(col("s_acctbal")).as("total_acctbal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ---- left-semi join (J5) ----
+    Q("q08_semi_join",
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val f = orders(s, dir).filter(col("o_orderstatus") === "F")
+      customer(s, dir)
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- left-anti join (P9-adjacent; SURVEY §2.4 extension) ----
+    Q("q09_anti_join",
+      """SELECT c_mktsegment, COUNT(*) AS n
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val urgent = orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+      customer(s, dir)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- schema-aligning union (T1/T2) ----
+    Q("q11_union_align",
+      """SELECT side, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT 'R' AS side, l_quantity, NULL::DOUBLE AS l_extendedprice
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  UNION ALL BY NAME
+        |  SELECT 'N' AS side, l_extendedprice, NULL::DOUBLE AS l_quantity
+        |  FROM lineitem WHERE l_returnflag = 'N')
+        |GROUP BY side
+        |ORDER BY side""".stripMargin) { (s, dir) =>
+      val li = lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "R")
+        .select(lit("R").as("side"), col("l_quantity"))
+      val b = li.filter(col("l_returnflag") === "N")
+        .select(lit("N").as("side"), col("l_extendedprice"))
+      Reshape.unionAligned(Seq(a, b))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("side")
+    },
+
+    // ---- melt / unpivot (T3) ----
+    Q("q12_unpivot",
+      """SELECT measure, COUNT(*) AS n,
+        |  CAST(SUM(CAST(val AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY measure
+        |ORDER BY measure""".stripMargin) { (s, dir) =>
+      Reshape.melt(lineitem(s, dir), Nil,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
+        .orderBy("measure")
+    },
+
+    // ---- pivot with deterministic first (A3/T4) ----
+    Q("q13_pivot_first",
+      """SELECT user_id,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'click')    AS click,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'error')    AS error,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'signup')   AS signup,
+        |  arg_min(value, event_id) FILTER (WHERE event_type = 'view')     AS "view"
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Reshape.pivotFirst(events(s, dir), Seq("user_id"), "event_type", "value",
+          "event_id", Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id")
+    },
+
+    // ---- distinct (A4) ----
+    Q("q14_distinct",
+      """SELECT DISTINCT event_type, user_id FROM events
+        |ORDER BY event_type, user_id""".stripMargin) { (s, dir) =>
+      events(s, dir).select("event_type", "user_id").distinct()
+        .orderBy("event_type", "user_id")
+    },
+
+    // ---- describe-style stats incl. exact variance (A8) ----
+    Q("q15_stats",
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty,
+        |  (SUM(l_quantity * l_quantity) - SUM(l_quantity) * SUM(l_quantity) / COUNT(*))
+        |    / (COUNT(*) - 1) AS var_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      // l_quantity is integral: sums and sums of squares are exact in double.
+      lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          ((sum(col("l_quantity") * col("l_quantity")) -
+            sum(col("l_quantity")) * sum(col("l_quantity")) / count(lit(1))) /
+            (count(lit(1)) - 1)).as("var_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- exact quantiles (A9) ----
+    Q("q16_quantile",
+      """SELECT l_linestatus,
+        |  quantile_cont(l_quantity, 0.3) AS p30,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.9) AS p90
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .groupBy("l_linestatus")
+        .agg(
+          percentile(col("l_quantity"), lit(0.3)).as("p30"),
+          percentile(col("l_quantity"), lit(0.5)).as("p50"),
+          percentile(col("l_quantity"), lit(0.9)).as("p90"))
+        .orderBy("l_linestatus")
+    },
+
+    // ---- date part extraction / truncation / synthesis (F6-F10, §2.8) ----
+    Q("q18_dates",
+      """SELECT STRFTIME(DATE_TRUNC('month', CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS ship_month,
+        |  COUNT(*) AS n,
+        |  STRFTIME(MIN(MAKE_DATE(CAST(YEAR(l_shipdate) AS INT), CAST(MONTH(l_shipdate) AS INT),
+        |                CAST(DAY(l_shipdate) AS INT))), '%Y-%m-%d') AS first_day,
+        |  STRFTIME(MAX(LAST_DAY(CAST(l_shipdate AS DATE))), '%Y-%m-%d') AS month_end,
+        |  CAST(MIN(DAY(l_shipdate)) AS BIGINT) AS min_dom,
+        |  CAST(MAX(DAY(l_shipdate)) AS BIGINT) AS max_dom
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val d = to_date(col("l_shipdate"))
+      lineitem(s, dir)
+        .groupBy(date_format(trunc(d, "month"), "yyyy-MM-dd").as("ship_month"))
+        .agg(
+          count(lit(1)).as("n"),
+          date_format(min(make_date(year(d), month(d), dayofmonth(d))), "yyyy-MM-dd").as("first_day"),
+          date_format(max(last_day(d)), "yyyy-MM-dd").as("month_end"),
+          min(dayofmonth(d)).cast("long").as("min_dom"),
+          max(dayofmonth(d)).cast("long").as("max_dom"))
+        .orderBy("ship_month")
+    },
+
+    // ---- string functions (F1-F5, T6) ----
+    Q("q19_strings",
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_tok,
+        |  UPPER(regexp_split_to_array(TRIM(text), '\s+')[1]) AS first_tok,
+        |  regexp_replace(source, '[0-9]+', '', 'g') AS src_clean,
+        |  SUBSTRING(text, 1, 12) AS head12
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = split(trim(col("text")), "\\s+")
+      documents(s, dir).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tok"),
+          upper(element_at(toks, 1)).as("first_tok"),
+          regexp_replace(col("source"), "[0-9]+", "").as("src_clean"),
+          substring(col("text"), 1, 12).as("head12"))
+        .orderBy("doc_id")
+    },
+
+    // ---- conditional buckets (F13/P12) ----
+    Q("q20_case_when",
+      """SELECT CASE WHEN value < 50 THEN 'low'
+        |            WHEN value < 150 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_v
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(when(col("value") < 50, "low")
+          .when(col("value") < 150, "mid")
+          .otherwise("high").as("bucket"))
+        .agg(count(lit(1)).as("n"), davg(col("value")).as("avg_v"))
+        .orderBy("bucket")
+    },
+
+    // ---- round / cast arithmetic (F11/F12/F14) ----
+    Q("q21_round_cast",
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice * (1 - l_discount), 1) AS net_1dp,
+        |  CAST(l_quantity AS BIGINT) AS qty_int,
+        |  CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) AS qty_str
+        |FROM lineitem
+        |WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .filter(col("l_orderkey") <= 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 1).as("net_1dp"),
+          col("l_quantity").cast("long").as("qty_int"),
+          col("l_quantity").cast("long").cast("string").as("qty_str"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- per-group top-k via row_number (W13/§2.6 ranking) ----
+    Q("q22_window_topk",
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      orders(s, dir)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rnk")
+    },
+
+    // ---- row-wise null-aware mean across columns (A7) ----
+    Q("q32_rowwise_mean",
+      """SELECT event_id,
+        |  CASE WHEN (value IS NOT NULL)::INT + 1 > 0 THEN
+        |    (COALESCE(value, 0) + CAST(user_id AS DOUBLE)) /
+        |    ((value IS NOT NULL)::INT + 1)
+        |  END AS row_mean
+        |FROM events
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      events(s, dir).select(
+          col("event_id"),
+          Reshape.rowMean(Seq(col("value"), col("user_id"))).as("row_mean"))
+        .orderBy("event_id")
+    }
+  )
+}

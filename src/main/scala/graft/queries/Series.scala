@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.{Exact, Fills, Lags, Splits}
+import graft.ops.Exact.{davg, dsum}
+
+/** Ordered / time-series operator coverage (SURVEY.md §2.6 + M5/M24):
+  * fills with limits, lags/differences, sliding windows, blocked CV,
+  * positional splits, resampling, seasonal decomposition, and the flagship
+  * proportional-disaggregation pipeline.
+  *
+  * The `events` table plays the hourly balance feed: [[graft.Tables.eventDay]]
+  * is the day key, `event_id` the deterministic ordering key (testdata
+  * event_ids are assigned in timestamp order; raw `ts` carries
+  * sub-microsecond precision, so it is never used for output or
+  * tie-breaking). Date-typed outputs are projected as ISO strings so the
+  * compare is independent of how the reader maps DATE values.
+  */
+object Series {
+
+  private val iso = "yyyy-MM-dd"
+
+  /** Daily series: one row per day with an exact (order-invariant) mean of
+    * `value` — the base table for the lag/decomposition/disaggregation
+    * queries. Mirrors the reference's hourly→daily aggregation
+    * (`normalization.ipynb#8`).
+    */
+  def dailySeries(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(eventDay.as("day"))
+      .agg(davg(col("value")).as("val"), count(lit(1)).as("n_events"))
+
+  private val dailySql =
+    """SELECT CAST(ts AS DATE) AS day,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS val,
+      |  COUNT(*) AS n_events
+      |FROM events GROUP BY 1""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ---- partitioned ffill/bfill with limit (W1/W2) ----
+    Q("q23_ffill_limit",
+      """WITH ev AS (SELECT event_id, user_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS v_ffill,
+        |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS v_bfill
+        |FROM ev
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      ev.select(
+          col("event_id"), col("user_id"),
+          Fills.ffill(col("v"), Seq(col("user_id")), Seq(col("event_id")), Some(7)).as("v_ffill"),
+          Fills.bfill(col("v"), Seq(col("user_id")), Seq(col("event_id")), Some(7)).as("v_bfill"))
+        .orderBy("event_id")
+    },
+
+    // ---- month-partitioned unbounded ffill (W3: global fill made scalable) ----
+    Q("q24_month_ffill",
+      """WITH ev AS (SELECT event_id,
+        |    STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%Y-%m-%d') AS mon,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id, mon,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY mon ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM ev
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+        .withColumn("mon", date_format(eventMonth, iso))
+        .withColumn("v", when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")))
+      ev.select(
+          col("event_id"), col("mon"),
+          Fills.ffill(col("v"), Seq(col("mon")), Seq(col("event_id")), None).as("v_filled"))
+        .orderBy("event_id")
+    },
+
+    // ---- lag features + differencing (W5/W6) ----
+    Q("q25_lags_diff",
+      s"""WITH daily AS ($dailySql)
+        |SELECT STRFTIME(day, '%Y-%m-%d') AS day, val,
+        |  lag(val, 1) OVER w AS val_lag1,
+        |  lag(val, 2) OVER w AS val_lag2,
+        |  lag(val, 7) OVER w AS val_lag7,
+        |  val - lag(val, 1) OVER w AS diff1
+        |FROM daily
+        |WINDOW w AS (ORDER BY day)
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = dailySeries(s, dir).drop("n_events")
+      val lagged = Lags.withLags(daily, "val", Seq("day"), Seq(1, 2, 7))
+      Lags.withDiff(lagged, "val", Seq("day"), 1, "diff1")
+        .withColumn("day", date_format(col("day"), iso))
+        .orderBy("day")
+    },
+
+    // ---- sliding-frame moving aggregate (W7-adjacent; M5 trend) ----
+    Q("q26_sliding_mean",
+      s"""WITH daily AS ($dailySql)
+        |SELECT STRFTIME(day, '%Y-%m-%d') AS day, val,
+        |  CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER w7 AS DOUBLE) / COUNT(val) OVER w7 AS ma7,
+        |  CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER w7 AS DOUBLE) AS sum7,
+        |  COUNT(*) OVER w7 AS n7
+        |FROM daily
+        |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
+      dailySeries(s, dir).drop("n_events")
+        .select(
+          col("day"), col("val"),
+          Exact.davgOver(col("val"), w7).as("ma7"),
+          Exact.dsumOver(col("val"), w7).as("sum7"),
+          count(lit(1)).over(w7).as("n7"))
+        .withColumn("day", date_format(col("day"), iso))
+        .orderBy("day")
+    },
+
+    // ---- blocked time-series CV (W8) ----
+    Q("q27_blocked_cv",
+      """WITH r AS (SELECT event_id,
+        |    ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events),
+        |f AS (SELECT event_id, CAST(FLOOR(rn * 5 / n) AS INT) AS fold FROM r),
+        |v AS (SELECT event_id, fold,
+        |    ROW_NUMBER() OVER (PARTITION BY fold ORDER BY event_id) AS rnf,
+        |    COUNT(*) OVER (PARTITION BY fold) AS nf
+        |  FROM f)
+        |SELECT fold, (rnf > nf - CEIL(nf * 0.2)) AS is_val,
+        |  COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM v
+        |GROUP BY fold, is_val
+        |ORDER BY fold, is_val""".stripMargin) { (s, dir) =>
+      Splits.blockedFolds(events(s, dir).select("event_id"), Seq("event_id"), 5, 0.2)
+        .groupBy("fold", "is_val")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("fold", "is_val")
+    },
+
+    // ---- positional 85/15 split (W9) ----
+    Q("q28_split",
+      """WITH r AS (SELECT event_id,
+        |    ROW_NUMBER() OVER (ORDER BY event_id) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM events)
+        |SELECT (rn <= FLOOR(n * 0.85)) AS is_train,
+        |  COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM r
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      Splits.positionalSplit(events(s, dir).select("event_id"), Seq("event_id"), 0.85)
+        .groupBy("is_train")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .orderBy("is_train")
+    },
+
+    // ---- additive seasonal decomposition (M5) ----
+    Q("q29_seasonal",
+      s"""WITH daily AS ($dailySql),
+        |t AS (SELECT day, val,
+        |    CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER wc AS DOUBLE)
+        |      / COUNT(val) OVER wc AS trend,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', day) % 7 AS BIGINT) AS dow
+        |  FROM daily
+        |  WINDOW wc AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)),
+        |d AS (SELECT *, val - trend AS detr FROM t),
+        |ss AS (SELECT *,
+        |    CAST(SUM(CAST(detr AS DECIMAL(30,6))) OVER (PARTITION BY dow) AS DOUBLE)
+        |      / COUNT(detr) OVER (PARTITION BY dow) AS seasonal
+        |  FROM d)
+        |SELECT STRFTIME(day, '%Y-%m-%d') AS day, val, trend, dow, seasonal,
+        |  val - trend - seasonal AS resid
+        |FROM ss
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.ts.Decompose.seasonalAdditive(
+          dailySeries(s, dir).drop("n_events"), "day", "val", 7, 7)
+        .withColumn("day", date_format(col("day"), iso))
+        .orderBy("day")
+    },
+
+    // ---- naive-forecast error metrics (A11) ----
+    Q("q33_forecast_metrics",
+      s"""WITH daily AS ($dailySql),
+        |p AS (SELECT day, val, lag(val, 1) OVER (ORDER BY day) AS pred FROM daily)
+        |SELECT COUNT(pred) AS n,
+        |  CAST(SUM(CAST(ABS(val - pred) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mae,
+        |  CAST(SUM(CAST((val - pred) * (val - pred) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mse,
+        |  CAST(SUM(CAST(ABS((val - pred) / val) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mape
+        |FROM p""".stripMargin) { (s, dir) =>
+      val daily = dailySeries(s, dir).drop("n_events")
+      val p = Lags.withLags(daily, "val", Seq("day"), Seq(1))
+        .withColumnRenamed("val_lag1", "pred")
+      graft.ts.Metrics.regressionMetrics(p, "val", "pred")
+    },
+
+    // ---- month resample min/max (A5) ----
+    Q("q34_resample_minmax",
+      """SELECT STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%Y-%m-%d') AS mon,
+        |  STRFTIME(MIN(CAST(ts AS DATE)), '%Y-%m-%d') AS first_day,
+        |  STRFTIME(MAX(CAST(ts AS DATE)), '%Y-%m-%d') AS last_seen,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(eventMonth, iso).as("mon"))
+        .agg(
+          date_format(min(eventDay), iso).as("first_day"),
+          date_format(max(eventDay), iso).as("last_seen"),
+          count(lit(1)).as("n"))
+        .orderBy("mon")
+    },
+
+    // ---- month-end resample mean (A6) ----
+    Q("q35_monthend_mean",
+      """SELECT STRFTIME(LAST_DAY(CAST(ts AS DATE)), '%Y-%m-%d') AS month_end,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_v,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .groupBy(date_format(last_day(eventDay), iso).as("month_end"))
+        .agg(davg(col("value")).as("avg_v"), count(lit(1)).as("n"))
+        .orderBy("month_end")
+    },
+
+    // ---- flagship: proportional disaggregation (M24 = A2+J3+W3+F12) ----
+    Q("q30_disaggregate", Disaggregate.oracleSql)(Disaggregate.query)
+  )
+}
+
+/** The reference's flagship multi-operator pipeline
+  * (`normalization.ipynb#11-17`): disaggregate a monthly total to daily
+  * granularity proportionally to each day's share of the month's demand.
+  *
+  * Shape: daily agg → monthly agg → join monthly total onto the month-start
+  * day only (the reference's right-outer join leaves nulls elsewhere,
+  * `normalization.ipynb#16`) → forward-fill within the month (W3) → ratio ×
+  * total (F12).
+  *
+  * Scale: the fill window partitions by month — fills never cross a month
+  * boundary, so there is no single-partition global window; the plan scales
+  * with the number of months × days.
+  */
+object Disaggregate {
+  import graft.ops.Exact.{davg, dsum}
+
+  def query(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(eventDay.as("day"))
+      .agg(davg(col("value")).as("demand"), count(lit(1)).cast("double").as("n_ev"))
+      .withColumn("mon", trunc(col("day"), "month"))
+    val monthly = daily
+      .groupBy(col("mon"))
+      .agg(dsum(col("demand")).as("mon_demand"), dsum(col("n_ev")).as("mon_total"))
+    // monthly total visible only on the month-start row (J3 semantics) …
+    val monthlyK = monthly.withColumnRenamed("mon", "mon_key")
+    val joined = daily.join(monthlyK, col("day") === col("mon_key"), "left_outer")
+    // … then forward-filled across the month's days (W3, month-partitioned).
+    val filled = joined
+      .withColumn("mon_demand_f",
+        Fills.ffill(col("mon_demand"), Seq(col("mon")), Seq(col("day")), None))
+      .withColumn("mon_total_f",
+        Fills.ffill(col("mon_total"), Seq(col("mon")), Seq(col("day")), None))
+    filled.select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("demand"),
+        date_format(col("mon"), "yyyy-MM-dd").as("mon"),
+        col("mon_demand_f").as("mon_demand"),
+        (col("demand") / col("mon_demand_f")).as("share"),
+        (col("mon_total_f") * (col("demand") / col("mon_demand_f"))).as("disagg"))
+      .orderBy("day")
+  }
+
+  val oracleSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS demand,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_ev
+      |  FROM events GROUP BY 1),
+      |d2 AS (SELECT *, DATE_TRUNC('month', day) AS mon FROM daily),
+      |monthly AS (
+      |  SELECT mon,
+      |    CAST(SUM(CAST(demand AS DECIMAL(30,6))) AS DOUBLE) AS mon_demand,
+      |    CAST(SUM(CAST(n_ev AS DECIMAL(30,6))) AS DOUBLE) AS mon_total
+      |  FROM d2 GROUP BY mon),
+      |joined AS (
+      |  SELECT d2.*, m.mon_demand AS md, m.mon_total AS mt
+      |  FROM d2 LEFT JOIN monthly m ON d2.day = m.mon),
+      |filled AS (
+      |  SELECT day, demand, mon,
+      |    last_value(md IGNORE NULLS) OVER (PARTITION BY mon ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mon_demand,
+      |    last_value(mt IGNORE NULLS) OVER (PARTITION BY mon ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mon_total
+      |  FROM joined)
+      |SELECT STRFTIME(day, '%Y-%m-%d') AS day, demand,
+      |  STRFTIME(mon, '%Y-%m-%d') AS mon, mon_demand,
+      |  demand / mon_demand AS share,
+      |  mon_total * (demand / mon_demand) AS disagg
+      |FROM filled
+      |ORDER BY 1""".stripMargin
+}

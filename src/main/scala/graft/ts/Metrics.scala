@@ -1,0 +1,23 @@
+package graft.ts
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Exact.davg
+
+/** Regression error metrics as single-pass aggregates (reference
+  * `sklearn.mean_absolute_error` & co., `supervised/evaluation.ipynb#2,#13`,
+  * `src/scripts/optimization.py:76-77`). Null predictions (e.g. the first
+  * lag row) are excluded, matching sklearn's behavior on aligned arrays.
+  */
+object Metrics {
+
+  /** One-row frame: n, mae, mse, mape of `predCol` against `actualCol`. */
+  def regressionMetrics(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
+    val err = col(actualCol) - col(predCol)
+    df.agg(
+      count(col(predCol)).as("n"),
+      davg(abs(err)).as("mae"),
+      davg(err * err).as("mse"),
+      davg(abs(err / col(actualCol))).as("mape"))
+  }
+}

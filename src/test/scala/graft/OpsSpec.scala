@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Coverage, Fills, Lags, Reshape, Splits}
+
+/** Shared local session for all suites (one JVM per sbt test run). */
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("ffill respects limit (W1: ETL.py:228-242 semantics)") {
+    // gaps of length 2 (fillable with limit 2) and 4 (only partially)
+    val df = Seq[(Int, java.lang.Double)](
+      (1, 10.0), (2, null), (3, null), (4, 40.0),
+      (5, null), (6, null), (7, null), (8, null), (9, 90.0)
+    ).toDF("i", "v")
+    val got = df.select($"i",
+        Fills.ffill($"v", Nil, Seq($"i"), Some(2)).as("f"))
+      .orderBy("i").as[(Int, Option[Double])].collect()
+    assert(got.map(_._2) === Seq(Some(10.0), Some(10.0), Some(10.0), Some(40.0),
+      Some(40.0), Some(40.0), None, None, Some(90.0)))
+  }
+
+  test("bfill respects limit (W2)") {
+    val df = Seq[(Int, java.lang.Double)](
+      (1, null), (2, null), (3, 30.0), (4, null)
+    ).toDF("i", "v")
+    val got = df.select($"i",
+        Fills.bfill($"v", Nil, Seq($"i"), Some(1)).as("f"))
+      .orderBy("i").as[(Int, Option[Double])].collect()
+    assert(got.map(_._2) === Seq(None, Some(30.0), Some(30.0), None))
+  }
+
+  test("fills are per-partition (no bleed across keys)") {
+    val df = Seq[(String, Int, java.lang.Double)](
+      ("a", 1, 1.0), ("a", 2, null), ("b", 1, null), ("b", 2, 2.0)
+    ).toDF("k", "i", "v")
+    val got = df.select($"k", $"i",
+        Fills.ffill($"v", Seq($"k"), Seq($"i"), None).as("f"))
+      .orderBy("k", "i").as[(String, Int, Option[Double])].collect()
+    assert(got.map(_._3) === Seq(Some(1.0), Some(1.0), None, Some(2.0)))
+  }
+
+  test("coverage prune drops low-coverage columns (R3: ETL.py:91)") {
+    val df = Seq[(Int, java.lang.Double, java.lang.Double)](
+      (1, 1.0, null), (2, 2.0, null), (3, null, 3.0), (4, 4.0, null)
+    ).toDF("id", "mostly", "rarely")
+    val pruned = Coverage.dropBelow(df, 0.5)
+    assert(pruned.columns.toSeq === Seq("id", "mostly"))
+    val stats = Coverage.stats(df).orderBy("col_name").collect()
+    assert(stats.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("id", 4L), ("mostly", 3L), ("rarely", 1L)))
+  }
+
+  test("blocked CV folds are contiguous, disjoint, cover everything (W8: utils.py:8-23)") {
+    val df = (0 until 103).map(i => (i, i.toDouble)).toDF("i", "v")
+    val folds = Splits.blockedFolds(df, Seq("i"), 5, 0.2)
+      .select("i", "fold", "is_val").as[(Int, Int, Boolean)].collect().sortBy(_._1)
+    assert(folds.length === 103)
+    // fold ids non-decreasing in order, all 5 present
+    assert(folds.map(_._2).toSeq === folds.map(_._2).sorted.toSeq)
+    assert(folds.map(_._2).distinct.sorted.toSeq === Seq(0, 1, 2, 3, 4))
+    // within each fold, val rows are exactly the tail ~20%
+    for (f <- 0 to 4) {
+      val block = folds.filter(_._2 == f)
+      val nVal = block.count(_._3)
+      assert(nVal === math.ceil(block.length * 0.2).toInt)
+      val firstVal = block.indexWhere(_._3)
+      assert(block.drop(firstVal).forall(_._3), s"val rows not a suffix in fold $f")
+    }
+  }
+
+  test("positional split takes first frac rows (W9)") {
+    val df = (1 to 20).map(i => (i, s"r$i")).toDF("i", "s")
+    val sp = Splits.positionalSplit(df, Seq("i"), 0.85)
+      .filter($"is_train").agg(max($"i")).head().getInt(0)
+    assert(sp === 17)
+  }
+
+  test("unionAligned pads missing columns with nulls (T2: ETL.py:38-54)") {
+    val a = Seq((1, "x")).toDF("id", "only_a")
+    val b = Seq((2, 9.9)).toDF("id", "only_b")
+    val u = Reshape.unionAligned(Seq(a, b)).orderBy("id")
+    assert(u.columns.toSet === Set("id", "only_a", "only_b"))
+    val rows = u.collect()
+    assert(rows(0).getString(1) === "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) === 9.9)
+  }
+
+  test("melt/pivotFirst round-trip with deterministic first (T3/A3)") {
+    val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("id", "a", "b")
+    val long = Reshape.melt(df, Seq("id"), Seq("a", "b"), "k", "v")
+    assert(long.count() === 4)
+    val wide = Reshape.pivotFirst(long.withColumn("ord", $"id"),
+      Seq("id"), "k", "v", "ord", Seq("a", "b")).orderBy("id").collect()
+    assert(wide(0).getDouble(1) === 10.0 && wide(1).getDouble(2) === 200.0)
+  }
+
+  test("pivotFirst picks min-order value under duplicates (A3 determinism)") {
+    val dup = Seq((1, "k", 5.0, 2), (1, "k", 7.0, 1)).toDF("id", "k", "v", "ord")
+    val w = Reshape.pivotFirst(dup, Seq("id"), "k", "v", "ord", Seq("k")).collect()
+    assert(w(0).getDouble(1) === 7.0) // ord=1 wins regardless of input order
+  }
+
+  test("transposeSmall flips a tiny frame (T5: normalization.ipynb#6)") {
+    val df = Seq(("r1", "10", "20"), ("r2", "30", "40")).toDF("name", "jan", "feb")
+    val t = Reshape.transposeSmall(df, "name").orderBy("column")
+    assert(t.columns.toSeq === Seq("column", "r1", "r2"))
+    val rows = t.collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("feb", "jan"))
+    assert(rows(1).getString(1) === "10" && rows(0).getString(2) === "40")
+  }
+
+  test("withDiff d=2 equals manual second difference (W6)") {
+    val df = Seq((1, 1.0), (2, 4.0), (3, 9.0), (4, 16.0)).toDF("i", "v")
+    val got = Lags.withDiff(df, "v", Seq("i"), 2, "d2")
+      .orderBy("i").select("d2").as[Option[Double]].collect()
+    assert(got === Seq(None, None, Some(2.0), Some(2.0)))
+  }
+
+  test("rowMean is null-aware (A7)") {
+    val df = Seq[(java.lang.Double, java.lang.Double)]((1.0, 3.0), (null, 5.0), (null, null))
+      .toDF("a", "b")
+    val got = df.select(Reshape.rowMean(Seq($"a", $"b")).as("m"))
+      .as[Option[Double]].collect()
+    assert(got === Seq(Some(2.0), Some(5.0), None))
+  }
+}
