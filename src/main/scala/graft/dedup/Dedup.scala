@@ -1,0 +1,170 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication for large-scale corpus curation: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Designed for the 100 TB shape:
+  *  - exact dedup shuffles only 16-byte fingerprints, never text;
+  *  - MinHash/SimHash candidate generation is a band-bucket equi-join
+  *    (shuffle on small band keys), with exact verification only on the
+  *    candidate pairs — no quadratic comparison anywhere;
+  *  - all hash seeds are fixed, so results are deterministic under any
+  *    partitioning.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** One row per duplicate-group: canonical (min) id, group size. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** Keep exactly one row (min id) per canonical text. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Large Mersenne prime for universal hashing; h is a 32-bit murmur so
+    * a*h+b stays well inside Long.
+    */
+  private val P = 2305843009213693951L // 2^61 - 1
+
+  private def affine(h: Column, a: Long, b: Long): Column =
+    pmod(lit(a) * h + lit(b), lit(P))
+
+  /** Word n-gram shingles of the canonical text (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, n))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** (idCol, sig: array<long> of length numHashes) — the MinHash signature
+    * of each document's shingle set. Seeded affine permutations over a
+    * 32-bit murmur shingle hash; one explode + one groupBy (shuffles only
+    * (id, 8-byte hash) pairs).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 64, shingleSize: Int = 3,
+                        seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // a, b < 2^31 so a * murmur32(h) stays inside Long before the mod.
+    val params = Seq.fill(numHashes)(
+      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    val exploded = df
+      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("sh"))
+      .select(col(idCol), hash(col("sh")).cast("long").as("h"))
+    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
+      min(affine(col("h"), a, b)).as(s"s$i")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding: split the signature
+    * into `bands` bands of numHashes/bands rows; docs sharing any band
+    * hash become a candidate pair. Returns (id_a, id_b) with a < b,
+    * distinct.
+    */
+  def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int,
+                        numHashes: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val banded = sigs.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(concat_ws(",", slice(col("sig"), b * r + 1, r)), b))))
+      .toDF(idCol, "band", "bh")
+    val left = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val right = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard over word n-gram shingle sets for given pairs. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, shingleSize: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
+    * exact verification at `threshold`.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, numHashes: Int = 64,
+                      bands: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+    val cands = minhashCandidates(sigs, idCol, bands, numHashes)
+    verifyJaccard(cands, df, idCol, textCol, shingleSize)
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Adds a 64-bit SimHash column of the token multiset: per bit, sign of
+    * the sum of ±1 votes from each token's xxhash64. Pure expression folds
+    * — no UDF, no explode; each document is one row through the
+    * projection. (Two-step so the per-bit vote array is computed once.)
+    */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val hashes = transform(TextOps.tokens(col(textCol)), t => xxhash64(t))
+    val counts = array((0 until 64).map { b =>
+      aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+    }: _*)
+    val bits = (0 until 64).map { b =>
+      when(col("__shc").getItem(b) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    df.withColumn("__shc", counts)
+      .withColumn(outCol, bits)
+      .drop("__shc")
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming <= maxDist. Candidates are pairs
+    * sharing at least one of four 16-bit chunks (pigeonhole: any pair with
+    * hamming <= 3 shares a chunk), then exact hamming verification.
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    val withSh = withSimhash(df, textCol, "sh").select(col(idCol), col("sh"))
+    val chunked = withSh.select(
+      col(idCol), col("sh"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF(idCol, "sh", "chunk", "ch")
+    val left = chunked.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
+      col("chunk"), col("ch"))
+    val right = chunked.select(col(idCol).as("id_b"), col("sh").as("sh_b"),
+      col("chunk"), col("ch"))
+    left.join(right, Seq("chunk", "ch"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sh_a", "sh_b").distinct()
+      .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+}

@@ -1,0 +1,142 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[cosineTopK]]: brute-force exact cosine top-k — the correctness
+  *    baseline. O(|queries| × |corpus|); right when the query set is small
+  *    (broadcast) or as the verification stage after candidate generation.
+  *  - [[signLshTopK]]: the scale path — seeded random-hyperplane LSH
+  *    buckets the corpus once (shuffle on small integer keys), probes only
+  *    same-bucket candidates, then re-ranks exactly. Sub-linear candidate
+  *    sets at 100 TB; recall tunable via bits/tables.
+  *
+  * Dot products fold in DECIMAL so the scores (and therefore ranks) are
+  * bit-deterministic under any partitioning — float→double conversion and
+  * double multiplication are IEEE-exact, only the sum needs ordering
+  * protection.
+  */
+object Similarity {
+
+  private val D = DecimalType(38, 18)
+
+  /** Exact deterministic dot product of two float-array columns. */
+  def dotExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(D)),
+      lit(java.math.BigDecimal.ZERO).cast(D),
+      (acc, x) => acc + x).cast("double")
+
+  /** Fast double dot product (sequential fold — deterministic per row). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm (exact-sum variant). */
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** Exact cosine top-k: for every query row, the k nearest corpus rows by
+    * cosine similarity (self-matches excluded). Queries are broadcast —
+    * the corpus streams through one projection, no shuffle until the
+    * per-query top-k (a k-row window per query key).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotExact(col("qv"), col("cv")) / (normExact(col("qv")) * normExact(col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
+  /** Seeded random hyperplanes: `bits` pseudo-random unit directions per
+    * table, components derived from a splitmix-style integer mix —
+    * deterministic, no RNG state to ship.
+    */
+  private def planes(dim: Int, bits: Int, table: Int, seed: Long): Array[Array[Double]] = {
+    def mix(z0: Long): Double = {
+      var z = z0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      // uniform in [-1, 1)
+      (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    }
+    Array.tabulate(bits, dim)((b, d) =>
+      mix(seed + table * 1000003L + b * 10007L + d))
+  }
+
+  /** Bucket id: sign bits of the vector against each hyperplane. */
+  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int, seed: Long): Column = {
+    val ps = planes(dim, bits, table, seed)
+    (0 until bits).map { b =>
+      val d = (0 until dim).map(i =>
+        vec.getItem(i).cast("double") * lit(ps(b)(i))).reduce(_ + _)
+      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** LSH-bucketed approximate top-k with exact re-ranking: candidates are
+    * corpus rows sharing a bucket with the query in any of `tables`
+    * independent tables. Equi-join on (table, bucket) — shuffles integer
+    * keys, never the full cross product.
+    */
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, dim: Int, bits: Int = 12,
+                  tables: Int = 4, seed: Long = 42L): DataFrame = {
+    def bucketed(df: DataFrame, id: String): DataFrame = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
+      df.select(col(idCol).as(id), col(vecCol), explode(buckets).as("tb"))
+        .select(col(id), col(vecCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    }
+    val c = bucketed(corpus, "neighbor_id").withColumnRenamed(vecCol, "cv")
+    val q = bucketed(queries, "query_id").withColumnRenamed(vecCol, "qv")
+    val cands = c.join(q, Seq("t", "b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+    val scored = cands.withColumn("cosine",
+      dotExact(col("qv"), col("cv")) / (normExact(col("qv")) * normExact(col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a similarity threshold,
+    * via the LSH candidate path (id_a < id_b, exact cosine).
+    */
+  def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, dim: Int, bits: Int = 12,
+                     tables: Int = 4, seed: Long = 42L): DataFrame = {
+    def bucketed(df0: DataFrame, id: String, v: String): DataFrame = {
+      val buckets = array((0 until tables).map(t =>
+        struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
+      df0.select(col(idCol).as(id), col(vecCol).as(v), explode(buckets).as("tb"))
+        .select(col(id), col(v), col("tb.t").as("t"), col("tb.b").as("b"))
+    }
+    val a = bucketed(df, "id_a", "va")
+    val b = bucketed(df, "id_b", "vb")
+    a.join(b, Seq("t", "b"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "va", "id_b", "vb").distinct()
+      .withColumn("cosine",
+        dotExact(col("va"), col("vb")) / (normExact(col("va")) * normExact(col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}
