@@ -47,7 +47,7 @@ object Dedup {
     array_distinct(
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, n))))
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
   }
 
@@ -86,7 +86,7 @@ object Dedup {
     val banded = sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(concat_ws(",", slice(col("sig"), b * r + 1, r)), b))))
+        b => hash(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
       .toDF(idCol, "band", "bh")
     val left = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val right = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
