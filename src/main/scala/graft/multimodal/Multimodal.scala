@@ -40,8 +40,10 @@ object Multimodal {
     */
   def stubMeta(df: DataFrame, blobCol: String): DataFrame = {
     val len = octet_length(col(blobCol)).cast("long")
+    // floor-division keeps everything integral: Spark's `/` on longs is
+    // double division, whose int cast truncates while other engines round.
     df.withColumn("width", (lit(16) + pmod(len, lit(64))).cast("int"))
-      .withColumn("height", (lit(16) + pmod(len / 64, lit(64))).cast("int"))
+      .withColumn("height", (lit(16) + pmod(floor(len / lit(64)).cast("long"), lit(64))).cast("int"))
       .withColumn("n_frames", (lit(1) + pmod(len, lit(8))).cast("int"))
       .withColumn("format",
         when(pmod(len, lit(3)) === 0, "png")

@@ -1,8 +1,224 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.ops.Exact.davg
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.multimodal.Multimodal
 
-/** Placeholder for the text/dedup/similarity batch (filled in M4). */
+/** Training-data-pipeline batch over the `documents` and `embeddings`
+  * tables: text analysis, deduplication, similarity search, multimodal
+  * plumbing. SQL-expressible ops carry DuckDB oracles with expression
+  * shapes mirrored exactly (same association order, integral division,
+  * decimal-exact sums) so doubles compare bit-for-bit; the
+  * approximate/hash-seeded paths (MinHash bands, SimHash, sign-LSH ANN)
+  * register oracle-less and are property-tested in TextDedupSpec.
+  *
+  * Scale notes: every text scoring query is a pure scan projection (no
+  * shuffle); dedup shuffles 16-byte fingerprints; candidate generation for
+  * near-dup/ANN is a bucketed equi-join, never a cross product.
+  */
 object Text {
-  val all: Seq[Q] = Seq.empty
+
+  /** Stopword list used by the quality score (shared with the oracles). */
+  val stops: Seq[String] = Seq("the", "a", "of", "and", "to", "is")
+
+  private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  /** Decimal-exact dot product fragment for the DuckDB oracle: mirrors
+    * [[Similarity.dotExact]] (per-term DECIMAL(38,18) capture, exact sum,
+    * one final double rounding).
+    */
+  private def dotSql(a: String, b: String): String =
+    s"CAST((SELECT SUM(CAST(CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE) AS DECIMAL(38,18))) FROM range(64) t(i)) AS DOUBLE)"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- per-document token statistics (scan-projection only) ----
+    Q("q36_doc_stats",
+      s"""SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+        |         w -> CAST(CEIL(length(w) / 4.0) AS BIGINT)))
+        |    + length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    + length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) AS n_bpeish,
+        |  CASE WHEN length(text) > 0
+        |       THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |       ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+        |       THEN CAST(list_sum(list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+        |              x -> length(x))) AS DOUBLE)
+        |            / len(string_split_regex(trim(lower(text)), '\\s+'))
+        |       ELSE 0.0 END AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishTokenCount(col("text")).as("n_bpeish"),
+        TextOps.punctRatio(col("text")).as("punct_ratio"),
+        TextOps.meanTokenLen(col("text")).as("mean_tok_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- marker-based language identification ----
+    Q("q37_lang_id", {
+      val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
+        val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+      }.mkString(",\n        |    ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString("\n        |         ")
+      s"""WITH t AS (SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |  s AS (SELECT doc_id, lang,
+        |    $scoreCols
+        |  FROM t)
+        |SELECT doc_id, lang,
+        |  CASE $cases
+        |       ELSE 'und' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- heuristic quality scoring (same association order as oracle) ----
+    Q("q38_quality_score",
+      s"""WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |  r AS (SELECT doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN len(toks) > 0
+        |         THEN CAST(len(list_filter(toks, x -> list_contains($stopsSql, x))) AS DOUBLE) / len(toks)
+        |         ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id,
+        |  len_score * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3 AS q_score
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir).select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text"), stops).as("q_score"))
+        .orderBy("doc_id")
+    },
+
+    // ---- exact dedup groups (md5 fingerprint hash-groupBy) ----
+    Q("q39_exact_dedup",
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      Dedup.exactGroups(documents(s, dir), "doc_id", "text").orderBy("fp")
+    },
+
+    // ---- per-language corpus totals ----
+    Q("q40_lang_token_totals",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- exact cosine top-k (brute-force baseline over embeddings) ----
+    Q("q41_cosine_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      // Cosine is snapped to DECIMAL(18,9) before output: DuckDB's
+      // decimal(·,18)->double cast rounds twice (int128->double, then /1e18)
+      // and can be one ulp off Spark's correctly-rounded cast; k/1e9 with
+      // k < 2^53 converts exactly-rounded in both engines.
+      val emb = embeddings(s, dir)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- embedding norm stats per label (decimal-exact mean) ----
+    Q("q42_embedding_norms",
+      s"""WITH n AS (SELECT label,
+        |    SQRT(${dotSql("embedding", "embedding")}) AS nrm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  CAST(SUM(CAST(nrm AS DECIMAL(30,6))) AS DOUBLE) / COUNT(nrm) AS avg_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+      embeddings(s, dir)
+        .withColumn("nrm", Similarity.normExact(col("embedding")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), davg(col("nrm")).as("avg_norm"))
+        .orderBy("label")
+    },
+
+    // ---- SimHash per document (engine-hash; self-consistency tested) ----
+    Q.noOracle("q43_simhash") { (s, dir) =>
+      Dedup.withSimhash(documents(s, dir), "text", "simhash")
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash+LSH near-dup scan summary (1-row aggregate) ----
+    Q.noOracle("q44_minhash_neardup_stats") { (s, dir) =>
+      val docs = documents(s, dir)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text")
+      val cands = Dedup.minhashCandidates(sigs, "doc_id", bands = 16)
+      Dedup.verifyJaccard(cands, docs, "doc_id", "text")
+        .agg(count(lit(1)).as("n_candidates"),
+          count(when(col("jaccard") >= 0.7, 1)).as("n_dups_07"),
+          coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
+    },
+
+    // ---- sign-LSH approximate nearest neighbors (bucketed equi-join) ----
+    Q.noOracle("q45_ann_topk") { (s, dir) =>
+      val emb = embeddings(s, dir)
+      Similarity.signLshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, bits = 6, tables = 4)
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- multimodal metadata plumbing (blob header sniff, oracle-checked) ----
+    Q("q46_multimodal_meta",
+      """SELECT doc_id,
+        |  CAST(16 + octet_length(encode(text)) % 64 AS INTEGER) AS width,
+        |  CAST(16 + (octet_length(encode(text)) // 64) % 64 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 8 AS INTEGER) AS n_frames,
+        |  CASE WHEN octet_length(encode(text)) % 3 = 0 THEN 'png'
+        |       WHEN octet_length(encode(text)) % 3 = 1 THEN 'jpeg'
+        |       ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Multimodal.stubMeta(
+        Multimodal.withBlob(documents(s, dir), "text", "blob"), "blob")
+        .select("doc_id", "width", "height", "n_frames", "format")
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal feature extraction (mapPartitions codec path) ----
+    Q.noOracle("q47_multimodal_features") { (s, dir) =>
+      val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
+      Multimodal.extractFeatures(blobs, "doc_id", "blob", featureDim = 16)
+        .orderBy("doc_id")
+    })
 }

@@ -23,14 +23,24 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  private val D = DecimalType(38, 18)
+  /** Capture type for exact dot products: scale 18 keeps the full decimal
+    * expansion that matters for the final double rounding; precision 28
+    * leaves 10 integer digits of headroom so the per-step cast below never
+    * rounds. (Precision 38 would make Spark demote the fold's `+` result
+    * to scale 17, silently rounding each step.)
+    */
+  private val D = DecimalType(28, 18)
 
-  /** Exact deterministic dot product of two float-array columns. */
+  /** Exact deterministic dot product of two float-array columns. Matches
+    * the ANSI form `SUM(CAST(a[i]*b[i] AS DECIMAL(38,18)))`: rounding a
+    * double product at scale 18 is precision-independent, and the decimal
+    * sum itself is exact in both engines.
+    */
   def dotExact(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(D)),
       lit(java.math.BigDecimal.ZERO).cast(D),
-      (acc, x) => acc + x).cast("double")
+      (acc, x) => (acc + x).cast(D)).cast("double")
 
   /** Fast double dot product (sequential fold — deterministic per row). */
   def dot(a: Column, b: Column): Column =

@@ -56,13 +56,15 @@ object TextOps {
   /** Heuristic quality score in [0,1]: rewards mid-length documents and
     * stopword presence, penalizes punctuation soup. Deterministic
     * arithmetic over the ratios above (reference-style quality filters for
-    * LLM corpus curation).
+    * LLM corpus curation). Returned unrounded: every step is an exact IEEE
+    * op on identical inputs, so the raw double is bit-stable across
+    * engines, whereas double `round` algorithms differ between engines.
     */
   def qualityScore(text: Column, stops: Seq[String]): Column = {
     val lenScore = least(length(text).cast("double") / lit(500.0), lit(1.0))
     val stopScore = least(stopwordRatio(text, stops) * lit(5.0), lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * lit(4.0))
-    round(lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3), 6)
+    lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3)
   }
 
   /** Marker stopwords per language for the n-gram/marker language-ID

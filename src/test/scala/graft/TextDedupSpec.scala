@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+import graft.multimodal.Multimodal
+
+/** Self-consistency tests for the hash-seeded (oracle-less) text/dedup/
+  * similarity paths: planted near-duplicates must be recalled, approximate
+  * results must agree with the exact baseline, and everything must be
+  * deterministic across runs.
+  */
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def mkDoc(seed: Int, n: Int): String = {
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over", "lazy",
+      "dog", "data", "spark", "table", "query", "join", "scan", "sort")
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
+  }
+
+  test("exact dedup groups and keeps min id per canonical text") {
+    val df = Seq(
+      (1L, "Hello   World"), (2L, "hello world"), (3L, "unique one"),
+      (4L, "HELLO WORLD "), (5L, "unique two")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length === 3)
+    val g = groups.find(_.getAs[Long]("n_docs") == 3L).get
+    assert(g.getAs[Long]("keep_id") === 1L)
+    val kept = Dedup.dropExactDups(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("minhash LSH recalls planted near-duplicates, skips unrelated docs") {
+    val base = mkDoc(7, 120)
+    val nearDup = base.split(" ").updated(5, "changed").mkString(" ")
+    val docs = (Seq((0L, base), (1L, nearDup)) ++
+      (2L to 9L).map(i => (i, mkDoc(100 + i.toInt, 120)))).toDF("doc_id", "text")
+    val dups = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((0L, 1L)), "planted near-dup pair not recalled")
+    assert(!dups.exists(p => p._1 >= 2L), s"false-positive pairs: $dups")
+  }
+
+  test("minhash signatures are deterministic and length numHashes") {
+    val docs = (0L to 4L).map(i => (i, mkDoc(i.toInt, 50))).toDF("doc_id", "text")
+    val a = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val b = Dedup.minhashSignatures(docs.repartition(7), "doc_id", "text", numHashes = 32)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(a.forall(_.length == 32))
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+      "signatures changed under repartitioning")
+  }
+
+  test("simhash near-dups: hamming<=maxDist pairs found via chunk pigeonhole") {
+    val base = mkDoc(3, 200)
+    val nearDup = base.split(" ").updated(10, "tweak").mkString(" ")
+    val docs = (Seq((0L, base), (1L, nearDup)) ++
+      (2L to 7L).map(i => (i, mkDoc(500 + i.toInt, 200)))).toDF("doc_id", "text")
+    val withSh = Dedup.withSimhash(docs, "text", "sh")
+    val shs = withSh.orderBy("doc_id").select("sh").as[Long].collect()
+    val trueDist = java.lang.Long.bitCount(shs(0) ^ shs(1))
+    val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 16)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    if (trueDist <= 16)
+      assert(found.contains((0L, 1L, trueDist)),
+        s"pair with hamming=$trueDist not found (pigeonhole guarantees <=3; 16 covers it only if chunks collide) found=$found")
+    // pigeonhole guarantee holds unconditionally at <=3
+    val close = Dedup.simhashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect()
+    assert(close.forall(_.getInt(2) <= 3))
+  }
+
+  test("sign-LSH ANN top-k overlaps exact cosine top-k on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.signLshTopK(emb, queries, "vec_id", "embedding",
+      k = 10, dim = 64, bits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every ANN hit must be a real corpus pair; recall should be non-trivial
+    val overlap = exact.intersect(approx).size.toDouble / exact.size
+    assert(approx.nonEmpty)
+    assert(overlap > 0.2, s"ANN recall too low: $overlap")
+  }
+
+  test("langId picks marker language; und for unknown scripts") {
+    val df = Seq(
+      (1L, "the cat and the dog is a friend of mine"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "el perro y la casa de los amigos es que si"),
+      (4L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextOps.langId(col("text")).as("l"))
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(got(1L) === "en"); assert(got(2L) === "de")
+    assert(got(3L) === "es"); assert(got(4L) === "und")
+  }
+
+  test("quality score stays in [0,1] and rewards stopword-rich prose") {
+    val df = Seq(
+      (1L, "the quick brown fox is one of the best dogs and a friend to all of us here"),
+      (2L, "@#$% ^&* !!! ### $$$ %%%")).toDF("doc_id", "text")
+    val s = df.select(col("doc_id"),
+      TextOps.qualityScore(col("text"), graft.queries.Text.stops).as("q"))
+      .orderBy("doc_id").as[(Long, Double)].collect().toMap
+    assert(s.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(s(1L) > s(2L))
+  }
+
+  test("multimodal extractFeatures is deterministic, dim-stable, partition-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).limit(50)
+    val blobs = Multimodal.withBlob(docs, "text", "blob")
+    val a = Multimodal.extractFeatures(blobs, "doc_id", "blob", 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val b = Multimodal.extractFeatures(blobs.repartition(5), "doc_id", "blob", 16)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(a.forall(_._2.length == 16))
+    assert(a.map { case (i, v) => (i, v.toSeq) }.toSeq ===
+      b.map { case (i, v) => (i, v.toSeq) }.toSeq)
+  }
+}
