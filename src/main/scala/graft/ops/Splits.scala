@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Ordered train/validation splitting as pure column math.
   *
@@ -12,50 +12,89 @@ import org.apache.spark.sql.functions._
   * version yields driver-side index arrays; here the fold id and val flag
   * are columns, so every fold's train/val frames are plain filters — no
   * driver materialization, and all folds can be computed in one pass.
+  *
+  * Scale design: the global ordering these ops need is NOT a
+  * `Window.orderBy(...)` with no partition — that funnels the whole table
+  * through one task. [[withGlobalRowNumber]] instead range-partitions on
+  * the sort key, sorts within partitions, takes one tiny action for the
+  * per-partition counts (the range shuffle is materialized once and its
+  * shuffle files are reused by the main query), and assigns ranks in a
+  * narrow `mapPartitions` from broadcast offsets — the classic
+  * zipWithIndex scheme: two waves over the shuffle output, never a
+  * single-partition stage.
   */
 object Splits {
 
+  /** Adds a 1-based global row number `out` over `order` without any
+    * unpartitioned window, plus returns the total row count (known from
+    * the same pass). Ties on the sort key land in one range partition, so
+    * rank sets per key group are stable under re-partitioning.
+    */
+  def withGlobalRowNumber(df: DataFrame, order: Seq[String],
+                          out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val sortCols = order.map(col)
+    // One concrete RDD for both jobs below. Range-partition boundaries are
+    // SAMPLED per physical planning, so two separate DataFrame actions over
+    // the same logical plan may disagree on boundaries; pinning a single
+    // RDD means the counts job materializes the shuffle and the rank job
+    // reuses those exact shuffle files (its shuffle stage is skipped).
+    val rdd = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd
+    // Small action: ≤ `parts` longs to the driver.
+    val counts = rdd.mapPartitions(it => Iterator(it.size.toLong), preservesPartitioning = true)
+      .collect()
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val outSchema = df.schema.add(out, LongType, nullable = false)
+    val rowRdd = rdd.mapPartitionsWithIndex { case (pid, rows) =>
+      var i = offsets(pid)
+      rows.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }
+    (spark.createDataFrame(rowRdd, outSchema), n)
+  }
+
   /** Adds `fold` (0-based) and `is_val` over the given ordering.
-    * Block f covers row numbers rn in [floor(f*n/k), floor((f+1)*n/k)),
-    * and the last ceil(valSize * blockLen) rows of each block are val.
+    * Block f covers 0-based row numbers in [floor(f*n/k), floor((f+1)*n/k));
+    * the last ceil(valSize * blockLen) rows of each block are val. Fold
+    * boundaries are plain arithmetic on the global row number — no
+    * per-fold window pass.
     */
   def blockedFolds(df: DataFrame, order: Seq[String], nSplits: Int,
                    valSize: Double = 0.2): DataFrame = {
-    val w = Window.orderBy(order.map(col): _*)
-    val n = Window.partitionBy()
-    val withRn = df
-      .withColumn("__rn", row_number().over(w) - 1)
-      .withColumn("__n", count(lit(1)).over(n))
-    val withFold = withRn
-      .withColumn("fold", floor(col("__rn") * nSplits / col("__n")).cast("int"))
-    val wf = Window.partitionBy(col("fold")).orderBy(order.map(col): _*)
-    withFold
-      .withColumn("__rnf", row_number().over(wf))
-      .withColumn("__nf", count(lit(1)).over(Window.partitionBy(col("fold"))))
+    val (ranked, n) = withGlobalRowNumber(df, order, "__rn1")
+    val rn0 = ranked("__rn1") - 1
+    // fold(rn0) = floor(rn0*k/n), whose inverse block ranges are
+    // [ceil(f*n/k), ceil((f+1)*n/k)) in 0-based row numbers.
+    val fold = floor(rn0 * nSplits / lit(n)).cast("int")
+    val blockStart = ceil(col("fold").cast("long") * n / nSplits)
+    val blockEnd = ceil((col("fold") + 1).cast("long") * n / nSplits)
+    ranked
+      .withColumn("fold", fold)
+      .withColumn("__rnf", col("__rn1") - blockStart)
+      .withColumn("__nf", blockEnd - blockStart)
       .withColumn("is_val",
         col("__rnf") > (col("__nf") - ceil(col("__nf") * valSize)))
-      .drop("__rn", "__n", "__rnf", "__nf")
+      .drop("__rn1", "__rnf", "__nf")
   }
 
   /** Positional train/test split (reference 85/15 `evaluation.ipynb#9`):
     * adds `is_train` = row among the first floor(frac * n) in order.
     */
   def positionalSplit(df: DataFrame, order: Seq[String], frac: Double): DataFrame = {
-    val w = Window.orderBy(order.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("is_train", col("__rn") <= floor(col("__n") * frac))
-      .drop("__rn", "__n")
+    val (ranked, n) = withGlobalRowNumber(df, order, "__rn1")
+    ranked
+      .withColumn("is_train", col("__rn1") <= math.floor(n * frac).toLong)
+      .drop("__rn1")
   }
 
   /** Growing-prefix learning-curve windows (`evaluation.ipynb#37-39`):
     * rows in the first floor(frac*n) of the ordering.
     */
   def prefix(df: DataFrame, order: Seq[String], frac: Double): DataFrame = {
-    val w = Window.orderBy(order.map(col): _*)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy()))
-      .filter(col("__rn") <= floor(col("__n") * frac))
-      .drop("__rn", "__n")
+    val (ranked, n) = withGlobalRowNumber(df, order, "__rn1")
+    ranked.filter(col("__rn1") <= math.floor(n * frac).toLong).drop("__rn1")
   }
 }
