@@ -31,10 +31,13 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame     = t(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set at construction in Verify/Bench/TestSession) — mutating the conf
+    * here as a loader side effect would make scan behavior depend on call
+    * order.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
-  }
   def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }

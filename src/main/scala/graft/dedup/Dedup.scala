@@ -41,7 +41,10 @@ object Dedup {
   private def affine(h: Column, a: Long, b: Long): Column =
     pmod(lit(a) * h + lit(b), lit(P))
 
-  /** Word n-gram shingles of the canonical text (distinct). */
+  /** Word n-gram shingles of the canonical text (distinct strings).
+    * Readable form — for the hot minhash/Jaccard path use
+    * [[shingleHashes]], which avoids per-index slice+concat allocation.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
     array_distinct(
@@ -49,6 +52,27 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
         .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** Distinct 64-bit identities of word n-gram shingles: tokens are
+    * xxhash64'd once, then n consecutive hashes combine by xor of
+    * position-rotated copies (`zip_with` pads the short side with null,
+    * which propagates and marks the ragged tail for the filter; bitwise
+    * ops are exempt from ANSI overflow checks). Same set semantics as
+    * [[shingles]] up to hash collisions (~2^-64 per pair); ~n array ops
+    * per document instead of ~len slices.
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val th = transform(TextOps.tokens(text), t => xxhash64(t))
+    def rotl(c: Column, k: Int): Column =
+      shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
+    val combined = (1 until n).foldLeft(th) { (acc, k) =>
+      zip_with(acc, slice(th, lit(k + 1), greatest(size(th) - k, lit(0))),
+        (a, b) => a.bitwiseXOR(rotl(b, (7 * k) % 63 + 1)))
+    }
+    array_distinct(
+      when(size(th) >= n, filter(combined, c => c.isNotNull))
+        .otherwise(array(xxhash64(concat_ws(" ", TextOps.tokens(text))))))
   }
 
   /** (idCol, sig: array<long> of length numHashes) — the MinHash signature
@@ -64,8 +88,9 @@ object Dedup {
     val params = Seq.fill(numHashes)(
       (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
     val exploded = df
-      .select(col(idCol), explode(shingles(col(textCol), shingleSize)).as("sh"))
-      .select(col(idCol), hash(col("sh")).cast("long").as("h"))
+      .select(col(idCol), explode(shingleHashes(col(textCol), shingleSize)).as("h0"))
+      // fold to 31 bits so a*h+b stays inside Long (ANSI-safe) before the mod
+      .select(col(idCol), col("h0").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min(affine(col("h"), a, b)).as(s"s$i")
     }
@@ -95,10 +120,12 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Exact Jaccard over word n-gram shingle sets for given pairs. */
+  /** Exact Jaccard over word n-gram shingle sets (64-bit identities) for
+    * given pairs.
+    */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("sh"))
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -125,20 +152,27 @@ object Dedup {
   /** Adds a 64-bit SimHash column of the token multiset: per bit, sign of
     * the sum of ±1 votes from each token's xxhash64. Pure expression folds
     * — no UDF, no explode; each document is one row through the
-    * projection. (Two-step so the per-bit vote array is computed once.)
+    * projection.
+    *
+    * Implementation note: one array-accumulator fold (token hash → 64-char
+    * two's-complement bit string via `bin`, zipped into the vote array),
+    * NOT 64 separate folds — the unrolled form re-inlines the tokenizer
+    * per bit and grows generated code past Janino's 64 KB method limit,
+    * silently dropping the whole stage to interpreted eval.
     */
   def withSimhash(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val hashes = transform(TextOps.tokens(col(textCol)), t => xxhash64(t))
-    val counts = array((0 until 64).map { b =>
-      aggregate(hashes, lit(0), (acc, h) =>
-        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-    }: _*)
-    val bits = (0 until 64).map { b =>
-      when(col("__shc").getItem(b) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-    df.withColumn("__shc", counts)
-      .withColumn(outCol, bits)
-      .drop("__shc")
+    // LSB-first vote accumulation: reverse(lpad(bin(h),64,'0'))[b] = bit b.
+    val votes = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, split(reverse(lpad(bin(h), 64, "0")), ""),
+        (a, c) => a + when(c === "1", 1).otherwise(-1)))
+    // Disjoint powers of two: plain addition assembles the bit pattern
+    // (sign bit included — two's complement addition of disjoint bits).
+    val pow2 = array((0 until 64).map(b => lit(1L << b)): _*)
+    val sh = aggregate(
+      zip_with(votes, pow2, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    df.withColumn(outCol, sh)
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -51,8 +51,10 @@ object Reshape {
                      idOutCol: String = "column"): DataFrame = {
     val spark = df.sparkSession
     val others = df.columns.filterNot(_ == headerCol)
-    val rows = df.select((headerCol +: others.toSeq).map(col): _*).collect()
-    require(rows.length <= 10000, s"transposeSmall on ${rows.length} rows — not a driver-side table")
+    // take(10001) bounds the driver transfer BEFORE materialization; a
+    // collect-then-require would OOM on exactly the tables the guard exists for.
+    val rows = df.select((headerCol +: others.toSeq).map(col): _*).take(10001)
+    require(rows.length <= 10000, s"transposeSmall on >10000 rows — not a driver-side table")
     val newCols = rows.map(_.get(0).toString)
     val out = others.zipWithIndex.map { case (c, i) =>
       Row.fromSeq(c +: rows.map(r => Option(r.get(i + 1)).map(_.toString).orNull).toSeq)

@@ -195,7 +195,8 @@ object Series {
         |SELECT COUNT(pred) AS n,
         |  CAST(SUM(CAST(ABS(val - pred) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mae,
         |  CAST(SUM(CAST((val - pred) * (val - pred) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mse,
-        |  CAST(SUM(CAST(ABS((val - pred) / val) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mape
+        |  CAST(SUM(CASE WHEN val <> 0 THEN CAST(ABS((val - pred) / val) AS DECIMAL(30,6)) END) AS DOUBLE)
+        |    / COUNT(CASE WHEN val <> 0 THEN (val - pred) / val END) AS mape
         |FROM p""".stripMargin) { (s, dir) =>
       val daily = dailySeries(s, dir).drop("n_events")
       val p = Lags.withLags(daily, "val", Seq("day"), Seq(1))

@@ -57,12 +57,15 @@ object Similarity {
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
+    // Norms are per-ROW quantities: compute them before the pair join, not
+    // in the pair projection, or each corpus norm is re-folded once per query.
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normExact(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      normExact(col(vecCol)).as("cn"))
     val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotExact(col("qv"), col("cv")) / (normExact(col("qv")) * normExact(col("cv"))))
+      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -88,12 +91,17 @@ object Similarity {
       mix(seed + table * 1000003L + b * 10007L + d))
   }
 
-  /** Bucket id: sign bits of the vector against each hyperplane. */
+  /** Bucket id: sign bits of the vector against each hyperplane. Each
+    * plane is an array literal folded against the vector — the unrolled
+    * per-component form (bits×dim inline terms) exceeds Janino's 64 KB
+    * generated-method limit at real dims and forces interpreted eval.
+    */
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int, seed: Long): Column = {
     val ps = planes(dim, bits, table, seed)
     (0 until bits).map { b =>
-      val d = (0 until dim).map(i =>
-        vec.getItem(i).cast("double") * lit(ps(b)(i))).reduce(_ + _)
+      val plane = array(ps(b).map(lit): _*)
+      val d = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
@@ -106,19 +114,20 @@ object Similarity {
   def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, dim: Int, bits: Int = 12,
                   tables: Int = 4, seed: Long = 42L): DataFrame = {
-    def bucketed(df: DataFrame, id: String): DataFrame = {
+    def bucketed(df: DataFrame, id: String, nrm: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
-      df.select(col(idCol).as(id), col(vecCol), explode(buckets).as("tb"))
-        .select(col(id), col(vecCol), col("tb.t").as("t"), col("tb.b").as("b"))
+      df.select(col(idCol).as(id), col(vecCol),
+          normExact(col(vecCol)).as(nrm), explode(buckets).as("tb"))
+        .select(col(id), col(vecCol), col(nrm), col("tb.t").as("t"), col("tb.b").as("b"))
     }
-    val c = bucketed(corpus, "neighbor_id").withColumnRenamed(vecCol, "cv")
-    val q = bucketed(queries, "query_id").withColumnRenamed(vecCol, "qv")
+    val c = bucketed(corpus, "neighbor_id", "cn").withColumnRenamed(vecCol, "cv")
+    val q = bucketed(queries, "query_id", "qn").withColumnRenamed(vecCol, "qv")
     val cands = c.join(q, Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "neighbor_id", "cv").distinct()
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
     val scored = cands.withColumn("cosine",
-      dotExact(col("qv"), col("cv")) / (normExact(col("qv")) * normExact(col("cv"))))
+      dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -133,19 +142,20 @@ object Similarity {
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 12,
                      tables: Int = 4, seed: Long = 42L): DataFrame = {
-    def bucketed(df0: DataFrame, id: String, v: String): DataFrame = {
+    def bucketed(df0: DataFrame, id: String, v: String, nrm: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
-      df0.select(col(idCol).as(id), col(vecCol).as(v), explode(buckets).as("tb"))
-        .select(col(id), col(v), col("tb.t").as("t"), col("tb.b").as("b"))
+      df0.select(col(idCol).as(id), col(vecCol).as(v),
+          normExact(col(vecCol)).as(nrm), explode(buckets).as("tb"))
+        .select(col(id), col(v), col(nrm), col("tb.t").as("t"), col("tb.b").as("b"))
     }
-    val a = bucketed(df, "id_a", "va")
-    val b = bucketed(df, "id_b", "vb")
+    val a = bucketed(df, "id_a", "va", "na")
+    val b = bucketed(df, "id_b", "vb", "nb")
     a.join(b, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "va", "id_b", "vb").distinct()
+      .select("id_a", "va", "na", "id_b", "vb", "nb").distinct()
       .withColumn("cosine",
-        dotExact(col("va"), col("vb")) / (normExact(col("va")) * normExact(col("vb"))))
+        dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -98,15 +98,17 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
-  /** 64-bit rolling polynomial fingerprint (base 31, Long wraparound) over
-    * the canonical form — cheaper than md5 in tight loops, engine-internal
-    * (not cross-engine stable; see [[fingerprint]] for the oracle-stable
-    * variant). Implemented as a fold over the char array: Horner's rule.
+  /** 64-bit rolling fingerprint (rotate-xor chain) over the canonical
+    * form — cheaper than md5 in tight loops, engine-internal (not
+    * cross-engine stable; see [[fingerprint]] for the oracle-stable
+    * variant). Bitwise ops only: a Horner `acc*31+c` would trip ANSI
+    * overflow checks on any text longer than ~13 chars.
     */
   def rollingFingerprint(text: Column): Column = {
     val canon = regexp_replace(trim(lower(text)), "\\s+", " ")
     val chars = split(canon, "")
-    aggregate(chars, lit(0L), (acc, ch) =>
-      acc * lit(31L) + coalesce(ascii(ch).cast("long"), lit(0L)))
+    aggregate(chars, lit(5381L), (acc, ch) =>
+      shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+        .bitwiseXOR(coalesce(ascii(ch).cast("long"), lit(0L))))
   }
 }

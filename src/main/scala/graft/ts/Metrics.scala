@@ -11,13 +11,18 @@ import graft.ops.Exact.davg
   */
 object Metrics {
 
-  /** One-row frame: n, mae, mse, mape of `predCol` against `actualCol`. */
+  /** One-row frame: n, mae, mse, mape of `predCol` against `actualCol`.
+    * MAPE explicitly excludes zero-actual rows from BOTH numerator and
+    * denominator (the standard convention); leaving the zero rows to
+    * null-division would make the term set engine-dependent (null vs inf).
+    */
   def regressionMetrics(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
     val err = col(actualCol) - col(predCol)
+    val mapeTerm = when(col(actualCol) =!= 0, abs(err / col(actualCol)))
     df.agg(
       count(col(predCol)).as("n"),
       davg(abs(err)).as("mae"),
       davg(err * err).as("mse"),
-      davg(abs(err / col(actualCol))).as("mape"))
+      davg(mapeTerm).as("mape"))
   }
 }
