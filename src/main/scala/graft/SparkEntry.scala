@@ -13,11 +13,12 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
-    queries_relational ++ queries_series ++ queries_text
+    queries_relational ++ queries_series ++ queries_text ++ queries_ml
 
   private def queries_relational = graft.queries.Relational.all
   private def queries_series     = graft.queries.Series.all
   private def queries_text       = graft.queries.Text.all
+  private def queries_ml         = graft.queries.Ml.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The proportional-disaggregation pipeline (SURVEY.md §7.1 / M24).

@@ -1,0 +1,251 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor, LinearRegression}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.ops.Lags
+
+/** Forecasting core re-expressing the reference's model layer Spark-first:
+  *
+  *  - [[Arimax]] — ARIMA(p,d,q) with exogenous regressors via the
+  *    Hannan–Rissanen two-stage regression (reference: statsmodels ARIMA
+  *    order (3,1,4) + exog, `supervised/evaluation.ipynb#9`, params
+  *    `supervised/ARIMA_params.json:1`). Feature prep (lags, differencing)
+  *    is distributed column math; the two linear fits are MLlib
+  *    `LinearRegression`; only the O(p+q+d) forecast state is collected.
+  *  - [[RecursiveGbt]] — skforecast-style recursive autoregression
+  *    (`src/scripts/optimization.py:124-128`, `xgb.ipynb#10`): MLlib
+  *    `GBTRegressor` over lag/diff features, multi-step forecast feeding
+  *    predictions back through the lag buffer on the driver.
+  *  - [[CvObjective]] — blocked time-series CV objective
+  *    (`optimization.py:56-77`): per-fold fit+forecast MAE, mean/std.
+  *
+  * Scale notes: model fitting is distributed through MLlib; the recursive
+  * forecast loop is inherently sequential per series and runs on the
+  * driver over a bounded state (lag buffer), never over the history.
+  */
+object Forecast {
+
+  /** Difference `valueCol` d times over `order`; drops the d warm-up rows. */
+  private[ml] def differenced(df: DataFrame, valueCol: String, order: Seq[String],
+                              d: Int, outCol: String): DataFrame =
+    if (d == 0) df.withColumn(outCol, col(valueCol).cast("double"))
+    else Lags.withDiff(df, valueCol, order, d, outCol).filter(col(outCol).isNotNull)
+
+  /** Integrate one step: given last levels of each difference order
+    * (state(j) = latest value of the j-times-differenced series) and the
+    * next d-th-difference prediction, roll the state forward and return
+    * the new level.
+    */
+  def integrate(state: Array[Double], diffPred: Double): Double = {
+    val d = state.length - 1
+    var acc = diffPred
+    var j = d - 1
+    while (j >= 0) { acc += state(j); state(j) = acc; j -= 1 }
+    state(d) = diffPred
+    acc
+  }
+
+  /** Last `n` values of `valueCol` in `order` — bounded driver transfer. */
+  private[ml] def tail(df: DataFrame, valueCol: String, order: Seq[String],
+                       n: Int): Array[Double] =
+    df.orderBy(order.map(c => col(c).desc): _*).select(col(valueCol).cast("double"))
+      .limit(n).collect().map(_.getDouble(0)).reverse
+}
+
+/** Fitted ARIMAX state: AR weights over p target lags, MA weights over q
+  * innovation lags, exog betas, plus the forecast-time buffers.
+  */
+final case class ArimaxModel(
+    p: Int, d: Int, q: Int,
+    phi: Array[Double], theta: Array[Double], beta: Array[Double],
+    intercept: Double,
+    lastDiffs: Array[Double],   // last p values of the differenced series
+    lastResiduals: Array[Double], // last q innovation estimates
+    diffState: Array[Double]) { // last level of each difference order 0..d
+
+  /** Iterative multi-step forecast; future innovations are zero (their
+    * conditional expectation). `exogFuture` must have `steps` rows in
+    * forecast order with the same exog columns used at fit time.
+    */
+  def forecast(steps: Int, exogFuture: Seq[Array[Double]]): Array[Double] = {
+    require(exogFuture.length >= steps || beta.isEmpty,
+      s"need $steps exog rows, got ${exogFuture.length}")
+    val diffs = scala.collection.mutable.ArrayBuffer(lastDiffs.toSeq: _*)
+    val resid = scala.collection.mutable.ArrayBuffer(lastResiduals.toSeq: _*)
+    val state = diffState.clone()
+    (0 until steps).map { s =>
+      val ar = (0 until p).map(i => phi(i) * diffs(diffs.length - 1 - i)).sum
+      val ma = (0 until q).map(i => theta(i) * resid(resid.length - 1 - i)).sum
+      val ex = if (beta.isEmpty) 0.0
+        else beta.zip(exogFuture(s)).map { case (b, x) => b * x }.sum
+      val diffPred = intercept + ar + ma + ex
+      diffs += diffPred
+      resid += 0.0
+      Forecast.integrate(state, diffPred)
+    }.toArray
+  }
+}
+
+object Arimax {
+
+  /** Hannan–Rissanen fit: (1) long-AR regression estimates innovations as
+    * residuals; (2) regression of the differenced target on p AR lags, q
+    * innovation lags, and exog. Both stages are MLlib LinearRegression
+    * over distributed lag features; only O(p+q+d) state is collected.
+    */
+  def fit(series: DataFrame, dateCol: String, targetCol: String,
+          exogCols: Seq[String], p: Int, d: Int, q: Int): ArimaxModel = {
+    require(p >= 1, "need p >= 1")
+    val order = Seq(dateCol)
+    val diffed = Forecast.differenced(series, targetCol, order, d, "__y")
+
+    // ---- stage 1: long AR (order m) for innovation estimates ----
+    val m = math.max(p + q, p) + 2
+    val arLags = (1 to m).map(k => s"__y_lag$k")
+    val stage1 = Lags.withLags(diffed, "__y", order, 1 to m)
+      .na.drop(arLags :+ "__y")
+    val asm1 = new VectorAssembler().setInputCols(arLags.toArray)
+      .setOutputCol("__f1")
+    val lr = new LinearRegression().setFeaturesCol("__f1").setLabelCol("__y")
+      .setPredictionCol("__p1").setRegParam(1e-6).setElasticNetParam(0.0)
+    val m1 = lr.fit(asm1.transform(stage1))
+    val withResid = m1.transform(asm1.transform(stage1))
+      .withColumn("__e", col("__y") - col("__p1"))
+      .drop("__f1", "__p1")
+
+    // ---- stage 2: y ~ p AR lags + q innovation lags + exog ----
+    val pLags = (1 to p).map(k => s"__y_lag$k")
+    val eLags = (1 to q).map(k => s"__e_lag$k")
+    val stage2 = Lags.withLags(withResid, "__e", order, 1 to math.max(q, 1))
+      .na.drop(pLags ++ eLags :+ "__y")
+    val feats = (pLags ++ eLags ++ exogCols).toArray
+    val asm2 = new VectorAssembler().setInputCols(feats).setOutputCol("__f2")
+    val lr2 = new LinearRegression().setFeaturesCol("__f2").setLabelCol("__y")
+      .setPredictionCol("__p2").setRegParam(1e-6).setElasticNetParam(0.0)
+    val m2 = lr2.fit(asm2.transform(
+      exogCols.foldLeft(stage2)((df, c) => df.withColumn(c, col(c).cast("double")))))
+
+    val w = m2.coefficients.toArray
+    val phi = w.slice(0, p)
+    val theta = w.slice(p, p + q)
+    val beta = w.slice(p + q, p + q + exogCols.length)
+
+    // ---- bounded forecast state ----
+    val lastDiffs = Forecast.tail(diffed, "__y", order, p)
+    val lastResiduals =
+      if (q == 0) Array.empty[Double] else Forecast.tail(withResid, "__e", order, q)
+    val diffState = new Array[Double](d + 1)
+    var cur = series.withColumn("__l0", col(targetCol).cast("double"))
+    diffState(0) = Forecast.tail(cur, "__l0", order, 1).head
+    for (j <- 1 to d) {
+      cur = Lags.withDiff(series, targetCol, order, j, s"__l$j")
+      diffState(j) = Forecast.tail(cur.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
+    }
+    ArimaxModel(p, d, q, phi, theta, beta, m2.intercept,
+      lastDiffs, lastResiduals, diffState)
+  }
+}
+
+/** Fitted recursive GBT forecaster (skforecast ForecasterAutoreg analog). */
+final case class RecursiveGbtModel(
+    model: GBTRegressionModel, lags: Seq[Int], d: Int,
+    exogCols: Seq[String],
+    lastDiffs: Array[Double],  // last max(lags) differenced values
+    diffState: Array[Double]) {
+
+  /** Recursive multi-step forecast: each step predicts the next
+    * (differenced) value from the lag buffer + that step's exog row, then
+    * feeds the prediction back. Sequential by construction; runs on the
+    * driver over bounded state (single-instance model.predict).
+    */
+  def forecast(steps: Int, exogFuture: Seq[Array[Double]]): Array[Double] = {
+    require(exogFuture.length >= steps || exogCols.isEmpty,
+      s"need $steps exog rows, got ${exogFuture.length}")
+    val buf = scala.collection.mutable.ArrayBuffer(lastDiffs.toSeq: _*)
+    val state = diffState.clone()
+    (0 until steps).map { s =>
+      val lagVals = lags.map(k => buf(buf.length - k)).toArray
+      val ex = if (exogCols.isEmpty) Array.empty[Double] else exogFuture(s)
+      val diffPred = model.predict(Vectors.dense(lagVals ++ ex))
+      buf += diffPred
+      Forecast.integrate(state, diffPred)
+    }.toArray
+  }
+}
+
+object RecursiveGbt {
+
+  /** Fit a GBT over lag features of the (optionally differenced) target
+    * plus same-row exog columns (reference grid: lags ∈ {1..6, subsets},
+    * differentiation ∈ {0..4}, `xgb.ipynb#10`).
+    */
+  def fit(series: DataFrame, dateCol: String, targetCol: String,
+          exogCols: Seq[String], lags: Seq[Int], d: Int = 0,
+          maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L): RecursiveGbtModel = {
+    require(lags.nonEmpty, "need at least one lag")
+    val order = Seq(dateCol)
+    val diffed = Forecast.differenced(series, targetCol, order, d, "__y")
+    val lagCols = lags.map(k => s"__y_lag$k")
+    val feats = (lagCols ++ exogCols).toArray
+    val train = Lags.withLags(diffed, "__y", order, lags)
+      .na.drop(lagCols :+ "__y")
+    require(train.limit(1).count() > 0,
+      "no trainable rows after lagging/differencing — series too short for the lag grid")
+    val asm = new VectorAssembler().setInputCols(feats).setOutputCol("__f")
+    val gbt = new GBTRegressor().setFeaturesCol("__f").setLabelCol("__y")
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(seed)
+    val model = gbt.fit(asm.transform(
+      exogCols.foldLeft(train)((df, c) => df.withColumn(c, col(c).cast("double")))))
+
+    val lastDiffs = Forecast.tail(diffed, "__y", order, lags.max)
+    val diffState = new Array[Double](d + 1)
+    diffState(0) = Forecast.tail(
+      series.withColumn("__l0", col(targetCol).cast("double")), "__l0", order, 1).head
+    for (j <- 1 to d) {
+      val c = Lags.withDiff(series, targetCol, order, j, s"__l$j")
+      diffState(j) = Forecast.tail(c.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
+    }
+    RecursiveGbtModel(model, lags, d, exogCols, lastDiffs, diffState)
+  }
+}
+
+object CvObjective {
+
+  /** Blocked time-series CV objective (`optimization.py:56-77`): split the
+    * ordered series into `nSplits` contiguous blocks; per block, fit on
+    * the first (1-valSize) rows, forecast the tail, score MAE. Returns
+    * per-fold MAEs in fold order. `fitPredict(train, steps, exogVal)`
+    * produces the fold's forecasts.
+    */
+  def blockedCvMae(series: DataFrame, dateCol: String, targetCol: String,
+                   exogCols: Seq[String], nSplits: Int, valSize: Double)(
+      fitPredict: (DataFrame, Int, Seq[Array[Double]]) => Array[Double]): Seq[Double] = {
+    val folds = graft.ops.Splits.blockedFolds(series, Seq(dateCol), nSplits, valSize)
+      .cache()
+    try {
+      (0 until nSplits).map { f =>
+        val train = folds.filter(col("fold") === f && !col("is_val")).drop("fold", "is_val")
+        val valRows = folds.filter(col("fold") === f && col("is_val"))
+          .orderBy(dateCol)
+          .select((targetCol +: exogCols).map(c => col(c).cast("double")): _*)
+          .collect()
+        val actual = valRows.map(_.getDouble(0))
+        val exogVal = valRows.map(r => exogCols.indices.map(i => r.getDouble(i + 1)).toArray).toSeq
+        val preds = fitPredict(train, actual.length, exogVal)
+        preds.zip(actual).map { case (pd, a) => math.abs(pd - a) }.sum / actual.length
+      }
+    } finally folds.unpersist()
+  }
+
+  /** Reference summary: (mean, population std) of the fold MAEs
+    * (`np.mean`/`np.std`, `optimization.py:77`).
+    */
+  def summary(maes: Seq[Double]): (Double, Double) = {
+    val mean = maes.sum / maes.length
+    val variance = maes.map(x => (x - mean) * (x - mean)).sum / maes.length
+    (mean, math.sqrt(variance))
+  }
+}

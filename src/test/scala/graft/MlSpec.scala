@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.{Arimax, CvObjective, Forecast, RecursiveGbt}
+
+/** Seeded fixture tests for the forecasting core. The reference's parity
+  * contract (SURVEY.md §7.4): match forecast error within tolerance on
+  * deterministic fixtures, not float trajectories of a foreign MLE.
+  */
+class MlSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("integrate() inverts differencing at d=1 and d=2") {
+    // d=0: the prediction IS the level
+    assert(Forecast.integrate(Array(0.0), 5.5) === 5.5)
+    // d=1: next level = last level + predicted diff
+    assert(Forecast.integrate(Array(21.0, 1.0), 4.0) === 25.0)
+    // d=2 roundtrip: reconstruct the tail of a quadratic series
+    val quad = (0 to 10).map(i => (i * i).toDouble).toArray
+    val d1 = quad.sliding(2).map(p => p(1) - p(0)).toArray
+    val d2 = d1.sliding(2).map(p => p(1) - p(0)).toArray
+    val state = Array(quad.last, d1.last, d2.last)
+    val next = Forecast.integrate(state, 2.0) // next 2nd diff of i^2 is constant 2
+    assert(next === 121.0) // 11^2
+  }
+
+  test("ARIMAX recovers a noise-free AR(2)+exog process (M11)") {
+    val n = 200
+    val x = Array.tabulate(n + 10)(i => math.sin(i * 0.3) * 2.0)
+    val y = new Array[Double](n + 10)
+    y(0) = 10.0; y(1) = 10.5
+    for (i <- 2 until n + 10)
+      y(i) = 5.0 + 0.6 * y(i - 1) - 0.2 * y(i - 2) + 1.5 * x(i)
+    val train = (0 until n).map(i => (i, y(i), x(i))).toDF("t", "y", "x")
+    val model = Arimax.fit(train, "t", "y", Seq("x"), p = 2, d = 0, q = 0)
+    val preds = model.forecast(10, (n until n + 10).map(i => Array(x(i))))
+    val mae = preds.zip(y.slice(n, n + 10)).map { case (p, a) => math.abs(p - a) }.sum / 10
+    assert(mae < 0.15, s"ARIMAX forecast MAE too high: $mae preds=${preds.toSeq}")
+  }
+
+  test("ARIMAX handles d=1 integration (M11)") {
+    val n = 150
+    // random-walk-with-drift-ish: first difference is AR(1), noise-free
+    val diffs = new Array[Double](n + 8)
+    diffs(0) = 1.0
+    for (i <- 1 until n + 8) diffs(i) = 0.5 + 0.4 * diffs(i - 1)
+    val y = diffs.scanLeft(100.0)(_ + _).drop(1)
+    val train = (0 until n).map(i => (i, y(i))).toDF("t", "y")
+    val model = Arimax.fit(train, "t", "y", Nil, p = 1, d = 1, q = 0)
+    val preds = model.forecast(8, Nil)
+    val mae = preds.zip(y.slice(n, n + 8)).map { case (p, a) => math.abs(p - a) }.sum / 8
+    assert(mae < 0.5, s"ARIMAX d=1 forecast MAE too high: $mae")
+  }
+
+  test("recursive GBT learns a periodic series (M12)") {
+    val pattern = Array(10.0, 20.0, 30.0, 40.0)
+    val n = 48
+    val y = Array.tabulate(n + 8)(i => pattern(i % 4))
+    val train = (0 until n).map(i => (i, y(i))).toDF("t", "y")
+    val model = RecursiveGbt.fit(train, "t", "y", Nil, lags = Seq(4),
+      d = 0, maxIter = 20, maxDepth = 3)
+    val preds = model.forecast(8, Nil)
+    val maxErr = preds.zip(y.slice(n, n + 8)).map { case (p, a) => math.abs(p - a) }.max
+    assert(maxErr < 1.0, s"GBT periodic forecast off: ${preds.toSeq}")
+  }
+
+  test("blocked CV objective returns one finite MAE per fold (M19)") {
+    val y = Array.tabulate(60)(i => 10.0 + (i % 4) * 5.0)
+    val series = y.toSeq.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "y")
+    val maes = CvObjective.blockedCvMae(series, "t", "y", Nil, 3, 0.2) {
+      (train, steps, _) =>
+        RecursiveGbt.fit(train, "t", "y", Nil, Seq(4), 0, maxIter = 10, maxDepth = 3)
+          .forecast(steps, Nil)
+    }
+    assert(maes.length === 3)
+    assert(maes.forall(m => java.lang.Double.isFinite(m) && m >= 0))
+    val (mean, std) = CvObjective.summary(maes)
+    assert(java.lang.Double.isFinite(mean) && std >= 0)
+  }
+}
