@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source loaders (SURVEY.md §2.1): headered/schema'd CSV scans with glob
+  * support, skip-preamble CSV, and generated-projection fixed-width
+  * readers. No custom DataSource is needed: every format reduces to
+  * `spark.read.text`/`spark.read.csv` plus declarative column math, so
+  * scans stay distributed, column-pruned, and codegen'd.
+  */
+object Csv {
+
+  /** Headered CSV scan (S2); `path` may be a glob (S8). Explicit schema
+    * wins over inference (inference costs an extra pass and is
+    * non-deterministic under schema drift).
+    */
+  def scan(spark: SparkSession, path: String, schema: Option[StructType] = None,
+           header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema match {
+      case Some(s) => r.schema(s).csv(path)
+      case None    => r.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  /** CSV scan with eager timestamp columns (S3, pandas `parse_dates`). */
+  def scanWithDates(spark: SparkSession, path: String, dateCols: Seq[String],
+                    fmt: Option[String] = None): DataFrame = {
+    val df = scan(spark, path)
+    dateCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, fmt.map(f => to_timestamp(col(c), f))
+        .getOrElse(to_timestamp(col(c))))
+    }
+  }
+
+  /** Skip-preamble CSV (S4, reference `header=4` EIA export,
+    * `normalization.ipynb#6`): drop the first `skip` physical lines, then
+    * parse the remainder as a headered CSV. Line order comes from
+    * `textFile` + `zipWithIndex` (partition order follows file offset),
+    * valid for the single-file exports this models; the re-parse is a
+    * distributed `csv` over a Dataset[String].
+    */
+  def skipPreamble(spark: SparkSession, path: String, skip: Int): DataFrame = {
+    import spark.implicits._
+    val lines = spark.sparkContext.textFile(path)
+      .zipWithIndex()
+      .filter { case (_, i) => i >= skip }
+      .map(_._1)
+    spark.read.option("header", "true").csv(spark.createDataset(lines))
+  }
+
+  /** Single-file headered CSV sink (K1, `ETL.py:95,330`). `coalesce(1)`
+    * matches the reference's one-file contract; large outputs should drop
+    * the coalesce and write partitioned.
+    */
+  def sink(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.option("header", "true").mode("overwrite").csv(path)
+  }
+
+  /** Per-source-file partitioned sink (K2, one CSV per input `.dly`,
+    * `ETL.py:121-131`): dynamic partition write on a file-tag column.
+    */
+  def sinkPerFile(df: DataFrame, fileTagCol: String, path: String): Unit =
+    df.write.partitionBy(fileTagCol).option("header", "true")
+      .mode("overwrite").csv(path)
+}
+
+/** Generated-projection fixed-width readers (S5/S6): one `spark.read.text`
+  * scan plus substring/trim column math — the parse runs inside the scan
+  * projection, whole-stage codegen'd, no per-line closure.
+  */
+object FixedWidth {
+
+  /** 1-based inclusive [start, end] character field. */
+  final case class Field(name: String, start: Int, end: Int)
+
+  /** Read `path` as fixed-width lines projected to `fields` (trimmed
+    * strings; empty → null, matching pandas NaN semantics).
+    */
+  def read(spark: SparkSession, path: String, fields: Seq[Field]): DataFrame = {
+    val cols = fields.map { f =>
+      val raw = trim(substring(col("value"), f.start, f.end - f.start + 1))
+      when(raw =!= "", raw).as(f.name)
+    }
+    spark.read.text(path).select(cols: _*)
+  }
+
+  /** GHCN-Daily `.dly` layout (reference `ETL.py:101-116`): ID[1-11],
+    * YEAR[12-15], MONTH[16-17], ELEMENT[18-21], then 31 8-char groups of
+    * VALUEd[5]/MFLAGd[1]/QFLAGd[1]/SFLAGd[1] from offset 22.
+    */
+  val dlyFields: Seq[Field] = {
+    val head = Seq(Field("ID", 1, 11), Field("YEAR", 12, 15),
+      Field("MONTH", 16, 17), Field("ELEMENT", 18, 21))
+    val groups = (1 to 31).flatMap { d =>
+      val o = 22 + (d - 1) * 8
+      Seq(Field(s"VALUE$d", o, o + 4), Field(s"MFLAG$d", o + 5, o + 5),
+        Field(s"QFLAG$d", o + 6, o + 6), Field(s"SFLAG$d", o + 7, o + 7))
+    }
+    head ++ groups
+  }
+
+  /** Parse `.dly` files (glob ok): YEAR/MONTH as ints, VALUEd as ints
+    * (the -9999 sentinel is preserved — sentinel→null is the cleaning
+    * layer's job, `ETL.py:222`), flags as trimmed strings.
+    */
+  def readDly(spark: SparkSession, path: String): DataFrame = {
+    val raw = read(spark, path, dlyFields)
+    val casts = Seq(col("ID"),
+      col("YEAR").cast("int").as("YEAR"), col("MONTH").cast("int").as("MONTH"),
+      col("ELEMENT")) ++
+      (1 to 31).flatMap(d => Seq(col(s"VALUE$d").cast("int").as(s"VALUE$d"),
+        col(s"MFLAG$d"), col(s"QFLAG$d"), col(s"SFLAG$d")))
+    raw.select(casts: _*)
+  }
+
+  /** `ghcnd-stations.txt` canonical byte layout, projected to the
+    * reference's column names (`ETL.py:133-140` uses inferred `read_fwf`;
+    * we pin the published offsets — ID[1-11], lat[13-20], long[22-30],
+    * elev[32-37], state+name as `city`, GSN/HCN/WMO as unk1-3).
+    */
+  val stationFields: Seq[Field] = Seq(
+    Field("ID", 1, 11), Field("lat", 13, 20), Field("long", 22, 30),
+    Field("elev", 32, 37), Field("state", 39, 40), Field("name", 42, 71),
+    Field("unk1", 73, 75), Field("unk2", 77, 79), Field("unk3", 81, 85))
+
+  /** Stations table with numeric lat/long/elev and a combined `city`. */
+  def readStations(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, stationFields).select(
+      col("ID"),
+      col("lat").cast("double").as("lat"),
+      col("long").cast("double").as("long"),
+      col("elev").cast("double").as("elev"),
+      concat_ws(" ", col("state"), col("name")).as("city"),
+      col("unk1"), col("unk2"), col("unk3"))
+}

@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Csv, FixedWidth}
+import graft.geo.Geo
+
+/** Source-format and geo tests over FIXTURES.md §A-shaped synthetic files. */
+class SourcesGeoSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_src").toFile
+    val f = new java.io.File(dir, name)
+    Files.writeString(f.toPath, content)
+    f.getAbsolutePath
+  }
+
+  test("fixed-width .dly parse: header fields + 31 day groups (S5, A3)") {
+    // ID(11) YEAR(4) MONTH(2) ELEMENT(4) then 31 x [VALUE(5) M Q S]
+    def grp(v: String) = f"${v}%5s" + "  X"
+    val line1 = "USC00110072" + "2016" + "01" + "TMAX" +
+      (1 to 31).map(d => grp(if (d <= 3) (d * 10).toString else "-9999")).mkString
+    val line2 = "CA00304N001" + "2016" + "02" + "PRCP" +
+      (1 to 31).map(_ => grp("25")).mkString
+    val path = tmpFile("fix.dly", line1 + "\n" + line2 + "\n")
+    val df = FixedWidth.readDly(spark, path)
+    val rows = df.orderBy("ID").collect()
+    assert(rows.length === 2)
+    val us = rows.find(_.getString(0) == "USC00110072").get
+    assert(us.getInt(1) === 2016 && us.getInt(2) === 1 && us.getString(3) === "TMAX")
+    assert(us.getAs[Int]("VALUE1") === 10)
+    assert(us.getAs[Int]("VALUE3") === 30)
+    assert(us.getAs[Int]("VALUE4") === -9999)
+    assert(us.getAs[String]("SFLAG1") === "X")
+    assert(us.getAs[String]("MFLAG1") === null) // blank flag -> null
+  }
+
+  test("fixed-width stations parse with canonical offsets (S6, A4)") {
+    def pad(s: String, w: Int) = s.padTo(w, ' ')
+    def num(v: Double, w: Int) = f"$v%8.4f".trim.reverse.padTo(w, ' ').reverse
+    val l1 = pad("USC00110072", 11) + " " + num(41.9419, 8) + " " + num(-88.6931, 9) +
+      " " + " 226.0" + " " + "IL" + " " + pad("PAW PAW 2 S", 30) + " " +
+      pad("", 3) + " " + pad("HCN", 3) + " " + pad("", 5)
+    val l2 = pad("CA002100805", 11) + " " + num(68.3167, 8) + " " + num(-133.5333, 9) +
+      " " + "  68.0" + " " + "  " + " " + pad("AKLAVIK A", 30) + " " +
+      pad("", 3) + " " + pad("", 3) + " " + pad("71113", 5)
+    val path = tmpFile("stations.txt", l1 + "\n" + l2 + "\n")
+    val df = FixedWidth.readStations(spark, path).orderBy("ID")
+    val rows = df.collect()
+    val ca = rows(0); val us = rows(1)
+    assert(us.getString(0) === "USC00110072")
+    assert(math.abs(us.getDouble(1) - 41.9419) < 1e-9)
+    assert(math.abs(us.getDouble(2) - (-88.6931)) < 1e-9)
+    assert(us.getDouble(3) === 226.0)
+    assert(us.getAs[String]("city") === "IL PAW PAW 2 S")
+    assert(ca.getAs[String]("unk3") === "71113")
+  }
+
+  test("skip-preamble CSV scan (S4, A7) with NM sentinel intact") {
+    val content =
+      """EIA consumption export
+        |generated: 2024
+        |units: thousand tons
+        |source: EIA-923
+        |description,units,Jan 2016,Feb 2016
+        |Michigan : coal,tons,"1,234",NM
+        |Michigan : natural gas,mcf,555,666
+        |""".stripMargin
+    val path = tmpFile("consumption.csv", content)
+    val df = Csv.skipPreamble(spark, path, 4)
+    assert(df.columns.toSeq === Seq("description", "units", "Jan 2016", "Feb 2016"))
+    val rows = df.orderBy("description").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getString(0) === "Michigan : coal")
+    assert(rows(0).getString(2) === "1,234")
+    assert(rows(0).getString(3) === "NM")
+  }
+
+  test("CSV sink round-trip (K1) and per-file sink layout (K2)") {
+    val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "s", "v")
+    val out = Files.createTempDirectory("graft_sink").toString + "/out"
+    Csv.sink(df, out)
+    val back = Csv.scan(spark, out).orderBy("id").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1, "a", 1.5), (2, "b", 2.5)))
+
+    val tagged = df.withColumn("src", concat(lit("f"), col("id")))
+    val out2 = Files.createTempDirectory("graft_sink2").toString + "/out"
+    Csv.sinkPerFile(tagged, "src", out2)
+    val dirs = new java.io.File(out2).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("src=f1", "src=f2"))
+  }
+
+  test("ray-cast point-in-polygon: inside, outside, vertex, edge (J4, A5)") {
+    val square: Geo.Ring = Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    assert(Geo.pointInPolygon(2.0, 2.0, square))
+    assert(!Geo.pointInPolygon(5.0, 2.0, square))
+    assert(!Geo.pointInPolygon(-1.0, -1.0, square))
+    assert(Geo.pointInPolygon(0.0, 0.0, square))   // vertex
+    assert(Geo.pointInPolygon(2.0, 0.0, square))   // edge
+    // non-convex: C-shape; the notch must be outside
+    val cShape: Geo.Ring = Array((0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0),
+      (2.0, 4.0), (6.0, 4.0), (6.0, 6.0), (0.0, 6.0))
+    assert(Geo.pointInPolygon(1.0, 3.0, cShape))
+    assert(!Geo.pointInPolygon(4.0, 3.0, cShape), "notch point must be outside")
+  }
+
+  test("polygon filter over a stations frame + GeoJSON ring read (S7)") {
+    val square: Geo.Ring = Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val stations = Seq(
+      ("US1", -88.0, 41.0), ("US2", 2.0, 2.0), ("US3", 3.9, 0.1), ("CA1", 10.0, 10.0))
+      .toDF("ID", "long", "lat")
+    val kept = Geo.filterInPolygon(stations, "long", "lat", square)
+      .select("ID").as[String].collect().sorted
+    assert(kept.toSeq === Seq("US2", "US3"))
+
+    val geojson =
+      """{"type":"FeatureCollection","features":[{"type":"Feature","properties":{},
+        |"geometry":{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],[0.0,4.0],[0.0,0.0]]]}}]}""".stripMargin
+    val path = tmpFile("poly.geojson", geojson)
+    val ring = Geo.readPolygonRing(path)
+    assert(ring.length === 5)
+    assert(ring(2) === ((4.0, 4.0)))
+  }
+}
