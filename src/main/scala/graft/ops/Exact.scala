@@ -36,4 +36,31 @@ object Exact {
 
   def davgOver(c: Column, w: WindowSpec): Column =
     sum(c.cast(CaptureType)).over(w).cast("double") / count(c).over(w)
+
+  /** Grid-snapped exact aggregation for COMPUTED doubles.
+    *
+    * A direct double→decimal cast is only cross-engine stable for raw
+    * decimal-grained data: Spark rounds the double's true binary
+    * expansion (BigDecimal) while other engines round the double product
+    * x·10^scale — and computed values (differences/means of decimal-ish
+    * numbers) routinely land EXACTLY on the .5 grid boundary of the
+    * product, where the two conventions disagree. Snapping in double
+    * arithmetic first (`round(x*1e6)` — the product is the same IEEE
+    * double everywhere, and both engines round doubles half-away-from-
+    * zero) makes the captured integers identical by construction.
+    *
+    * ANSI form: `CAST(SUM(CAST(ROUND(x * 1000000.0, 0) AS DECIMAL(30,0)))
+    * AS DOUBLE) / 1000000.0 [/ COUNT(x)]`. Valid for |x| < 2^53/1e6 ≈ 9e9.
+    */
+  private val Grid = 1000000.0
+
+  def gsumOver(c: Column, w: WindowSpec): Column =
+    sum(round(c * Grid, 0).cast(DecimalType(30, 0))).over(w).cast("double") / Grid
+
+  def gavgOver(c: Column, w: WindowSpec): Column =
+    sum(round(c * Grid, 0).cast(DecimalType(30, 0))).over(w).cast("double") / Grid /
+      count(c).over(w)
+
+  def gavg(c: Column): Column =
+    sum(round(c * Grid, 0).cast(DecimalType(30, 0))).cast("double") / Grid / count(c)
 }

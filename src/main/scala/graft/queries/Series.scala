@@ -168,15 +168,15 @@ object Series {
     Q("q29_seasonal",
       s"""WITH daily AS ($dailySql),
         |t AS (SELECT day, val,
-        |    CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER wc AS DOUBLE)
-        |      / COUNT(val) OVER wc AS trend,
+        |    CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS DECIMAL(30,0))) OVER wc AS DOUBLE)
+        |      / 1000000.0 / COUNT(val) OVER wc AS trend,
         |    CAST(DATEDIFF('day', DATE '2024-01-01', day) % 7 AS BIGINT) AS dow
         |  FROM daily
         |  WINDOW wc AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 7 FOLLOWING)),
         |d AS (SELECT *, val - trend AS detr FROM t),
         |ss AS (SELECT *,
-        |    CAST(SUM(CAST(detr AS DECIMAL(30,6))) OVER (PARTITION BY dow) AS DOUBLE)
-        |      / COUNT(detr) OVER (PARTITION BY dow) AS seasonal
+        |    CAST(SUM(CAST(ROUND(detr * 1000000.0, 0) AS DECIMAL(30,0))) OVER (PARTITION BY dow) AS DOUBLE)
+        |      / 1000000.0 / COUNT(detr) OVER (PARTITION BY dow) AS seasonal
         |  FROM d)
         |SELECT STRFTIME(day, '%Y-%m-%d') AS day, val, trend, dow, seasonal,
         |  val - trend - seasonal AS resid
@@ -237,7 +237,37 @@ object Series {
     },
 
     // ---- flagship: proportional disaggregation (M24 = A2+J3+W3+F12) ----
-    Q("q30_disaggregate", Disaggregate.oracleSql)(Disaggregate.query)
+    Q("q30_disaggregate", Disaggregate.oracleSql)(Disaggregate.query),
+
+    // ---- many-series seasonal decomposition (M5 partitioned by key) ----
+    Q("q51_seasonal_by_series",
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS val
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, day, val,
+        |    CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS DECIMAL(30,0))) OVER wc AS DOUBLE)
+        |      / 1000000.0 / COUNT(val) OVER wc AS trend,
+        |    CAST(DATEDIFF('day', DATE '2024-01-01', day) % 7 AS BIGINT) AS dow
+        |  FROM daily
+        |  WINDOW wc AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |d AS (SELECT *, val - trend AS detr FROM t),
+        |ss AS (SELECT *,
+        |    CAST(SUM(CAST(ROUND(detr * 1000000.0, 0) AS DECIMAL(30,0))) OVER (PARTITION BY user_id, dow) AS DOUBLE)
+        |      / 1000000.0 / COUNT(detr) OVER (PARTITION BY user_id, dow) AS seasonal
+        |  FROM d)
+        |SELECT user_id, STRFTIME(day, '%Y-%m-%d') AS day, val, trend, dow, seasonal,
+        |  val - trend - seasonal AS resid
+        |FROM ss
+        |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("day"))
+        .agg(davg(col("value")).as("val"))
+      graft.ts.Decompose.seasonalAdditive(perUser, "day", "val", 3, 7,
+          partition = Seq("user_id"))
+        .withColumn("day", date_format(col("day"), iso))
+        .orderBy("user_id", "day")
+    }
   )
 }
 

@@ -21,7 +21,11 @@ import graft.ops.Exact
   */
 object Decompose {
 
-  /** Decompose `valueCol` ordered by date column `dateCol`.
+  /** Decompose `valueCol` ordered by date column `dateCol`, independently
+    * per series identified by `partition` (empty = one global series — a
+    * single-partition window, acceptable only for one already-aggregated
+    * series; many-series data MUST pass the key or the whole table
+    * funnels through one task).
     *
     * @param halfWindow  centered MA half-width in rows (trend window =
     *                    2*halfWindow+1; the reference uses period 365 →
@@ -30,16 +34,22 @@ object Decompose {
     *                    (position = days since epoch mod period)
     */
   def seasonalAdditive(df: DataFrame, dateCol: String, valueCol: String,
-                       halfWindow: Int, period: Int): DataFrame = {
-    val wc = Window.orderBy(col(dateCol)).rowsBetween(-halfWindow, halfWindow)
+                       halfWindow: Int, period: Int,
+                       partition: Seq[String] = Nil): DataFrame = {
+    val pcols = partition.map(col)
+    val wc = Window.partitionBy(pcols: _*).orderBy(col(dateCol))
+      .rowsBetween(-halfWindow, halfWindow)
+    // gavgOver, not davgOver: the inputs here are COMPUTED doubles (daily
+    // means, detrended values) whose decimal expansions tie exactly on
+    // the capture grid — see Exact.gavgOver.
     val withTrend = df
-      .withColumn("trend", Exact.davgOver(col(valueCol), wc))
+      .withColumn("trend", Exact.gavgOver(col(valueCol), wc))
       .withColumn("dow",
         (datediff(col(dateCol), lit("2024-01-01").cast("date")) % period).cast("long"))
     val detr = withTrend.withColumn("detr", col(valueCol) - col("trend"))
-    val ws = Window.partitionBy(col("dow"))
+    val ws = Window.partitionBy(pcols :+ col("dow"): _*)
     detr
-      .withColumn("seasonal", Exact.davgOver(col("detr"), ws))
+      .withColumn("seasonal", Exact.gavgOver(col("detr"), ws))
       .withColumn("resid", col(valueCol) - col("trend") - col("seasonal"))
       .drop("detr")
   }
