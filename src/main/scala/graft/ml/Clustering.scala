@@ -1,0 +1,240 @@
+package graft.ml
+
+import org.apache.spark.ml.evaluation.ClusteringEvaluator
+import org.apache.spark.ml.feature.{PCA => MlPca}
+import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Clustering / scaling layer (SURVEY.md §2.9 M1-M3, M8-M10, T10/W10).
+  *
+  * Reference: `unsupervised/ts_kmeans_base.ipynb` — monthly series matrix
+  * (#22,#39), MinMax scaling (#53), `TimeSeriesKMeans(n_clusters=12,
+  * metric="dtw", random_state=42)` (#53), euclidean silhouette (#53),
+  * cluster→label mapping (#51), PCA loadings (#13).
+  *
+  * Scale design: assignment steps broadcast the k×len centroid matrix and
+  * stream the series table through one projection (no shuffle); centroid
+  * updates are a (cluster, position) grouped mean — one shuffle of k×len
+  * partial sums. Equal-length series use pointwise-mean centroids (the
+  * reference's tslearn uses DBA barycenters; per SURVEY §7.4 we match the
+  * clustering protocol — k, metric, seed — not tslearn's float
+  * trajectories, and validate permutation-invariantly).
+  */
+object Clustering {
+
+  // ------------------------------------------------------------------ DTW
+
+  /** Classic O(n·m) dynamic-time-warping distance (euclidean point cost,
+    * full window) between two series.
+    */
+  def dtw(a: Array[Double], b: Array[Double]): Double = {
+    val n = a.length; val m = b.length
+    if (n == 0 || m == 0) return if (n == m) 0.0 else Double.PositiveInfinity
+    val prev = new Array[Double](m + 1)
+    val cur = new Array[Double](m + 1)
+    java.util.Arrays.fill(prev, Double.PositiveInfinity)
+    prev(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      java.util.Arrays.fill(cur, Double.PositiveInfinity)
+      var j = 1
+      while (j <= m) {
+        val d = a(i - 1) - b(j - 1)
+        cur(j) = d * d + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, m + 1)
+      i += 1
+    }
+    math.sqrt(prev(m))
+  }
+
+  // --------------------------------------------------------- DTW k-means
+
+  /** (seriesId, cluster) assignment plus final centroids. */
+  final case class KMeansResult(assignments: DataFrame,
+                                centroids: Array[Array[Double]], iterations: Int)
+
+  /** Lloyd's iterations with DTW assignment over a (id, vec) frame of
+    * equal-length series. Init is deterministic farthest-first traversal
+    * (k-means++ without sampling): seeded pick of the first centroid, then
+    * k-1 distributed max-min-distance scans — robust to planted-group
+    * splits that plain random init falls into, and reproducible.
+    */
+  def dtwKMeans(series: DataFrame, idCol: String, vecCol: String, k: Int,
+                maxIter: Int = 10, seed: Long = 42L): KMeansResult = {
+    val spark = series.sparkSession
+    val data = series.select(col(idCol).cast("string").as("sid"),
+      col(vecCol).cast("array<double>").as("vec")).cache()
+    try {
+      val ids = data.select("sid").orderBy("sid").collect().map(_.getString(0))
+      require(ids.length >= k, s"need >= $k series, got ${ids.length}")
+      val rnd = new scala.util.Random(seed)
+      val firstId = rnd.shuffle(ids.toSeq).head
+      val init = scala.collection.mutable.ArrayBuffer(
+        data.filter(col("sid") === firstId).head().getSeq[Double](1).toArray)
+      while (init.length < k) {
+        val bc = spark.sparkContext.broadcast(init.toArray)
+        val minDist = udf { (v: Seq[Double]) =>
+          val arr = v.toArray
+          bc.value.map(c => dtw(arr, c)).min
+        }
+        val far = data.withColumn("d", minDist(col("vec")))
+          .orderBy(col("d").desc, col("sid")).limit(1).head()
+        init += far.getSeq[Double](1).toArray
+      }
+      var centroids: Array[Array[Double]] = init.toArray
+
+      var it = 0
+      var changed = true
+      var assigned: DataFrame = null
+      while (it < maxIter && changed) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val assignUdf = udf { (v: Seq[Double]) =>
+          val arr = v.toArray
+          var best = 0; var bestD = Double.PositiveInfinity
+          var c = 0
+          while (c < bc.value.length) {
+            val d = dtw(arr, bc.value(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        val newAssigned = data.withColumn("cluster", assignUdf(col("vec"))).cache()
+        // centroid update: pointwise mean per (cluster, position)
+        val upd = newAssigned
+          .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
+          .groupBy("cluster", "pos").agg(avg("v").as("m"))
+          .collect()
+        val byCluster = upd.groupBy(_.getInt(0))
+        val next = centroids.indices.map { c =>
+          byCluster.get(c) match {
+            case Some(rows) =>
+              rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
+            case None => centroids(c) // empty cluster keeps its centroid
+          }
+        }.toArray
+        changed = !next.indices.forall(c => next(c).sameElements(centroids(c)))
+        if (assigned != null) assigned.unpersist()
+        assigned = newAssigned
+        centroids = next
+        it += 1
+      }
+      val out = assigned.select(col("sid").as("series"), col("cluster"))
+        .orderBy("cluster", "series")
+      KMeansResult(out, centroids, it)
+    } finally data.unpersist()
+  }
+
+  // ------------------------------------------------- scaling (M1/M2)
+
+  /** Min-max scale `cols` to [0,1] (M1): one aggregate job for the
+    * min/max row, broadcast back as literals via crossJoin — no
+    * single-partition window. Constant columns map to 0.
+    */
+  def minMaxScale(df: DataFrame, cols: Seq[String], suffix: String = "_mm"): DataFrame = {
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined) { (d, c) =>
+      val rng = col(s"__max_$c") - col(s"__min_$c")
+      d.withColumn(c + suffix,
+        when(rng =!= 0, (col(c) - col(s"__min_$c")) / rng).otherwise(lit(0.0)))
+    }
+    scaled.drop(cols.flatMap(c => Seq(s"__min_$c", s"__max_$c")): _*)
+  }
+
+  /** Standard-scale `cols` (M2) with deterministic decimal moments:
+    * mean = dsum(x)/n, var = dsum(x²)/n − mean² (population, matching
+    * sklearn's StandardScaler).
+    */
+  def standardScale(df: DataFrame, cols: Seq[String], suffix: String = "_std"): DataFrame = {
+    import graft.ops.Exact.dsum
+    val aggs = cols.flatMap(c => Seq(
+      (dsum(col(c)) / count(col(c))).as(s"__mu_$c"),
+      (dsum(col(c) * col(c)) / count(col(c))).as(s"__m2_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val scaled = cols.foldLeft(joined) { (d, c) =>
+      val sd = sqrt(col(s"__m2_$c") - col(s"__mu_$c") * col(s"__mu_$c"))
+      d.withColumn(c + suffix,
+        when(sd =!= 0, (col(c) - col(s"__mu_$c")) / sd).otherwise(lit(0.0)))
+    }
+    scaled.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__m2_$c")): _*)
+  }
+
+  /** Min-max scale an array column per POSITION (the reference scales the
+    * series matrix column-wise before DTW k-means, `ts_kmeans_base.ipynb#53`).
+    */
+  def minMaxScaleArray(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
+      .orderBy("pos").collect()
+    val lo = stats.map(_.getDouble(1))
+    val hi = stats.map(_.getDouble(2))
+    val bcLo = spark.sparkContext.broadcast(lo)
+    val bcHi = spark.sparkContext.broadcast(hi)
+    val f = udf { (v: Seq[Double]) =>
+      v.zipWithIndex.map { case (x, i) =>
+        val r = bcHi.value(i) - bcLo.value(i)
+        if (r == 0) 0.0 else (x - bcLo.value(i)) / r
+      }
+    }
+    df.withColumn(outCol, f(col(vecCol).cast("array<double>")))
+  }
+
+  // ----------------------------------------------------------- PCA (M3)
+
+  /** Principal-component loadings of an array column: returns
+    * (component, pos, loading) long-form (k×dim rows). MLlib PCA over a
+    * dense-vector projection of the arrays.
+    */
+  def pcaLoadings(df: DataFrame, vecCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toVec = udf((v: Seq[Double]) => MlVectors.dense(v.toArray))
+    val feat = df.select(toVec(col(vecCol).cast("array<double>")).as("features"))
+    val model = new MlPca().setInputCol("features").setOutputCol("pca")
+      .setK(k).fit(feat)
+    val pc = model.pc // dim x k, column-major
+    val dim = pc.numRows
+    (0 until k).flatMap(c => (0 until dim).map(p =>
+      (c, p, pc(p, c)))).toDF("component", "pos", "loading")
+  }
+
+  // ---------------------------------------------------- silhouette (M9)
+
+  /** Euclidean silhouette of a clustering over an array column (MLlib
+    * ClusteringEvaluator, squaredEuclidean — the reference's
+    * `silhouette_score(metric='euclidean')`).
+    */
+  def silhouette(df: DataFrame, vecCol: String, clusterCol: String): Double = {
+    val toVec = udf((v: Seq[Double]) => MlVectors.dense(v.toArray))
+    val feat = df.select(toVec(col(vecCol).cast("array<double>")).as("features"),
+      col(clusterCol).cast("double").as("prediction"))
+    new ClusteringEvaluator().setFeaturesCol("features")
+      .setPredictionCol("prediction")
+      .setMetricName("silhouette")
+      .setDistanceMeasure("squaredEuclidean")
+      .evaluate(feat)
+  }
+
+  // --------------------------------- series-matrix assembly (T10/W10)
+
+  /** Per-key ordered series vectors: (keyCols..., vec) where vec is the
+    * values of `valueCol` sorted by `orderCol` (the reference's monthly
+    * series matrix, `ts_kmeans_base.ipynb#22,#39`; `sort_array` over
+    * collected (order, value) structs pins determinism).
+    */
+  def seriesMatrix(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, outCol: String = "vec"): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(transform(
+        sort_array(collect_list(struct(col(orderCol), col(valueCol).as("v")))),
+        s => s.getField("v")).as(outCol))
+}

@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ml.{Arimax, CvObjective, RecursiveGbt}
+import graft.Tables._
+import graft.ml.{Arimax, Clustering, CvObjective, RecursiveGbt}
+import graft.ops.Exact.dsum
 
 /** Model-layer queries (SURVEY.md §2.9 M11/M12/M19): forecasts are not
   * ANSI-SQL-expressible, so these register oracle-less (driver checks
@@ -50,5 +52,87 @@ object Ml {
       val (mean, std) = CvObjective.summary(maes)
       maes.zipWithIndex.map { case (m, f) => (f, m, mean, std) }
         .toDF("fold", "mae", "mean_mae", "std_mae")
+    },
+
+    // ---- series-matrix assembly (T10/W10): per-user ordered vectors ----
+    Q("q52_series_matrix",
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS val
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT user_id, list(val ORDER BY day) AS vec FROM daily GROUP BY user_id)
+        |SELECT user_id, CAST(len(vec) AS BIGINT) AS n_days,
+        |  vec[1] AS first_val, vec[-1] AS last_val
+        |FROM m ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("day"))
+        .agg(graft.ops.Exact.davg(col("value")).as("val"))
+      Clustering.seriesMatrix(daily, Seq("user_id"), "day", "val")
+        .select(col("user_id"), size(col("vec")).cast("long").as("n_days"),
+          element_at(col("vec"), 1).as("first_val"),
+          element_at(col("vec"), -1).as("last_val"))
+        .orderBy("user_id")
+    },
+
+    // ---- DTW k-means over per-user series + silhouette (M8/M9/M10) ----
+    Q.noOracle("q53_dtw_kmeans") { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("day"))
+        .agg(graft.ops.Exact.davg(col("value")).as("val"))
+      // equal-length series only: users present every day (reference's
+      // matrix is ffill/bfill-completed; sparse users are dropped here)
+      val full = Clustering.seriesMatrix(daily, Seq("user_id"), "day", "val")
+      val maxLen = full.agg(max(size(col("vec")))).head().getInt(0)
+      val series = full.filter(size(col("vec")) === maxLen)
+      val scaled = Clustering.minMaxScaleArray(series, "vec", "svec")
+      val k = math.min(12, scaled.count().toInt)
+      val res = Clustering.dtwKMeans(scaled, "user_id", "svec", k)
+      res.assignments
+    },
+
+    // ---- min-max scaling (M1) as oracle-checked column math ----
+    Q("q55_minmax_scale",
+      """WITH s AS (SELECT MIN(l_quantity) AS lo_q, MAX(l_quantity) AS hi_q,
+        |    MIN(l_extendedprice) AS lo_p, MAX(l_extendedprice) AS hi_p
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN hi_q - lo_q <> 0 THEN (l_quantity - lo_q) / (hi_q - lo_q) ELSE 0.0 END AS l_quantity_mm,
+        |  CASE WHEN hi_p - lo_p <> 0 THEN (l_extendedprice - lo_p) / (hi_p - lo_p) ELSE 0.0 END AS l_extendedprice_mm
+        |FROM lineitem CROSS JOIN s
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Clustering.minMaxScale(lineitem(s, dir), Seq("l_quantity", "l_extendedprice"))
+        .select("l_orderkey", "l_linenumber", "l_quantity_mm", "l_extendedprice_mm")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- standard scaling (M2) with deterministic decimal moments ----
+    Q("q56_standard_scale",
+      """WITH s AS (SELECT
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS mu,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_quantity) AS m2
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN SQRT(m2 - mu * mu) <> 0
+        |       THEN (l_quantity - mu) / SQRT(m2 - mu * mu) ELSE 0.0 END AS l_quantity_std
+        |FROM lineitem CROSS JOIN s
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Clustering.standardScale(lineitem(s, dir), Seq("l_quantity"))
+        .select("l_orderkey", "l_linenumber", "l_quantity_std")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- PCA loadings over embeddings (M3) ----
+    Q.noOracle("q54_pca_loadings") { (s, dir) =>
+      Clustering.pcaLoadings(
+        embeddings(s, dir).select(col("embedding").cast("array<double>").as("v")),
+        "v", k = 3).orderBy("component", "pos")
+    },
+
+    // ---- silhouette of the embeddings' given labels (M9) ----
+    Q.noOracle("q57_silhouette") { (s, dir) =>
+      import s.implicits._
+      val df = embeddings(s, dir)
+        .select(col("embedding").cast("array<double>").as("v"), col("label"))
+      val score = Clustering.silhouette(df, "v", "label")
+      Seq(("embeddings_by_label", score)).toDF("clustering", "silhouette")
     })
 }

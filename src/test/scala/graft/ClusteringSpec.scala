@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Clustering
+
+/** Seeded fixture tests for DTW, DTW k-means, scaling, PCA, silhouette. */
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("dtw: identity is zero, alignment beats euclidean on shifted series") {
+    val a = Array(0.0, 1.0, 2.0, 3.0, 2.0, 1.0, 0.0)
+    val b = Array(0.0, 0.0, 1.0, 2.0, 3.0, 2.0, 1.0) // a shifted right by 1
+    assert(Clustering.dtw(a, a) === 0.0)
+    val euclid = math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    assert(Clustering.dtw(a, b) < euclid, "DTW must absorb the shift")
+    // hand-computed tiny case: [1,2] vs [1,2,2] aligns with zero cost
+    assert(Clustering.dtw(Array(1.0, 2.0), Array(1.0, 2.0, 2.0)) === 0.0)
+    assert(Clustering.dtw(Array(1.0), Array(2.0)) === 1.0)
+  }
+
+  test("dtw k-means recovers three planted series groups (M8, permutation-invariant)") {
+    def noisy(base: Array[Double], seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      base.map(_ + r.nextDouble() * 0.1)
+    }
+    val flat = Array.fill(12)(0.0)
+    val ramp = Array.tabulate(12)(_.toDouble)
+    val sine = Array.tabulate(12)(i => 5 * math.sin(i * 0.7))
+    val rows = (0 until 5).flatMap { i =>
+      Seq((s"flat$i", noisy(flat, i).toSeq),
+        (s"ramp$i", noisy(ramp, 100 + i).toSeq),
+        (s"sine$i", noisy(sine, 200 + i).toSeq))
+    }
+    val df = rows.toDF("id", "vec")
+    val res = Clustering.dtwKMeans(df, "id", "vec", k = 3, maxIter = 10, seed = 42L)
+    val got = res.assignments.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (g <- Seq("flat", "ramp", "sine")) {
+      val cs = (0 until 5).map(i => got(s"$g$i")).distinct
+      assert(cs.size === 1, s"group $g split across clusters: $cs")
+    }
+    assert(Seq("flat0", "ramp0", "sine0").map(got).distinct.size === 3,
+      "different groups merged into one cluster")
+  }
+
+  test("minMaxScale maps min->0, max->1; constant column -> 0 (M1)") {
+    val df = Seq((1, 10.0, 7.0), (2, 20.0, 7.0), (3, 15.0, 7.0)).toDF("id", "a", "c")
+    val out = Clustering.minMaxScale(df, Seq("a", "c")).orderBy("id").collect()
+    assert(out.map(_.getAs[Double]("a_mm")).toSeq === Seq(0.0, 1.0, 0.5))
+    assert(out.map(_.getAs[Double]("c_mm")).toSeq === Seq(0.0, 0.0, 0.0))
+  }
+
+  test("standardScale produces ~zero mean and unit variance (M2)") {
+    val df = (1 to 100).map(i => (i, i.toDouble)).toDF("id", "x")
+    val out = Clustering.standardScale(df, Seq("x"))
+    val stats = out.agg(avg("x_std"), stddev_pop("x_std")).head()
+    assert(math.abs(stats.getDouble(0)) < 1e-9)
+    assert(math.abs(stats.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("minMaxScaleArray scales per position (reference matrix scaling)") {
+    val df = Seq(("a", Seq(0.0, 100.0)), ("b", Seq(10.0, 200.0))).toDF("id", "vec")
+    val out = Clustering.minMaxScaleArray(df, "vec", "s").orderBy("id").collect()
+    assert(out(0).getSeq[Double](2) === Seq(0.0, 0.0))
+    assert(out(1).getSeq[Double](2) === Seq(1.0, 1.0))
+  }
+
+  test("pcaLoadings: k x dim rows, first component captures the spread axis (M3)") {
+    val r = new scala.util.Random(7)
+    // points spread along (1,1,0): PC1 must weight dims 0 and 1 equally
+    val df = (1 to 200).map { _ =>
+      val t = r.nextGaussian() * 10
+      Seq(t + r.nextGaussian() * 0.1, t + r.nextGaussian() * 0.1, r.nextGaussian() * 0.1)
+    }.map(Tuple1(_)).toDF("v")
+    val load = Clustering.pcaLoadings(df, "v", 2).collect()
+    assert(load.length === 6)
+    val pc1 = load.filter(_.getInt(0) == 0).sortBy(_.getInt(1)).map(_.getDouble(2))
+    assert(math.abs(math.abs(pc1(0)) - math.abs(pc1(1))) < 0.05)
+    assert(math.abs(pc1(2)) < 0.1)
+  }
+
+  test("silhouette near 1 for well-separated clusters (M9)") {
+    val df = ((1 to 20).map(i => (Seq(0.0 + i * 0.01, 0.0), 0)) ++
+      (1 to 20).map(i => (Seq(100.0 + i * 0.01, 0.0), 1))).toDF("v", "label")
+    val s = Clustering.silhouette(df, "v", "label")
+    assert(s > 0.95, s"silhouette $s")
+  }
+
+  test("seriesMatrix collects values in order (T10/W10)") {
+    val df = Seq(("u1", 3, 30.0), ("u1", 1, 10.0), ("u1", 2, 20.0), ("u2", 1, 5.0))
+      .toDF("u", "t", "v")
+    val m = Clustering.seriesMatrix(df, Seq("u"), "t", "v").orderBy("u").collect()
+    assert(m(0).getSeq[Double](1) === Seq(10.0, 20.0, 30.0))
+    assert(m(1).getSeq[Double](1) === Seq(5.0))
+  }
+}
