@@ -392,6 +392,61 @@ object Relational {
           col("event_id"),
           Reshape.rowMean(Seq(col("value"), col("user_id"))).as("row_mean"))
         .orderBy("event_id")
+    },
+
+    // ---- row dropna: minNonNulls threshold + how=any (R1/R2) ----
+    Q("q58_dropna_rows",
+      """WITH ev AS (SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+        |    CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END AS u
+        |  FROM events)
+        |SELECT
+        |  (SELECT COUNT(*) FROM ev) AS n_rows,
+        |  (SELECT COUNT(*) FROM ev
+        |    WHERE (v IS NOT NULL)::INT + (u IS NOT NULL)::INT >= 1) AS n_min1,
+        |  (SELECT COUNT(*) FROM ev
+        |    WHERE v IS NOT NULL AND u IS NOT NULL) AS n_any""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select(
+        col("event_id"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v"),
+        when(col("user_id") % 10 === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("u"))
+      val n = ev.count()
+      val nMin1 = ev.na.drop(1, Seq("v", "u")).count()
+      val nAny = ev.na.drop("any", Seq("v", "u")).count()
+      Seq((n, nMin1, nAny)).toDF("n_rows", "n_min1", "n_any")
+    },
+
+    // ---- to_date with explicit format (F8: '%b %Y' / 'MMM yyyy') ----
+    Q("q59_to_date_format",
+      """SELECT DISTINCT
+        |  STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%b %Y') AS label,
+        |  STRFTIME(STRPTIME(STRFTIME(DATE_TRUNC('month', CAST(ts AS DATE)), '%b %Y'),
+        |    '%b %Y'), '%Y-%m-%d') AS parsed
+        |FROM events ORDER BY label""".stripMargin) { (s, dir) =>
+      events(s, dir)
+        .select(date_format(eventMonth, "MMM yyyy").as("label"))
+        .distinct()
+        .withColumn("parsed",
+          date_format(to_date(col("label"), "MMM yyyy"), "yyyy-MM-dd"))
+        .orderBy("label")
+    },
+
+    // ---- argmin over a grid (A13: min_by with a tie-free key) ----
+    Q("q60_argmin",
+      """SELECT o_orderpriority,
+        |  arg_min(o_orderkey, o_totalprice * 1000000.0 + o_orderkey) AS best_key,
+        |  MIN(o_totalprice) AS best_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(
+          min_by(col("o_orderkey"),
+            col("o_totalprice") * 1000000.0 + col("o_orderkey")).as("best_key"),
+          min(col("o_totalprice")).as("best_price"))
+        .orderBy("o_orderpriority")
     }
   )
 }
