@@ -134,5 +134,39 @@ object Ml {
         .select(col("embedding").cast("array<double>").as("v"), col("label"))
       val score = Clustering.silhouette(df, "v", "label")
       Seq(("embeddings_by_label", score)).toDF("clustering", "silhouette")
+    },
+
+    // ---- STL-style robust decomposition of the daily series (M6) ----
+    Q.noOracle("q61_stl_decompose") { (s, dir) =>
+      import s.implicits._
+      val rows = Series.dailySeries(s, dir).drop("n_events")
+        .orderBy("day").collect()
+      val y = rows.map(_.getDouble(1))
+      val r = graft.ts.Stl.decompose(y, period = 7, robust = true)
+      rows.indices.map(i => (rows(i).getDate(0).toString,
+        y(i), r.trend(i), r.seasonal(i), r.resid(i)))
+        .toDF("day", "val", "trend", "seasonal", "resid")
+    },
+
+    // ---- db4 wavelet denoising of the daily series (M7) ----
+    Q.noOracle("q62_wavelet_denoise") { (s, dir) =>
+      import s.implicits._
+      val rows = Series.dailySeries(s, dir).drop("n_events")
+        .orderBy("day").collect()
+      val even = rows.length - (rows.length % 4) // wavedec(2) needs /4
+      val y = rows.take(even).map(_.getDouble(1))
+      val den = graft.ts.Wavelet.denoise(y, levels = 2, dropLevels = 1)
+      (0 until even).map(i => (rows(i).getDate(0).toString, y(i), den(i)))
+        .toDF("day", "val", "denoised")
+    },
+
+    // ---- factor analysis + varimax over lineitem measures (M4) ----
+    Q.noOracle("q63_factor_loadings") { (s, dir) =>
+      import s.implicits._
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val res = graft.ml.Factor.fit(lineitem(s, dir), cols, k = 2)
+      (for (i <- cols.indices; f <- 0 until 2) yield
+        (cols(i), f, res.loadings(i)(f), res.rotated(i)(f)))
+        .toDF("variable", "factor", "loading", "rotated")
     })
 }
