@@ -36,4 +36,18 @@ object Lags {
 
   /** Inverse of one differencing step given the previous level value. */
   def undiff(diffed: Column, prevLevel: Column): Column = diffed + prevLevel
+
+  /** Sliding-window sequence extraction (SURVEY.md W7, reference LSTM
+    * window builder `src/scripts/LSTM.py:138-148`): per row, the trailing
+    * `seqLen` values of `valueCol` as an ordered array plus the
+    * one-step-ahead target. Window frames collect in frame order, so the
+    * sequence is deterministic given a unique ordering key.
+    */
+  def withSequences(df: DataFrame, valueCol: String, order: Seq[String],
+                    seqLen: Int, partition: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(order.map(col): _*)
+    df.withColumn(s"${valueCol}_seq",
+        collect_list(col(valueCol)).over(w.rowsBetween(-(seqLen - 1), 0)))
+      .withColumn(s"${valueCol}_next", lead(col(valueCol), 1).over(w))
+  }
 }

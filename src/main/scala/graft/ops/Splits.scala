@@ -31,10 +31,14 @@ object Splits {
     * rank sets per key group are stable under re-partitioning.
     */
   def withGlobalRowNumber(df: DataFrame, order: Seq[String],
-                          out: String): (DataFrame, Long) = {
+                          out: String): (DataFrame, Long) =
+    withGlobalRowNumberCols(df, order.map(col), out)
+
+  /** Column-expression variant (supports e.g. `col("day").desc`). */
+  def withGlobalRowNumberCols(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+                              out: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val sortCols = order.map(col)
     // One concrete RDD for both jobs below. Range-partition boundaries are
     // SAMPLED per physical planning, so two separate DataFrame actions over
     // the same logical plan may disagree on boundaries; pinning a single
@@ -96,5 +100,19 @@ object Splits {
   def prefix(df: DataFrame, order: Seq[String], frac: Double): DataFrame = {
     val (ranked, n) = withGlobalRowNumber(df, order, "__rn1")
     ranked.filter(col("__rn1") <= math.floor(n * frac).toLong).drop("__rn1")
+  }
+
+  /** Positional (index) join (SURVEY.md J6, reference RangeIndex joins
+    * `ts_kmeans_base.ipynb#79`, `evaluation.ipynb#13`): align the i-th row
+    * of `left` in `leftOrder` with the i-th row of `right` in
+    * `rightOrder`. pandas aligns on the implicit positional index; here
+    * both sides get an explicit scale-safe global rank and equi-join on
+    * it (inner: the shorter side bounds the result).
+    */
+  def positionalJoin(left: DataFrame, leftOrder: Seq[org.apache.spark.sql.Column],
+                     right: DataFrame, rightOrder: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val (l, _) = withGlobalRowNumberCols(left, leftOrder, "__pos")
+    val (r, _) = withGlobalRowNumberCols(right, rightOrder, "__pos")
+    l.join(r, Seq("__pos")).drop("__pos")
   }
 }

@@ -267,6 +267,50 @@ object Series {
           partition = Seq("user_id"))
         .withColumn("day", date_format(col("day"), iso))
         .orderBy("user_id", "day")
+    },
+
+    // ---- sliding-window sequence extraction (W7) ----
+    Q("q64_sequences",
+      s"""WITH daily AS ($dailySql),
+        |r AS (SELECT day, val, ROW_NUMBER() OVER (ORDER BY day) AS rn,
+        |    LAG(val, 3) OVER (ORDER BY day) AS l3,
+        |    LAG(val, 2) OVER (ORDER BY day) AS l2,
+        |    LAG(val, 1) OVER (ORDER BY day) AS l1,
+        |    LEAD(val, 1) OVER (ORDER BY day) AS nxt
+        |  FROM daily)
+        |SELECT STRFTIME(day, '%Y-%m-%d') AS day,
+        |  CAST(LEAST(rn, 4) AS BIGINT) AS seq_len,
+        |  COALESCE(l3, l2, l1, val) AS seq_first,
+        |  val AS seq_last, nxt AS next_val
+        |FROM r ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = dailySeries(s, dir).drop("n_events")
+      graft.ops.Lags.withSequences(daily, "val", Seq("day"), seqLen = 4)
+        .select(
+          date_format(col("day"), iso).as("day"),
+          size(col("val_seq")).cast("long").as("seq_len"),
+          element_at(col("val_seq"), 1).as("seq_first"),
+          element_at(col("val_seq"), -1).as("seq_last"),
+          col("val_next").as("next_val"))
+        .orderBy("day")
+    },
+
+    // ---- positional (index) join (J6) ----
+    Q("q65_positional_join",
+      s"""WITH daily AS ($dailySql),
+        |a AS (SELECT day, val, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily),
+        |b AS (SELECT day AS rday, val AS rval,
+        |    ROW_NUMBER() OVER (ORDER BY day DESC) AS rn FROM daily)
+        |SELECT STRFTIME(a.day, '%Y-%m-%d') AS day, a.val,
+        |  STRFTIME(b.rday, '%Y-%m-%d') AS rday, b.rval
+        |FROM a JOIN b USING (rn)
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val daily = dailySeries(s, dir).drop("n_events")
+      val rev = daily.select(col("day").as("rday"), col("val").as("rval"))
+      graft.ops.Splits.positionalJoin(
+          daily, Seq(col("day")), rev, Seq(col("rday").desc))
+        .select(date_format(col("day"), iso).as("day"), col("val"),
+          date_format(col("rday"), iso).as("rday"), col("rval"))
+        .orderBy("day")
     }
   )
 }
