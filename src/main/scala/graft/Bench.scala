@@ -18,6 +18,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (JVM, codegen, parquet footer cache, noop sink)
+    // so the first measured query reflects the query, not startup.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10)
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()
       try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()

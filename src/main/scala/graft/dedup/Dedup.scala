@@ -175,6 +175,29 @@ object Dedup {
     df.withColumn(outCol, sh)
   }
 
+  /** (idCol, simhash) via explode + groupBy — the scalable form: per
+    * (doc, token-hash) row the 64 per-bit votes are codegen'd long
+    * arithmetic with map-side partial aggregation; the shuffle carries
+    * 64 longs per document. Prefer this over [[withSimhash]] for large
+    * corpora (the column-level fold is interpreted per row).
+    */
+  def simhashTable(df: DataFrame, idCol: String, textCol: String,
+                   outCol: String = "simhash"): DataFrame = {
+    val exploded = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    val bits = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    exploded.groupBy(col(idCol))
+      .agg(votes.head, votes.tail: _*)
+      .select(col(idCol), bits.as(outCol))
+  }
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -184,7 +207,7 @@ object Dedup {
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
-    val withSh = withSimhash(df, textCol, "sh").select(col(idCol), col("sh"))
+    val withSh = simhashTable(df, idCol, textCol, "sh")
     val chunked = withSh.select(
       col(idCol), col("sh"),
       posexplode(array((0 until 4).map(c =>

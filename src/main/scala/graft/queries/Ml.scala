@@ -47,7 +47,7 @@ object Ml {
       val maes = CvObjective.blockedCvMae(daily, "day", "val", Nil, 3, 0.2) {
         (train, steps, _) =>
           RecursiveGbt.fit(train, "day", "val", Nil, Seq(1, 2),
-            d = 0, maxIter = 10, maxDepth = 3).forecast(steps, Nil)
+            d = 0, maxIter = 5, maxDepth = 3).forecast(steps, Nil)
       }
       val (mean, std) = CvObjective.summary(maes)
       maes.zipWithIndex.map { case (m, f) => (f, m, mean, std) }
@@ -85,7 +85,7 @@ object Ml {
       val series = full.filter(size(col("vec")) === maxLen)
       val scaled = Clustering.minMaxScaleArray(series, "vec", "svec")
       val k = math.min(12, scaled.count().toInt)
-      val res = Clustering.dtwKMeans(scaled, "user_id", "svec", k)
+      val res = Clustering.dtwKMeans(scaled, "user_id", "svec", k, maxIter = 5)
       res.assignments
     },
 

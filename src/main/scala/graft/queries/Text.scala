@@ -175,8 +175,7 @@ object Text {
 
     // ---- SimHash per document (engine-hash; self-consistency tested) ----
     Q.noOracle("q43_simhash") { (s, dir) =>
-      Dedup.withSimhash(documents(s, dir), "text", "simhash")
-        .select("doc_id", "simhash")
+      Dedup.simhashTable(documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
 
