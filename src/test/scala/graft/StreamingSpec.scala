@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streaming
+
+/** Structured Streaming extension tests (MemoryStream-driven). */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+
+  test("tumbling daily means aggregate a replayed hourly feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val result = Streaming.dailyMeans(
+      input.toDF().toDF("ts", "value"), "ts", "value")
+
+    val q = result.writeStream.format("memory")
+      .queryName("daily_means").outputMode("complete").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 01:00:00"), 10.0),
+        (Timestamp.valueOf("2024-01-01 13:00:00"), 30.0),
+        (Timestamp.valueOf("2024-01-02 02:00:00"), 50.0))
+      q.processAllAvailable()
+      val rows = spark.table("daily_means").orderBy("day_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Double]("avg_v") === 20.0)
+      assert(rows(0).getAs[Long]("n") === 2L)
+      assert(rows(1).getAs[Double]("avg_v") === 50.0)
+    } finally q.stop()
+  }
+
+  test("streaming dedup passes first doc per fingerprint, drops later dups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Streaming.Doc]
+    val q = Streaming.dedupByKey(input.toDS())
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(Streaming.Doc("fpA", 1L, "hello world"))
+      q.processAllAvailable()
+      input.addData(
+        Streaming.Doc("fpA", 2L, "hello  world"), // duplicate fingerprint
+        Streaming.Doc("fpB", 3L, "fresh text"))
+      q.processAllAvailable()
+      val got = spark.table("stream_dedup").orderBy("id").collect()
+        .map(r => (r.getAs[String]("fp"), r.getAs[Long]("id")))
+      assert(got.toSeq === Seq(("fpA", 1L), ("fpB", 3L)),
+        "only the first doc per fingerprint may pass")
+    } finally q.stop()
+  }
+}
