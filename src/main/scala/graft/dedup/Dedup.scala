@@ -103,9 +103,17 @@ object Dedup {
     * into `bands` bands of numHashes/bands rows; docs sharing any band
     * hash become a candidate pair. Returns (id_a, id_b) with a < b,
     * distinct.
+    *
+    * `maxBucketSize` caps the per-(band,hash) membership before the
+    * self-join: a degenerate hot bucket (boilerplate shingles, empty
+    * docs) otherwise goes quadratic WITHIN the bucket at corpus scale.
+    * Docs beyond the cap in a bucket lose only that bucket's votes —
+    * with multiple bands true near-dups still collide elsewhere
+    * (standard LSH practice; set to Int.MaxValue to disable).
     */
   def minhashCandidates(sigs: DataFrame, idCol: String, bands: Int,
-                        numHashes: Int = 64): DataFrame = {
+                        numHashes: Int = 64,
+                        maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val banded = sigs.select(
@@ -113,12 +121,24 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
       .toDF(idCol, "band", "bh")
-    val left = banded.select(col(idCol).as("id_a"), col("band"), col("bh"))
-    val right = banded.select(col(idCol).as("id_b"), col("band"), col("bh"))
+    val capped = capBuckets(banded, idCol, Seq("band", "bh"), maxBucketSize)
+    val left = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
+    val right = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
     left.join(right, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Keep at most `cap` members per bucket (deterministic: the `cap`
+    * smallest ids). One hash-partitioned window — no global ordering.
+    */
+  private def capBuckets(df: DataFrame, idCol: String, bucketCols: Seq[String],
+                         cap: Int): DataFrame =
+    if (cap == Int.MaxValue) df
+    else df
+      .withColumn("__bn", row_number().over(
+        Window.partitionBy(bucketCols.map(col): _*).orderBy(col(idCol))))
+      .filter(col("__bn") <= cap).drop("__bn")
 
   /** Exact Jaccard over word n-gram shingle sets (64-bit identities) for
     * given pairs.
@@ -206,13 +226,14 @@ object Dedup {
     * hamming <= 3 shares a chunk), then exact hamming verification.
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val withSh = simhashTable(df, idCol, textCol, "sh")
-    val chunked = withSh.select(
+    val chunked = capBuckets(withSh.select(
       col(idCol), col("sh"),
       posexplode(array((0 until 4).map(c =>
         shiftright(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .toDF(idCol, "sh", "chunk", "ch")
+      .toDF(idCol, "sh", "chunk", "ch"), idCol, Seq("chunk", "ch"), maxBucketSize)
     val left = chunked.select(col(idCol).as("id_a"), col("sh").as("sh_a"),
       col("chunk"), col("ch"))
     val right = chunked.select(col(idCol).as("id_b"), col("sh").as("sh_b"),

@@ -111,9 +111,22 @@ object Similarity {
     * independent tables. Equi-join on (table, bucket) — shuffles integer
     * keys, never the full cross product.
     */
+  /** Cap per-(table,bucket) membership at `cap` rows (deterministic:
+    * smallest ids) — a hot bucket otherwise makes the candidate join
+    * quadratic within the bucket at corpus scale. Hash-partitioned
+    * window, no global ordering.
+    */
+  private def capBuckets(df: DataFrame, idCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) df
+    else df
+      .withColumn("__bn", row_number().over(
+        Window.partitionBy(col("t"), col("b")).orderBy(col(idCol))))
+      .filter(col("__bn") <= cap).drop("__bn")
+
   def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, dim: Int, bits: Int = 12,
-                  tables: Int = 4, seed: Long = 42L): DataFrame = {
+                  tables: Int = 4, seed: Long = 42L,
+                  maxBucketSize: Int = 10000): DataFrame = {
     def bucketed(df: DataFrame, id: String, nrm: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
@@ -121,7 +134,8 @@ object Similarity {
           normExact(col(vecCol)).as(nrm), explode(buckets).as("tb"))
         .select(col(id), col(vecCol), col(nrm), col("tb.t").as("t"), col("tb.b").as("b"))
     }
-    val c = bucketed(corpus, "neighbor_id", "cn").withColumnRenamed(vecCol, "cv")
+    val c = capBuckets(bucketed(corpus, "neighbor_id", "cn"), "neighbor_id",
+      maxBucketSize).withColumnRenamed(vecCol, "cv")
     val q = bucketed(queries, "query_id", "qn").withColumnRenamed(vecCol, "qv")
     val cands = c.join(q, Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -141,13 +155,15 @@ object Similarity {
     */
   def cosineNearDups(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, dim: Int, bits: Int = 12,
-                     tables: Int = 4, seed: Long = 42L): DataFrame = {
+                     tables: Int = 4, seed: Long = 42L,
+                     maxBucketSize: Int = 10000): DataFrame = {
     def bucketed(df0: DataFrame, id: String, v: String, nrm: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
-      df0.select(col(idCol).as(id), col(vecCol).as(v),
+      capBuckets(df0.select(col(idCol).as(id), col(vecCol).as(v),
           normExact(col(vecCol)).as(nrm), explode(buckets).as("tb"))
-        .select(col(id), col(v), col(nrm), col("tb.t").as("t"), col("tb.b").as("b"))
+        .select(col(id), col(v), col(nrm), col("tb.t").as("t"), col("tb.b").as("b")),
+        id, maxBucketSize)
     }
     val a = bucketed(df, "id_a", "va", "na")
     val b = bucketed(df, "id_b", "vb", "nb")

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.ops.{Fills, Lags, Reshape, Splits}
+
+/** Seeded generator-driven properties for the order-sensitive combinators
+  * (SURVEY.md §5.3: fill limits, diff inverses, union alignment, CV-split
+  * coverage/disjointness). ScalaCheck generators are sampled under fixed
+  * seeds (the scalatest-scalacheck bridge isn't in the offline cache), so
+  * every run checks the same case set deterministically.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  private val seriesGen: Gen[List[Option[Double]]] =
+    Gen.choose(8, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.const(Option.empty[Double]),
+        Gen.choose(-100.0, 100.0).map(v => Some(math.rint(v * 100) / 100)))))
+
+  test("ffill with limit never reaches past the limit, preserves non-nulls") {
+    for (s <- 1 to 12) {
+      val xs = sample(seriesGen, s)
+      val limit = 1 + (s % 5)
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val filled = df.withColumn("f",
+        coalesce(col("v"), Fills.ffill(col("v"), Nil, Seq(col("i")), Some(limit))))
+        .orderBy("i").select("f").collect().map(r =>
+          if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      val arr = xs.toArray
+      filled.zipWithIndex.foreach { case (got, i) =>
+        val expected = arr(i).orElse {
+          (1 to limit).map(i - _).find(j => j >= 0 && arr(j).isDefined)
+            .flatMap(j => arr(j))
+        }
+        assert(got === expected, s"seed $s at row $i limit $limit")
+      }
+    }
+  }
+
+  test("d-th difference matches the binomial formula (diff/undiff contract)") {
+    for (s <- 1 to 8) {
+      val xs = sample(Gen.listOfN(25, Gen.choose(-50.0, 50.0)), 100 + s)
+      val d = 1 + (s % 3)
+      val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("i", "v")
+      val diffed = Lags.withDiff(df, "v", Seq("i"), d, "dv")
+        .orderBy("i").select("dv").collect()
+      val arr = xs.toArray
+      def c(n: Int, k: Int): Long =
+        (1 to k).foldLeft(1L)((a, i) => a * (n - i + 1) / i)
+      for (t <- d until arr.length) {
+        val expected = (0 to d).map(k => math.pow(-1, k) * c(d, k) * arr(t - k)).sum
+        assert(math.abs(diffed(t).getDouble(0) - expected) < 1e-6,
+          s"seed $s d=$d t=$t")
+      }
+      // warm-up rows are null
+      (0 until d).foreach(t => assert(diffed(t).isNullAt(0)))
+    }
+  }
+
+  test("unionAligned keeps every row and pads missing columns with null") {
+    for (s <- 1 to 10) {
+      val n1 = sample(Gen.choose(0, 10), 200 + s)
+      val n2 = sample(Gen.choose(0, 10), 300 + s)
+      val a = (0 until n1).map(i => (i, s"a$i")).toDF("id", "only_a")
+      val b = (0 until n2).map(i => (i, i * 1.5)).toDF("id", "only_b")
+      val u = Reshape.unionAligned(Seq(a, b))
+      assert(u.count() === n1 + n2)
+      assert(u.filter(col("only_a").isNotNull).count() === n1)
+      assert(u.filter(col("only_b").isNotNull).count() === n2)
+    }
+  }
+
+  test("blocked folds: total coverage, contiguity, val-suffix — any (n, k)") {
+    for (s <- 1 to 10) {
+      val n = sample(Gen.choose(10, 120), 400 + s)
+      val k = sample(Gen.choose(2, 6), 500 + s)
+      val df = (0 until n).map(i => (i, i * 2.0)).toDF("i", "v")
+      val folds = Splits.blockedFolds(df, Seq("i"), k, 0.2)
+        .select("i", "fold", "is_val").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getBoolean(2))).sortBy(_._1)
+      assert(folds.length === n, s"n=$n k=$k: every row exactly once")
+      assert(folds.map(_._2).distinct.sorted.toSeq === (0 until k))
+      assert(folds.map(_._2).toSeq === folds.map(_._2).sorted.toSeq,
+        "fold ids must be contiguous in row order")
+      for (f <- 0 until k) {
+        val block = folds.filter(_._2 == f)
+        val firstVal = block.indexWhere(_._3)
+        if (firstVal >= 0) assert(block.drop(firstVal).forall(_._3),
+          s"n=$n k=$k fold $f: val rows must be a suffix")
+      }
+    }
+  }
+}
