@@ -63,4 +63,7 @@ object Exact {
 
   def gavg(c: Column): Column =
     sum(round(c * Grid, 0).cast(DecimalType(30, 0))).cast("double") / Grid / count(c)
+
+  def gsum(c: Column): Column =
+    sum(round(c * Grid, 0).cast(DecimalType(30, 0))).cast("double") / Grid
 }

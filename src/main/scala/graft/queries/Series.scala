@@ -106,18 +106,21 @@ object Series {
     Q("q26_sliding_mean",
       s"""WITH daily AS ($dailySql)
         |SELECT STRFTIME(day, '%Y-%m-%d') AS day, val,
-        |  CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER w7 AS DOUBLE) / COUNT(val) OVER w7 AS ma7,
-        |  CAST(SUM(CAST(val AS DECIMAL(30,6))) OVER w7 AS DOUBLE) AS sum7,
+        |  CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS DECIMAL(30,0))) OVER w7 AS DOUBLE)
+        |    / 1000000.0 / COUNT(val) OVER w7 AS ma7,
+        |  CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS DECIMAL(30,0))) OVER w7 AS DOUBLE)
+        |    / 1000000.0 AS sum7,
         |  COUNT(*) OVER w7 AS n7
         |FROM daily
         |WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY 1""".stripMargin) { (s, dir) =>
+      // grid-snapped capture: val is a COMPUTED daily mean (see Exact.gavgOver)
       val w7 = Window.orderBy(col("day")).rowsBetween(-6, 0)
       dailySeries(s, dir).drop("n_events")
         .select(
           col("day"), col("val"),
-          Exact.davgOver(col("val"), w7).as("ma7"),
-          Exact.dsumOver(col("val"), w7).as("sum7"),
+          Exact.gavgOver(col("val"), w7).as("ma7"),
+          Exact.gsumOver(col("val"), w7).as("sum7"),
           count(lit(1)).over(w7).as("n7"))
         .withColumn("day", date_format(col("day"), iso))
         .orderBy("day")
@@ -193,10 +196,13 @@ object Series {
       s"""WITH daily AS ($dailySql),
         |p AS (SELECT day, val, lag(val, 1) OVER (ORDER BY day) AS pred FROM daily)
         |SELECT COUNT(pred) AS n,
-        |  CAST(SUM(CAST(ABS(val - pred) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mae,
-        |  CAST(SUM(CAST((val - pred) * (val - pred) AS DECIMAL(30,6))) AS DOUBLE) / COUNT(pred) AS mse,
-        |  CAST(SUM(CASE WHEN val <> 0 THEN CAST(ABS((val - pred) / val) AS DECIMAL(30,6)) END) AS DOUBLE)
-        |    / COUNT(CASE WHEN val <> 0 THEN (val - pred) / val END) AS mape
+        |  CAST(SUM(CAST(ROUND(ABS(val - pred) * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+        |    / 1000000.0 / COUNT(pred) AS mae,
+        |  CAST(SUM(CAST(ROUND((val - pred) * (val - pred) * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+        |    / 1000000.0 / COUNT(pred) AS mse,
+        |  CAST(SUM(CASE WHEN val <> 0
+        |      THEN CAST(ROUND(ABS((val - pred) / val) * 1000000.0, 0) AS DECIMAL(30,0)) END) AS DOUBLE)
+        |    / 1000000.0 / COUNT(CASE WHEN val <> 0 THEN (val - pred) / val END) AS mape
         |FROM p""".stripMargin) { (s, dir) =>
       val daily = dailySeries(s, dir).drop("n_events")
       val p = Lags.withLags(daily, "val", Seq("day"), Seq(1))
@@ -329,16 +335,18 @@ object Series {
   * with the number of months × days.
   */
 object Disaggregate {
-  import graft.ops.Exact.{davg, dsum}
+  import graft.ops.Exact.{davg, gsum}
 
   def query(s: SparkSession, dir: String): DataFrame = {
     val daily = events(s, dir)
       .groupBy(eventDay.as("day"))
       .agg(davg(col("value")).as("demand"), count(lit(1)).cast("double").as("n_ev"))
       .withColumn("mon", trunc(col("day"), "month"))
+    // gsum: demand is a COMPUTED daily mean (see Exact.gavgOver's note on
+    // cross-engine .5 ties of computed doubles)
     val monthly = daily
       .groupBy(col("mon"))
-      .agg(dsum(col("demand")).as("mon_demand"), dsum(col("n_ev")).as("mon_total"))
+      .agg(gsum(col("demand")).as("mon_demand"), gsum(col("n_ev")).as("mon_total"))
     // monthly total visible only on the month-start row (J3 semantics) …
     val monthlyK = monthly.withColumnRenamed("mon", "mon_key")
     val joined = daily.join(monthlyK, col("day") === col("mon_key"), "left_outer")
@@ -367,8 +375,10 @@ object Disaggregate {
       |d2 AS (SELECT *, DATE_TRUNC('month', day) AS mon FROM daily),
       |monthly AS (
       |  SELECT mon,
-      |    CAST(SUM(CAST(demand AS DECIMAL(30,6))) AS DOUBLE) AS mon_demand,
-      |    CAST(SUM(CAST(n_ev AS DECIMAL(30,6))) AS DOUBLE) AS mon_total
+      |    CAST(SUM(CAST(ROUND(demand * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+      |      / 1000000.0 AS mon_demand,
+      |    CAST(SUM(CAST(ROUND(n_ev * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+      |      / 1000000.0 AS mon_total
       |  FROM d2 GROUP BY mon),
       |joined AS (
       |  SELECT d2.*, m.mon_demand AS md, m.mon_total AS mt

@@ -2,7 +2,7 @@ package graft.ts
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.Exact.davg
+import graft.ops.Exact.gavg
 
 /** Regression error metrics as single-pass aggregates (reference
   * `sklearn.mean_absolute_error` & co., `supervised/evaluation.ipynb#2,#13`,
@@ -19,10 +19,13 @@ object Metrics {
   def regressionMetrics(df: DataFrame, actualCol: String, predCol: String): DataFrame = {
     val err = col(actualCol) - col(predCol)
     val mapeTerm = when(col(actualCol) =!= 0, abs(err / col(actualCol)))
+    // gavg: error terms are COMPUTED doubles (differences of decimal-ish
+    // values), whose direct decimal capture is engine-dependent on exact
+    // .5 ties — see Exact.gavgOver.
     df.agg(
       count(col(predCol)).as("n"),
-      davg(abs(err)).as("mae"),
-      davg(err * err).as("mse"),
-      davg(mapeTerm).as("mape"))
+      gavg(abs(err)).as("mae"),
+      gavg(err * err).as("mse"),
+      gavg(mapeTerm).as("mape"))
   }
 }
