@@ -31,12 +31,23 @@ object Similarity {
     */
   private val D = DecimalType(28, 18)
 
-  /** Exact deterministic dot product of two float-array columns. Matches
-    * the ANSI form `SUM(CAST(a[i]*b[i] AS DECIMAL(38,18)))`: rounding a
-    * double product at scale 18 is precision-independent, and the decimal
-    * sum itself is exact in both engines.
+  /** Exact deterministic dot product of two numeric-array columns via the
+    * native codegen'd expression [[graft.functions.ExactDotProduct]]
+    * (identical semantics to the ANSI `SUM(CAST(a[i]*b[i] AS
+    * DECIMAL(38,18)))`; see [[dotExactHof]] for the declarative form).
     */
   def dotExact(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.ExactDotProduct(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** Declarative higher-order-function form of [[dotExact]] — same values
+    * bit-for-bit, kept as the portable reference implementation (the
+    * lambda is evaluated interpreted per element, ~an order of magnitude
+    * slower in tight loops).
+    */
+  def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(D)),
       lit(java.math.BigDecimal.ZERO).cast(D),

@@ -129,3 +129,26 @@ class TextDedupSpec extends AnyFunSuite {
       b.map { case (i, v) => (i, v.toSeq) }.toSeq)
   }
 }
+
+/** Native exact_dot expression: bit-parity with the declarative HOF form,
+  * SQL registration via GraftExtensions, codegen path.
+  */
+class ExactDotSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark // carries GraftExtensions
+  import org.apache.spark.sql.functions._
+
+  test("native exact_dot matches the HOF decimal fold bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val both = emb.select(
+      graft.sim.Similarity.dotExact(col("embedding"), col("embedding")).as("native"),
+      graft.sim.Similarity.dotExactHof(col("embedding"), col("embedding")).as("hof"))
+    val bad = both.filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L, "native and HOF dot products must be identical")
+  }
+
+  test("exact_dot is SQL-registered through GraftExtensions") {
+    val r = spark.sql("SELECT exact_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+      "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))").head().getDouble(0)
+    assert(r === 4.0)
+  }
+}
