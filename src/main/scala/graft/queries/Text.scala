@@ -198,6 +198,23 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- IVF approximate nearest neighbors (coarse-quantizer path) ----
+    Q.noOracle("q66_ivf_ann") { (s, dir) =>
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- embedding-cosine near-dup scan summary (1-row aggregate) ----
+    Q.noOracle("q67_cosine_neardup_stats") { (s, dir) =>
+      Similarity.cosineNearDups(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, bits = 6, tables = 4)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(max(col("cosine")), lit(0.0)).as("max_cosine"),
+          coalesce(min(col("cosine")), lit(0.0)).as("min_kept_cosine"))
+    },
+
     // ---- multimodal metadata plumbing (blob header sniff, oracle-checked) ----
     Q("q46_multimodal_meta",
       """SELECT doc_id,

@@ -161,6 +161,53 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other standard ANN
+    * scale path next to [[signLshTopK]]: a coarse k-means quantizer
+    * partitions the corpus into `nCells` cells (MLlib KMeans, seeded);
+    * each query probes its `nProbe` nearest cells and re-ranks exactly
+    * within them. Centroids are driver/broadcast state (nCells × dim);
+    * the candidate join shuffles on integer cell ids. Recall rises with
+    * nProbe; nProbe = nCells degenerates to exact search.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MlVectors}
+    val spark = corpus.sparkSession
+    val toVec = udf((v: Seq[Double]) => MlVectors.dense(v.toArray))
+    val corpusF = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), normExact(col(vecCol)).as("cn"),
+      toVec(col(vecCol).cast("array<double>")).as("__f"))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__f").setPredictionCol("__cell").fit(corpusF)
+    val centers = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+    val nearestCells = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      bc.value.indices.sortBy { c =>
+        val cen = bc.value(c)
+        var s = 0.0; var i = 0
+        while (i < arr.length) { val d = arr(i) - cen(i); s += d * d; i += 1 }
+        s
+      }.take(nProbe)
+    }
+    val c = model.transform(corpusF).drop("__f")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        normExact(col(vecCol)).as("qn"))
+      .withColumn("__cell",
+        explode(nearestCells(col("qv").cast("array<double>"))))
+    val scored = c.join(q, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the LSH candidate path (id_a < id_b, exact cosine).
     */

@@ -152,3 +152,39 @@ class ExactDotSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(r === 4.0)
   }
 }
+
+/** IVF ANN and salted-join correctness. */
+class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("IVF top-k overlaps exact cosine top-k; full probe = exact (scale path)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = graft.sim.Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.sim.Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert(exact.intersect(ivf).size.toDouble / exact.size > 0.3,
+      "IVF recall too low at nProbe=3/8")
+    val full = graft.sim.Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nCells = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === exact, "probing every cell must equal exact search")
+  }
+
+  test("salted join equals plain join (deterministic salt) under hot keys") {
+    val fact = (1 to 2000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i))
+      .toDF("key", "v")
+    val dim = (0 until 50).map(i => (s"k$i", i * 1.0)).toDF("key", "w")
+      .union(Seq(("hot", 99.0)).toDF("key", "w"))
+    val plain = fact.join(dim, "key").agg(count(lit(1)), sum("v"), sum("w")).head()
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "key", salts = 8,
+      saltExpr = Some(col("v"))).agg(count(lit(1)), sum("v"), sum("w")).head()
+    assert(plain === salted)
+  }
+}
