@@ -237,4 +237,21 @@ object Clustering {
       .agg(transform(
         sort_array(collect_list(struct(col(orderCol), col(valueCol).as("v")))),
         s => s.getField("v")).as(outCol))
+
+  /** Densify a sparse (key, order, value) frame onto the full order spine
+    * (distinct `orderCol` values across ALL keys), filling holes per key
+    * by ffill-then-bfill — the reference's `ffill().bfill()` matrix
+    * completion (`ts_kmeans_base.ipynb#39`). The spine is
+    * calendar-bounded (days/months), so the broadcast cross join adds
+    * |keys| × |spine| rows, each filled inside the key's hash partition.
+    */
+  def completeSeries(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                     valueCol: String): DataFrame = {
+    val spine = broadcast(df.select(col(orderCol)).distinct())
+    val keys = df.select(keyCols.map(col): _*).distinct()
+    val dense = keys.crossJoin(spine)
+      .join(df, keyCols :+ orderCol, "left")
+    graft.ops.Fills.fillBoth(dense, Seq(valueCol), keyCols, Seq(orderCol),
+      limit = None)
+  }
 }

@@ -78,11 +78,10 @@ object Ml {
       val daily = events(s, dir)
         .groupBy(col("user_id"), eventDay.as("day"))
         .agg(graft.ops.Exact.davg(col("value")).as("val"))
-      // equal-length series only: users present every day (reference's
-      // matrix is ffill/bfill-completed; sparse users are dropped here)
-      val full = Clustering.seriesMatrix(daily, Seq("user_id"), "day", "val")
-      val maxLen = full.agg(max(size(col("vec")))).head().getInt(0)
-      val series = full.filter(size(col("vec")) === maxLen)
+      // densify sparse users onto the full day spine (reference's
+      // ffill().bfill() matrix completion) so every series has equal length
+      val dense = Clustering.completeSeries(daily, Seq("user_id"), "day", "val")
+      val series = Clustering.seriesMatrix(dense, Seq("user_id"), "day", "val")
       val scaled = Clustering.minMaxScaleArray(series, "vec", "svec")
       val k = math.min(12, scaled.count().toInt)
       val res = Clustering.dtwKMeans(scaled, "user_id", "svec", k, maxIter = 5)

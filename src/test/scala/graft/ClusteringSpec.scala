@@ -87,6 +87,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(s > 0.95, s"silhouette $s")
   }
 
+  test("completeSeries densifies sparse keys onto the spine with fills") {
+    val df = Seq(("u1", 1, 10.0), ("u1", 3, 30.0), ("u2", 2, 5.0))
+      .toDF("u", "t", "v")
+    val dense = Clustering.completeSeries(df, Seq("u"), "t", "v")
+      .orderBy("u", "t").collect()
+    assert(dense.length === 6) // 2 keys x 3 spine points
+    val u1 = dense.filter(_.getString(0) == "u1").map(_.getAs[Double]("v"))
+    assert(u1.toSeq === Seq(10.0, 10.0, 30.0)) // t=2 ffilled from t=1
+    val u2 = dense.filter(_.getString(0) == "u2").map(_.getAs[Double]("v"))
+    assert(u2.toSeq === Seq(5.0, 5.0, 5.0)) // t=1 bfilled, t=3 ffilled
+  }
+
   test("seriesMatrix collects values in order (T10/W10)") {
     val df = Seq(("u1", 3, 30.0), ("u1", 1, 10.0), ("u1", 2, 20.0), ("u2", 1, 5.0))
       .toDF("u", "t", "v")
