@@ -370,11 +370,10 @@ object Relational {
         |  FROM orders)
         |WHERE rnk <= 3
         |ORDER BY o_orderpriority, rnk""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("o_orderpriority"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      orders(s, dir)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 3)
+      // two-stage top-k: a 5-value partition key would otherwise funnel
+      // the whole table through 5 tasks (see ops/TopK.scala)
+      graft.ops.TopK.topKPerKey(orders(s, dir), Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3)
         .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
         .orderBy("o_orderpriority", "rnk")
     },
