@@ -138,21 +138,27 @@ object Similarity {
                   vecCol: String, k: Int, dim: Int, bits: Int = 12,
                   tables: Int = 4, seed: Long = 42L,
                   maxBucketSize: Int = 10000): DataFrame = {
-    def bucketed(df: DataFrame, id: String, nrm: String): DataFrame = {
+    // candidate generation carries IDS ONLY: buckets, the equi-join, and
+    // the distinct shuffle 8-byte keys; vectors re-attach by id after —
+    // shuffling vectors with every candidate pair is the scale killer.
+    def bucketed(df: DataFrame, id: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
-      df.select(col(idCol).as(id), col(vecCol),
-          normExact(col(vecCol)).as(nrm), explode(buckets).as("tb"))
-        .select(col(id), col(vecCol), col(nrm), col("tb.t").as("t"), col("tb.b").as("b"))
+      df.select(col(idCol).as(id), explode(buckets).as("tb"))
+        .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
     }
-    val c = capBuckets(bucketed(corpus, "neighbor_id", "cn"), "neighbor_id",
-      maxBucketSize).withColumnRenamed(vecCol, "cv")
-    val q = bucketed(queries, "query_id", "qn").withColumnRenamed(vecCol, "qv")
+    val c = capBuckets(bucketed(corpus, "neighbor_id"), "neighbor_id", maxBucketSize)
+    val q = bucketed(queries, "query_id")
     val cands = c.join(q, Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn").distinct()
-    val scored = cands.withColumn("cosine",
-      dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select("query_id", "neighbor_id").distinct()
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      normExact(col(vecCol)).as("cn"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      normExact(col(vecCol)).as("qn"))
+    val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
+      .withColumn("cosine",
+        dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored
@@ -215,19 +221,28 @@ object Similarity {
                      threshold: Double, dim: Int, bits: Int = 12,
                      tables: Int = 4, seed: Long = 42L,
                      maxBucketSize: Int = 10000): DataFrame = {
-    def bucketed(df0: DataFrame, id: String, v: String, nrm: String): DataFrame = {
+    // id-only candidate generation (see signLshTopK), then vectors
+    // re-attach by id and a plain double cosine prunes at threshold-1e-9
+    // (|double - exact| < 1e-12, so no survivor of the exact filter can
+    // be lost) before the exact decimal score.
+    def bucketed(df0: DataFrame, id: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
-      capBuckets(df0.select(col(idCol).as(id), col(vecCol).as(v),
-          normExact(col(vecCol)).as(nrm), explode(buckets).as("tb"))
-        .select(col(id), col(v), col(nrm), col("tb.t").as("t"), col("tb.b").as("b")),
+      capBuckets(df0.select(col(idCol).as(id), explode(buckets).as("tb"))
+        .select(col(id), col("tb.t").as("t"), col("tb.b").as("b")),
         id, maxBucketSize)
     }
-    val a = bucketed(df, "id_a", "va", "na")
-    val b = bucketed(df, "id_b", "vb", "nb")
-    a.join(b, Seq("t", "b"))
+    val a = bucketed(df, "id_a")
+    val b = bucketed(df, "id_b")
+    val cands = a.join(b, Seq("t", "b"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "va", "na", "id_b", "vb", "nb").distinct()
+      .select("id_a", "id_b").distinct()
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      normExact(col(vecCol)).as("na"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      normExact(col(vecCol)).as("nb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold - 1e-9)
       .withColumn("cosine",
         dotExact(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
