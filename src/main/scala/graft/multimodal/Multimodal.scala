@@ -72,6 +72,65 @@ object Multimodal {
     out
   }
 
+  /** STUB resize: a real pipeline decodes, resamples to (w, h), and
+    * re-encodes; the deterministic fake folds the blob into a w*h-byte
+    * "thumbnail" so size/idempotence contracts are testable. Runs in the
+    * same per-partition batch shape as [[extractFeatures]].
+    */
+  def fakeResize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // ??? <- real image codec goes here
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < blob.length) {
+      out(i % out.length) = (out(i % out.length) ^ blob(i)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB frame sampling: a real pipeline decodes a video container and
+    * keeps every `stride`-th frame; the fake treats the blob as fixed
+    * `frameSize`-byte frames. Output rows: (id, frame_idx, frame blob) —
+    * one input row explodes to its sampled frames, metadata stays
+    * columnar.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
+                   frameSize: Int, stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val blob = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val nFrames = blob.length / frameSize
+        // ??? <- real demux/decoder goes here
+        (0 until nFrames by stride).map { f =>
+          Row(id, f, java.util.Arrays.copyOfRange(blob, f * frameSize, (f + 1) * frameSize))
+        }
+      }
+    }(encoder)
+  }
+
+  /** Resize over partitions (same batch contract as [[extractFeatures]]). */
+  def resizeBlobs(df: DataFrame, idCol: String, blobCol: String,
+                  w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("resized", BinaryType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val blob = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        Row(r.getLong(0), fakeResize(blob, w, h))
+      }
+    }(encoder)
+  }
+
   /** Batch feature extraction over partitions: one "codec" per partition,
     * rows streamed through it. Output: (idCol, features array<float>).
     */

@@ -116,6 +116,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(s(1L) > s(2L))
   }
 
+  test("multimodal resize + frame sampling keep the batch contract") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir).limit(20)
+    val blobs = Multimodal.withBlob(docs, "text", "blob")
+    val resized = Multimodal.resizeBlobs(blobs, "doc_id", "blob", 8, 4)
+      .orderBy("doc_id").collect()
+    assert(resized.forall(_.getAs[Array[Byte]]("resized").length == 32))
+    // idempotent under repartitioning
+    val resized2 = Multimodal.resizeBlobs(blobs.repartition(3), "doc_id", "blob", 8, 4)
+      .orderBy("doc_id").collect()
+    assert(resized.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq ===
+      resized2.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq)
+    val frames = Multimodal.sampleFrames(blobs, "doc_id", "blob",
+      frameSize = 16, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 16))
+    assert(frames.forall(_.getInt(1) % 2 == 0), "only every stride-th frame kept")
+  }
+
   test("multimodal extractFeatures is deterministic, dim-stable, partition-invariant") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir).limit(50)
