@@ -159,6 +159,25 @@ object Ml {
         .toDF("day", "val", "denoised")
     },
 
+    // ---- GP+BO hyper-parameter search over the CV objective (M15-M18) ----
+    Q.noOracle("q68_bo_search") { (s, dir) =>
+      import s.implicits._
+      val daily = Series.dailySeries(s, dir).drop("n_events")
+      val res = graft.ml.Bo.minimize(
+        Seq(graft.ml.Bo.HpBound("p", 1, 3, isInt = true)),
+        nIters = 3, searchSize = 64) { params =>
+        val maes = CvObjective.blockedCvMae(daily, "day", "val", Nil, 2, 0.25) {
+          (train, steps, _) =>
+            Arimax.fit(train, "day", "val", Nil,
+              p = params("p").toInt, d = 0, q = 0).forecast(steps, Nil)
+        }
+        CvObjective.summary(maes)
+      }
+      res.history.zipWithIndex.map { case ((params, mean, std), i) =>
+        (i, params("p").toInt, mean, std, res.best("p").toInt, res.bestMean)
+      }.toDF("iter", "p", "mae_mean", "mae_std", "best_p", "best_mae")
+    },
+
     // ---- factor analysis + varimax over lineitem measures (M4) ----
     Q.noOracle("q63_factor_loadings") { (s, dir) =>
       import s.implicits._

@@ -198,6 +198,38 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- per-doc top distinctive term (TF x rarity; exact rational) ----
+    Q("q69_top_terms",
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    CAST(tf.tf AS DOUBLE) / dfreq.df AS score
+        |  FROM tf JOIN dfreq USING (term))
+        |SELECT doc_id, term AS top_term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, score
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, term) AS rn FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // tf/df is an exact rational — identical doubles in both engines —
+      // unlike ln-based tf-idf, where libm implementations differ by ulps.
+      val toks = documents(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf.join(dfreq, "term")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"),
+          col("tf"), col("df"), col("score"))
+        .orderBy("doc_id")
+    },
+
     // ---- IVF approximate nearest neighbors (coarse-quantizer path) ----
     Q.noOracle("q66_ivf_ann") { (s, dir) =>
       val emb = embeddings(s, dir)
