@@ -268,5 +268,51 @@ object Text {
       val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
       Multimodal.extractFeatures(blobs, "doc_id", "blob", featureDim = 16)
         .orderBy("doc_id")
+    },
+
+    // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
+    Q("q70_curation_pipeline", {
+      val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
+        val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH canon AS (SELECT doc_id, text,
+        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents),
+        |kept AS (SELECT * FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM canon)
+        |  WHERE rn = 1),
+        |q AS (SELECT doc_id, toks,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + least(CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, x -> list_contains($stopsSql, x))) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+        |          THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) * 4.0) * 0.3 AS q_score
+        |  FROM kept),
+        |lng AS (SELECT doc_id, q_score, CASE $cases ELSE 'und' END AS lang
+        |  FROM (SELECT doc_id, q_score, $scoreCols FROM q)),
+        |curated AS (SELECT * FROM lng WHERE q_score >= 0.5 AND lang <> 'und')
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(ROUND(q_score * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+        |    / 1000000.0 / COUNT(q_score) AS avg_quality
+        |FROM curated GROUP BY lang ORDER BY lang""".stripMargin
+    }) { (s, dir) =>
+      import graft.ops.Exact.gavg
+      val docs = documents(s, dir)
+      val deduped = Dedup.dropExactDups(docs, "doc_id", "text")
+      val scored = deduped
+        .withColumn("q_score", TextOps.qualityScore(col("text"), stops))
+        .withColumn("lang", TextOps.langId(col("text")))
+      scored
+        .filter(col("q_score") >= 0.5 && col("lang") =!= "und")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), gavg(col("q_score")).as("avg_quality"))
+        .orderBy("lang")
     })
 }
