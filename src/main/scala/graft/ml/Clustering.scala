@@ -3,8 +3,7 @@ package graft.ml
 import org.apache.spark.ml.evaluation.ClusteringEvaluator
 import org.apache.spark.ml.feature.{PCA => MlPca}
 import org.apache.spark.ml.linalg.{Vectors => MlVectors}
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Clustering / scaling layer (SURVEY.md §2.9 M1-M3, M8-M10, T10/W10).

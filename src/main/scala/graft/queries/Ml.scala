@@ -3,7 +3,6 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ml.{Arimax, Clustering, CvObjective, RecursiveGbt}
-import graft.ops.Exact.dsum
 
 /** Model-layer queries (SURVEY.md §2.9 M11/M12/M19): forecasts are not
   * ANSI-SQL-expressible, so these register oracle-less (driver checks

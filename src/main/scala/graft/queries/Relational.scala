@@ -1,9 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables._
-import graft.ops.{Coverage, Exact, Reshape}
+import graft.ops.{Coverage, Reshape}
 import graft.ops.Exact.{davg, dsum}
 
 /** Relational operator coverage (SURVEY.md §2.1-2.8): scans, projections,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.{Exact, Fills, Lags, Splits}
-import graft.ops.Exact.{davg, dsum}
+import graft.ops.Exact.davg
 
 /** Ordered / time-series operator coverage (SURVEY.md §2.6 + M5/M24):
   * fills with limits, lags/differences, sliding windows, blocked CV,
