@@ -317,6 +317,50 @@ object Series {
         .select(date_format(col("day"), iso).as("day"), col("val"),
           date_format(col("rday"), iso).as("rday"), col("rval"))
         .orderBy("day")
+    },
+
+    // ---- backward as-of join (time-series extension; DuckDB native ASOF) ----
+    Q("q71_asof_join",
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS rday,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS uval
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_id, user_id, CAST(ts AS DATE) AS day FROM events
+        |      WHERE event_id % 7 = 0)
+        |SELECT l.event_id, l.user_id, STRFTIME(l.day, '%Y-%m-%d') AS day, d.uval
+        |FROM l ASOF JOIN daily d ON l.user_id = d.user_id AND l.day >= d.rday
+        |ORDER BY l.event_id""".stripMargin) { (s, dir) =>
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("rday"))
+        .agg(davg(col("value")).as("uval"))
+      val l = events(s, dir).filter(col("event_id") % 7 === 0)
+        .select(col("event_id"), col("user_id"), eventDay.as("day"))
+      graft.ops.AsOf.asofJoin(l, perUser, "user_id", "day", "rday", Seq("uval"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("day"), iso).as("day"), col("uval"))
+        .orderBy("event_id")
+    },
+
+    // ---- gap-based sessionization (time-series extension) ----
+    Q("q72_sessionize",
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tns) OVER w IS NULL THEN 0
+        |        WHEN tns - lag(tns) OVER w > 3600000000000 THEN 1 ELSE 0 END AS is_new
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tns, event_id)),
+        |g AS (SELECT user_id, event_id,
+        |        SUM(is_new) OVER (PARTITION BY user_id ORDER BY tns, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      // ts is the raw nanosecond long; gap = 1h in ns
+      graft.ops.AsOf.sessionize(events(s, dir), "user_id", "ts",
+          gap = 3600L * 1000000000L, tieBreak = Seq("event_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))
+        .orderBy("user_id", "session_id")
     }
   )
 }
