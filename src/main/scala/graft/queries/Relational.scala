@@ -432,6 +432,48 @@ object Relational {
         .orderBy("label")
     },
 
+    // ---- non-equi range join (SURVEY §2.4 extension; broadcast bins) ----
+    Q("q73_range_join",
+      """WITH bins AS (
+        |  SELECT 0 AS bin_id, 0.0 AS lo, 50000.0 AS hi UNION ALL
+        |  SELECT 1, 50000.0, 150000.0 UNION ALL
+        |  SELECT 2, 150000.0, 300000.0 UNION ALL
+        |  SELECT 3, 300000.0, 1000000000.0)
+        |SELECT bin_id, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders JOIN bins
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY bin_id ORDER BY bin_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bins = Seq((0, 0.0, 50000.0), (1, 50000.0, 150000.0),
+        (2, 150000.0, 300000.0), (3, 300000.0, 1000000000.0))
+        .toDF("bin_id", "lo", "hi")
+      orders(s, dir)
+        .join(broadcast(bins),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("bin_id")
+    },
+
+    // ---- rollup / grouping sets (SURVEY §2.5 extension) ----
+    Q("q74_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
     // ---- argmin over a grid (A13: min_by with a tie-free key) ----
     Q("q60_argmin",
       """SELECT o_orderpriority,
