@@ -62,9 +62,11 @@ object ExactDotProduct {
     var acc = JBigDecimal.ZERO
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc = acc.add(JBigDecimal.valueOf(x * y).setScale(18, RoundingMode.HALF_UP))
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        acc = acc.add(JBigDecimal.valueOf(x * y).setScale(18, RoundingMode.HALF_UP))
+      }
       i += 1
     }
     acc.doubleValue()

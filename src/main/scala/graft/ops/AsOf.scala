@@ -25,6 +25,9 @@ object AsOf {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
                valueCols: Seq[String]): DataFrame = {
+    val clash = valueCols.filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"left side already has value column(s) ${clash.mkString(", ")} — rename before the as-of join")
     val l = left.withColumn("__t", col(leftTime)).withColumn("__src", lit(1))
     val r = right.select((key +: rightTime +: valueCols).map(col): _*)
       .withColumn("__t", col(rightTime)).withColumn("__src", lit(0))
