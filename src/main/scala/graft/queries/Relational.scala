@@ -474,6 +474,42 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // ---- guarded tiny transpose (T5: series-per-row -> series-per-col) ----
+    Q("q75_transpose",
+      """WITH agg AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS VARCHAR) AS n_rows,
+        |    CAST(CAST(SUM(l_quantity) AS BIGINT) AS VARCHAR) AS sum_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT 'n_rows' AS column,
+        |  (SELECT n_rows FROM agg WHERE l_returnflag = 'A') AS A,
+        |  (SELECT n_rows FROM agg WHERE l_returnflag = 'N') AS N,
+        |  (SELECT n_rows FROM agg WHERE l_returnflag = 'R') AS R
+        |UNION ALL
+        |SELECT 'sum_qty',
+        |  (SELECT sum_qty FROM agg WHERE l_returnflag = 'A'),
+        |  (SELECT sum_qty FROM agg WHERE l_returnflag = 'N'),
+        |  (SELECT sum_qty FROM agg WHERE l_returnflag = 'R')
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val agg = lineitem(s, dir).groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("string").as("n_rows"),
+          sum(col("l_quantity")).cast("long").cast("string").as("sum_qty"))
+      Reshape.transposeSmall(agg, "l_returnflag").orderBy("column")
+    },
+
+    // ---- all-null column drop (R4: data-dependent projection) ----
+    Q("q76_drop_allnull_cols",
+      """SELECT 'event_id' AS kept_col UNION ALL
+        |SELECT 'user_id' UNION ALL SELECT 'v_partial'
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ev = events(s, dir).select(
+        col("event_id"), col("user_id"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v_partial"),
+        lit(null).cast("double").as("v_empty"))
+      Coverage.dropAllNull(ev).columns.toSeq.sorted.toDF("kept_col")
+    },
+
     // ---- argmin over a grid (A13: min_by with a tie-free key) ----
     Q("q60_argmin",
       """SELECT o_orderpriority,
