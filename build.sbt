@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must NOT go through sbt's logger: the logger prefixes
+// every line with "[info] ", which breaks the driver's parse of Bench's
+// single JSON stdout line (BENCH_r02 recorded parsed=null for this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
