@@ -213,9 +213,15 @@ object Dedup {
     val bits = (0 until 64).map { b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
-    exploded.groupBy(col(idCol))
+    val sigs = exploded.groupBy(col(idCol))
       .agg(votes.head, votes.tail: _*)
       .select(col(idCol), bits.as(outCol))
+    // Zero-token documents (null/empty text) produce no exploded rows and
+    // would vanish from the groupBy; join the signatures back so every
+    // input id survives, with simhash 0 (the withSimhash fold's value).
+    df.select(col(idCol)).distinct()
+      .join(sigs, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col(outCol), lit(0L)).as(outCol))
   }
 
   /** Hamming distance between two 64-bit simhashes. */

@@ -1,6 +1,7 @@
 package graft.functions
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -24,15 +25,23 @@ case class ExactDotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  /** float/double array discrimination; anything else is rejected here
-    * (reached during analysis via dataType resolution of this node's
-    * children, so misuse fails before execution).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"exact_dot expects array<float|double> args, got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  /** float/double array discrimination (types validated at analysis by
+    * [[checkInputDataTypes]]).
     */
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
-    case ArrayType(org.apache.spark.sql.types.DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"exact_dot expects array<float|double>, got $other")
+    case _ => false
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =
@@ -52,10 +61,13 @@ case class ExactDotProduct(left: Expression, right: Expression)
 
 object ExactDotProduct {
 
-  /** Exact decimal-captured dot product; null elements are skipped (the
-    * HOF form propagates null products into a null sum only via null
-    * arrays — testdata arrays are non-null-element, and skipping matches
-    * `zip_with` truncation semantics for ragged inputs).
+  /** Exact decimal-captured dot product. Null elements and length overhang
+    * are SKIPPED — note this deliberately diverges from the HOF form for
+    * degenerate inputs: `zip_with` null-pads the shorter array, so the HOF
+    * sum is NULL for ragged or null-element arrays where this returns the
+    * finite sum over the min-length non-null pairs. Bit-parity with the HOF
+    * form holds exactly for equal-length arrays with no null elements
+    * (every embedding column in the data plane).
     */
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())

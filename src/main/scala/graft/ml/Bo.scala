@@ -134,7 +134,8 @@ object Bo {
     val rnd = new scala.util.Random(seed)
 
     def sample(): Array[Double] = bounds.map { b =>
-      if (b.isInt) (b.low + rnd.nextInt(math.max(1, (b.high - b.low).toInt))).toDouble
+      // +1: HpBound is an inclusive range, so the high endpoint must be reachable.
+      if (b.isInt) (b.low + rnd.nextInt((b.high - b.low).toInt + 1)).toDouble
       else math.rint((b.low + rnd.nextDouble() * (b.high - b.low)) * 1000) / 1000
     }.toArray
 

@@ -53,7 +53,10 @@ object Reshape {
     val others = df.columns.filterNot(_ == headerCol)
     // take(10001) bounds the driver transfer BEFORE materialization; a
     // collect-then-require would OOM on exactly the tables the guard exists for.
-    val rows = df.select((headerCol +: others.toSeq).map(col): _*).take(10001)
+    // orderBy pins the output column order — take() on an unordered plan can
+    // permute with partitioning, and row order here becomes column order.
+    val rows = df.select((headerCol +: others.toSeq).map(col): _*)
+      .orderBy(col(headerCol)).take(10001)
     require(rows.length <= 10000, s"transposeSmall on >10000 rows — not a driver-side table")
     val newCols = rows.map(_.get(0).toString)
     val out = others.zipWithIndex.map { case (c, i) =>

