@@ -155,6 +155,52 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-engine reproducible 64-bit hash: the first 16 hex chars of md5,
+    * assembled as a signed long (two's complement — shiftleft wraps, which
+    * bitwise ops are allowed to do under ANSI). Any engine with md5 can
+    * replicate it bit-for-bit (the DuckDB oracle assembles the same value
+    * via HUGEINT arithmetic); xxhash64 is Spark-only. ~4× slower than
+    * xxhash64 — use for oracle-checked paths, keep xxhash64 in production
+    * hot paths.
+    */
+  def md5Hash64(c: Column): Column = {
+    val hex = md5(c.cast("binary"))
+    val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
+  /** Exact n-gram Jaccard similarity join: all pairs with
+    * jaccard >= threshold, computed from distinct (id, shingle-md5) rows
+    * via a shingle equi-join — never an all-pairs comparison. This is the
+    * oracle-checkable exact baseline; the scale path for fuzzier
+    * thresholds is [[minhashNearDups]] (banded LSH bounds the candidate
+    * set; here a boilerplate shingle shared by m docs contributes m²/2
+    * join rows).
+    *
+    * jaccard = |A∩B| / (|A|+|B|-|A∩B|) over DISTINCT shingles; the single
+    * integer-ratio double division is IEEE-identical across engines.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleSize)).as("s"))
+      .select(col("id"), unhex(md5(col("s").cast("binary"))).as("shh"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact verification at `threshold`.
     */
@@ -202,10 +248,11 @@ object Dedup {
     * corpora (the column-level fold is interpreted per row).
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
-                   outCol: String = "simhash"): DataFrame = {
+                   outCol: String = "simhash",
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), xxhash64(col("tok")).as("h"))
+      .select(col(idCol), tokenHash(col("tok")).as("h"))
     val votes = (0 until 64).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$b")

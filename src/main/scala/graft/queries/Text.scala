@@ -173,10 +173,62 @@ object Text {
         .orderBy("label")
     },
 
-    // ---- SimHash per document (engine-hash; self-consistency tested) ----
-    Q.noOracle("q43_simhash") { (s, dir) =>
-      Dedup.simhashTable(documents(s, dir), "doc_id", "text")
+    // ---- SimHash per document (md5 token hash => oracle-checkable) ----
+    // The production near-dup path keeps xxhash64 tokens (Spark-only, ~4×
+    // faster); this registered query votes over the md5-derived 64-bit
+    // token hash so DuckDB reproduces the exact signature: hi/lo 8-hex
+    // slices assembled through HUGEINT (wrap to signed 64), per-bit ±1
+    // majority vote, disjoint-power sum.
+    Q("q43_simhash", {
+      val powers = (0 until 64).map(b => s"($b, ${1L << b})").mkString(", ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |      CAST(CAST(('0x'||substr(md5(tok),1,8)) AS BIGINT) AS HUGEINT) * 4294967296::HUGEINT
+        |        + CAST(CAST(('0x'||substr(md5(tok),9,8)) AS BIGINT) AS HUGEINT) AS hu
+        |    FROM toks)),
+        |bits AS (SELECT b, p FROM (VALUES $powers) AS t(b, p)),
+        |votes AS (
+        |  SELECT doc_id, b, p,
+        |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h CROSS JOIN bits GROUP BY 1, 2, 3),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN p ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+        |FROM documents d LEFT JOIN sig s USING (doc_id) ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Dedup.simhashTable(documents(s, dir), "doc_id", "text",
+        tokenHash = Dedup.md5Hash64)
         .orderBy("doc_id")
+    },
+
+    // ---- exact n-gram Jaccard similarity join (shingle equi-join) ----
+    Q("q77_jaccard_pairs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sa.nsh AS BIGINT) AS n_a, CAST(sb.nsh AS BIGINT) AS n_b,
+        |  CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.jaccardPairs(documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
     },
 
     // ---- MinHash+LSH near-dup scan summary (1-row aggregate) ----
@@ -235,6 +287,32 @@ object Text {
       val emb = embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- IVF at full probe width == exact search: oracle-checkable ----
+    // Same DAG as q66 (quantizer fit, cell assignment, candidate join,
+    // exact re-rank) but probing every cell, so the result must equal the
+    // brute-force oracle — this hash-checks the whole IVF plumbing.
+    Q("q78_ivf_full_probe",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCells = 16, nProbe = 16)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
         .orderBy("query_id", "rnk")
     },
 
