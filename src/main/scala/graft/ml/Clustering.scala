@@ -223,6 +223,76 @@ object Clustering {
       .evaluate(feat)
   }
 
+  /** Decimal-exact squared-euclidean silhouette — the same statistic as
+    * [[silhouette]] (MLlib's `SquaredEuclideanSilhouette` formulation:
+    * per-cluster feature sums + squared-norm sums, a(i) excludes the
+    * point, b(i) = min over other clusters, s = (b-a)/max(a,b), overall
+    * mean) but with every order-dependent double sum captured in decimal
+    * and every computed double snapped to the 1e-6 grid, so the score is
+    * partition-invariant and reproducible in ANSI SQL (the q57 oracle).
+    *
+    * Scale shape: one (cluster,pos) grouped aggregate for the k×dim
+    * stats (collected — bounded by k×dim, never by rows), then a single
+    * stateless projection over the points with k codegen'd exact dot
+    * products against literal cluster-sum arrays — no shuffle after the
+    * stats job. Returns one row: (n_points, k, silhouette).
+    */
+  def silhouetteExact(df: DataFrame, vecCol: String, clusterCol: String): DataFrame = {
+    import graft.sim.Similarity.dotExact
+    import org.apache.spark.sql.types.DecimalType
+    val snap = (c: org.apache.spark.sql.Column) => round(c * 1e6, 0) / 1e6
+    val dec = (c: org.apache.spark.sql.Column) =>
+      sum(round(c * 1e6, 0).cast(DecimalType(30, 0))).cast("double") / 1e6
+    val base = df.select(col(clusterCol).cast("string").as("__lbl"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val withSq = base.withColumn("__sq", snap(dotExact(col("__v"), col("__v"))))
+    val nsq = withSq.groupBy("__lbl")
+      .agg(count(lit(1)).as("n"), dec(col("__sq")).as("sqsum"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val fsums = base
+      .select(col("__lbl"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy("__lbl", "pos").agg(dec(col("x")).as("s"))
+      .collect().groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    val labels = nsq.keys.toSeq.sorted
+    require(labels.nonEmpty, "silhouette needs at least one cluster")
+    // dist to cluster c: n_c*||x||^2 - 2 x.S_c + sqsum_c (self term is 0)
+    val withDists = labels.zipWithIndex.foldLeft(withSq) { case (d, (l, i)) =>
+      val (n, sqsum) = nsq(l)
+      d.withColumn(s"__d$i",
+        lit(n.toDouble) * col("__sq") -
+          lit(2.0) * snap(dotExact(col("__v"), lit(fsums(l)))) + lit(sqsum))
+    }
+    val aCol = labels.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, i)) =>
+        val n = nsq(l)._1
+        when(col("__lbl") === l,
+          if (n > 1) col(s"__d$i") / lit((n - 1).toDouble) else lit(0.0))
+          .otherwise(acc)
+    }
+    val bCol = labels.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (l, _)) =>
+        val others = labels.zipWithIndex.filter(_._1 != l)
+          .map { case (o, j) => col(s"__d$j") / lit(nsq(o)._1.toDouble) }
+        val b = if (others.isEmpty) lit(0.0)
+          else if (others.size == 1) others.head
+          else least(others: _*)
+        when(col("__lbl") === l, b).otherwise(acc)
+    }
+    val nOwn = labels.foldLeft(lit(null).cast("long")) { (acc, l) =>
+      when(col("__lbl") === l, lit(nsq(l)._1)).otherwise(acc)
+    }
+    val scored = withDists.withColumn("__a", aCol).withColumn("__b", bCol)
+      .withColumn("__s",
+        when(nOwn === 1L || lit(labels.size) === 1, lit(0.0))
+          .when(greatest(col("__a"), col("__b")) === 0.0, lit(0.0))
+          .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b"))))
+    scored.agg(count(lit(1)).as("n_points"), lit(labels.size.toLong).as("k"),
+      (dec(col("__s")) / count(col("__s"))).as("silhouette"))
+  }
+
   // --------------------------------- series-matrix assembly (T10/W10)
 
   /** Per-key ordered series vectors: (keyCols..., vec) where vec is the

@@ -53,6 +53,22 @@ object Forecast {
                        n: Int): Array[Double] =
     df.orderBy(order.map(c => col(c).desc): _*).select(col(valueCol).cast("double"))
       .limit(n).collect().map(_.getDouble(0)).reverse
+
+  /** Collapse a single bounded series to one cached partition before the
+    * iterative fit. A per-series model's input is small by contract (the
+    * reference fits one daily series), but upstream it is usually an
+    * aggregate spread over every shuffle partition — and an iterative
+    * MLlib fit (trees × splits, IRLS steps) launches dozens of jobs whose
+    * per-task scheduling overhead at 32+ partitions dwarfs the compute.
+    * One shuffle to a single cached partition makes every fit job a
+    * single task. Many-series scale-out is per-group fits (one such
+    * bounded series per group), not a bigger single fit.
+    */
+  private[ml] def pinSmall(df: DataFrame): DataFrame = {
+    val pinned = df.repartition(1).cache()
+    pinned.count() // materialize once so fit jobs reuse the cache
+    pinned
+  }
 }
 
 /** Fitted ARIMAX state: AR weights over p target lags, MA weights over q
@@ -100,7 +116,8 @@ object Arimax {
           exogCols: Seq[String], p: Int, d: Int, q: Int): ArimaxModel = {
     require(p >= 1, "need p >= 1")
     val order = Seq(dateCol)
-    val diffed = Forecast.differenced(series, targetCol, order, d, "__y")
+    val pinned = Forecast.pinSmall(series)
+    val diffed = Forecast.differenced(pinned, targetCol, order, d, "__y")
 
     // ---- stage 1: long AR (order m) for innovation estimates ----
     val m = math.max(p + q, p) + 2
@@ -138,12 +155,13 @@ object Arimax {
     val lastResiduals =
       if (q == 0) Array.empty[Double] else Forecast.tail(withResid, "__e", order, q)
     val diffState = new Array[Double](d + 1)
-    var cur = series.withColumn("__l0", col(targetCol).cast("double"))
+    var cur = pinned.withColumn("__l0", col(targetCol).cast("double"))
     diffState(0) = Forecast.tail(cur, "__l0", order, 1).head
     for (j <- 1 to d) {
-      cur = Lags.withDiff(series, targetCol, order, j, s"__l$j")
+      cur = Lags.withDiff(pinned, targetCol, order, j, s"__l$j")
       diffState(j) = Forecast.tail(cur.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
     }
+    pinned.unpersist()
     ArimaxModel(p, d, q, phi, theta, beta, m2.intercept,
       lastDiffs, lastResiduals, diffState)
   }
@@ -187,7 +205,8 @@ object RecursiveGbt {
           maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L): RecursiveGbtModel = {
     require(lags.nonEmpty, "need at least one lag")
     val order = Seq(dateCol)
-    val diffed = Forecast.differenced(series, targetCol, order, d, "__y")
+    val pinned = Forecast.pinSmall(series)
+    val diffed = Forecast.differenced(pinned, targetCol, order, d, "__y")
     val lagCols = lags.map(k => s"__y_lag$k")
     val feats = (lagCols ++ exogCols).toArray
     val train = Lags.withLags(diffed, "__y", order, lags)
@@ -203,11 +222,12 @@ object RecursiveGbt {
     val lastDiffs = Forecast.tail(diffed, "__y", order, lags.max)
     val diffState = new Array[Double](d + 1)
     diffState(0) = Forecast.tail(
-      series.withColumn("__l0", col(targetCol).cast("double")), "__l0", order, 1).head
+      pinned.withColumn("__l0", col(targetCol).cast("double")), "__l0", order, 1).head
     for (j <- 1 to d) {
-      val c = Lags.withDiff(series, targetCol, order, j, s"__l$j")
+      val c = Lags.withDiff(pinned, targetCol, order, j, s"__l$j")
       diffState(j) = Forecast.tail(c.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
     }
+    pinned.unpersist()
     RecursiveGbtModel(model, lags, d, exogCols, lastDiffs, diffState)
   }
 }

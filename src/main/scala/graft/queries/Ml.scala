@@ -126,12 +126,42 @@ object Ml {
     },
 
     // ---- silhouette of the embeddings' given labels (M9) ----
-    Q.noOracle("q57_silhouette") { (s, dir) =>
-      import s.implicits._
-      val df = embeddings(s, dir)
-        .select(col("embedding").cast("array<double>").as("v"), col("label"))
-      val score = Clustering.silhouette(df, "v", "label")
-      Seq(("embeddings_by_label", score)).toDF("clustering", "silhouette")
+    // Decimal-exact reformulation of MLlib's squared-euclidean silhouette
+    // (same cluster-stats formula), so the score hash-matches the DuckDB
+    // oracle; ClusteringSpec asserts agreement with the MLlib evaluator.
+    Q("q57_silhouette",
+      """WITH pts AS (SELECT vec_id, CAST(label AS VARCHAR) AS lbl, embedding AS v FROM embeddings),
+        |sq AS (SELECT vec_id, lbl, v,
+        |    ROUND(CAST((SELECT SUM(CAST(CAST(v[i+1] AS DOUBLE) * CAST(v[i+1] AS DOUBLE) AS DECIMAL(38,18))) FROM range(64) t(i)) AS DOUBLE) * 1000000.0, 0) / 1000000.0 AS sq
+        |  FROM pts),
+        |stats AS (SELECT lbl, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(sq * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS sqsum
+        |  FROM sq GROUP BY lbl),
+        |fs AS (SELECT lbl, i AS pos,
+        |    CAST(SUM(CAST(ROUND(CAST(v[i+1] AS DOUBLE) * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 AS s
+        |  FROM pts CROSS JOIN range(64) t(i) GROUP BY 1, 2),
+        |dots AS (SELECT q.vec_id, q.lbl AS own, q.sq, f.lbl AS tgt,
+        |    ROUND(CAST(SUM(CAST(CAST(q.v[f.pos+1] AS DOUBLE) * f.s AS DECIMAL(38,18))) AS DOUBLE) * 1000000.0, 0) / 1000000.0 AS dot
+        |  FROM sq q CROSS JOIN fs f GROUP BY 1, 2, 3, 4),
+        |d AS (SELECT o.vec_id, o.own, o.sq, o.tgt, st.n, st.sqsum,
+        |    st.n * o.sq - 2.0 * o.dot + st.sqsum AS dist
+        |  FROM dots o JOIN stats st ON st.lbl = o.tgt),
+        |ab AS (SELECT vec_id, own,
+        |    MAX(CASE WHEN tgt = own THEN CASE WHEN n > 1 THEN dist / (n - 1) ELSE 0.0 END END) AS a,
+        |    MAX(CASE WHEN tgt = own THEN n END) AS n_own,
+        |    MIN(CASE WHEN tgt <> own THEN dist / n END) AS b
+        |  FROM d GROUP BY 1, 2),
+        |sc AS (SELECT vec_id,
+        |    CASE WHEN n_own = 1 OR (SELECT COUNT(*) FROM stats) = 1 THEN 0.0
+        |         WHEN GREATEST(a, b) = 0.0 THEN 0.0
+        |         ELSE (b - a) / GREATEST(a, b) END AS s
+        |  FROM ab)
+        |SELECT COUNT(*) AS n_points, (SELECT COUNT(*) FROM stats) AS k,
+        |  CAST(SUM(CAST(ROUND(s * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE) / 1000000.0 / COUNT(s) AS silhouette
+        |FROM sc""".stripMargin) { (s, dir) =>
+      Clustering.silhouetteExact(
+        embeddings(s, dir).select(col("embedding").as("v"), col("label")),
+        "v", "label")
     },
 
     // ---- STL-style robust decomposition of the daily series (M6) ----

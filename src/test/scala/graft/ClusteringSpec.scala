@@ -87,6 +87,21 @@ class ClusteringSpec extends AnyFunSuite {
     assert(s > 0.95, s"silhouette $s")
   }
 
+  test("silhouetteExact agrees with the MLlib evaluator (M9)") {
+    val r = new scala.util.Random(7)
+    val df = ((1 to 30).map(_ => (Seq(r.nextDouble(), r.nextDouble() + 2.0), 0)) ++
+      (1 to 25).map(_ => (Seq(3.0 + r.nextDouble(), r.nextDouble()), 1)) ++
+      (1 to 20).map(_ => (Seq(r.nextDouble() - 3.0, -2.0 + r.nextDouble()), 2)))
+      .toDF("v", "label")
+    val ml = Clustering.silhouette(df, "v", "label")
+    val row = Clustering.silhouetteExact(df, "v", "label").head()
+    assert(row.getLong(0) === 75L)
+    assert(row.getLong(1) === 3L)
+    // identical statistic up to the 1e-6 capture grid (75 points -> ~1e-8)
+    assert(math.abs(row.getDouble(2) - ml) < 1e-4,
+      s"exact ${row.getDouble(2)} vs mllib $ml")
+  }
+
   test("completeSeries densifies sparse keys onto the spine with fills") {
     val df = Seq(("u1", 1, 10.0), ("u1", 3, 30.0), ("u2", 2, 5.0))
       .toDF("u", "t", "v")
