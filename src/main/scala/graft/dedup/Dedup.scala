@@ -201,6 +201,35 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Oracle-checkable MinHash signatures in long form (id, h_idx, minhash):
+    * hash family i is the salted md5-derived 64-bit hash of
+    * `shingle + "#" + i` ([[md5Hash64]]) — no modular arithmetic at all,
+    * so any engine with md5 replicates the signature bit-for-bit (the
+    * production path keeps the ~4× faster xxhash64 family in
+    * [[minhashSignatures]]). Docs with no shingle rows (null text) keep
+    * their nHashes rows with null minhash via the final left join.
+    *
+    * Scale shape: the explode × nHashes blow-up collapses map-side (the
+    * groupBy's partial min leaves ≤ nHashes rows per id per partition
+    * before the shuffle), so shuffle volume is bounded by ids × nHashes,
+    * never by shingle count.
+    */
+  def minhashTableMd5(df: DataFrame, idCol: String, textCol: String,
+                      nHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    val idx = broadcast(spark.range(nHashes).toDF("h_idx"))
+    val sh = df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("s"))
+    val sig = sh.crossJoin(idx)
+      .select(col("id"), col("h_idx"),
+        md5Hash64(concat(col("s"), lit("#"), col("h_idx").cast("string"))).as("h"))
+      .groupBy("id", "h_idx").agg(min(col("h")).as("minhash"))
+    df.select(col(idCol).as("id")).crossJoin(idx)
+      .join(sig, Seq("id", "h_idx"), "left")
+      .select(col("id").as(idCol), col("h_idx"), col("minhash"))
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact verification at `threshold`.
     */

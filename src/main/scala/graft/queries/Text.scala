@@ -231,6 +231,38 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- MinHash signatures (md5 family => oracle-checkable) ----
+    // Same signature algebra as the production xxhash64 family; the salted
+    // md5 hash lets DuckDB reproduce every min bit-for-bit. Long form
+    // (doc, hash index, min) keeps the output sortable/hashable.
+    Q("q79_minhash_sigs",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+        |hx AS (SELECT doc_id, i, md5(s || '#' || i) AS hex
+        |  FROM sh CROSS JOIN range(16) t(i)),
+        |hv AS (SELECT doc_id, i,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
+        |  FROM (SELECT doc_id, i,
+        |      CAST(CAST(('0x'||substr(hex,1,8)) AS BIGINT) AS HUGEINT) * 4294967296::HUGEINT
+        |        + CAST(CAST(('0x'||substr(hex,9,8)) AS BIGINT) AS HUGEINT) AS hu
+        |    FROM hx)),
+        |sig AS (SELECT doc_id, i, MIN(h) AS minhash FROM hv GROUP BY 1, 2)
+        |SELECT d.doc_id, t.i AS h_idx, s.minhash
+        |FROM documents d CROSS JOIN range(16) t(i)
+        |LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.i = t.i
+        |ORDER BY d.doc_id, t.i""".stripMargin) { (s, dir) =>
+      Dedup.minhashTableMd5(documents(s, dir), "doc_id", "text",
+        nHashes = 16, shingleSize = 3)
+        .orderBy("doc_id", "h_idx")
+    },
+
     // ---- MinHash+LSH near-dup scan summary (1-row aggregate) ----
     Q.noOracle("q44_minhash_neardup_stats") { (s, dir) =>
       val docs = documents(s, dir)
