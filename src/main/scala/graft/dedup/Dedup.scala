@@ -202,32 +202,45 @@ object Dedup {
   }
 
   /** Oracle-checkable MinHash signatures in long form (id, h_idx, minhash):
-    * hash family i is the salted md5-derived 64-bit hash of
-    * `shingle + "#" + i` ([[md5Hash64]]) — no modular arithmetic at all,
-    * so any engine with md5 replicates the signature bit-for-bit (the
-    * production path keeps the ~4× faster xxhash64 family in
-    * [[minhashSignatures]]). Docs with no shingle rows (null text) keep
-    * their nHashes rows with null minhash via the final left join.
+    * each shingle is md5-hashed ONCE ([[md5Hash64]]) and hash family i is
+    * `h XOR c_i`, where constant c_i is itself the md5-derived hash of
+    * `"graft-minhash#" + i` — a bijective per-family permutation with no
+    * modular arithmetic, so any engine with md5 and xor replicates every
+    * min bit-for-bit (the production near-dup path keeps the faster
+    * xxhash64 family in [[minhashSignatures]]). Docs with no shingle rows
+    * (null text) keep their nHashes rows with null minhash via the final
+    * left join.
     *
-    * Scale shape: the explode × nHashes blow-up collapses map-side (the
-    * groupBy's partial min leaves ≤ nHashes rows per id per partition
-    * before the shuffle), so shuffle volume is bounded by ids × nHashes,
-    * never by shingle count.
+    * Scale shape: one md5 per shingle; the × nHashes blow-up is a cheap
+    * xor that collapses map-side (the groupBy's partial min leaves
+    * ≤ nHashes rows per id per partition before the shuffle), so shuffle
+    * volume is bounded by ids × nHashes, never by shingle count.
     */
   def minhashTableMd5(df: DataFrame, idCol: String, textCol: String,
                       nHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val spark = df.sparkSession
-    val idx = broadcast(spark.range(nHashes).toDF("h_idx"))
+    val consts = Array.tabulate(nHashes)(i => md5Const64(s"graft-minhash#$i"))
     val sh = df.where(col(textCol).isNotNull)
       .select(col(idCol).as("id"),
         explode(shingles(col(textCol), shingleSize)).as("s"))
-    val sig = sh.crossJoin(idx)
-      .select(col("id"), col("h_idx"),
-        md5Hash64(concat(col("s"), lit("#"), col("h_idx").cast("string"))).as("h"))
-      .groupBy("id", "h_idx").agg(min(col("h")).as("minhash"))
+      .select(col("id"), md5Hash64(col("s")).as("h"))
+    val sig = sh
+      .select(col("id"), col("h"), posexplode(lit(consts)).as(Seq("h_idx", "c")))
+      .withColumn("h_idx", col("h_idx").cast("long"))
+      .groupBy("id", "h_idx")
+      .agg(min(col("h").bitwiseXOR(col("c"))).as("minhash"))
+    val idx = broadcast(df.sparkSession.range(nHashes).toDF("h_idx"))
     df.select(col(idCol).as("id")).crossJoin(idx)
       .join(sig, Seq("id", "h_idx"), "left")
       .select(col("id").as(idCol), col("h_idx"), col("minhash"))
+  }
+
+  /** Driver-side twin of [[md5Hash64]] for literal constants: first 16 hex
+    * chars of the UTF-8 md5, as a signed (two's-complement) long.
+    */
+  def md5Const64(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →

@@ -34,6 +34,19 @@ object Text {
   private def dotSql(a: String, b: String): String =
     s"CAST((SELECT SUM(CAST(CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE) AS DECIMAL(38,18))) FROM range(64) t(i)) AS DOUBLE)"
 
+  /** Derived-table fragment mirroring [[Dedup.md5Hash64]]: first 16 md5
+    * hex chars assembled through HUGEINT into a signed (two's-complement)
+    * BIGINT named `out`, alongside the passthrough `keys` columns.
+    */
+  private def md5Hash64Sql(keys: String, hexExpr: String, from: String,
+                           out: String): String =
+    s"""(SELECT $keys, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+       |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS $out
+       |  FROM (SELECT $keys,
+       |      CAST(CAST(('0x'||substr(hex,1,8)) AS BIGINT) AS HUGEINT) * 4294967296::HUGEINT
+       |        + CAST(CAST(('0x'||substr(hex,9,8)) AS BIGINT) AS HUGEINT) AS hu
+       |    FROM (SELECT $keys, $hexExpr AS hex FROM $from)))""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // ---- per-document token statistics (scan-projection only) ----
@@ -236,24 +249,18 @@ object Text {
     // md5 hash lets DuckDB reproduce every min bit-for-bit. Long form
     // (doc, hash index, min) keeps the output sortable/hashable.
     Q("q79_minhash_sigs",
-      """WITH toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
         |shl AS (
         |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
         |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
         |    ELSE [array_to_string(t, ' ')] END AS shs
         |  FROM toks WHERE t IS NOT NULL),
         |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
-        |hx AS (SELECT doc_id, i, md5(s || '#' || i) AS hex
-        |  FROM sh CROSS JOIN range(16) t(i)),
-        |hv AS (SELECT doc_id, i,
-        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
-        |         THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS h
-        |  FROM (SELECT doc_id, i,
-        |      CAST(CAST(('0x'||substr(hex,1,8)) AS BIGINT) AS HUGEINT) * 4294967296::HUGEINT
-        |        + CAST(CAST(('0x'||substr(hex,9,8)) AS BIGINT) AS HUGEINT) AS hu
-        |    FROM hx)),
-        |sig AS (SELECT doc_id, i, MIN(h) AS minhash FROM hv GROUP BY 1, 2)
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
+        |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
+        |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
+        |  FROM hv CROSS JOIN cs GROUP BY 1, 2)
         |SELECT d.doc_id, t.i AS h_idx, s.minhash
         |FROM documents d CROSS JOIN range(16) t(i)
         |LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.i = t.i
