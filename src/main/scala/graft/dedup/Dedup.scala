@@ -243,6 +243,58 @@ object Dedup {
     java.nio.ByteBuffer.wrap(d, 0, 8).getLong
   }
 
+  /** Oracle-checkable banded-LSH near-dup detection end to end: md5-family
+    * signatures ([[minhashTableMd5]]) → per-band keys (the band's
+    * minhashes in h_idx order, string-joined) → distinct candidate pairs
+    * sharing any band → exact n-gram Jaccard computed ONLY over candidate
+    * ids' shingle sets, kept at `threshold`. Deterministic at every step,
+    * so DuckDB replicates the full pipeline (q80) — the production path
+    * with the same DAG shape but engine-native hashing is
+    * [[minhashNearDups]].
+    *
+    * Scale shape: the banded self-join carries (id, band, key) rows only;
+    * verification semi-joins the shingle stream down to candidate ids
+    * before the shingle equi-join, so verify cost is bounded by the
+    * candidate set, never the corpus.
+    */
+  def minhashNearDupsMd5(df: DataFrame, idCol: String, textCol: String,
+                         nHashes: Int = 16, bands: Int = 4,
+                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(nHashes % bands == 0, "nHashes must divide into bands")
+    val r = nHashes / bands
+    val sigs = minhashTableMd5(df, idCol, textCol, nHashes, shingleSize)
+      .filter(col("minhash").isNotNull)
+    val banded = sigs
+      .withColumn("band", floor(col("h_idx") / lit(r)).cast("long"))
+      .groupBy(col(idCol).as("id"), col("band"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("h_idx"), col("minhash")))),
+        s => s.getField("minhash").cast("string")), ",").as("key"))
+    val cands = banded.select(col("id").as("id_a"), col("band"), col("key"))
+      .join(banded.select(col("id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleSize)).as("s"))
+      .select(col("id"), unhex(md5(col("s").cast("binary"))).as("shh"))
+      .join(candIds, Seq("id"), "left_semi")
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val common = cands
+      .join(sh.select(col("id").as("id_a"), col("shh")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shh")), Seq("id_b", "shh"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
   /** Full MinHash+LSH near-dup pipeline: signatures → banded candidates →
     * exact verification at `threshold`.
     */

@@ -270,6 +270,46 @@ object Text {
         .orderBy("doc_id", "h_idx")
     },
 
+    // ---- banded-LSH near-dup pipeline, oracle-checked end to end ----
+    // Signatures (md5+xor family) -> band keys -> candidate pairs ->
+    // exact Jaccard verify restricted to candidates. Hash-checks the whole
+    // LSH DAG; the production twin (engine hashing, bucket caps) is q44.
+    Q("q80_lsh_neardups",
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
+        |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
+        |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
+        |  FROM hv CROSS JOIN cs GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(FLOOR(i / 4) AS BIGINT) AS band,
+        |    array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',') AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |cid AS (SELECT DISTINCT id FROM
+        |  (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand)),
+        |shc AS (SELECT doc_id, s FROM sh JOIN cid ON cid.id = sh.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY 1),
+        |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN shc a ON a.doc_id = c.id_a
+        |  JOIN shc b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2)
+        |SELECT m.id_a, m.id_b, CAST(m.n_common AS BIGINT) AS n_common,
+        |  CAST(m.n_common AS DOUBLE) / (sa.nsh + sb.nsh - m.n_common) AS jaccard
+        |FROM common m JOIN sizes sa ON sa.doc_id = m.id_a
+        |JOIN sizes sb ON sb.doc_id = m.id_b
+        |WHERE CAST(m.n_common AS DOUBLE) / (sa.nsh + sb.nsh - m.n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.minhashNearDupsMd5(documents(s, dir), "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- MinHash+LSH near-dup scan summary (1-row aggregate) ----
     Q.noOracle("q44_minhash_neardup_stats") { (s, dir) =>
       val docs = documents(s, dir)
