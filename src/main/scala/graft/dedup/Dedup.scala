@@ -54,6 +54,33 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Distinct (id, shingle-string) ROWS — same shingle set as
+    * [[shingles]] (distinct n-gram strings; whole trimmed text when the
+    * doc has fewer than n tokens; "" for null text) but built with
+    * codegen'd operators instead of the per-element interpreted
+    * `transform` lambda, which dominates the cost of every shingle scan
+    * (~4-6× slower at corpus scale). Tokens are exploded once and each
+    * shingle is a `concat_ws` over `lead` windows partitioned by doc —
+    * one hash shuffle on the doc id (even distribution at any scale),
+    * then a distinct.
+    */
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      TextOps.tokens(coalesce(col(textCol), lit(""))).as("t"))
+    val short = toks.filter(size(col("t")) < n)
+      .select(col("id"), concat_ws(" ", col("t")).as("s"))
+    val pos = toks.filter(size(col("t")) >= n)
+      .select(col("id"), size(col("t")).as("len"),
+        posexplode(col("t")).as(Seq("p", "tok")))
+    val w = Window.partitionBy("id").orderBy("p")
+    val parts = col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(w))
+    val full = pos
+      .withColumn("s", concat_ws(" ", parts: _*))
+      .filter(col("p") <= col("len") - n)
+      .select("id", "s")
+    full.union(short).distinct()
+  }
+
   /** Distinct 64-bit identities of word n-gram shingles: tokens are
     * xxhash64'd once, then n consecutive hashes combine by xor of
     * position-rotated copies (`zip_with` pads the short side with null,
@@ -183,10 +210,8 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleSize)).as("s"))
+    val sh = shingleRows(df, idCol, textCol, shingleSize)
       .select(col("id"), unhex(md5(col("s").cast("binary"))).as("shh"))
-      .distinct()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.shh") === col("b.shh") && col("a.id") < col("b.id"))
@@ -219,9 +244,8 @@ object Dedup {
   def minhashTableMd5(df: DataFrame, idCol: String, textCol: String,
                       nHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
     val consts = Array.tabulate(nHashes)(i => md5Const64(s"graft-minhash#$i"))
-    val sh = df.where(col(textCol).isNotNull)
-      .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("s"))
+    val sh = shingleRows(df.where(col(textCol).isNotNull), idCol, textCol,
+        shingleSize)
       .select(col("id"), md5Hash64(col("s")).as("h"))
     val sig = sh
       .select(col("id"), col("h"), posexplode(lit(consts)).as(Seq("h_idx", "c")))
@@ -276,11 +300,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     val candIds = cands
-      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleSize)).as("s"))
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    // restrict BEFORE shingling: the explode+window runs over candidate
+    // docs only, not the corpus
+    val sh = shingleRows(df.join(candIds, Seq(idCol), "left_semi"),
+        idCol, textCol, shingleSize)
       .select(col("id"), unhex(md5(col("s").cast("binary"))).as("shh"))
-      .join(candIds, Seq("id"), "left_semi")
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     val common = cands
       .join(sh.select(col("id").as("id_a"), col("shh")), "id_a")
