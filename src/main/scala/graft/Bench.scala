@@ -19,9 +19,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (JVM, codegen, parquet footer cache, noop sink)
-    // so the first measured query reflects the query, not startup.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10)
+    // Warm the session (JVM, codegen, shuffle machinery, parquet footer
+    // cache, noop sink) so the first measured query reflects the query,
+    // not startup: a bounded scan + aggregate exercises the whole stack.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(5000)
+      .groupBy("l_returnflag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
       .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.registry.map { q =>
       val t0 = System.nanoTime()

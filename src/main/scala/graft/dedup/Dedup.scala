@@ -114,10 +114,11 @@ object Dedup {
     // a, b < 2^31 so a * murmur32(h) stays inside Long before the mod.
     val params = Seq.fill(numHashes)(
       (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-    val exploded = df
-      .select(col(idCol), explode(shingleHashes(col(textCol), shingleSize)).as("h0"))
-      // fold to 31 bits so a*h+b stays inside Long (ANSI-safe) before the mod
-      .select(col(idCol), col("h0").bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
+    // codegen'd shingle rows (see [[shingleRows]]), then fold the shingle
+    // hash to 31 bits so a*h+b stays inside Long (ANSI-safe) before the mod
+    val exploded = shingleRows(df, idCol, textCol, shingleSize)
+      .select(col("id").as(idCol),
+        xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
     val aggs = params.zipWithIndex.map { case ((a, b), i) =>
       min(affine(col("h"), a, b)).as(s"s$i")
     }
