@@ -120,32 +120,28 @@ object Arimax {
     val diffed = Forecast.differenced(pinned, targetCol, order, d, "__y")
 
     // ---- stage 1: long AR (order m) for innovation estimates ----
+    // One-pass exact normal-equations fit (Ols): no per-iteration MLlib
+    // jobs, and the coefficients are partition-invariant (decimal-exact
+    // moment sums), so every downstream forecast is bit-deterministic.
     val m = math.max(p + q, p) + 2
     val arLags = (1 to m).map(k => s"__y_lag$k")
     val stage1 = Lags.withLags(diffed, "__y", order, 1 to m)
       .na.drop(arLags :+ "__y")
-    val asm1 = new VectorAssembler().setInputCols(arLags.toArray)
-      .setOutputCol("__f1")
-    val lr = new LinearRegression().setFeaturesCol("__f1").setLabelCol("__y")
-      .setPredictionCol("__p1").setRegParam(1e-6).setElasticNetParam(0.0)
-    val m1 = lr.fit(asm1.transform(stage1))
-    val withResid = m1.transform(asm1.transform(stage1))
-      .withColumn("__e", col("__y") - col("__p1"))
-      .drop("__f1", "__p1")
+    val m1 = Ols.fit(stage1, "__y", arLags)
+    val withResid = stage1
+      .withColumn("__e", col("__y") - m1.predictExpr(arLags))
 
     // ---- stage 2: y ~ p AR lags + q innovation lags + exog ----
     val pLags = (1 to p).map(k => s"__y_lag$k")
     val eLags = (1 to q).map(k => s"__e_lag$k")
     val stage2 = Lags.withLags(withResid, "__e", order, 1 to math.max(q, 1))
       .na.drop(pLags ++ eLags :+ "__y")
-    val feats = (pLags ++ eLags ++ exogCols).toArray
-    val asm2 = new VectorAssembler().setInputCols(feats).setOutputCol("__f2")
-    val lr2 = new LinearRegression().setFeaturesCol("__f2").setLabelCol("__y")
-      .setPredictionCol("__p2").setRegParam(1e-6).setElasticNetParam(0.0)
-    val m2 = lr2.fit(asm2.transform(
-      exogCols.foldLeft(stage2)((df, c) => df.withColumn(c, col(c).cast("double")))))
+    val feats = pLags ++ eLags ++ exogCols
+    val m2 = Ols.fit(
+      exogCols.foldLeft(stage2)((df, c) => df.withColumn(c, col(c).cast("double"))),
+      "__y", feats)
 
-    val w = m2.coefficients.toArray
+    val w = m2.coefs
     val phi = w.slice(0, p)
     val theta = w.slice(p, p + q)
     val beta = w.slice(p + q, p + q + exogCols.length)

@@ -11,6 +11,23 @@ class MlSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
   import spark.implicits._
 
+  test("Ols.fit recovers exact coefficients on noiseless data") {
+    import graft.ml.Ols
+    val rows = (1 to 50).map { i =>
+      val x1 = i.toDouble; val x2 = math.sin(i * 0.3)
+      (x1, x2, 2.5 * x1 - 4.0 * x2 + 7.0)
+    }
+    val df = rows.toDF("x1", "x2", "y")
+    val m = Ols.fit(df, "y", Seq("x1", "x2"), ridge = 0.0)
+    assert(math.abs(m.coefs(0) - 2.5) < 1e-9, m.coefs.mkString(","))
+    assert(math.abs(m.coefs(1) + 4.0) < 1e-9)
+    assert(math.abs(m.intercept - 7.0) < 1e-8)
+    // partition-invariance of the exact moments
+    val m2 = Ols.fit(df.repartition(7), "y", Seq("x1", "x2"), ridge = 0.0)
+    assert(m.coefs.toSeq === m2.coefs.toSeq)
+    assert(m.intercept === m2.intercept)
+  }
+
   test("integrate() inverts differencing at d=1 and d=2") {
     // d=0: the prediction IS the level
     assert(Forecast.integrate(Array(0.0), 5.5) === 5.5)
