@@ -36,6 +36,17 @@ object Profile {
     time("NEW again") {
       println(Dedup.shingleRows(docs, "doc_id", "text", 3).count())
     }
+    time("q80 plan") {
+      val plan = Dedup.minhashNearDupsMd5(docs, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      println("ReusedExchange occurrences: " + "ReusedExchange".r.findAllIn(plan).length)
+      println("HashAggregate occurrences: " + "HashAggregate".r.findAllIn(plan).length)
+      println("Window occurrences: " + "Window".r.findAllIn(plan).length)
+    }
+    time("q80 full") {
+      Dedup.minhashNearDupsMd5(docs, "doc_id", "text")
+        .write.format("noop").mode("overwrite").save()
+    }
     time("sigs (minhashTableMd5)") {
       Dedup.minhashTableMd5(docs, "doc_id", "text").write.format("noop").mode("overwrite").save()
     }

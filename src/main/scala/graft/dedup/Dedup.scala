@@ -150,6 +150,7 @@ object Dedup {
         b => hash(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
       .toDF(idCol, "band", "bh")
     val capped = capBuckets(banded, idCol, Seq("band", "bh"), maxBucketSize)
+      .localCheckpoint() // ids x bands rows; both self-join sides reuse it
     val left = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val right = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
     left.join(right, Seq("band", "bh"))
@@ -289,17 +290,24 @@ object Dedup {
     val r = nHashes / bands
     val sigs = minhashTableMd5(df, idCol, textCol, nHashes, shingleSize)
       .filter(col("minhash").isNotNull)
+    // The band table is referenced on both sides of the self-join and the
+    // candidate table three times downstream; Spark replans (not reuses)
+    // each reference, re-running the whole signature pipeline per copy.
+    // Both are BOUNDED intermediates (ids x bands rows / candidate pairs),
+    // so pin them with a localCheckpoint: compute once, reuse everywhere.
     val banded = sigs
       .withColumn("band", floor(col("h_idx") / lit(r)).cast("long"))
       .groupBy(col(idCol).as("id"), col("band"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("h_idx"), col("minhash")))),
         s => s.getField("minhash").cast("string")), ",").as("key"))
+      .localCheckpoint()
     val cands = banded.select(col("id").as("id_a"), col("band"), col("key"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+      .localCheckpoint()
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     // restrict BEFORE shingling: the explode+window runs over candidate
@@ -307,6 +315,7 @@ object Dedup {
     val sh = shingleRows(df.join(candIds, Seq(idCol), "left_semi"),
         idCol, textCol, shingleSize)
       .select(col("id"), unhex(md5(col("s").cast("binary"))).as("shh"))
+      .localCheckpoint() // candidate-docs shingles only; reused twice below
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     val common = cands
       .join(sh.select(col("id").as("id_a"), col("shh")), "id_a")
