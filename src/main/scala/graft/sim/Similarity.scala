@@ -53,8 +53,19 @@ object Similarity {
       lit(java.math.BigDecimal.ZERO).cast(D),
       (acc, x) => (acc + x).cast(D)).cast("double")
 
-  /** Fast double dot product (sequential fold — deterministic per row). */
+  /** Fast double dot product (sequential fold — deterministic per row).
+    * Native codegen'd expression; see [[dotHof]] for the declarative twin.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.DoubleDotProduct(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** Higher-order-function reference form of [[dot]] (identical
+    * left-to-right IEEE addition; interpreted per element).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
@@ -110,9 +121,9 @@ object Similarity {
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int, seed: Long): Column = {
     val ps = planes(dim, bits, table, seed)
     (0 until bits).map { b =>
-      val plane = array(ps(b).map(lit): _*)
-      val d = aggregate(zip_with(vec, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
+      // native double dot against the literal plane — the HOF fold here
+      // was interpreted per element × bits × tables per row
+      val d = dot(vec, lit(ps(b)))
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }

@@ -165,6 +165,15 @@ class ExactDotSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(bad === 0L, "native and HOF dot products must be identical")
   }
 
+  test("native double_dot matches the HOF double fold bit-for-bit") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001").limit(100)
+    val both = emb.select(
+      graft.sim.Similarity.dot(col("embedding"), col("embedding")).as("native"),
+      graft.sim.Similarity.dotHof(col("embedding"), col("embedding")).as("hof"))
+    val bad = both.filter(col("native") =!= col("hof")).count()
+    assert(bad === 0L, "native and HOF double dots must be identical")
+  }
+
   test("exact_dot is SQL-registered through GraftExtensions") {
     val r = spark.sql("SELECT exact_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
       "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))").head().getDouble(0)
