@@ -207,6 +207,60 @@ object Ml {
       }.toDF("iter", "p", "mae_mean", "mae_std", "best_p", "best_mae")
     },
 
+    // ---- permutation importance of exog features (M20, SHAP stand-in) ----
+    Q.noOracle("q81_permutation_importance") { (s, dir) =>
+      import s.implicits._
+      val daily = Series.dailySeries(s, dir)
+        .withColumn("n_events", col("n_events").cast("double"))
+      val days = daily.select("day").orderBy("day").collect().map(_.getDate(0))
+      val split = (days.length * 0.8).toInt
+      val train = daily.filter(col("day") <= lit(days(split - 1)))
+      val model = Arimax.fit(train, "day", "val", Seq("n_events"), p = 2, d = 0, q = 1)
+      val tailRows = daily.filter(col("day") > lit(days(split - 1)))
+        .orderBy("day").select(col("val"), col("n_events")).collect()
+      val actual = tailRows.map(_.getDouble(0))
+      val exogF = tailRows.map(r => Array(r.getDouble(1))).toSeq
+      val imp = graft.ml.Harness.permutationImportance(
+        ex => model.forecast(actual.length, ex), exogF, Seq("n_events"), actual)
+      imp.toSeq.map { case (f, d) => (f, d) }.toDF("feature", "mae_delta")
+    },
+
+    // ---- ablation study over exog feature groups (M21) ----
+    Q.noOracle("q82_ablation") { (s, dir) =>
+      import s.implicits._
+      val daily = Series.dailySeries(s, dir)
+        .withColumn("n_events", col("n_events").cast("double"))
+      val res = graft.ml.Harness.ablation(daily, "day", "val", Seq("n_events"),
+        Map("full" -> Nil, "drop_n_events" -> Seq("n_events")),
+        nSplits = 2, valSize = 0.25) { kept => (train, steps, exogVal) =>
+        Arimax.fit(train, "day", "val", kept, p = 2, d = 0, q = 0)
+          .forecast(steps, exogVal)
+      }
+      res.toSeq.map { case (g, (m, sd)) => (g, m, sd) }
+        .toDF("group", "mae_mean", "mae_std").orderBy("group")
+    },
+
+    // ---- ARIMAX order sensitivity grid (M22) ----
+    Q.noOracle("q83_sensitivity") { (s, dir) =>
+      import s.implicits._
+      val daily = Series.dailySeries(s, dir).drop("n_events")
+      graft.ml.Harness.sensitivityGrid(daily, "day", "val", Nil,
+        center = (2, 0, 0), delta = 1, nSplits = 2, valSize = 0.25)
+        .toDF("p", "d", "q", "mae_mean", "mae_std").orderBy("p", "d", "q")
+    },
+
+    // ---- learning curve over growing prefixes (M23 + W11) ----
+    Q.noOracle("q84_learning_curve") { (s, dir) =>
+      import s.implicits._
+      val daily = Series.dailySeries(s, dir).drop("n_events")
+      graft.ml.Harness.learningCurve(daily, "day", "val", Nil,
+        fracs = Seq(0.5, 0.75, 1.0), nSplits = 2, valSize = 0.25) {
+        (train, steps, exogVal) =>
+          Arimax.fit(train, "day", "val", Nil, p = 2, d = 0, q = 0)
+            .forecast(steps, exogVal)
+      }.toDF("frac", "mae_mean", "mae_std").orderBy("frac")
+    },
+
     // ---- factor analysis + varimax over lineitem measures (M4) ----
     Q.noOracle("q63_factor_loadings") { (s, dir) =>
       import s.implicits._
