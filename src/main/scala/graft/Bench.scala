@@ -27,7 +27,15 @@ object Bench {
       .agg(org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)))
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.registry.map { q =>
+    // Optional comma-separated name filter for local iteration; the
+    // driver never sets it, so the recorded bench always covers everything.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.registry.filter(q => names(q.name))
+      case None        => SparkEntry.registry
+    }
+    val results = selected.map { q =>
       val t0 = System.nanoTime()
       try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }

@@ -73,9 +73,21 @@ object Similarity {
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
 
   /** Exact cosine top-k: for every query row, the k nearest corpus rows by
-    * cosine similarity (self-matches excluded). Queries are broadcast —
-    * the corpus streams through one projection, no shuffle until the
-    * per-query top-k (a k-row window per query key).
+    * cosine similarity (self-matches excluded). Two stages:
+    *
+    *  1. Candidate ranking by the cheap codegen'd DOUBLE cosine over the
+    *     full pair product — only `(query_id, neighbor_id, dcos)` enters
+    *     the per-query window shuffle (never the vectors, never a decimal).
+    *     Per query we keep every row within [[RerankMargin]] of the k-th
+    *     double score; |double − exact| ≪ margin, so the survivor set is a
+    *     strict superset of the true exact top-k.
+    *  2. Exact DECIMAL re-rank of the bounded survivor set (~k rows per
+    *     query) — vectors re-attach by id, BigDecimal cost is O(k·|queries|)
+    *     instead of O(|queries|·|corpus|).
+    *
+    * Same prefilter-then-exact pattern as [[cosineNearDups]]; the one-stage
+    * exact-everywhere form was the engine's slowest plan at sf0.1 (23.9 s,
+    * all of it BigDecimal allocation across the cross product).
     */
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
@@ -83,10 +95,28 @@ object Similarity {
     // in the pair projection, or each corpus norm is re-folded once per query.
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      normExact(col(vecCol)).as("qn")))
+      sqrt(dot(col(vecCol), col(vecCol))).as("qnD")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cnD"))
+    val dscored = c.join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("dcos").desc, col("neighbor_id"))
+    // k-th double score per query (−2 < any cosine when the corpus has
+    // fewer than k rows, so everything is kept in that case).
+    val cands = dscored
+      .withColumn("__drnk", row_number().over(wD))
+      .withColumn("__dkth", coalesce(
+        max(when(col("__drnk") === k, col("dcos")))
+          .over(Window.partitionBy(col("query_id"))), lit(-2.0)))
+      .filter(col("dcos") >= col("__dkth") - RerankMargin)
+      .select("query_id", "neighbor_id")
+    val qe = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
+    val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normExact(col(vecCol)).as("cn"))
-    val scored = c.join(q, col("neighbor_id") =!= col("query_id"))
+    val scored = cands.join(qe, "query_id").join(ce, "neighbor_id")
       .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -95,6 +125,13 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
+
+  /** Double-vs-exact cosine discrepancy bound used by the top-k prefilter.
+    * The true bound for dim-d unit-ish vectors is ~d·2⁻⁵² ≈ 1e-13 at
+    * d ≤ 1024; 1e-9 leaves 4 orders of headroom while still pruning
+    * everything that isn't a near-tie with the k-th score.
+    */
+  private val RerankMargin = 1e-9
 
   /** Seeded random hyperplanes: `bits` pseudo-random unit directions per
     * table, components derived from a splitmix-style integer mix —
