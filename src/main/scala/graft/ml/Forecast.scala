@@ -242,7 +242,10 @@ object CvObjective {
     val folds = graft.ops.Splits.blockedFolds(series, Seq(dateCol), nSplits, valSize)
       .cache()
     try {
-      (0 until nSplits).map { f =>
+      // Materialize the cache once before fanning out, so concurrent fold
+      // bodies read it instead of racing to compute the split subtree.
+      folds.count()
+      graft.ops.Par.map(0 until nSplits) { f =>
         val train = folds.filter(col("fold") === f && !col("is_val")).drop("fold", "is_val")
         val valRows = folds.filter(col("fold") === f && col("is_val"))
           .orderBy(dateCol)

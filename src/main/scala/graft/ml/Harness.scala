@@ -19,12 +19,12 @@ object Harness {
                nSplits: Int, valSize: Double)(
       fitPredict: Seq[String] => (DataFrame, Int, Seq[Array[Double]]) => Array[Double])
     : Map[String, (Double, Double)] =
-    groups.map { case (name, dropped) =>
+    graft.ops.Par.map(groups.toSeq) { case (name, dropped) =>
       val kept = exogCols.filterNot(dropped.contains)
       val maes = CvObjective.blockedCvMae(series, dateCol, targetCol, kept,
         nSplits, valSize)(fitPredict(kept))
       name -> CvObjective.summary(maes)
-    }
+    }.toMap
 
   /** M20 permutation importance (declared replacement for the reference's
     * SHAP KernelExplainer, SURVEY §7.3): per exog column, MAE delta of the
@@ -64,7 +64,7 @@ object Harness {
       d <- (d0 - delta) to (d0 + delta) if d >= 0
       q <- (q0 - delta) to (q0 + delta) if q >= 0
     } yield (p, d, q)
-    cells.map { case (p, d, q) =>
+    graft.ops.Par.map(cells) { case (p, d, q) =>
       val maes = CvObjective.blockedCvMae(series, dateCol, targetCol, exogCols,
         nSplits, valSize) { (train, steps, exogVal) =>
         Arimax.fit(train, dateCol, targetCol, exogCols, p, d, q)
@@ -84,7 +84,7 @@ object Harness {
                     nSplits: Int, valSize: Double)(
       fitPredict: (DataFrame, Int, Seq[Array[Double]]) => Array[Double])
     : Seq[(Double, Double, Double)] =
-    fracs.map { f =>
+    graft.ops.Par.map(fracs) { f =>
       val prefix = Splits.prefix(series, Seq(dateCol), f)
       val maes = CvObjective.blockedCvMae(prefix, dateCol, targetCol, exogCols,
         nSplits, valSize)(fitPredict)

@@ -1,0 +1,39 @@
+package graft.ops
+
+import java.util.concurrent.{Callable, ExecutionException, Executors}
+
+/** Bounded concurrent map for driver-orchestrated evaluation loops
+  * (sensitivity grids, ablations, CV folds, learning-curve prefixes —
+  * SURVEY.md M19–M23). Each element's body is an independent Spark job
+  * tree (feature prep + a fit + a collect); running the bodies from a
+  * small driver thread pool lets the scheduler overlap their jobs
+  * instead of serializing whole fit pipelines end to end. On a
+  * multi-executor cluster this is exactly "parallelize across
+  * series/folds/grid-cells" — concurrent job submission from the
+  * driver, tasks spread over the cluster.
+  *
+  * A fresh pool per call keeps nested uses (a grid cell evaluating CV
+  * folds, each fold fitting a model) deadlock-free: outer and inner
+  * levels never compete for the same fixed threads. Results keep input
+  * order; the first failure propagates (unwrapped) after the pool is
+  * shut down.
+  */
+object Par {
+
+  /** Map `f` over `xs` with at most `parallelism` concurrent bodies. */
+  def map[A, B](xs: Seq[A], parallelism: Int = 8)(f: A => B): Seq[B] = {
+    if (xs.lengthCompare(1) <= 0 || parallelism <= 1) xs.map(f)
+    else {
+      val pool = Executors.newFixedThreadPool(math.min(xs.size, parallelism))
+      try {
+        val futures = xs.map { x =>
+          pool.submit(new Callable[B] { def call(): B = f(x) })
+        }
+        futures.map { fut =>
+          try fut.get()
+          catch { case e: ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
+    }
+  }
+}
