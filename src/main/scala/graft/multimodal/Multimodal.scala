@@ -51,25 +51,32 @@ object Multimodal {
           .otherwise("webp"))
   }
 
+  /** Per-index constants for [[fakeDecode]]'s hash family (one md5 of the
+    * blob, xor'd with an md5-derived constant per feature index — the same
+    * cross-engine family the MinHash oracle uses).
+    */
+  private val mmConsts = new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private def mmConst(j: Int): Long =
+    mmConsts.computeIfAbsent(j,
+      k => graft.dedup.Dedup.md5Const64(s"graft-mm#$k")).longValue
+
   /** STUB decode: where a real pipeline would run the image/audio codec.
-    * Deterministic: derives a fixed-length feature vector from blob bytes.
-    * Replace with the real codec (e.g. via JNI) in production — signature
-    * and batch shape are the contract.
+    * Deterministic: derives a fixed-length feature vector from one md5 of
+    * the blob — feature j is the low 9 bits of `md5₆₄(blob) xor c_j`
+    * scaled by 1/256 (a dyadic rational, so the float value is exact and
+    * a DuckDB oracle reproduces it bit-for-bit; see q47). Replace with
+    * the real codec (e.g. via JNI) in production — signature and batch
+    * shape are the contract.
     */
   def fakeDecode(blob: Array[Byte], featureDim: Int): Array[Float] = {
     // ??? <- real codec goes here; deterministic fake below keeps the
-    // distributed plumbing testable in this container.
-    val out = new Array[Float](featureDim)
-    var h = 1125899906842597L // FNV-ish rolling state
-    var i = 0
-    while (i < blob.length) {
-      h = h * 31 + (blob(i) & 0xFF)
-      out(math.abs((h % featureDim).toInt)) += ((blob(i) & 0xFF) / 255.0f)
-      i += 1
+    // distributed plumbing testable (and oracle-checkable) in this
+    // container.
+    val d = java.security.MessageDigest.getInstance("MD5").digest(blob)
+    val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
+    Array.tabulate(featureDim) { j =>
+      ((h ^ mmConst(j)) & 511L).toFloat / 256.0f
     }
-    var j = 0
-    while (j < featureDim) { out(j) = out(j) / math.max(1, blob.length); j += 1 }
-    out
   }
 
   /** STUB resize: a real pipeline decodes, resamples to (w, h), and

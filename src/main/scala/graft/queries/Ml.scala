@@ -164,28 +164,46 @@ object Ml {
         "v", "label")
     },
 
-    // ---- STL-style robust decomposition of the daily series (M6) ----
-    Q.noOracle("q61_stl_decompose") { (s, dir) =>
+    // ---- STL-style robust decomposition, golden-oracle pinned fixture (M6) ----
+    // STL is deterministic driver math, so it hash-checks against a golden:
+    // the input is the pinned dyadic series (SF-independent), outputs snap
+    // through DECIMAL(18,9), and the oracle replays the recorded values as
+    // scaled BIGINTs (CAST(k AS DOUBLE)/1e9 is bit-exact in both engines).
+    // Real-data decomposition stays covered by q29/q51; planted-structure
+    // recovery by StlSpec. Regenerate via `runMain graft.tools.GoldenGen`.
+    Q("q61_stl_decompose",
+      s"""SELECT i, CAST(vk AS DOUBLE)/1e9 AS val, CAST(tk AS DOUBLE)/1e9 AS trend,
+        |  CAST(sk AS DOUBLE)/1e9 AS seasonal, CAST(rk AS DOUBLE)/1e9 AS resid
+        |FROM (VALUES ${Golden.stlRows}) t(i, vk, tk, sk, rk)
+        |ORDER BY i""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val rows = Series.dailySeries(s, dir).drop("n_events")
-        .orderBy("day").collect()
-      val y = rows.map(_.getDouble(1))
+      val y = graft.ts.Pinned.series
       val r = graft.ts.Stl.decompose(y, period = 7, robust = true)
-      rows.indices.map(i => (rows(i).getDate(0).toString,
-        y(i), r.trend(i), r.seasonal(i), r.resid(i)))
-        .toDF("day", "val", "trend", "seasonal", "resid")
+      val D = org.apache.spark.sql.types.DecimalType(18, 9)
+      y.indices.map(i => (i, y(i), r.trend(i), r.seasonal(i), r.resid(i)))
+        .toDF("i", "val", "trend", "seasonal", "resid")
+        .select(col("i") +: Seq("val", "trend", "seasonal", "resid")
+          .map(c => col(c).cast(D).cast("double").as(c)): _*)
+        .orderBy("i")
     },
 
-    // ---- db4 wavelet denoising of the daily series (M7) ----
-    Q.noOracle("q62_wavelet_denoise") { (s, dir) =>
+    // ---- db4 wavelet denoising, golden-oracle pinned fixture (M7) ----
+    // Same golden scheme as q61; perfect-reconstruction and planted-noise
+    // behavior stay covered by WaveletSpec.
+    Q("q62_wavelet_denoise",
+      s"""SELECT i, CAST(vk AS DOUBLE)/1e9 AS val, CAST(dk AS DOUBLE)/1e9 AS denoised
+        |FROM (VALUES ${Golden.waveletRows}) t(i, vk, dk)
+        |ORDER BY i""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val rows = Series.dailySeries(s, dir).drop("n_events")
-        .orderBy("day").collect()
-      val even = rows.length - (rows.length % 4) // wavedec(2) needs /4
-      val y = rows.take(even).map(_.getDouble(1))
+      val y = graft.ts.Pinned.series
       val den = graft.ts.Wavelet.denoise(y, levels = 2, dropLevels = 1)
-      (0 until even).map(i => (rows(i).getDate(0).toString, y(i), den(i)))
-        .toDF("day", "val", "denoised")
+      val D = org.apache.spark.sql.types.DecimalType(18, 9)
+      y.indices.map(i => (i, y(i), den(i)))
+        .toDF("i", "val", "denoised")
+        .select(col("i"),
+          col("val").cast(D).cast("double").as("val"),
+          col("denoised").cast(D).cast("double").as("denoised"))
+        .orderBy("i")
     },
 
     // ---- GP+BO hyper-parameter search over the CV objective (M15-M18) ----

@@ -395,6 +395,35 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- sign-LSH at full coverage == exact search: oracle-checkable ----
+    // Same DAG as q45 (bucket explode, (table, bucket) equi-join, distinct
+    // candidates, id-only shuffle, exact re-rank) but with bits = 0 every
+    // row lands in one global bucket per table, so candidates cover all
+    // pairs and the result must equal the brute-force oracle — this
+    // hash-checks the whole sign-LSH plumbing (à la q78 for IVF).
+    Q("q85_lsh_full_coverage",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      Similarity.signLshTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, bits = 0, tables = 2,
+        maxBucketSize = Int.MaxValue)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- embedding-cosine near-dup scan summary (1-row aggregate) ----
     Q.noOracle("q67_cosine_neardup_stats") { (s, dir) =>
       Similarity.cosineNearDups(embeddings(s, dir), "vec_id", "embedding",
@@ -423,16 +452,28 @@ object Text {
     // ---- multimodal feature extraction (mapPartitions codec path) ----
     // Registered output is projected to sortable scalars: the check harness
     // sorts/hashes rows with pandas, which cannot order array<float> cells
-    // (round-2 checker crash). The array itself is covered by TextDedupSpec.
-    Q.noOracle("q47_multimodal_features") { (s, dir) =>
+    // (round-2 checker crash). The stub decode is one md5 of the blob xor
+    // per-index md5 constants, each feature a dyadic rational (k/256) —
+    // exact in float and double — so DuckDB reproduces the mapPartitions
+    // output bit-for-bit. The full array is covered by TextDedupSpec.
+    Q("q47_multimodal_features",
+      s"""WITH hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(coalesce(text, ''))", "documents", "h")}),
+        |cs AS (SELECT * FROM ${md5Hash64Sql("j", "md5('graft-mm#' || j)", "range(16) t(j)", "c")}),
+        |f AS (SELECT doc_id, j, CAST((xor(h, c) & 511) AS DOUBLE) / 256.0 AS feat
+        |  FROM hv CROSS JOIN cs)
+        |SELECT doc_id, CAST(16 AS INTEGER) AS dim,
+        |  MAX(CASE WHEN j = 0 THEN feat END) AS f_first,
+        |  MAX(CASE WHEN j = 15 THEN feat END) AS f_last,
+        |  SUM(feat) AS f_sum
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
       Multimodal.extractFeatures(blobs, "doc_id", "blob", featureDim = 16)
         .select(col("doc_id"),
           size(col("features")).as("dim"),
-          element_at(col("features"), 1).as("f_first"),
-          element_at(col("features"), 16).as("f_last"),
-          round(aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast("double")), 6).as("f_sum"))
+          element_at(col("features"), 1).cast("double").as("f_first"),
+          element_at(col("features"), 16).cast("double").as("f_last"),
+          aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast("double")).as("f_sum"))
         .orderBy("doc_id")
     },
 

@@ -156,6 +156,10 @@ object Similarity {
     * generated-method limit at real dims and forces interpreted eval.
     */
   def lshBucket(vec: Column, dim: Int, bits: Int, table: Int, seed: Long): Column = {
+    // bits = 0 degenerates to one global bucket: every pair becomes a
+    // candidate, making signLshTopK ≡ exact search — the oracle-checkable
+    // full-coverage configuration (mirrors IVF's nProbe = nCells).
+    if (bits == 0) return lit(0L)
     val ps = planes(dim, bits, table, seed)
     (0 until bits).map { b =>
       // native double dot against the literal plane — the HOF fold here
