@@ -28,5 +28,32 @@ object GoldenGen {
     val den = graft.ts.Wavelet.denoise(y, levels = 2, dropLevels = 1)
     println("-- q62 (i, vk, dk):")
     println(y.indices.map(i => s"(${i}, ${k(y(i))}, ${k(den(i))})").mkString(", "))
+
+    // Forecast-layer goldens run the registered (already-snapped) query
+    // impls themselves, so the recorded values are exactly the engine's
+    // output; the round-trip k = round(x·10⁹) is exact because the
+    // snapped double is the correctly-rounded k/10⁹ and |x| ≪ 2⁴².
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def kd(x: Double): Long = Math.round(x * 1e9)
+    val dir = "/root/testdata/sf0.001" // unused by pinned-fixture queries
+    val q49 = graft.SparkEntry.queries("q49_arimax_forecast")(spark, dir)
+      .orderBy("step").collect()
+    println("-- q49 (step, pk):")
+    println(q49.map(r => s"(${r.getInt(0)}, ${kd(r.getDouble(1))})").mkString(", "))
+    val q68 = graft.SparkEntry.queries("q68_bo_search")(spark, dir)
+      .orderBy("iter").collect()
+    println("-- q68 (iter, p, mk, sk, best_p, bk):")
+    println(q68.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, ${kd(r.getDouble(2))}, " +
+      s"${kd(r.getDouble(3))}, ${r.getInt(4)}, ${kd(r.getDouble(5))})").mkString(", "))
+    val q81 = graft.SparkEntry.queries("q81_permutation_importance")(spark, dir)
+      .orderBy("feature").collect()
+    println("-- q81 (feature, dk):")
+    println(q81.map(r => s"('${r.getString(0)}', ${kd(r.getDouble(1))})").mkString(", "))
+    spark.stop()
   }
 }

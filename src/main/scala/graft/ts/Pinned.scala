@@ -16,4 +16,19 @@ object Pinned {
 
   def series: Array[Double] =
     Array.tabulate(n)(i => 100.0 + (i * 37) % 50 + 3 * (i % 7) + i / 8.0)
+
+  /** Longer fixture for the forecast-layer goldens (q49/q68/q81): 360
+    * "days" with a weekly pattern, a slow ramp, and a deterministic
+    * pseudo-irregular term — all dyadic-exact. The fit/forecast split at
+    * [[splitLong]] mirrors the reference's 80/20 positional split.
+    */
+  val nLong: Int = 360
+  val splitLong: Int = 288
+
+  def arimaxSeries: Array[Double] =
+    Array.tabulate(nLong)(i => 200.0 + 5 * (i % 7) + ((i * 73) % 97) / 4.0 + i / 16.0)
+
+  /** Exogenous companion series for the ARIMAX-with-exog goldens. */
+  def exogSeries: Array[Double] =
+    Array.tabulate(nLong)(i => ((i * 41) % 61) / 8.0)
 }
