@@ -36,17 +36,26 @@ object Bench {
       case None        => SparkEntry.registry
     }
     val results = selected.map { q =>
+      // Isolate queries from each other's leftovers before starting the
+      // clock: drop cached plans and let the ContextCleaner release prior
+      // queries' localCheckpoint blocks. Round 3 showed a uniform
+      // +0.5-1.2s drift on ~20 small queries as the suite grew — heap
+      // debt from earlier queries' pinned blocks, not plan regressions.
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
       q.name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the whole line short enough for the
-    // driver's bounded tail capture (round 2's full-precision doubles
-    // pushed the line past it and the driver recorded parsed=null).
+    // The driver captures a bounded 2000-char tail of the output: short
+    // "qNN" keys + millisecond precision keep the whole line inside it
+    // (rounds 2 and 3 both overflowed the window and recorded
+    // parsed=null; full query names live in CORRECTNESS_r*.json).
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
