@@ -174,8 +174,17 @@ object Dedup {
     */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, shingleSize: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
-    pairs
+    // Shingle only the docs that appear in a candidate pair, and pin the
+    // result: the unrestricted form re-shingled the WHOLE corpus once per
+    // join side, while the verify cost should be bounded by the candidate
+    // set (same shape as minhashNearDupsMd5's semi-join).
+    val p = pairs.localCheckpoint() // bounded pair list, referenced 3×
+    val candIds = p
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
+    val sh = docs.join(candIds, Seq(idCol), "left_semi")
+      .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
+      .localCheckpoint()
+    p
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard",

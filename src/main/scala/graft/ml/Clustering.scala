@@ -68,10 +68,15 @@ object Clustering {
     val data = series.select(col(idCol).cast("string").as("sid"),
       col(vecCol).cast("array<double>").as("vec")).cache()
     try {
-      val ids = data.select("sid").orderBy("sid").collect().map(_.getString(0))
-      require(ids.length >= k, s"need >= $k series, got ${ids.length}")
-      val rnd = new scala.util.Random(seed)
-      val firstId = rnd.shuffle(ids.toSeq).head
+      val n = data.count()
+      require(n >= k, s"need >= $k series, got $n")
+      // Seeded first-centroid pick as a distributed argmin over a salted
+      // hash — uniform like a shuffle-and-take-head, but no O(#series)
+      // driver collect (the previous init materialized every id on the
+      // driver just to pick one).
+      val firstId = data
+        .select(min_by(col("sid"), xxhash64(col("sid"), lit(seed))).as("s"))
+        .head().getString(0)
       val init = scala.collection.mutable.ArrayBuffer(
         data.filter(col("sid") === firstId).head().getSeq[Double](1).toArray)
       while (init.length < k) {
@@ -196,8 +201,8 @@ object Clustering {
   def pcaLoadings(df: DataFrame, vecCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toVec = udf((v: Seq[Double]) => MlVectors.dense(v.toArray))
-    val feat = df.select(toVec(col(vecCol).cast("array<double>")).as("features"))
+    val feat = df.select(org.apache.spark.ml.functions
+      .array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new MlPca().setInputCol("features").setOutputCol("pca")
       .setK(k).fit(feat)
     val pc = model.pc // dim x k, column-major
@@ -213,8 +218,8 @@ object Clustering {
     * `silhouette_score(metric='euclidean')`).
     */
   def silhouette(df: DataFrame, vecCol: String, clusterCol: String): Double = {
-    val toVec = udf((v: Seq[Double]) => MlVectors.dense(v.toArray))
-    val feat = df.select(toVec(col(vecCol).cast("array<double>")).as("features"),
+    val feat = df.select(org.apache.spark.ml.functions
+      .array_to_vector(col(vecCol).cast("array<double>")).as("features"),
       col(clusterCol).cast("double").as("prediction"))
     new ClusteringEvaluator().setFeaturesCol("features")
       .setPredictionCol("prediction")

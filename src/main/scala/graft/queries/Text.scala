@@ -321,6 +321,16 @@ object Text {
           coalesce(max(col("jaccard")), lit(0.0)).as("max_jaccard"))
     },
 
+    // ---- SimHash near-dups, production hashing (bench-representative) ----
+    // q43 pays the md5 oracle family so DuckDB can replay the signature;
+    // this is the hot path a deployment runs: xxhash64 tokens, chunk
+    // pigeonhole buckets, hamming verify. Oracle-less by design (engine
+    // hash), recall/pigeonhole contracts covered in TextDedupSpec.
+    Q.noOracle("q86_simhash_neardups") { (s, dir) =>
+      Dedup.simhashNearDups(documents(s, dir), "doc_id", "text", maxDist = 6)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- sign-LSH approximate nearest neighbors (bucketed equi-join) ----
     Q.noOracle("q45_ann_topk") { (s, dir) =>
       val emb = embeddings(s, dir)

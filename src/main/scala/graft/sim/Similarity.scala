@@ -233,10 +233,10 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vectors => MlVectors}
     val spark = corpus.sparkSession
-    val toVec = udf((v: Seq[Double]) => MlVectors.dense(v.toArray))
     val corpusF = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), normExact(col(vecCol)).as("cn"),
-      toVec(col(vecCol).cast("array<double>")).as("__f"))
+      org.apache.spark.ml.functions.array_to_vector(
+        col(vecCol).cast("array<double>")).as("__f"))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__f").setPredictionCol("__cell").fit(corpusF)
     val centers = model.clusterCenters.map(_.toArray)

@@ -51,6 +51,36 @@ object Csv {
     spark.read.option("header", "true").csv(spark.createDataset(lines))
   }
 
+  /** HTTP CSV ingestion (S1, `ETL.py:56-77` downloads EIA exports before
+    * parsing): fetch each URL to `stagingDir/<name>.csv`, then hand the
+    * staged files to [[scan]]. The transport is injectable so the fetch
+    * layer is testable without egress (`file:` URLs in tests, a real
+    * HTTP client in deployments) — this container has no network, so the
+    * default transport is `java.net.URL#openStream`, which covers
+    * `file:`/`jar:` schemes here and HTTP(S) wherever egress exists.
+    * Download is driver-side by design: source acquisition is O(#files)
+    * staging I/O, the distributed work starts at the scan.
+    */
+  def downloadToStaging(urls: Seq[String], stagingDir: String,
+                        transport: String => java.io.InputStream =
+                          url => java.net.URI.create(url).toURL.openStream())
+      : Seq[String] = {
+    val dir = java.nio.file.Paths.get(stagingDir)
+    java.nio.file.Files.createDirectories(dir)
+    urls.map { url =>
+      val name = url.split('/').last match {
+        case "" | null => "download.csv"
+        case n         => n
+      }
+      val target = dir.resolve(name)
+      val in = transport(url)
+      try java.nio.file.Files.copy(in, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      target.toString
+    }
+  }
+
   /** Single-file headered CSV sink (K1, `ETL.py:95,330`). `coalesce(1)`
     * matches the reference's one-file contract; large outputs should drop
     * the coalesce and write partitioned.

@@ -79,6 +79,24 @@ class SourcesGeoSpec extends AnyFunSuite {
     assert(rows(0).getString(3) === "NM")
   }
 
+  test("downloadToStaging fetches URLs to staging and feeds the CSV scan (S1)") {
+    val csv = "city,kwh\nDetroit,12\nLansing,7\n"
+    val src = tmpFile("eia_export.csv", csv)
+    val staging = Files.createTempDirectory("graft_staging").toString
+    // file: URL through the default URL-stream transport — the same code
+    // path an HTTP(S) URL takes where egress exists
+    val staged = Csv.downloadToStaging(Seq("file://" + src), staging)
+    assert(staged === Seq(s"$staging/eia_export.csv"))
+    val df = Csv.scan(spark, staged.head).orderBy("city")
+    assert(df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("Detroit", 12), ("Lansing", 7)))
+
+    // injectable transport: no filesystem/network dependence
+    val staged2 = Csv.downloadToStaging(Seq("synthetic://x/inline.csv"), staging,
+      _ => new java.io.ByteArrayInputStream("a,b\n1,2\n".getBytes))
+    assert(Files.readString(java.nio.file.Paths.get(staged2.head)) === "a,b\n1,2\n")
+  }
+
   test("CSV sink round-trip (K1) and per-file sink layout (K2)") {
     val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "s", "v")
     val out = Files.createTempDirectory("graft_sink").toString + "/out"
