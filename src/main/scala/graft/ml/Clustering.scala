@@ -79,14 +79,19 @@ object Clustering {
         .head().getString(0)
       val init = scala.collection.mutable.ArrayBuffer(
         data.filter(col("sid") === firstId).head().getSeq[Double](1).toArray)
+      // Incremental farthest-first: carry each series' min-distance-so-far
+      // and fold in ONLY the newest centroid per step — k-1 DTW scans
+      // total instead of the 1+2+…+(k-1) quadratic rescan (DTW is the
+      // dominant cost; at k=12 this is a 6× cut). localCheckpoint pins
+      // the bounded (sid, vec, d) state so the least() chain doesn't
+      // replan recursively.
+      var state = data.withColumn("d", lit(Double.PositiveInfinity))
       while (init.length < k) {
-        val bc = spark.sparkContext.broadcast(init.toArray)
-        val minDist = udf { (v: Seq[Double]) =>
-          val arr = v.toArray
-          bc.value.map(c => dtw(arr, c)).min
-        }
-        val far = data.withColumn("d", minDist(col("vec")))
-          .orderBy(col("d").desc, col("sid")).limit(1).head()
+        val bcNew = spark.sparkContext.broadcast(init.last)
+        val distToNew = udf { (v: Seq[Double]) => dtw(v.toArray, bcNew.value) }
+        state = state.withColumn("d", least(col("d"), distToNew(col("vec"))))
+          .localCheckpoint()
+        val far = state.orderBy(col("d").desc, col("sid")).limit(1).head()
         init += far.getSeq[Double](1).toArray
       }
       var centroids: Array[Array[Double]] = init.toArray

@@ -237,7 +237,10 @@ object Similarity {
       col(vecCol).as("cv"), normExact(col(vecCol)).as("cn"),
       org.apache.spark.ml.functions.array_to_vector(
         col(vecCol).cast("array<double>")).as("__f"))
-    val model = new KMeans().setK(nCells).setSeed(seed)
+    // A coarse quantizer only partitions the corpus — recall comes from
+    // nProbe, not centroid polish, so half MLlib's default iterations is
+    // plenty (and the full-probe equivalence (q78) holds for ANY centroids).
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("__f").setPredictionCol("__cell").fit(corpusF)
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)

@@ -47,6 +47,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(!dups.exists(p => p._1 >= 2L), s"false-positive pairs: $dups")
   }
 
+  test("minhash near-dup final plan reads pinned intermediates, not re-derived shingles") {
+    // Signatures/banding are localCheckpoint-pinned in minhashCandidates
+    // and verifyJaccard shingles only candidate docs into another pinned
+    // table — so the FINAL plan must be joins over materialized RDD scans
+    // with no shingle/hash re-derivation left in it (the pre-round-4 plan
+    // re-ran those subtrees once per reference).
+    val base = mkDoc(7, 120)
+    val nearDup = base.split(" ").updated(5, "changed").mkString(" ")
+    val docs = (Seq((0L, base), (1L, nearDup)) ++
+      (2L to 9L).map(i => (i, mkDoc(100 + i.toInt, 120)))).toDF("doc_id", "text")
+    val out = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.7)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("posexplode"), s"shingle generation re-derived:\n$plan")
+    assert(!plan.contains("xxhash64"), s"shingle hashing re-derived:\n$plan")
+    assert("LogicalRDD".r.findAllMatchIn(plan).size >= 2,
+      s"expected pinned RDD scans in:\n$plan")
+  }
+
   test("minhash signatures are deterministic and length numHashes") {
     val docs = (0L to 4L).map(i => (i, mkDoc(i.toInt, 50))).toDF("doc_id", "text")
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
