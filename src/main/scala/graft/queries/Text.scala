@@ -443,6 +443,35 @@ object Text {
           coalesce(min(col("cosine")), lit(0.0)).as("min_kept_cosine"))
     },
 
+    // ---- cosine near-dups at full coverage == exact threshold join ----
+    // Completes the equivalence-twin set (q78 IVF, q85 sign-LSH, q80
+    // MinHash, q43 SimHash): with bits = 0 every row shares the one
+    // bucket, candidates cover all pairs, and cosineNearDups must equal
+    // the brute-force threshold join — hash-checking the candidate
+    // dedup, double-dot prefilter, and exact-decimal scoring end to end.
+    // Bounded to vec_id < 300 so the DuckDB oracle's all-pairs decimal
+    // dot stays in q41-oracle cost territory.
+    Q("q87_cosine_neardup_full",
+      s"""WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    ${dotSql("a.embedding", "b.embedding")}
+        |    / (SQRT(${dotSql("a.embedding", "a.embedding")})
+        |       * SQRT(${dotSql("b.embedding", "b.embedding")})) AS cosine
+        |  FROM c a JOIN c b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine
+        |FROM pairs WHERE cosine >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Similarity.cosineNearDups(
+        embeddings(s, dir).filter(col("vec_id") < 300), "vec_id", "embedding",
+        threshold = 0.3, dim = 64, bits = 0, tables = 1,
+        maxBucketSize = Int.MaxValue)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- multimodal metadata plumbing (blob header sniff, oracle-checked) ----
     Q("q46_multimodal_meta",
       """SELECT doc_id,
