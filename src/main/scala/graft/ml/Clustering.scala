@@ -81,59 +81,100 @@ object Clustering {
         data.filter(col("sid") === firstId).head().getSeq[Double](1).toArray)
       // Incremental farthest-first: carry each series' min-distance-so-far
       // and fold in ONLY the newest centroid per step — k-1 DTW scans
-      // total instead of the 1+2+…+(k-1) quadratic rescan (DTW is the
-      // dominant cost; at k=12 this is a 6× cut). localCheckpoint pins
-      // the bounded (sid, vec, d) state so the least() chain doesn't
-      // replan recursively.
-      var state = data.withColumn("d", lit(Double.PositiveInfinity))
-      while (init.length < k) {
-        val bcNew = spark.sparkContext.broadcast(init.last)
-        val distToNew = udf { (v: Seq[Double]) => dtw(v.toArray, bcNew.value) }
-        state = state.withColumn("d", least(col("d"), distToNew(col("vec"))))
-          .localCheckpoint()
-        val far = state.orderBy(col("d").desc, col("sid")).limit(1).head()
-        init += far.getSeq[Double](1).toArray
+      // total instead of the 1+2+…+(k-1) quadratic rescan. The loop is
+      // k-1 SEQUENTIAL argmax passes over one bounded (sid, vec, d)
+      // state, i.e. genuine per-partition imperative iteration: an RDD
+      // map/max avoids Catalyst re-planning + codegen compiling a fresh
+      // plan per step, which dominated the DataFrame form's wall time.
+      // Tie-break matches the frame version: max distance, then SMALLEST
+      // sid.
+      val farthestOrd = new Ordering[(String, Array[Double], Double)] {
+        def compare(a: (String, Array[Double], Double),
+                    b: (String, Array[Double], Double)): Int = {
+          val c = java.lang.Double.compare(a._3, b._3)
+          if (c != 0) c else b._1.compareTo(a._1)
+        }
       }
+      var stateRdd = data.rdd
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray,
+          Double.PositiveInfinity))
+        .persist()
+      while (init.length < k) {
+        val newest = init.last
+        val prev = stateRdd
+        stateRdd = prev
+          .map { case (sid, v, d) => (sid, v, math.min(d, dtw(v, newest))) }
+          .persist()
+        val far = stateRdd.max()(farthestOrd)
+        init += far._2
+        prev.unpersist(false)
+      }
+      stateRdd.unpersist(false)
       var centroids: Array[Array[Double]] = init.toArray
 
+      // Lloyd's iterations as ONE job each: assignment + per-partition
+      // (cluster → sum, count) partials fused in a mapPartitions, merged
+      // on the driver (k×len state). The DataFrame form compiled a fresh
+      // plan + codegen per iteration and ran two jobs (assign, pointwise
+      // mean) — plan overhead exceeded the DTW math itself.
+      val vecs = data.rdd
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray)).persist()
       var it = 0
       var changed = true
-      var assigned: DataFrame = null
       while (it < maxIter && changed) {
         val bc = spark.sparkContext.broadcast(centroids)
-        val assignUdf = udf { (v: Seq[Double]) =>
-          val arr = v.toArray
-          var best = 0; var bestD = Double.PositiveInfinity
-          var c = 0
-          while (c < bc.value.length) {
-            val d = dtw(arr, bc.value(c))
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
+        val partials = vecs.mapPartitions { rows =>
+          val kk = bc.value.length
+          val sums = new Array[Array[Double]](kk)
+          val counts = new Array[Long](kk)
+          rows.foreach { case (_, v) =>
+            var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+            while (c < kk) {
+              val d = dtw(v, bc.value(c))
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            if (sums(best) == null) sums(best) = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { sums(best)(i) += v(i); i += 1 }
+            counts(best) += 1
           }
-          best
-        }
-        val newAssigned = data.withColumn("cluster", assignUdf(col("vec"))).cache()
-        // centroid update: pointwise mean per (cluster, position)
-        val upd = newAssigned
-          .select(col("cluster"), posexplode(col("vec")).as(Seq("pos", "v")))
-          .groupBy("cluster", "pos").agg(avg("v").as("m"))
-          .collect()
-        val byCluster = upd.groupBy(_.getInt(0))
+          Iterator.single((sums, counts))
+        }.collect()
         val next = centroids.indices.map { c =>
-          byCluster.get(c) match {
-            case Some(rows) =>
-              rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray
-            case None => centroids(c) // empty cluster keeps its centroid
+          var cnt = 0L
+          var sum: Array[Double] = null
+          partials.foreach { case (sums, counts) =>
+            if (sums(c) != null) {
+              if (sum == null) sum = new Array[Double](sums(c).length)
+              var i = 0
+              while (i < sum.length) { sum(i) += sums(c)(i); i += 1 }
+              cnt += counts(c)
+            }
           }
+          if (cnt == 0) centroids(c) // empty cluster keeps its centroid
+          else sum.map(_ / cnt)
         }.toArray
         changed = !next.indices.forall(c => next(c).sameElements(centroids(c)))
-        if (assigned != null) assigned.unpersist()
-        assigned = newAssigned
         centroids = next
         it += 1
       }
-      val out = assigned.select(col("sid").as("series"), col("cluster"))
+      // final assignment under the converged centroids
+      val bcF = spark.sparkContext.broadcast(centroids)
+      val assignUdf = udf { (v: Seq[Double]) =>
+        val arr = v.toArray
+        var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+        while (c < bcF.value.length) {
+          val d = dtw(arr, bcF.value(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      val out = data.withColumn("cluster", assignUdf(col("vec")))
+        .select(col("sid").as("series"), col("cluster"))
         .orderBy("cluster", "series")
+      vecs.unpersist(false)
       KMeansResult(out, centroids, it)
     } finally data.unpersist()
   }
