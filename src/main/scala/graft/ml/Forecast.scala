@@ -146,17 +146,50 @@ object Arimax {
     val theta = w.slice(p, p + q)
     val beta = w.slice(p + q, p + q + exogCols.length)
 
-    // ---- bounded forecast state ----
-    val lastDiffs = Forecast.tail(diffed, "__y", order, p)
-    val lastResiduals =
-      if (q == 0) Array.empty[Double] else Forecast.tail(withResid, "__e", order, q)
-    val diffState = new Array[Double](d + 1)
-    var cur = pinned.withColumn("__l0", col(targetCol).cast("double"))
-    diffState(0) = Forecast.tail(cur, "__l0", order, 1).head
-    for (j <- 1 to d) {
-      cur = Lags.withDiff(pinned, targetCol, order, j, s"__l$j")
-      diffState(j) = Forecast.tail(cur.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
-    }
+    // ---- bounded forecast state: ONE tail collect ----
+    // The last-p diffs, last-q residuals, and the d+1 integration levels
+    // all derive from the last max(p, q, d+1) rows of the stage-1 frame
+    // (its na.drop removes only EARLY rows, so its tail is the series
+    // tail). The j-th-difference level replays withDiff's iterated
+    // e − lag(e) fold on the collected raw values — identical doubles —
+    // and 3 + d sequential driver jobs per fit collapse into one.
+    val kTail = math.max(math.max(p, q), d + 1)
+    val tailRows = withResid
+      .orderBy(order.map(c => col(c).desc): _*)
+      .select(col("__y").cast("double"), col("__e").cast("double"),
+        col(targetCol).cast("double"))
+      .limit(kTail).collect().reverse
+    val (lastDiffs, lastResiduals, diffState) =
+      if (tailRows.length >= kTail) {
+        val ds = new Array[Double](d + 1)
+        var lv = tailRows.map(_.getDouble(2)).takeRight(d + 1)
+        ds(0) = lv.last
+        for (j <- 1 to d) {
+          lv = lv.sliding(2).map(w => w(1) - w(0)).toArray
+          ds(j) = lv.last
+        }
+        (tailRows.map(_.getDouble(0)).takeRight(p),
+          if (q == 0) Array.empty[Double]
+          else tailRows.map(_.getDouble(1)).takeRight(q),
+          ds)
+      } else {
+        // tiny-series fallback: stage-1's lag drop consumed the tail
+        // window, so withResid is shorter than kTail — collect from the
+        // wider frames instead (extra bounded jobs; cold path only)
+        val ld = Forecast.tail(diffed, "__y", order, p)
+        val lr = if (q == 0) Array.empty[Double]
+          else Forecast.tail(withResid, "__e", order, q)
+        val ds = new Array[Double](d + 1)
+        ds(0) = Forecast.tail(
+          pinned.withColumn("__l0", col(targetCol).cast("double")),
+          "__l0", order, 1).head
+        for (j <- 1 to d) {
+          val cj = Lags.withDiff(pinned, targetCol, order, j, s"__l$j")
+          ds(j) = Forecast.tail(
+            cj.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
+        }
+        (ld, lr, ds)
+      }
     pinned.unpersist()
     ArimaxModel(p, d, q, phi, theta, beta, m2.intercept,
       lastDiffs, lastResiduals, diffState)
