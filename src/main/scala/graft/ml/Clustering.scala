@@ -217,6 +217,34 @@ object Clustering {
     scaled.drop(cols.flatMap(c => Seq(s"__mu_$c", s"__m2_$c")): _*)
   }
 
+  /** Pearson correlation matrix of `cols` in long form (var_a ≤ var_b,
+    * corr), from decimal-exact moment sums — ONE aggregate job over the
+    * data, k² bounded driver rows out. The reference inspects feature
+    * correlations before factor analysis / feature pruning
+    * (`ts_kmeans_base.ipynb`). The combination arithmetic runs in doubles
+    * with a fixed expression shape so an oracle reproduces it exactly.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import graft.ops.Exact.dsum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val aggs = (cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+      (for (i <- cols.indices; j <- i until cols.length)
+        yield dsum(col(cols(i)) * col(cols(j))).as(s"p_${i}_$j")) :+
+      count(lit(1)).as("n")).toSeq
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    def s(c: String) = r.getDouble(r.fieldIndex(s"s_$c"))
+    def p(i: Int, j: Int) = r.getDouble(r.fieldIndex(s"p_${i}_$j"))
+    val rows = for (i <- cols.indices; j <- i until cols.length) yield {
+      val num = n * p(i, j) - s(cols(i)) * s(cols(j))
+      val den = math.sqrt(n * p(i, i) - s(cols(i)) * s(cols(i))) *
+        math.sqrt(n * p(j, j) - s(cols(j)) * s(cols(j)))
+      (cols(i), cols(j), if (den == 0) 0.0 else num / den)
+    }
+    rows.toDF("var_a", "var_b", "corr")
+  }
+
   /** Min-max scale an array column per POSITION (the reference scales the
     * series matrix column-wise before DTW k-means, `ts_kmeans_base.ipynb#53`).
     */

@@ -134,6 +134,30 @@ object Ml {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ---- decimal-exact Pearson correlation matrix (feature analysis) ----
+    // Same moment-capture pattern as q56: decimal-exact sums, then a
+    // fixed double expression shape both engines evaluate identically.
+    Q("q88_corr_matrix", {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
+      val moments = (cs.map(c => s"${ds(c)} AS s_$c") ++
+        (for (i <- cs.indices; j <- i until cs.length)
+          yield s"${ds(s"${cs(i)} * ${cs(j)}")} AS p_${i}_$j") :+
+        "COUNT(*) AS n").mkString(", ")
+      val pairs = (for (i <- cs.indices; j <- i until cs.length) yield {
+        val num = s"(n * p_${i}_$j - s_${cs(i)} * s_${cs(j)})"
+        val den = s"(SQRT(n * p_${i}_$i - s_${cs(i)} * s_${cs(i)}) * " +
+          s"SQRT(n * p_${j}_$j - s_${cs(j)} * s_${cs(j)}))"
+        s"SELECT '${cs(i)}' AS var_a, '${cs(j)}' AS var_b, " +
+          s"CASE WHEN $den = 0 THEN 0.0 ELSE $num / $den END AS corr FROM m"
+      }).mkString(" UNION ALL ")
+      s"WITH m AS (SELECT $moments FROM lineitem) $pairs ORDER BY var_a, var_b"
+    }) { (s, dir) =>
+      Clustering.corrMatrix(lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("var_a", "var_b")
+    },
+
     // ---- PCA loadings over embeddings (M3) ----
     Q.noOracle("q54_pca_loadings") { (s, dir) =>
       Clustering.pcaLoadings(
