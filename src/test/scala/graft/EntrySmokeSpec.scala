@@ -5,6 +5,19 @@ import org.scalatest.funsuite.AnyFunSuite
 class EntrySmokeSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
+  test("worst-case Bench JSON line fits the driver's 2000-char capture window") {
+    // Rounds 2 and 3 both overflowed the window (parsed=null); short qNN
+    // keys fixed it. Guard the arithmetic as the registry grows: prefix +
+    // shortKey":999.999, per query + suffix must stay under ~1900 chars
+    // (the window also has to fit sbt's trailing [success] line).
+    val perQuery = SparkEntry.registry
+      .map(q => q.name.takeWhile(_ != '_').length + 12).sum
+    val line = 90 + perQuery + 40
+    assert(line < 1900, s"bench line worst case $line chars; shorten keys")
+    val short = SparkEntry.registry.map(_.name.takeWhile(_ != '_'))
+    assert(short.distinct.size == short.size, "short qNN keys must stay unique")
+  }
+
   test("entry (flagship disaggregation) returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
