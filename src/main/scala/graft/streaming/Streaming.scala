@@ -36,6 +36,23 @@ object Streaming {
       .agg(avg(col(valueCol)).as("avg_v"), count(lit(1)).as("n"))
       .select(col("w.start").as("day_start"), col("avg_v"), col("n"))
 
+  /** Per-key session windows over event time: activity bursts separated
+    * by ≥ `gap` of silence become one row (user_id, session start/end,
+    * n_events, sum_value) — the streaming twin of the batch
+    * `AsOf.sessionize` (q72), via Spark's native `session_window` (state
+    * merges adjacent windows as late rows arrive, closed by the
+    * watermark). Works on a streaming OR batch frame.
+    */
+  def sessionWindows(events: DataFrame, keyCol: String, tsCol: String,
+                     valueCol: String, gap: String = "30 minutes",
+                     watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_value"))
+
   /** Keyed record for streaming dedup. */
   final case class Doc(fp: String, id: Long, text: String)
 

@@ -33,6 +33,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows split a keyed feed on the silence gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val result = Streaming.sessionWindows(
+      input.toDF().toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", gap = "30 minutes")
+    val q = result.writeStream.format("memory")
+      .queryName("sessions").outputMode("complete").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        (1L, Timestamp.valueOf("2024-01-01 10:10:00"), 2.0), // same session
+        (1L, Timestamp.valueOf("2024-01-01 11:30:00"), 4.0), // >30m later
+        (2L, Timestamp.valueOf("2024-01-01 10:05:00"), 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .orderBy("user_id", "session_start").collect()
+      assert(rows.length === 3)
+      assert(rows(0).getAs[Long]("n_events") === 2L) // 10:00+10:10 merged
+      assert(rows(0).getAs[Double]("sum_value") === 3.0)
+      assert(rows(1).getAs[Long]("n_events") === 1L)
+      assert(rows(2).getAs[Long]("user_id") === 2L)
+    } finally q.stop()
+  }
+
   test("streaming dedup passes first doc per fingerprint, drops later dups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
