@@ -456,6 +456,25 @@ object Relational {
         .orderBy("bin_id")
     },
 
+    // ---- salted skew join (SURVEY §2.4 extension) ----
+    // Salting spreads hot fact keys over `salts` subtasks (dim side
+    // replicated per salt); the post-join aggregate must be EXACTLY the
+    // plain join's result, which is what the oracle hash-checks.
+    Q("q89_salted_join",
+      """SELECT c.c_custkey AS custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY custkey""".stripMargin) { (s, dir) =>
+      val fact = orders(s, dir)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = customer(s, dir).select(col("c_custkey").as("custkey"))
+      graft.ops.Skew.saltedJoin(fact, dim, "custkey", salts = 8,
+          saltExpr = Some(col("o_totalprice")))
+        .groupBy("custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("custkey")
+    },
+
     // ---- rollup / grouping sets (SURVEY §2.5 extension) ----
     Q("q74_rollup",
       """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
