@@ -516,6 +516,26 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- multimodal frame sampling (mapPartitions demux path, oracle) ----
+    // sampleFrames' stub demux slices the blob into fixed 32-byte frames
+    // and keeps every 2nd one; frames surface as hex strings (this
+    // DuckDB's md5/substring are VARCHAR-only, but hex(blob) slicing is
+    // byte-exact), so the whole explode/slice plumbing hash-checks.
+    Q("q90_frame_sample",
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS bh FROM documents),
+        |ix AS (SELECT doc_id, bh,
+        |    unnest(range(length(bh) // 64)) AS i FROM b),
+        |f AS (SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        |    substr(bh, CAST(i * 64 + 1 AS INTEGER), 64) AS frame_hex
+        |  FROM ix WHERE i % 2 = 0)
+        |SELECT doc_id, frame_idx, frame_hex FROM f
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
+      Multimodal.sampleFrames(blobs, "doc_id", "blob", frameSize = 32, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
+        .orderBy("doc_id", "frame_idx")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
