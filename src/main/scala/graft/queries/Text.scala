@@ -536,6 +536,31 @@ object Text {
         .orderBy("doc_id", "frame_idx")
     },
 
+    // ---- multimodal resize (per-partition batch path, oracle) ----
+    // fakeResize folds the blob into a w*h "thumbnail" by XOR at
+    // position i % (w*h); XOR is order-independent, so DuckDB replays it
+    // as a bit_xor group-by over hex-extracted bytes and reassembles the
+    // thumbnail hex. Absent positions (blob shorter than w*h) are 0 in
+    // both engines.
+    Q("q91_resize_blobs",
+      """WITH b AS (SELECT doc_id, hex(encode(text)) AS bh FROM documents),
+        |ix AS (SELECT doc_id, bh, unnest(range(length(bh) // 2)) AS i FROM b),
+        |by AS (SELECT doc_id, CAST(i % 256 AS INTEGER) AS pos,
+        |    CAST(('0x' || substr(bh, CAST(i * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS byte
+        |  FROM ix),
+        |p AS (SELECT doc_id, unnest(range(256)) AS pos FROM documents),
+        |px AS (SELECT p.doc_id, p.pos, COALESCE(bit_xor(by.byte), 0) AS v
+        |  FROM p LEFT JOIN by ON by.doc_id = p.doc_id AND by.pos = p.pos
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  string_agg(lpad(hex(v), 2, '0'), '' ORDER BY pos) AS resized_hex
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
+      Multimodal.resizeBlobs(blobs, "doc_id", "blob", 16, 16)
+        .select(col("doc_id"), hex(col("resized")).as("resized_hex"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
