@@ -239,9 +239,12 @@ object Similarity {
         col(vecCol).cast("array<double>")).as("__f"))
     // A coarse quantizer only partitions the corpus — recall comes from
     // nProbe, not centroid polish, so half MLlib's default iterations is
-    // plenty (and the full-probe equivalence (q78) holds for ANY centroids).
+    // plenty and a seeded sample is enough training data (standard IVF
+    // practice; the full-probe equivalence (q78) holds for ANY centroids).
+    val sampled = corpusF.sample(withReplacement = false, 0.25, seed)
+    val trainDf = if (sampled.count() >= nCells * 2L) sampled else corpusF
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("__f").setPredictionCol("__cell").fit(corpusF)
+      .setFeaturesCol("__f").setPredictionCol("__cell").fit(trainDf)
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
     val nearestCells = udf { (v: Seq[Double]) =>
