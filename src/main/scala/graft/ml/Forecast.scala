@@ -278,19 +278,29 @@ object CvObjective {
       // Materialize the cache once before fanning out, so concurrent fold
       // bodies read it instead of racing to compute the split subtree.
       folds.count()
-      graft.ops.Par.map(0 until nSplits) { f =>
-        val train = folds.filter(col("fold") === f && !col("is_val")).drop("fold", "is_val")
-        val valRows = folds.filter(col("fold") === f && col("is_val"))
-          .orderBy(dateCol)
-          .select((targetCol +: exogCols).map(c => col(c).cast("double")): _*)
-          .collect()
-        val actual = valRows.map(_.getDouble(0))
-        val exogVal = valRows.map(r => exogCols.indices.map(i => r.getDouble(i + 1)).toArray).toSeq
-        val preds = fitPredict(train, actual.length, exogVal)
-        preds.zip(actual).map { case (pd, a) => math.abs(pd - a) }.sum / actual.length
-      }
+      blockedCvMaeOnFolds(folds, dateCol, targetCol, exogCols, nSplits)(fitPredict)
     } finally folds.unpersist()
   }
+
+  /** Same objective over a PREBUILT (cached, materialized) `blockedFolds`
+    * frame — for evaluation grids where every cell shares the identical
+    * split (sensitivity cube, ablation groups, BO iterations): the split
+    * subtree runs once for the whole grid instead of once per cell.
+    */
+  def blockedCvMaeOnFolds(folds: DataFrame, dateCol: String, targetCol: String,
+                          exogCols: Seq[String], nSplits: Int)(
+      fitPredict: (DataFrame, Int, Seq[Array[Double]]) => Array[Double]): Seq[Double] =
+    graft.ops.Par.map(0 until nSplits) { f =>
+      val train = folds.filter(col("fold") === f && !col("is_val")).drop("fold", "is_val")
+      val valRows = folds.filter(col("fold") === f && col("is_val"))
+        .orderBy(dateCol)
+        .select((targetCol +: exogCols).map(c => col(c).cast("double")): _*)
+        .collect()
+      val actual = valRows.map(_.getDouble(0))
+      val exogVal = valRows.map(r => exogCols.indices.map(i => r.getDouble(i + 1)).toArray).toSeq
+      val preds = fitPredict(train, actual.length, exogVal)
+      preds.zip(actual).map { case (pd, a) => math.abs(pd - a) }.sum / actual.length
+    }
 
   /** Reference summary: (mean, population std) of the fold MAEs
     * (`np.mean`/`np.std`, `optimization.py:77`).

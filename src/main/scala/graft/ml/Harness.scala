@@ -19,12 +19,14 @@ object Harness {
                nSplits: Int, valSize: Double)(
       fitPredict: Seq[String] => (DataFrame, Int, Seq[Array[Double]]) => Array[Double])
     : Map[String, (Double, Double)] =
-    graft.ops.Par.map(groups.toSeq) { case (name, dropped) =>
-      val kept = exogCols.filterNot(dropped.contains)
-      val maes = CvObjective.blockedCvMae(series, dateCol, targetCol, kept,
-        nSplits, valSize)(fitPredict(kept))
-      name -> CvObjective.summary(maes)
-    }.toMap
+    sharedFolds(series, dateCol, nSplits, valSize) { folds =>
+      graft.ops.Par.map(groups.toSeq) { case (name, dropped) =>
+        val kept = exogCols.filterNot(dropped.contains)
+        val maes = CvObjective.blockedCvMaeOnFolds(folds, dateCol, targetCol,
+          kept, nSplits)(fitPredict(kept))
+        name -> CvObjective.summary(maes)
+      }.toMap
+    }
 
   /** M20 permutation importance (declared replacement for the reference's
     * SHAP KernelExplainer, SURVEY §7.3): per exog column, MAE delta of the
@@ -64,15 +66,27 @@ object Harness {
       d <- (d0 - delta) to (d0 + delta) if d >= 0
       q <- (q0 - delta) to (q0 + delta) if q >= 0
     } yield (p, d, q)
-    graft.ops.Par.map(cells) { case (p, d, q) =>
-      val maes = CvObjective.blockedCvMae(series, dateCol, targetCol, exogCols,
-        nSplits, valSize) { (train, steps, exogVal) =>
-        Arimax.fit(train, dateCol, targetCol, exogCols, p, d, q)
-          .forecast(steps, exogVal)
+    sharedFolds(series, dateCol, nSplits, valSize) { folds =>
+      graft.ops.Par.map(cells) { case (p, d, q) =>
+        val maes = CvObjective.blockedCvMaeOnFolds(folds, dateCol, targetCol,
+          exogCols, nSplits) { (train, steps, exogVal) =>
+          Arimax.fit(train, dateCol, targetCol, exogCols, p, d, q)
+            .forecast(steps, exogVal)
+        }
+        val (m, s) = CvObjective.summary(maes)
+        (p, d, q, m, s)
       }
-      val (m, s) = CvObjective.summary(maes)
-      (p, d, q, m, s)
     }
+  }
+
+  /** Build, cache, and materialize the blocked-CV fold frame once for a
+    * whole evaluation grid — every cell shares the identical split, so
+    * the split subtree should not re-run per cell.
+    */
+  private def sharedFolds[A](series: DataFrame, dateCol: String, nSplits: Int,
+                             valSize: Double)(body: DataFrame => A): A = {
+    val folds = Splits.blockedFolds(series, Seq(dateCol), nSplits, valSize).cache()
+    try { folds.count(); body(folds) } finally folds.unpersist()
   }
 
   /** M23 learning curve (`evaluation.ipynb#37-39`): blocked-CV objective

@@ -260,16 +260,19 @@ object Ml {
       import s.implicits._
       val y = graft.ts.Pinned.arimaxSeries
       val daily = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
-      val res = graft.ml.Bo.minimize(
+      // every BO iteration shares the identical fold split — build it once
+      val folds = graft.ops.Splits.blockedFolds(daily, Seq("day"), 2, 0.25).cache()
+      folds.count()
+      val res = try graft.ml.Bo.minimize(
         Seq(graft.ml.Bo.HpBound("p", 1, 3, isInt = true)),
         nIters = 3, searchSize = 64) { params =>
-        val maes = CvObjective.blockedCvMae(daily, "day", "val", Nil, 2, 0.25) {
+        val maes = CvObjective.blockedCvMaeOnFolds(folds, "day", "val", Nil, 2) {
           (train, steps, _) =>
             Arimax.fit(train, "day", "val", Nil,
               p = params("p").toInt, d = 0, q = 0).forecast(steps, Nil)
         }
         CvObjective.summary(maes)
-      }
+      } finally folds.unpersist()
       res.history.zipWithIndex.map { case ((params, mean, std), i) =>
         (i, params("p").toInt, mean, std, res.best("p").toInt, res.bestMean)
       }.toDF("iter", "p", "mae_mean", "mae_std", "best_p", "best_mae")
