@@ -456,6 +456,22 @@ object Relational {
         .orderBy("bin_id")
     },
 
+    // ---- name-driven projection pipeline (P1 + P2 + T6, oracle) ----
+    // Schema ops are driver-side metadata filters compiled into one plain
+    // select, so the oracle is just the explicit column list they resolve
+    // to — this pins the name-pattern keep, the substring drop, and the
+    // regex rename against a hash-compared row set.
+    Q("q92_projection_ops",
+      """SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+        |  l_quantity AS quantity, l_extendedprice AS extendedprice
+        |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin) { (s, dir) =>
+      val selected = graft.ops.Projections.selectByName(lineitem(s, dir),
+        c => c.matches("^l_(orderkey|linenumber|quantity|extendedprice|tax)$"))
+      val dropped = graft.ops.Projections.dropByContains(selected, "tax")
+      graft.ops.Reshape.renameByRegex(dropped, "^l_", "")
+        .orderBy("orderkey", "linenumber")
+    },
+
     // ---- salted skew join (SURVEY §2.4 extension) ----
     // Salting spreads hot fact keys over `salts` subtasks (dim side
     // replicated per salt); the post-join aggregate must be EXACTLY the

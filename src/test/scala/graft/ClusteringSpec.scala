@@ -121,4 +121,18 @@ class ClusteringSpec extends AnyFunSuite {
     assert(m(0).getSeq[Double](1) === Seq(10.0, 20.0, 30.0))
     assert(m(1).getSeq[Double](1) === Seq(5.0))
   }
+
+  test("corrMatrix: diag 1, symmetry-by-construction, perfect and bounded corr") {
+    val df = (1 to 50).map { i =>
+      (i.toDouble, 2.0 * i, 51.0 - i, (i * 37 % 11).toDouble)
+    }.toDF("x", "y2x", "neg", "noise")
+    val m = Clustering.corrMatrix(df, Seq("x", "y2x", "neg", "noise"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(m(("x", "x")) - 1.0) < 1e-12)
+    assert(math.abs(m(("x", "y2x")) - 1.0) < 1e-12)  // exact linear
+    assert(math.abs(m(("x", "neg")) + 1.0) < 1e-12)  // exact anti-linear
+    assert(m.values.forall(v => v >= -1.0 - 1e-12 && v <= 1.0 + 1e-12))
+    // long form carries each unordered pair once, var_a <= var_b in input order
+    assert(m.size === 10)
+  }
 }
