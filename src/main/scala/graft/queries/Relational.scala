@@ -456,6 +456,24 @@ object Relational {
         .orderBy("bin_id")
     },
 
+    // ---- CSV sink -> scan round-trip (K1 + S2, oracle) ----
+    // Sinks the nation table to a headered CSV, scans it back with the
+    // original schema, and joins region — the oracle reads the parquet
+    // directly, so a hash match proves the CSV write/read path is
+    // type- and value-faithful (quoting, nulls, numeric formats).
+    Q("q93_csv_roundtrip",
+      """SELECT n.n_nationkey, n.n_name, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q93").toString +
+        "/nation_csv"
+      graft.sources.Csv.sink(nation(s, dir), tmp)
+      val back = graft.sources.Csv.scan(s, tmp, Some(nation(s, dir).schema))
+      back.join(region(s, dir), back("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey")
+    },
+
     // ---- name-driven projection pipeline (P1 + P2 + T6, oracle) ----
     // Schema ops are driver-side metadata filters compiled into one plain
     // select, so the oracle is just the explicit column list they resolve
