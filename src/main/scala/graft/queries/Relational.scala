@@ -474,6 +474,27 @@ object Relational {
         .orderBy("n_nationkey")
     },
 
+    // ---- per-file partitioned sink -> partition-discovery scan (K2 + S8) ----
+    // Dynamic-partition CSV write keyed on the region, then a directory
+    // read that recovers the partition column from the layout; the oracle
+    // reads the parquet directly, so a hash match proves the partitioned
+    // write/discovery round-trip.
+    Q("q94_perfile_sink_glob",
+      """SELECT CAST(n_regionkey AS BIGINT) AS region_tag,
+        |  CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q94").toString +
+        "/nation_by_region"
+      graft.sources.Csv.sinkPerFile(
+        nation(s, dir).select(col("n_nationkey"), col("n_name"),
+          col("n_regionkey").as("region_tag")),
+        "region_tag", tmp)
+      graft.sources.Csv.scan(s, tmp)
+        .select(col("region_tag").cast("long"),
+          col("n_nationkey").cast("long"), col("n_name"))
+        .orderBy("n_nationkey")
+    },
+
     // ---- name-driven projection pipeline (P1 + P2 + T6, oracle) ----
     // Schema ops are driver-side metadata filters compiled into one plain
     // select, so the oracle is just the explicit column list they resolve
