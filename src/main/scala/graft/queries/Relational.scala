@@ -495,6 +495,46 @@ object Relational {
         .orderBy("n_nationkey")
     },
 
+    // ---- skip-preamble CSV scan (S4, oracle) ----
+    // Writes an EIA-export-shaped file (4 preamble lines + header + the
+    // region rows), scans it with the preamble dropped, and hash-checks
+    // against the parquet rows the file was derived from.
+    Q("q95_skip_preamble",
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin) { (s, dir) =>
+      val rows = region(s, dir).select(col("r_regionkey").cast("long"), col("r_name"))
+        .orderBy("r_regionkey").collect()
+      val content = "EIA consumption export\ngenerated: test\nunits: none\nsource: graft\n" +
+        "r_regionkey,r_name\n" +
+        rows.map(r => s"${r.getLong(0)},${r.getString(1)}").mkString("\n") + "\n"
+      val f = java.nio.file.Files.createTempDirectory("graft_q95")
+        .resolve("export.csv")
+      java.nio.file.Files.writeString(f, content)
+      graft.sources.Csv.skipPreamble(s, f.toString, 4)
+        .select(col("r_regionkey").cast("long"), col("r_name"))
+        .orderBy("r_regionkey")
+    },
+
+    // ---- CSV scan with parse_dates (S3, oracle) ----
+    // Round-trips an orders sample through CSV, re-reading the date
+    // column eagerly as a timestamp (pandas parse_dates semantics);
+    // output is the ISO date string so the parquet oracle compares
+    // exactly.
+    Q("q96_csv_parse_dates",
+      """SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q96").toString +
+        "/orders_csv"
+      graft.sources.Csv.sink(
+        orders(s, dir).filter(col("o_orderkey") < 1000)
+          .select(col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("od")), tmp)
+      graft.sources.Csv.scanWithDates(s, tmp, Seq("od"))
+        .select(col("o_orderkey").cast("long"),
+          date_format(col("od"), "yyyy-MM-dd").as("od"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- name-driven projection pipeline (P1 + P2 + T6, oracle) ----
     // Schema ops are driver-side metadata filters compiled into one plain
     // select, so the oracle is just the explicit column list they resolve
