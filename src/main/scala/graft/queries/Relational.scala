@@ -535,6 +535,46 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // ---- fixed-width .dly round-trip (S5, oracle) ----
+    // Formats per-user daily event counts into the GHCN .dly byte layout
+    // (ID[11] YEAR[4] MONTH[2] ELEMENT[4] + 31×[VALUE5 MQS]), parses it
+    // back through the generated-projection fixed-width reader, and
+    // hash-checks the wide month rows against DuckDB recomputing the counts
+    // from parquet. Integer counts — no float parity surface.
+    Q("q97_fixed_width_dly", {
+      val vals = (1 to 31).map(d =>
+        s"COALESCE(MAX(CASE WHEN dd = $d THEN CAST(c AS INT) END), -9999) AS VALUE$d")
+        .mkString(", ")
+      s"""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events WHERE user_id < 20),
+        |dc AS (SELECT user_id, year(d) AS y, month(d) AS m, day(d) AS dd, COUNT(*) AS c
+        |  FROM ev GROUP BY 1, 2, 3, 4)
+        |SELECT 'U' || lpad(CAST(user_id AS VARCHAR), 10, '0') AS ID,
+        |  CAST(y AS INT) AS YEAR, CAST(m AS INT) AS MONTH, 'CNT' AS ELEMENT, $vals
+        |FROM dc GROUP BY 1, 2, 3 ORDER BY ID, YEAR, MONTH""".stripMargin
+    }) { (s, dir) =>
+      val day = eventDay
+      val counts = events(s, dir).filter(col("user_id") < 20)
+        .groupBy(col("user_id"), year(day).as("y"), month(day).as("m"),
+          dayofmonth(day).as("dd"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+      val lines = counts.groupBy(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSeq.sortBy(_._1)
+        .map { case ((uid, y, m), rows) =>
+          val v = Array.fill(31)(-9999L)
+          rows.foreach(r => v(r.getInt(3) - 1) = r.getLong(4))
+          f"U$uid%010d" + f"$y%04d" + f"$m%02d" + "CNT " +
+            v.map(x => f"$x%5d" + "   ").mkString
+        }
+      val f = java.nio.file.Files.createTempDirectory("graft_q97")
+        .resolve("counts.dly")
+      java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
+      graft.sources.FixedWidth.readDly(s, f.toString)
+        .select(col("ID") +: col("YEAR") +: col("MONTH") +: col("ELEMENT") +:
+          (1 to 31).map(d => col(s"VALUE$d")): _*)
+        .orderBy("ID", "YEAR", "MONTH")
+    },
+
     // ---- name-driven projection pipeline (P1 + P2 + T6, oracle) ----
     // Schema ops are driver-side metadata filters compiled into one plain
     // select, so the oracle is just the explicit column list they resolve
