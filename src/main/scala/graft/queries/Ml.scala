@@ -55,6 +55,31 @@ object Ml {
         .orderBy("step")
     },
 
+    // ---- model artifact save/load round-trip (K3 + S9, oracle) ----
+    // Same fit, fixture, and golden as q49, but the forecast comes from a
+    // model that went through the JSON artifact sink and loader — a hash
+    // match proves serialization is double-lossless (shortest-round-trip
+    // doubles in, exact parse out).
+    Q("q100_artifact_roundtrip",
+      s"""SELECT step, CAST(pk AS DOUBLE)/1e9 AS pred
+        |FROM (VALUES ${Golden.arimaxRows}) t(step, pk)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val y = graft.ts.Pinned.arimaxSeries
+      val df = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
+      val train = df.filter(col("day") < graft.ts.Pinned.splitLong)
+      val model = Arimax.fit(train, "day", "val", Nil, p = 2, d = 1, q = 1)
+      val path = java.nio.file.Files.createTempDirectory("graft_q100")
+        .resolve("arimax.json").toString
+      graft.ml.Artifacts.saveArimax(model, path)
+      val loaded = graft.ml.Artifacts.loadArimax(path)
+      loaded.forecast(graft.ts.Pinned.nLong - graft.ts.Pinned.splitLong, Nil)
+        .zipWithIndex
+        .map { case (p, i) => (i + 1, p) }.toSeq.toDF("step", "pred")
+        .select(col("step"), snap9(col("pred")).as("pred"))
+        .orderBy("step")
+    },
+
     // ---- blocked-CV forecast objective (M19 + A12 fold summary) ----
     Q.noOracle("q50_cv_objective") { (s, dir) =>
       import s.implicits._

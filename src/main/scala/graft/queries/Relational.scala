@@ -575,6 +575,63 @@ object Relational {
         .orderBy("ID", "YEAR", "MONTH")
     },
 
+    // ---- fixed-width stations round-trip (S6, oracle) ----
+    // Formats customers into the GHCN stations byte layout (ID[11],
+    // lat[13-20] = acctbal, name[42-71]), parses back through the pinned
+    // offsets, and hash-checks vs parquet. The 2-dp decimal renders
+    // exactly and string→double / decimal→double both correctly round,
+    // so the lat column compares bit-exact.
+    Q("q98_fixed_width_stations",
+      """SELECT 'C' || lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS ID,
+        |  CAST(c_acctbal AS DOUBLE) AS lat, 'MI ' || c_name AS city
+        |FROM customer WHERE c_custkey <= 1000 ORDER BY ID""".stripMargin) { (s, dir) =>
+      val rows = customer(s, dir).filter(col("c_custkey") <= 1000)
+        .select(col("c_custkey").cast("long"), col("c_acctbal"), col("c_name"))
+        .orderBy("c_custkey").collect()
+      val lines = rows.map { r =>
+        // acctbal is a 2-dp value stored as double: %.2f prints exactly
+        // those decimals and the string parses back to the same double
+        val bal = r.getDouble(1)
+        f"C${r.getLong(0)}%010d" + " " + f"$bal%8.2f" + " " + " " * 9 + " " +
+          " " * 6 + " " + "MI" + " " + f"${r.getString(2)}%-30s"
+      }
+      val f = java.nio.file.Files.createTempDirectory("graft_q98")
+        .resolve("stations.txt")
+      java.nio.file.Files.writeString(f, lines.mkString("\n") + "\n")
+      graft.sources.FixedWidth.readStations(s, f.toString)
+        .select(col("ID"), col("lat"), col("city"))
+        .orderBy("ID")
+    },
+
+    // ---- GeoJSON ring + point-in-polygon filter (S7 + J4, oracle) ----
+    // Customers get deterministic dyadic coordinates; the ring is an
+    // axis-aligned square written as a GeoJSON artifact and read back, so
+    // ray-cast containment degenerates to an exact bounds check the
+    // oracle states directly. Dyadic grid offsets keep every point
+    // strictly off the boundary — no edge-semantics ambiguity.
+    Q("q99_geo_filter",
+      """SELECT c_custkey,
+        |  CAST((c_custkey % 64) AS DOUBLE) / 8 - 4 AS lon,
+        |  CAST(((c_custkey * 7) % 64) AS DOUBLE) / 8 - 4 AS lat
+        |FROM customer
+        |WHERE c_custkey % 64 BETWEEN 8 AND 24
+        |  AND (c_custkey * 7) % 64 BETWEEN 8 AND 24
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      // ring bounds at -49/16 and -15/16: off the points' 1/8 grid, so no
+      // coordinate ever lands exactly on the boundary
+      val geojson = """{"type":"Feature","geometry":{"type":"Polygon",
+        |"coordinates":[[[-3.0625,-3.0625],[-0.9375,-3.0625],[-0.9375,-0.9375],[-3.0625,-0.9375],[-3.0625,-3.0625]]]}}""".stripMargin
+      val f = java.nio.file.Files.createTempDirectory("graft_q99")
+        .resolve("square.geojson")
+      java.nio.file.Files.writeString(f, geojson)
+      val ring = graft.geo.Geo.readPolygonRing(f.toString)
+      val pts = customer(s, dir).select(col("c_custkey"),
+        (pmod(col("c_custkey"), lit(64)).cast("double") / 8 - 4).as("lon"),
+        (pmod(col("c_custkey") * 7, lit(64)).cast("double") / 8 - 4).as("lat"))
+      graft.geo.Geo.filterInPolygon(pts, "lon", "lat", ring)
+        .orderBy("c_custkey")
+    },
+
     // ---- name-driven projection pipeline (P1 + P2 + T6, oracle) ----
     // Schema ops are driver-side metadata filters compiled into one plain
     // select, so the oracle is just the explicit column list they resolve
