@@ -333,19 +333,31 @@ object Ml {
         .orderBy("feature")
     },
 
-    // ---- ablation study over exog feature groups (M21) ----
-    Q.noOracle("q82_ablation") { (s, dir) =>
+    // ---- ablation study over exog feature groups (M21, golden oracle) ----
+    // Same pinned fixture as q81 (target leans on x1 by construction, so
+    // dropping it must cost MAE) — the whole harness loop is ARIMAX
+    // decimal-exact math, hash-checked against recorded goldens. The
+    // heavier real-data harness rows stay q83/q84.
+    Q("q82_ablation",
+      s"""SELECT grp AS "group", CAST(mk AS DOUBLE)/1e9 AS mae_mean,
+        |  CAST(sk AS DOUBLE)/1e9 AS mae_std
+        |FROM (VALUES ${Golden.ablationRows}) t(grp, mk, sk)
+        |ORDER BY grp""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = Series.dailySeries(s, dir)
-        .withColumn("n_events", col("n_events").cast("double"))
-      val res = graft.ml.Harness.ablation(daily, "day", "val", Seq("n_events"),
-        Map("full" -> Nil, "drop_n_events" -> Seq("n_events")),
+      val ex = graft.ts.Pinned.exogSeries
+      val y = graft.ts.Pinned.arimaxSeries.zip(ex).map { case (v, x) => v + 2 * x }
+      val daily = y.indices.map(i => (i, y(i), ex(i))).toDF("day", "val", "x1")
+      val res = graft.ml.Harness.ablation(daily, "day", "val", Seq("x1"),
+        Map("full" -> Nil, "drop_x1" -> Seq("x1")),
         nSplits = 2, valSize = 0.25) { kept => (train, steps, exogVal) =>
         Arimax.fit(train, "day", "val", kept, p = 2, d = 0, q = 0)
           .forecast(steps, exogVal)
       }
       res.toSeq.map { case (g, (m, sd)) => (g, m, sd) }
-        .toDF("group", "mae_mean", "mae_std").orderBy("group")
+        .toDF("group", "mae_mean", "mae_std")
+        .select(col("group"), snap9(col("mae_mean")).as("mae_mean"),
+          snap9(col("mae_std")).as("mae_std"))
+        .orderBy("group")
     },
 
     // ---- ARIMAX order sensitivity grid (M22) ----

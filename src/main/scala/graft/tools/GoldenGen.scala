@@ -54,6 +54,11 @@ object GoldenGen {
       .orderBy("feature").collect()
     println("-- q81 (feature, dk):")
     println(q81.map(r => s"('${r.getString(0)}', ${kd(r.getDouble(1))})").mkString(", "))
+    val q82 = graft.SparkEntry.queries("q82_ablation")(spark, dir)
+      .orderBy("group").collect()
+    println("-- q82 (grp, mk, sk):")
+    println(q82.map(r => s"('${r.getString(0)}', ${kd(r.getDouble(1))}, " +
+      s"${kd(r.getDouble(2))})").mkString(", "))
     spark.stop()
   }
 }
