@@ -238,9 +238,12 @@ object Clustering {
     def p(i: Int, j: Int) = r.getDouble(r.fieldIndex(s"p_${i}_$j"))
     val rows = for (i <- cols.indices; j <- i until cols.length) yield {
       val num = n * p(i, j) - s(cols(i)) * s(cols(j))
-      val den = math.sqrt(n * p(i, i) - s(cols(i)) * s(cols(i))) *
-        math.sqrt(n * p(j, j) - s(cols(j)) * s(cols(j)))
-      (cols(i), cols(j), if (den == 0) 0.0 else num / den)
+      // Clamp at 0: for a (near-)constant column the rounded variance
+      // term can land slightly negative, and sqrt(negative) = NaN would
+      // slip past a `den == 0` guard. NaN/0 denominator → corr 0.
+      val den = math.sqrt(math.max(0.0, n * p(i, i) - s(cols(i)) * s(cols(i)))) *
+        math.sqrt(math.max(0.0, n * p(j, j) - s(cols(j)) * s(cols(j))))
+      (cols(i), cols(j), if (den == 0 || den.isNaN) 0.0 else num / den)
     }
     rows.toDF("var_a", "var_b", "corr")
   }

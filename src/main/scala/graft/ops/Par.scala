@@ -25,15 +25,25 @@ object Par {
     if (xs.lengthCompare(1) <= 0 || parallelism <= 1) xs.map(f)
     else {
       val pool = Executors.newFixedThreadPool(math.min(xs.size, parallelism))
+      val futures = xs.map { x =>
+        pool.submit(new Callable[B] { def call(): B = f(x) })
+      }
       try {
-        val futures = xs.map { x =>
-          pool.submit(new Callable[B] { def call(): B = f(x) })
-        }
-        futures.map { fut =>
+        val out = futures.map { fut =>
           try fut.get()
           catch { case e: ExecutionException => throw e.getCause }
         }
-      } finally pool.shutdown()
+        pool.shutdown()
+        out
+      } catch {
+        case t: Throwable =>
+          // A failing cell stops the rest of the fan-out: cancel what
+          // hasn't started, interrupt what has, and drop the pool — no
+          // orphaned Spark job trees keep running in a leaked pool.
+          futures.foreach(_.cancel(true))
+          pool.shutdownNow()
+          throw t
+      }
     }
   }
 }

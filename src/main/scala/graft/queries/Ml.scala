@@ -38,7 +38,9 @@ object Ml {
     // sums, driver-side solve, sequential forecast recursion), so on the
     // pinned 360-point series it hash-checks against recorded goldens —
     // the same scheme as q61/q62. Real-data ARIMAX stays exercised by
-    // q82/q83/q84 and the planted-recovery MlSpec fixtures.
+    // q83/q84 (rows-only, SF-dependent by design — COVERAGE.md tail
+    // table) and the planted-recovery MlSpec fixtures; q82's ablation
+    // core is on the pinned fixture like this query.
     Q("q49_arimax_forecast",
       s"""SELECT step, CAST(pk AS DOUBLE)/1e9 AS pred
         |FROM (VALUES ${Golden.arimaxRows}) t(step, pk)

@@ -67,12 +67,12 @@ object Csv {
       : Seq[String] = {
     val dir = java.nio.file.Paths.get(stagingDir)
     java.nio.file.Files.createDirectories(dir)
-    urls.map { url =>
-      val name = url.split('/').last match {
-        case "" | null => "download.csv"
-        case n         => n
-      }
-      val target = dir.resolve(name)
+    urls.zipWithIndex.map { case (url, i) =>
+      // Index-prefixed staging names: two URLs sharing a basename (or a
+      // URL ending in '/', whose split yields the host segment) can never
+      // silently overwrite each other in the staging dir.
+      val base = url.split('/').filter(_.nonEmpty).lastOption.getOrElse("download.csv")
+      val target = dir.resolve(f"$i%04d-$base")
       val in = transport(url)
       try java.nio.file.Files.copy(in, target,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -135,4 +135,18 @@ class ClusteringSpec extends AnyFunSuite {
     // long form carries each unordered pair once, var_a <= var_b in input order
     assert(m.size === 10)
   }
+
+  test("corrMatrix: (near-)constant column yields corr 0, never NaN") {
+    // A constant column's variance term can round slightly negative
+    // (sqrt → NaN); the engine must clamp and report 0, and a tiny
+    // near-constant jitter must stay finite too.
+    val df = (1 to 40).map { i =>
+      (i.toDouble, 7.0, 3.0 + (if (i == 1) 1e-13 else 0.0))
+    }.toDF("x", "const", "nearConst")
+    val m = Clustering.corrMatrix(df, Seq("x", "const", "nearConst"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(m.values.forall(v => !v.isNaN), s"NaN leaked: $m")
+    assert(m(("x", "const")) === 0.0)
+    assert(m(("const", "const")) === 0.0 || m(("const", "const")) === 1.0)
+  }
 }

@@ -25,6 +25,23 @@ class ParSpec extends AnyFunSuite {
     assert(e.getMessage == "boom")
   }
 
+  test("failure cancels the remaining fan-out") {
+    // After one body throws, queued bodies must not keep running in a
+    // leaked pool: count how many bodies ever start.
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    intercept[IllegalStateException] {
+      Par.map(1 to 64, parallelism = 2) { x =>
+        started.incrementAndGet()
+        if (x <= 2) throw new IllegalStateException("boom")
+        Thread.sleep(5L)
+        x
+      }
+    }
+    Thread.sleep(100L) // grace: anything leaked would start here
+    assert(started.get() < 64,
+      s"all ${started.get()} bodies ran despite an early failure — fan-out not cancelled")
+  }
+
   test("nested maps complete (outer grid over inner folds)") {
     // a single shared fixed pool deadlocks here: outer bodies block on
     // inner futures that can never get a thread. Fresh pool per call must

@@ -86,15 +86,23 @@ class SourcesGeoSpec extends AnyFunSuite {
     // file: URL through the default URL-stream transport — the same code
     // path an HTTP(S) URL takes where egress exists
     val staged = Csv.downloadToStaging(Seq("file://" + src), staging)
-    assert(staged === Seq(s"$staging/eia_export.csv"))
+    assert(staged === Seq(s"$staging/0000-eia_export.csv"))
     val df = Csv.scan(spark, staged.head).orderBy("city")
     assert(df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
       Seq(("Detroit", 12), ("Lansing", 7)))
 
-    // injectable transport: no filesystem/network dependence
-    val staged2 = Csv.downloadToStaging(Seq("synthetic://x/inline.csv"), staging,
-      _ => new java.io.ByteArrayInputStream("a,b\n1,2\n".getBytes))
-    assert(Files.readString(java.nio.file.Paths.get(staged2.head)) === "a,b\n1,2\n")
+    // injectable transport: no filesystem/network dependence. Two URLs
+    // sharing a basename must stage to distinct files (index prefix),
+    // and a trailing-slash URL falls back to its last non-empty segment.
+    val staged2 = Csv.downloadToStaging(
+      Seq("synthetic://x/inline.csv", "synthetic://y/inline.csv", "synthetic://host/dir/"),
+      staging,
+      u => new java.io.ByteArrayInputStream(s"a,b\n$u\n".getBytes))
+    assert(staged2.distinct.size === 3)
+    assert(staged2(0).endsWith("0000-inline.csv") && staged2(1).endsWith("0001-inline.csv"))
+    assert(staged2(2).endsWith("0002-dir"))
+    assert(Files.readString(java.nio.file.Paths.get(staged2(1)))
+      .contains("synthetic://y/inline.csv"))
   }
 
   test("CSV sink round-trip (K1) and per-file sink layout (K2)") {
