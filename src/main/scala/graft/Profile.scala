@@ -24,12 +24,39 @@ object Profile {
       println(f"$name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
+    // q88 decomposition: decimal-capture product moments vs plain doubles
+    locally {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      time("q88 scan+count") { li.select(cs.map(col): _*).count() }
+      val dAggs = (cs.map(c => sum(col(c)).as(s"s_$c")) ++
+        (for (i <- cs.indices; j <- i until cs.length)
+          yield sum(col(cs(i)) * col(cs(j))).as(s"p_${i}_$j")) :+
+        count(lit(1)).as("n"))
+      time("q88 double moments") { li.agg(dAggs.head, dAggs.tail: _*).head() }
+      time("q88 decimal (bench-exact)") {
+        Clustering.corrMatrix(li, cs).write.format("noop").mode("overwrite").save()
+      }
+      time("q88 decimal warm") {
+        Clustering.corrMatrix(li, cs).write.format("noop").mode("overwrite").save()
+      }
+    }
+    // bench-exact q53: NO outer cache — dtwKMeans materializes upstream
+    time("q53 bench-exact cold") {
+      SparkEntry.queries("q53_dtw_kmeans")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q53 bench-exact warm") {
+      SparkEntry.queries("q53_dtw_kmeans")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
     val daily = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), Tables.eventDay.as("day"))
       .agg(graft.ops.Exact.davg(col("value")).as("val"))
     val dense = Clustering.completeSeries(daily, Seq("user_id"), "day", "val")
     val series = Clustering.seriesMatrix(dense, Seq("user_id"), "day", "val")
     val scaled = Clustering.minMaxScaleArray(series, "vec", "svec")
+    time("prep uncached count") { scaled.count() }
     val n = time("prep (count scaled)") { scaled.cache().count() }
     println(s"n series = $n")
     val len = scaled.select(size(col("svec"))).head.getInt(0)

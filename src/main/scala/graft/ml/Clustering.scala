@@ -28,22 +28,40 @@ object Clustering {
   /** Classic O(n·m) dynamic-time-warping distance (euclidean point cost,
     * full window) between two series.
     */
-  def dtw(a: Array[Double], b: Array[Double]): Double = {
+  def dtw(a: Array[Double], b: Array[Double]): Double =
+    dtwBounded(a, b, Double.PositiveInfinity)
+
+  /** [[dtw]] with an exact early-abandon cutoff (UCR-suite style): DP
+    * row minima only grow, so once a full row exceeds `cutoff`² no
+    * alignment path can come back under it and the true distance is
+    * ≥ `cutoff` — return +∞ without finishing the matrix. Callers that
+    * only compare against a best-so-far (argmin assignment, min-distance
+    * folds) get identical results with most non-winning matrices
+    * abandoned after a few rows.
+    */
+  def dtwBounded(a: Array[Double], b: Array[Double], cutoff: Double): Double = {
     val n = a.length; val m = b.length
     if (n == 0 || m == 0) return if (n == m) 0.0 else Double.PositiveInfinity
+    val cutoffSq =
+      if (cutoff == Double.PositiveInfinity) Double.PositiveInfinity
+      else cutoff * cutoff
     val prev = new Array[Double](m + 1)
     val cur = new Array[Double](m + 1)
     java.util.Arrays.fill(prev, Double.PositiveInfinity)
     prev(0) = 0.0
     var i = 1
     while (i <= n) {
-      java.util.Arrays.fill(cur, Double.PositiveInfinity)
+      cur(0) = Double.PositiveInfinity
+      var rowMin = Double.PositiveInfinity
       var j = 1
       while (j <= m) {
         val d = a(i - 1) - b(j - 1)
-        cur(j) = d * d + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        val v = d * d + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+        cur(j) = v
+        if (v < rowMin) rowMin = v
         j += 1
       }
+      if (rowMin > cutoffSq) return Double.PositiveInfinity
       System.arraycopy(cur, 0, prev, 0, m + 1)
       i += 1
     }
@@ -69,7 +87,10 @@ object Clustering {
       col(vecCol).cast("array<double>").as("vec")).cache()
     try {
       val n = data.count()
-      require(n >= k, s"need >= $k series, got $n")
+      require(k >= 1 && n >= 1, s"need k >= 1 and data, got k=$k n=$n")
+      // Clamp k to the series count (callers previously ran an extra
+      // count() job over the full input DAG just to pre-clamp).
+      val kEff = math.min(k.toLong, n).toInt
       // Seeded first-centroid pick as a distributed argmin over a salted
       // hash — uniform like a shuffle-and-take-head, but no O(#series)
       // driver collect (the previous init materialized every id on the
@@ -95,15 +116,24 @@ object Clustering {
           if (c != 0) c else b._1.compareTo(a._1)
         }
       }
+      // Size the iterative state's partitioning by the series count, not
+      // the upstream shuffle width: the init/Lloyd loops run ~k + iters
+      // sequential jobs over this bounded state, and at 32 near-empty
+      // partitions per job the task-launch overhead dwarfs the DTW math.
+      // ~512 series per partition keeps tasks meaningfully sized; large
+      // series counts still spread to full parallelism.
+      val statePartitions = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, (n / 512 + 1).toInt))
       var stateRdd = data.rdd
         .map(r => (r.getString(0), r.getSeq[Double](1).toArray,
           Double.PositiveInfinity))
+        .coalesce(statePartitions)
         .persist()
-      while (init.length < k) {
+      while (init.length < kEff) {
         val newest = init.last
         val prev = stateRdd
         stateRdd = prev
-          .map { case (sid, v, d) => (sid, v, math.min(d, dtw(v, newest))) }
+          .map { case (sid, v, d) => (sid, v, math.min(d, dtwBounded(v, newest, d))) }
           .persist()
         val far = stateRdd.max()(farthestOrd)
         init += far._2
@@ -118,7 +148,9 @@ object Clustering {
       // plan + codegen per iteration and ran two jobs (assign, pointwise
       // mean) — plan overhead exceeded the DTW math itself.
       val vecs = data.rdd
-        .map(r => (r.getString(0), r.getSeq[Double](1).toArray)).persist()
+        .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+        .coalesce(statePartitions)
+        .persist()
       var it = 0
       var changed = true
       while (it < maxIter && changed) {
@@ -130,7 +162,7 @@ object Clustering {
           rows.foreach { case (_, v) =>
             var best = 0; var bestD = Double.PositiveInfinity; var c = 0
             while (c < kk) {
-              val d = dtw(v, bc.value(c))
+              val d = dtwBounded(v, bc.value(c), bestD)
               if (d < bestD) { bestD = d; best = c }
               c += 1
             }
@@ -159,21 +191,26 @@ object Clustering {
         centroids = next
         it += 1
       }
-      // final assignment under the converged centroids
+      // Final assignment on the already-persisted vecs RDD, materialized
+      // EAGERLY (localCheckpoint) while the cache is still alive: the
+      // returned frame used to carry the full upstream lineage, so
+      // consuming it after the `finally` unpersist recomputed the whole
+      // input DAG a second time — at sf0.1 the input prep cost ~2× the
+      // clustering itself. The checkpointed result is 2 small columns per
+      // series (bounded pin), and the assignment stays distributed.
       val bcF = spark.sparkContext.broadcast(centroids)
-      val assignUdf = udf { (v: Seq[Double]) =>
-        val arr = v.toArray
+      import spark.implicits._
+      val out = vecs.map { case (sid, v) =>
         var best = 0; var bestD = Double.PositiveInfinity; var c = 0
         while (c < bcF.value.length) {
-          val d = dtw(arr, bcF.value(c))
+          val d = dtwBounded(v, bcF.value(c), bestD)
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        best
-      }
-      val out = data.withColumn("cluster", assignUdf(col("vec")))
-        .select(col("sid").as("series"), col("cluster"))
+        (sid, best)
+      }.toDF("series", "cluster")
         .orderBy("cluster", "series")
+        .localCheckpoint()
       vecs.unpersist(false)
       KMeansResult(out, centroids, it)
     } finally data.unpersist()
@@ -243,6 +280,48 @@ object Clustering {
       // slip past a `den == 0` guard. NaN/0 denominator → corr 0.
       val den = math.sqrt(math.max(0.0, n * p(i, i) - s(cols(i)) * s(cols(i)))) *
         math.sqrt(math.max(0.0, n * p(j, j) - s(cols(j)) * s(cols(j))))
+      (cols(i), cols(j), if (den == 0 || den.isNaN) 0.0 else num / den)
+    }
+    rows.toDF("var_a", "var_b", "corr")
+  }
+
+  /** [[corrMatrix]] for decimal-grained columns (fixed `decimals` digits,
+    * e.g. 2-dp money/quantity measures): snaps each value to its integer
+    * grid (`floor(x·10^d + 0.5)` — the same IEEE double ops in any
+    * engine, so the longs are identical by construction) and sums the
+    * O(k²) product moments as LONGS with a hi/lo 2²⁶ split. All codegen'd
+    * integer arithmetic — no per-row BigDecimal conversion, which made
+    * the general decimal-capture variant ~5× slower at sf0.1 — while
+    * staying exact and partition-order-invariant. Bounds (documented, not
+    * silent): |x|·10^d < 1e8 and n < ~6e10 rows keep every partial sum in
+    * range; ANSI mode turns an overflow into an error, never a wrong sum.
+    * The driver reconstructs each moment with a fixed expression shape
+    * (`hi·2²⁶ + lo, then one divide`) that an oracle replays bit-for-bit.
+    */
+  def corrMatrixGrid(df: DataFrame, cols: Seq[String], decimals: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scale = math.pow(10.0, decimals)
+    val ks = cols.map(c => floor(col(c) * lit(scale) + lit(0.5)).cast("long"))
+    val Shift = 26
+    val Mask = (1L << Shift) - 1
+    val loAggs = (cols.indices.map(i => sum(ks(i)).as(s"s_$i")) ++
+      (for (i <- cols.indices; j <- i until cols.length) yield Seq(
+        sum(shiftright(ks(i) * ks(j), Shift)).as(s"hi_${i}_$j"),
+        sum((ks(i) * ks(j)).bitwiseAND(lit(Mask))).as(s"lo_${i}_$j"))).flatten :+
+      count(lit(1)).as("n")).toSeq
+    val r = df.agg(loAggs.head, loAggs.tail: _*).head()
+    val n = r.getLong(r.fieldIndex("n")).toDouble
+    def s(i: Int) = r.getLong(r.fieldIndex(s"s_$i")).toDouble / scale
+    def p(i: Int, j: Int) = {
+      val hi = r.getLong(r.fieldIndex(s"hi_${i}_$j")).toDouble
+      val lo = r.getLong(r.fieldIndex(s"lo_${i}_$j")).toDouble
+      (hi * (1L << Shift).toDouble + lo) / (scale * scale)
+    }
+    val rows = for (i <- cols.indices; j <- i until cols.length) yield {
+      val num = n * p(i, j) - s(i) * s(j)
+      val den = math.sqrt(math.max(0.0, n * p(i, i) - s(i) * s(i))) *
+        math.sqrt(math.max(0.0, n * p(j, j) - s(j) * s(j)))
       (cols(i), cols(j), if (den == 0 || den.isNaN) 0.0 else num / den)
     }
     rows.toDF("var_a", "var_b", "corr")

@@ -125,8 +125,9 @@ object Ml {
       val dense = Clustering.completeSeries(daily, Seq("user_id"), "day", "val")
       val series = Clustering.seriesMatrix(dense, Seq("user_id"), "day", "val")
       val scaled = Clustering.minMaxScaleArray(series, "vec", "svec")
-      val k = math.min(12, scaled.count().toInt)
-      val res = Clustering.dtwKMeans(scaled, "user_id", "svec", k, maxIter = 5)
+      // k clamps to the series count inside dtwKMeans — no extra
+      // count() job over the full input DAG
+      val res = Clustering.dtwKMeans(scaled, "user_id", "svec", k = 12, maxIter = 5)
       res.assignments
     },
 
@@ -161,27 +162,37 @@ object Ml {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // ---- decimal-exact Pearson correlation matrix (feature analysis) ----
-    // Same moment-capture pattern as q56: decimal-exact sums, then a
-    // fixed double expression shape both engines evaluate identically.
+    // ---- exact Pearson correlation matrix (feature analysis) ----
+    // Grid-snapped long moments (corrMatrixGrid): the measures are 2-dp
+    // decimal-grained, so snapping to scaled longs is lossless, the
+    // product sums run as codegen'd integer arithmetic with a hi/lo 2^26
+    // split (the old per-row DECIMAL(30,6) capture paid ~3 s of
+    // BigDecimal conversions at sf0.1), and the oracle replays the exact
+    // same long sums + fixed double reconstruction shape.
     Q("q88_corr_matrix", {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      def ds(e: String) = s"CAST(SUM(CAST($e AS DECIMAL(30,6))) AS DOUBLE)"
-      val moments = (cs.map(c => s"${ds(c)} AS s_$c") ++
-        (for (i <- cs.indices; j <- i until cs.length)
-          yield s"${ds(s"${cs(i)} * ${cs(j)}")} AS p_${i}_$j") :+
+      val snapped = cs.zipWithIndex.map { case (c, i) =>
+        s"CAST(FLOOR($c * 100.0 + 0.5) AS BIGINT) AS k$i"
+      }.mkString(", ")
+      val moments = (cs.indices.map(i =>
+          s"CAST(SUM(k$i) AS DOUBLE)/100.0 AS s_$i") ++
+        (for (i <- cs.indices; j <- i until cs.length) yield
+          s"(CAST(SUM((k$i * k$j) >> 26) AS DOUBLE) * 67108864.0 + " +
+          s"CAST(SUM((k$i * k$j) & 67108863) AS DOUBLE))/10000.0 AS p_${i}_$j") :+
         "COUNT(*) AS n").mkString(", ")
       val pairs = (for (i <- cs.indices; j <- i until cs.length) yield {
-        val num = s"(n * p_${i}_$j - s_${cs(i)} * s_${cs(j)})"
-        val den = s"(SQRT(n * p_${i}_$i - s_${cs(i)} * s_${cs(i)}) * " +
-          s"SQRT(n * p_${j}_$j - s_${cs(j)} * s_${cs(j)}))"
+        val num = s"(n * p_${i}_$j - s_$i * s_$j)"
+        val den = s"(SQRT(GREATEST(0.0, n * p_${i}_$i - s_$i * s_$i)) * " +
+          s"SQRT(GREATEST(0.0, n * p_${j}_$j - s_$j * s_$j)))"
         s"SELECT '${cs(i)}' AS var_a, '${cs(j)}' AS var_b, " +
           s"CASE WHEN $den = 0 THEN 0.0 ELSE $num / $den END AS corr FROM m"
       }).mkString(" UNION ALL ")
-      s"WITH m AS (SELECT $moments FROM lineitem) $pairs ORDER BY var_a, var_b"
+      s"WITH kk AS (SELECT $snapped FROM lineitem), " +
+        s"m AS (SELECT $moments FROM kk) $pairs ORDER BY var_a, var_b"
     }) { (s, dir) =>
-      Clustering.corrMatrix(lineitem(s, dir),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      Clustering.corrMatrixGrid(lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        decimals = 2)
         .orderBy("var_a", "var_b")
     },
 

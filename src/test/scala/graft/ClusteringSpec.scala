@@ -136,6 +136,23 @@ class ClusteringSpec extends AnyFunSuite {
     assert(m.size === 10)
   }
 
+  test("corrMatrixGrid agrees with corrMatrix on decimal-grained data") {
+    // 2-dp-grained columns: the grid snap is lossless, so the long-sum
+    // moments are the same rationals the decimal capture produces and
+    // the correlations agree to reconstruction rounding.
+    val df = (1 to 200).map { i =>
+      (i.toDouble, (i * 37 % 113) / 100.0 * 25, ((i * 91) % 47) / 4.0)
+    }.toDF("a", "b", "c")
+    def toMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(Clustering.corrMatrix(df, Seq("a", "b", "c")))
+    val grid = toMap(Clustering.corrMatrixGrid(df, Seq("a", "b", "c"), decimals = 2))
+    assert(exact.keySet === grid.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - grid(k)) < 1e-12, s"$k: $v vs ${grid(k)}")
+    }
+  }
+
   test("corrMatrix: (near-)constant column yields corr 0, never NaN") {
     // A constant column's variance term can round slightly negative
     // (sqrt → NaN); the engine must clamp and report 0, and a tiny
