@@ -47,10 +47,17 @@ object Bench {
     }
     val results = selected.map { q =>
       // Isolate queries from each other's leftovers before starting the
-      // clock: drop cached plans and let the ContextCleaner release prior
-      // queries' localCheckpoint blocks. Round 3 showed a uniform
-      // +0.5-1.2s drift on ~20 small queries as the suite grew — heap
-      // debt from earlier queries' pinned blocks, not plan regressions.
+      // clock. Round 3 showed a uniform +0.5-1.2s drift on ~20 small
+      // queries as the suite grew; round 5 showed a 7.4x spike on the
+      // query following a localCheckpoint-heavy one. Both trace to
+      // ASYNC cleanup (GC-driven ContextCleaner block removal) landing
+      // inside the next query's timed region, so release everything
+      // synchronously here instead: blocking-unpersist every persistent
+      // RDD (this covers localCheckpoint block pins — they register as
+      // cached RDDs), drop cached plans, then let one explicit GC queue
+      // whatever tiny refs remain (broadcast stubs) for the cleaner.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()

@@ -34,10 +34,15 @@ object Profile {
           yield sum(col(cs(i)) * col(cs(j))).as(s"p_${i}_$j")) :+
         count(lit(1)).as("n"))
       time("q88 double moments") { li.agg(dAggs.head, dAggs.tail: _*).head() }
-      time("q88 decimal (bench-exact)") {
-        Clustering.corrMatrix(li, cs).write.format("noop").mode("overwrite").save()
+      time("q88 grid (bench-exact)") {
+        Clustering.corrMatrixGrid(li, cs, decimals = 2)
+          .write.format("noop").mode("overwrite").save()
       }
-      time("q88 decimal warm") {
+      time("q88 grid warm") {
+        Clustering.corrMatrixGrid(li, cs, decimals = 2)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("q88 decimal (old baseline)") {
         Clustering.corrMatrix(li, cs).write.format("noop").mode("overwrite").save()
       }
     }

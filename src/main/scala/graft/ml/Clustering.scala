@@ -200,7 +200,7 @@ object Clustering {
       // series (bounded pin), and the assignment stays distributed.
       val bcF = spark.sparkContext.broadcast(centroids)
       import spark.implicits._
-      val out = vecs.map { case (sid, v) =>
+      val assigned = vecs.map { case (sid, v) =>
         var best = 0; var bestD = Double.PositiveInfinity; var c = 0
         while (c < bcF.value.length) {
           val d = dtwBounded(v, bcF.value(c), bestD)
@@ -210,10 +210,17 @@ object Clustering {
         (sid, best)
       }.toDF("series", "cluster")
         .orderBy("cluster", "series")
-        .localCheckpoint()
-      vecs.unpersist(false)
+      // localCheckpoint truncates lineage but stores UNREPLICATED blocks
+      // on executors — fine in local mode, unrecoverable under executor
+      // loss on a real cluster. When the session has a reliable
+      // checkpoint dir configured (sc.setCheckpointDir, the cluster-mode
+      // deployment contract), use the fault-tolerant checkpoint instead.
+      val out =
+        if (spark.sparkContext.getCheckpointDir.isDefined) assigned.checkpoint()
+        else assigned.localCheckpoint()
+      vecs.unpersist(blocking = true)
       KMeansResult(out, centroids, it)
-    } finally data.unpersist()
+    } finally data.unpersist(blocking = true)
   }
 
   // ------------------------------------------------- scaling (M1/M2)
@@ -297,6 +304,10 @@ object Clustering {
     * range; ANSI mode turns an overflow into an error, never a wrong sum.
     * The driver reconstructs each moment with a fixed expression shape
     * (`hi·2²⁶ + lo, then one divide`) that an oracle replays bit-for-bit.
+    * Negative values are fine: shiftright is an ARITHMETIC shift, so
+    * `k = (k>>26)·2²⁶ + (k & mask)` holds in two's complement for any
+    * sign — and DuckDB's `>>`/`&` share those semantics, keeping the
+    * oracle twin valid (negative-column agreement is spec-covered).
     */
   def corrMatrixGrid(df: DataFrame, cols: Seq[String], decimals: Int = 2): DataFrame = {
     val spark = df.sparkSession
@@ -331,21 +342,20 @@ object Clustering {
     * series matrix column-wise before DTW k-means, `ts_kmeans_base.ipynb#53`).
     */
   def minMaxScaleArray(df: DataFrame, vecCol: String, outCol: String): DataFrame = {
-    val spark = df.sparkSession
     val stats = df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy("pos").agg(min("v").as("lo"), max("v").as("hi"))
       .orderBy("pos").collect()
-    val lo = stats.map(_.getDouble(1))
-    val hi = stats.map(_.getDouble(2))
-    val bcLo = spark.sparkContext.broadcast(lo)
-    val bcHi = spark.sparkContext.broadcast(hi)
-    val f = udf { (v: Seq[Double]) =>
-      v.zipWithIndex.map { case (x, i) =>
-        val r = bcHi.value(i) - bcLo.value(i)
-        if (r == 0) 0.0 else (x - bcLo.value(i)) / r
-      }
-    }
-    df.withColumn(outCol, f(col(vecCol).cast("array<double>")))
+    val lo = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val hi = typedLit(stats.map(_.getDouble(2)).toSeq)
+    // transform() keeps the per-position rescale inside whole-stage
+    // codegen (a Scala UDF here forced a serialize/deserialize per row);
+    // the bounded lo/hi vectors ride along as array literals.
+    df.withColumn(outCol,
+      transform(col(vecCol).cast("array<double>"), (x, i) => {
+        val l = element_at(lo, i + 1)
+        val r = element_at(hi, i + 1) - l
+        when(r === lit(0.0), lit(0.0)).otherwise((x - l) / r)
+      }))
   }
 
   // ----------------------------------------------------------- PCA (M3)

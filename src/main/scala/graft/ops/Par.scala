@@ -25,11 +25,15 @@ object Par {
     if (xs.lengthCompare(1) <= 0 || parallelism <= 1) xs.map(f)
     else {
       val pool = Executors.newFixedThreadPool(math.min(xs.size, parallelism))
-      val futures = xs.map { x =>
-        pool.submit(new Callable[B] { def call(): B = f(x) })
-      }
+      // Submission lives inside the try: if submit itself throws mid-loop
+      // (RejectedExecutionException, OOM), the catch still cancels what
+      // made it in and shuts the pool down instead of leaking it.
+      val futures = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[B]]
       try {
-        val out = futures.map { fut =>
+        xs.foreach { x =>
+          futures += pool.submit(new Callable[B] { def call(): B = f(x) })
+        }
+        val out = futures.toSeq.map { fut =>
           try fut.get()
           catch { case e: ExecutionException => throw e.getCause }
         }

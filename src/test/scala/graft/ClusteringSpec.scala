@@ -153,6 +153,29 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("corrMatrixGrid handles negative-valued columns (arithmetic shift path)") {
+    // The hi/lo split must reconstruct NEGATIVE products exactly:
+    // shiftright is an arithmetic shift, so k = (k>>26)*2^26 + (k&mask)
+    // holds in two's complement for any sign (DuckDB's `>>`/`&` share
+    // these semantics — verified: -5000000001 >> 26 = -75 and the
+    // reconstruction round-trips there too, so the q88 oracle twin stays
+    // valid if a measure ever goes negative).
+    val df = (1 to 200).map { i =>
+      (i - 100.5, -((i * 37 % 113) / 100.0 * 25), ((i * 91) % 47) / 4.0 - 5.0)
+    }.toDF("a", "b", "c")
+    def toMap(m: org.apache.spark.sql.DataFrame) =
+      m.collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = toMap(Clustering.corrMatrix(df, Seq("a", "b", "c")))
+    val grid = toMap(Clustering.corrMatrixGrid(df, Seq("a", "b", "c"), decimals = 2))
+    assert(exact.keySet === grid.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - grid(k)) < 1e-12, s"$k: $v vs ${grid(k)}")
+    }
+    // negative products actually exercised: mixed-sign columns guarantee
+    // at least one cross moment with negative per-row products
+    assert(exact.exists { case (_, v) => v != 0.0 })
+  }
+
   test("corrMatrix: (near-)constant column yields corr 0, never NaN") {
     // A constant column's variance term can round slightly negative
     // (sqrt → NaN); the engine must clamp and report 0, and a tiny

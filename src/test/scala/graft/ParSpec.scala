@@ -27,19 +27,27 @@ class ParSpec extends AnyFunSuite {
 
   test("failure cancels the remaining fan-out") {
     // After one body throws, queued bodies must not keep running in a
-    // leaked pool: count how many bodies ever start.
+    // leaked pool. Deterministic shape: the first body fails instantly,
+    // every other body BLOCKS on a gate until cancellation interrupts it
+    // — so however slowly the main thread observes the failure, queued
+    // bodies can never drain through the workers and inflate `started`.
     val started = new java.util.concurrent.atomic.AtomicInteger(0)
-    intercept[IllegalStateException] {
-      Par.map(1 to 64, parallelism = 2) { x =>
-        started.incrementAndGet()
-        if (x <= 2) throw new IllegalStateException("boom")
-        Thread.sleep(5L)
-        x
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    try {
+      intercept[IllegalStateException] {
+        Par.map(1 to 64, parallelism = 2) { x =>
+          started.incrementAndGet()
+          if (x == 1) throw new IllegalStateException("boom")
+          gate.await() // held until cancel(true)'s interrupt unblocks it
+          x
+        }
       }
-    }
-    Thread.sleep(100L) // grace: anything leaked would start here
-    assert(started.get() < 64,
-      s"all ${started.get()} bodies ran despite an early failure — fan-out not cancelled")
+      Thread.sleep(100L) // grace: anything leaked would start here
+      // at most the 2 workers' in-flight bodies (plus the one each may
+      // have dequeued before shutdownNow drained the queue) ever start
+      assert(started.get() < 8,
+        s"${started.get()} bodies ran despite an early failure — fan-out not cancelled")
+    } finally gate.countDown()
   }
 
   test("nested maps complete (outer grid over inner folds)") {
