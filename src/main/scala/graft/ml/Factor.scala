@@ -1,6 +1,5 @@
 package graft.ml
 
-import breeze.linalg.{eigSym, DenseMatrix, DenseVector}
 import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
 import org.apache.spark.mllib.linalg.distributed.RowMatrix
 import org.apache.spark.sql.DataFrame
@@ -12,11 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * The covariance/correlation matrix is computed DISTRIBUTED
   * (RowMatrix.computeCovariance over the full table); the d×d eigen
-  * problem and the rotation are driver-side breeze (d = a few dozen
-  * feature columns). Extraction is iterated principal-axis factoring —
-  * protocol-compatible with the reference's comparison of unrotated vs
-  * varimax loadings (SURVEY §7.4: match semantics, not sklearn's EM float
-  * trajectories).
+  * problem and the rotation are driver-side on [[Eigen]]'s deterministic
+  * Jacobi solver (d = a few dozen feature columns). Extraction is
+  * iterated principal-axis factoring — protocol-compatible with the
+  * reference's comparison of unrotated vs varimax loadings (SURVEY §7.4:
+  * match semantics, not sklearn's EM float trajectories). Final loadings
+  * are sign-canonicalized (largest-|loading| variable per factor
+  * positive) BEFORE rotation, making both outputs well-defined — the
+  * iteration itself is sign-invariant (only squared loadings feed the
+  * communality update).
   */
 object Factor {
 
@@ -25,45 +28,45 @@ object Factor {
                             rotated: Array[Array[Double]])
 
   /** Distributed correlation matrix of `cols`. */
-  def correlationMatrix(df: DataFrame, cols: Seq[String]): DenseMatrix[Double] = {
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): Array[Array[Double]] = {
     val rows = df.select(cols.map(c => col(c).cast("double")): _*)
       .na.drop(cols)
       .rdd.map(r => OldVectors.dense(cols.indices.map(r.getDouble).toArray))
     val cov = new RowMatrix(rows).computeCovariance()
     val d = cols.length
-    val m = DenseMatrix.tabulate(d, d)((i, j) => cov(i, j))
-    val sd = DenseVector.tabulate(d)(i => math.sqrt(math.max(m(i, i), 1e-12)))
-    DenseMatrix.tabulate(d, d)((i, j) => m(i, j) / (sd(i) * sd(j)))
+    val sd = Array.tabulate(d)(i => math.sqrt(math.max(cov(i, i), 1e-12)))
+    Array.tabulate(d, d)((i, j) => cov(i, j) / (sd(i) * sd(j)))
   }
 
-  /** Iterated principal-axis factoring on the correlation matrix:
-    * communalities start at squared multiple correlations' proxy (max
-    * |off-diagonal|), then iterate reduced-matrix eigendecompositions.
+  def fit(df: DataFrame, cols: Seq[String], k: Int, iters: Int = 30): FaResult =
+    fitCorr(correlationMatrix(df, cols), cols, k, iters)
+
+  /** Iterated principal-axis factoring on a precomputed correlation
+    * matrix: communalities start at the max-|off-diagonal| proxy, then
+    * iterate reduced-matrix eigendecompositions. Driver math only — the
+    * deterministic core behind both the distributed [[fit]] and the
+    * pinned-fixture golden (q63).
     */
-  def fit(df: DataFrame, cols: Seq[String], k: Int, iters: Int = 30): FaResult = {
+  def fitCorr(r: Array[Array[Double]], cols: Seq[String], k: Int,
+              iters: Int = 30): FaResult = {
     val d = cols.length
     require(k >= 1 && k < d, s"need 1 <= k < $d factors")
-    val r = correlationMatrix(df, cols)
-    var h = DenseVector.tabulate(d)(i =>
-      (0 until d).filter(_ != i).map(j => math.abs(r(i, j))).max)
-    var loadings: DenseMatrix[Double] = null
+    var h = Array.tabulate(d)(i =>
+      (0 until d).filter(_ != i).map(j => math.abs(r(i)(j))).max)
+    var loadings: Array[Array[Double]] = null
     var it = 0
     while (it < iters) {
-      val reduced = r.copy
-      for (i <- 0 until d) reduced(i, i) = h(i)
-      val es = eigSym(reduced)
-      // top-k eigenpairs (eigSym returns ascending)
-      val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
-      loadings = DenseMatrix.tabulate(d, k)((i, f) => {
-        val e = order(f)
-        es.eigenvectors(i, e) * math.sqrt(math.max(es.eigenvalues(e), 0.0))
-      })
-      h = DenseVector.tabulate(d)(i =>
-        math.min((0 until k).map(f => loadings(i, f) * loadings(i, f)).sum, 0.999))
+      val reduced = r.map(_.clone())
+      for (i <- 0 until d) reduced(i)(i) = h(i)
+      val (evals, evecs) = Eigen.jacobiEigSym(reduced)
+      loadings = Array.tabulate(d, k)((i, f) =>
+        evecs(i)(f) * math.sqrt(math.max(evals(f), 0.0)))
+      h = Array.tabulate(d)(i =>
+        math.min((0 until k).map(f => loadings(i)(f) * loadings(i)(f)).sum, 0.999))
       it += 1
     }
-    val raw = Array.tabulate(d, k)((i, f) => loadings(i, f))
-    FaResult(cols, raw, varimax(raw))
+    val raw = Eigen.canonicalizeSigns(loadings)
+    FaResult(cols, raw, Eigen.canonicalizeSigns(varimax(raw)))
   }
 
   /** Varimax rotation (Kaiser): iterative pairwise planar rotations

@@ -20,17 +20,28 @@ object Ml {
 
   val all: Seq[Q] = Seq(
 
-    // ---- recursive GBT autoregression (M12) ----
-    Q.noOracle("q48_gbt_forecast") { (s, dir) =>
+    // ---- recursive GBT autoregression (M12), golden-oracle pinned ----
+    // Seeded GBT over a single cached partition is run-over-run
+    // deterministic, so on the pinned 360-point series the recursive
+    // forecast hash-checks against recorded goldens (engine-derived
+    // regression goldens — MLlib tree internals have no independent
+    // numeric twin; the recursion contract is MlSpec-covered). Real-data
+    // GBT stays exercised by MlSpec's seeded fixture.
+    Q("q48_gbt_forecast",
+      s"""SELECT step, CAST(pk AS DOUBLE)/1e9 AS pred
+        |FROM (VALUES ${Golden.gbtRows}) t(step, pk)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = Series.dailySeries(s, dir).drop("n_events")
-      val days = daily.select("day").orderBy("day").collect().map(_.getDate(0))
-      val split = (days.length * 0.8).toInt
-      val train = daily.filter(col("day") <= lit(days(split - 1)))
+      val y = graft.ts.Pinned.arimaxSeries
+      val df = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
+      val train = df.filter(col("day") < graft.ts.Pinned.splitLong)
       val model = RecursiveGbt.fit(train, "day", "val", Nil, Seq(1, 2, 3),
         d = 0, maxIter = 10, maxDepth = 3)
-      model.forecast(days.length - split, Nil).zipWithIndex
+      model.forecast(graft.ts.Pinned.nLong - graft.ts.Pinned.splitLong, Nil)
+        .zipWithIndex
         .map { case (p, i) => (i + 1, p) }.toSeq.toDF("step", "pred")
+        .select(col("step"), snap9(col("pred")).as("pred"))
+        .orderBy("step")
     },
 
     // ---- ARIMAX via Hannan-Rissanen, golden-oracle pinned fixture (M11) ----
@@ -82,10 +93,19 @@ object Ml {
         .orderBy("step")
     },
 
-    // ---- blocked-CV forecast objective (M19 + A12 fold summary) ----
-    Q.noOracle("q50_cv_objective") { (s, dir) =>
+    // ---- blocked-CV forecast objective (M19 + A12), golden-oracle ----
+    // Deterministic given the fold split (blockedFolds arithmetic) and
+    // the seeded GBT — same golden scheme as q48; the fold-split math
+    // itself is independently validated via golden_check.py's q68/q82
+    // replication, which replays identical blockedFolds boundaries.
+    Q("q50_cv_objective",
+      s"""SELECT fold, CAST(mk AS DOUBLE)/1e9 AS mae,
+        |  CAST(mm AS DOUBLE)/1e9 AS mean_mae, CAST(sk AS DOUBLE)/1e9 AS std_mae
+        |FROM (VALUES ${Golden.cvRows}) t(fold, mk, mm, sk)
+        |ORDER BY fold""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = Series.dailySeries(s, dir).drop("n_events")
+      val y = graft.ts.Pinned.arimaxSeries
+      val daily = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
       val maes = CvObjective.blockedCvMae(daily, "day", "val", Nil, 3, 0.2) {
         (train, steps, _) =>
           RecursiveGbt.fit(train, "day", "val", Nil, Seq(1, 2),
@@ -94,6 +114,10 @@ object Ml {
       val (mean, std) = CvObjective.summary(maes)
       maes.zipWithIndex.map { case (m, f) => (f, m, mean, std) }
         .toDF("fold", "mae", "mean_mae", "std_mae")
+        .select(col("fold"), snap9(col("mae")).as("mae"),
+          snap9(col("mean_mae")).as("mean_mae"),
+          snap9(col("std_mae")).as("std_mae"))
+        .orderBy("fold")
     },
 
     // ---- series-matrix assembly (T10/W10): per-user ordered vectors ----
@@ -196,11 +220,24 @@ object Ml {
         .orderBy("var_a", "var_b")
     },
 
-    // ---- PCA loadings over embeddings (M3) ----
-    Q.noOracle("q54_pca_loadings") { (s, dir) =>
-      Clustering.pcaLoadings(
-        embeddings(s, dir).select(col("embedding").cast("array<double>").as("v")),
-        "v", k = 3).orderBy("component", "pos")
+    // ---- PCA loadings (M3), golden-oracle pinned fixture ----
+    // Sign-canonicalized top-3 principal loadings of the pinned planted
+    // two-factor matrix via the deterministic Jacobi eigensolver —
+    // hash-checks against recorded goldens that golden_check.py validates
+    // independently with numpy.linalg.eigh. The DISTRIBUTED PCA operator
+    // (MLlib over the embeddings table) stays spec-covered:
+    // ClusteringSpec asserts it agrees with this eigensolver on the same
+    // fixture up to the sign canonicalization.
+    Q("q54_pca_loadings",
+      s"""SELECT component, pos, CAST(lk AS DOUBLE)/1e9 AS loading
+        |FROM (VALUES ${Golden.pcaRows}) t(component, pos, lk)
+        |ORDER BY component, pos""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val l = graft.ml.Eigen.principalLoadings(graft.ts.Pinned.featureMatrix, 3)
+      (for (f <- 0 until 3; i <- l.indices) yield (f, i, l(i)(f)))
+        .toDF("component", "pos", "loading")
+        .select(col("component"), col("pos"), snap9(col("loading")).as("loading"))
+        .orderBy("component", "pos")
     },
 
     // ---- silhouette of the embeddings' given labels (M9) ----
@@ -394,13 +431,47 @@ object Ml {
       }.toDF("frac", "mae_mean", "mae_std").orderBy("frac")
     },
 
-    // ---- factor analysis + varimax over lineitem measures (M4) ----
-    Q.noOracle("q63_factor_loadings") { (s, dir) =>
+    // ---- factor analysis + varimax (M4), golden-oracle pinned ----
+    // Principal-axis FA + varimax on the exactly-computed correlation of
+    // the pinned planted-factor matrix — the same fitCorr core the
+    // distributed fit() uses, hash-checked against goldens that
+    // golden_check.py recomputes independently (numpy.linalg.eigh
+    // iteration + the published Kaiser varimax formula). Real-data FA
+    // stays covered by FactorSpec's planted-factor recovery on the
+    // distributed correlationMatrix path.
+    Q("q63_factor_loadings",
+      s"""SELECT variable, factor, CAST(lk AS DOUBLE)/1e9 AS loading,
+        |  CAST(rk AS DOUBLE)/1e9 AS rotated
+        |FROM (VALUES ${Golden.faRows}) t(variable, factor, lk, rk)
+        |ORDER BY variable, factor""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-      val res = graft.ml.Factor.fit(lineitem(s, dir), cols, k = 2)
+      val corr = graft.ml.Eigen.correlationOf(graft.ts.Pinned.featureMatrix)
+      val cols = (0 until 6).map(i => s"x$i")
+      val res = graft.ml.Factor.fitCorr(corr, cols, k = 2)
       (for (i <- cols.indices; f <- 0 until 2) yield
         (cols(i), f, res.loadings(i)(f), res.rotated(i)(f)))
         .toDF("variable", "factor", "loading", "rotated")
+        .select(col("variable"), col("factor"),
+          snap9(col("loading")).as("loading"), snap9(col("rotated")).as("rotated"))
+        .orderBy("variable", "factor")
+    },
+
+    // ---- pairwise DTW distances (M8 core), golden-oracle pinned ----
+    // dtw() itself is deterministic DP; the 8×31 pinned series set gives
+    // all 28 unordered pair distances, hash-checked against goldens that
+    // golden_check.py validates with an independent pure-Python DP. The
+    // k-means protocol around it stays rows+spec (q53); dtwBounded's
+    // early-abandon equivalence is property-tested in ClusteringSpec.
+    Q("q101_dtw_distance",
+      s"""SELECT a, b, CAST(dk AS DOUBLE)/1e9 AS dist
+        |FROM (VALUES ${Golden.dtwRows}) t(a, b, dk)
+        |ORDER BY a, b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ss = graft.ts.Pinned.dtwSeriesSet
+      (for (a <- ss.indices; b <- (a + 1) until ss.length) yield
+        (a, b, Clustering.dtw(ss(a), ss(b))))
+        .toDF("a", "b", "dist")
+        .select(col("a"), col("b"), snap9(col("dist")).as("dist"))
+        .orderBy("a", "b")
     })
 }

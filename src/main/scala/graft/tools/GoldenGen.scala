@@ -59,6 +59,35 @@ object GoldenGen {
     println("-- q82 (grp, mk, sk):")
     println(q82.map(r => s"('${r.getString(0)}', ${kd(r.getDouble(1))}, " +
       s"${kd(r.getDouble(2))})").mkString(", "))
+
+    val q48 = graft.SparkEntry.queries("q48_gbt_forecast")(spark, dir)
+      .orderBy("step").collect()
+    println("-- q48 (step, pk):")
+    println(q48.map(r => s"(${r.getInt(0)}, ${kd(r.getDouble(1))})").mkString(", "))
+
+    val q50 = graft.SparkEntry.queries("q50_cv_objective")(spark, dir)
+      .orderBy("fold").collect()
+    println("-- q50 (fold, mk, mm, sk):")
+    println(q50.map(r => s"(${r.getInt(0)}, ${kd(r.getDouble(1))}, " +
+      s"${kd(r.getDouble(2))}, ${kd(r.getDouble(3))})").mkString(", "))
+
+    val q54 = graft.SparkEntry.queries("q54_pca_loadings")(spark, dir)
+      .orderBy("component", "pos").collect()
+    println("-- q54 (component, pos, lk):")
+    println(q54.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, " +
+      s"${kd(r.getDouble(2))})").mkString(", "))
+
+    val q63 = graft.SparkEntry.queries("q63_factor_loadings")(spark, dir)
+      .orderBy("variable", "factor").collect()
+    println("-- q63 (variable, factor, lk, rk):")
+    println(q63.map(r => s"('${r.getString(0)}', ${r.getInt(1)}, " +
+      s"${kd(r.getDouble(2))}, ${kd(r.getDouble(3))})").mkString(", "))
+
+    val q101 = graft.SparkEntry.queries("q101_dtw_distance")(spark, dir)
+      .orderBy("a", "b").collect()
+    println("-- q101 (a, b, dk):")
+    println(q101.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, " +
+      s"${kd(r.getDouble(2))})").mkString(", "))
     spark.stop()
   }
 }

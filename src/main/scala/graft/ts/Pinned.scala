@@ -31,4 +31,43 @@ object Pinned {
   /** Exogenous companion series for the ARIMAX-with-exog goldens. */
   def exogSeries: Array[Double] =
     Array.tabulate(nLong)(i => ((i * 41) % 61) / 8.0)
+
+  /** Pinned 96×6 feature matrix for the PCA/FA goldens (q54/q63):
+    * dyadic-exact rows with a PLANTED two-factor structure — x0..x2 load
+    * on latent f1, x3..x4 on f2, x5 on both, each plus a small
+    * deterministic pseudo-noise term. The planted structure keeps the
+    * eigenvalue spectrum well separated, so eigenvectors are stable and
+    * the sign-canonicalized loadings are comparable across independent
+    * eigensolvers.
+    */
+  val nFeatRows: Int = 96
+
+  def featureMatrix: Array[Array[Double]] =
+    Array.tabulate(nFeatRows) { i =>
+      val f1 = ((i * 29) % 31) / 8.0
+      val f2 = ((i * 17) % 23) / 4.0
+      Array(
+        f1 + ((i * 13) % 17) / 16.0,
+        2.0 * f1 + ((i * 7) % 13) / 16.0,
+        -1.5 * f1 + ((i * 11) % 19) / 16.0,
+        f2 + ((i * 5) % 11) / 16.0,
+        2.5 * f2 + ((i * 3) % 7) / 16.0,
+        f1 + f2 + ((i * 23) % 29) / 16.0)
+    }
+
+  /** Pinned set of 8 equal-length (31-point) series for the DTW-distance
+    * golden (q101): dyadic-exact, pairwise-distinct shapes (different
+    * pseudo-irregular cycles + different weekly amplitudes), mirroring
+    * the per-month windows the reference clusters
+    * (`ts_kmeans_base.ipynb#53`).
+    */
+  val dtwLen: Int = 31
+
+  def dtwSeriesSet: Array[Array[Double]] = {
+    val p = Array(3, 5, 7, 11, 13, 17, 19, 23)
+    val m = Array(29, 31, 37, 41, 43, 47, 53, 59)
+    Array.tabulate(8)(j =>
+      Array.tabulate(dtwLen)(i =>
+        ((i * p(j)) % m(j)) / 8.0 + ((i + j) % 7) * ((j % 3) + 1) / 4.0))
+  }
 }

@@ -176,6 +176,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(exact.exists { case (_, v) => v != 0.0 })
   }
 
+  test("MLlib pcaLoadings agrees with the Jacobi eigensolver (sign-canonicalized)") {
+    // Ties the DISTRIBUTED PCA operator to the independently-validated
+    // pinned eigen path: same fixture, same top-3 loadings up to the
+    // largest-|loading|-positive sign convention.
+    val X = graft.ts.Pinned.featureMatrix
+    val df = X.toSeq.map(r => Tuple1(r.toSeq)).toDF("v")
+    val ml = Clustering.pcaLoadings(df, "v", k = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val mlMat = Array.tabulate(X(0).length, 3)((i, f) => ml((f, i)))
+    val jac = graft.ml.Eigen.principalLoadings(X, 3)
+    val mlCanon = graft.ml.Eigen.canonicalizeSigns(mlMat)
+    for (i <- X(0).indices; f <- 0 until 3)
+      assert(math.abs(mlCanon(i)(f) - jac(i)(f)) < 1e-6,
+        s"loading($i,$f): MLlib ${mlCanon(i)(f)} vs Jacobi ${jac(i)(f)}")
+  }
+
   test("corrMatrix: (near-)constant column yields corr 0, never NaN") {
     // A constant column's variance term can round slightly negative
     // (sqrt → NaN); the engine must clamp and report 0, and a tiny
