@@ -58,4 +58,84 @@ object Fills {
     val passthrough = df.columns.filterNot(cols.contains).map(col)
     df.select(passthrough ++ filled: _*)
   }
+
+  /** Scale-safe GLOBAL unbounded ffill/bfill (W4) — the case an empty
+    * `partitionBy` would funnel through ONE task. Classic two-wave scan
+    * instead: range-partition + sort on `order`, a tiny boundary job
+    * collecting each partition's carry-out value per column (the last
+    * non-null for forward, first non-null for backward; ≤ parts×cols
+    * values to the driver), a driver prefix/suffix scan of those
+    * carries, then one narrow `mapPartitions` that fills with the
+    * broadcast carry-in — every wave parallel, no single-partition
+    * stage. The backward pass materializes each partition to scan it in
+    * reverse: the same memory class as the sort buffer that produced it.
+    */
+  def globalFill(df: DataFrame, cols: Seq[String],
+                 order: Seq[Column], backward: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val rdd = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*).rdd
+    val schema = df.schema
+    val idxs = cols.map(schema.fieldIndex).toArray
+    val nCols = idxs.length
+    // wave 1: per-partition carry-out values
+    val edges: Array[Array[Any]] = rdd.mapPartitions { it =>
+      val edge = new Array[Any](nCols)
+      if (backward) {
+        var found = 0
+        while (it.hasNext && found < nCols) {
+          val r = it.next()
+          var c = 0
+          while (c < nCols) {
+            if (edge(c) == null && !r.isNullAt(idxs(c))) {
+              edge(c) = r.get(idxs(c)); found += 1
+            }
+            c += 1
+          }
+        }
+      } else it.foreach { r =>
+        var c = 0
+        while (c < nCols) {
+          if (!r.isNullAt(idxs(c))) edge(c) = r.get(idxs(c))
+          c += 1
+        }
+      }
+      Iterator.single(edge)
+    }.collect()
+    // driver scan: carry(p) = the value entering partition p
+    val nP = edges.length
+    val carry = Array.fill(nP)(new Array[Any](nCols))
+    if (backward) {
+      for (p <- nP - 2 to 0 by -1; c <- 0 until nCols)
+        carry(p)(c) = if (edges(p + 1)(c) != null) edges(p + 1)(c) else carry(p + 1)(c)
+    } else {
+      for (p <- 1 until nP; c <- 0 until nCols)
+        carry(p)(c) = if (edges(p - 1)(c) != null) edges(p - 1)(c) else carry(p - 1)(c)
+    }
+    val bc = spark.sparkContext.broadcast(carry)
+    val filledRdd = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cur = bc.value(pid).clone()
+      def fillRow(r: Row): Row = {
+        val vals = r.toSeq.toArray
+        var c = 0
+        while (c < nCols) {
+          if (vals(idxs(c)) == null) vals(idxs(c)) = cur(c)
+          else cur(c) = vals(idxs(c))
+          c += 1
+        }
+        Row.fromSeq(vals.toSeq)
+      }
+      if (!backward) it.map(fillRow)
+      else {
+        val rows = it.toArray
+        val out = new Array[Row](rows.length)
+        var i = rows.length - 1
+        while (i >= 0) { out(i) = fillRow(rows(i)); i -= 1 }
+        out.iterator
+      }
+    }
+    spark.createDataFrame(filledRdd, schema)
+  }
 }

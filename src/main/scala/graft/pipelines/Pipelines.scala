@@ -26,9 +26,9 @@ object Pipelines {
     * global bfill ordered by hour.
     *
     * The final bfill is the reference's arbitrary-gap backfill over the
-    * full hourly table — a single ordered window by construction
-    * (documented; ~79k rows/year in the reference; month-partition it if
-    * the semantics ever allow).
+    * full hourly table — served by [[Fills.globalFill]]'s two-wave scan,
+    * so the global ordering costs a range shuffle, never a
+    * single-partition window.
     */
   def balanceSheet(raw: Seq[DataFrame], coverage: Double = 0.8,
                    minNonNulls: Int = 7): DataFrame = {
@@ -49,11 +49,8 @@ object Pipelines {
       .orderBy("local_time_end_hour")
     val fillCols = pruned.columns.filterNot(Seq("balancing_authority", "data_date",
       "hour_number", "local_time_end_hour", "region").contains).toSeq
-    val filled = fillCols.foldLeft(pruned) { (d, c) =>
-      d.withColumn(c, coalesce(col(c),
-        Fills.bfill(col(c), Nil, Seq(col("local_time_end_hour")), None)))
-    }
-    filled
+    Fills.globalFill(pruned, fillCols,
+      Seq(col("local_time_end_hour")), backward = true)
   }
 
   /** §3.2 weather pipeline (`ETL.py:317-330`): polygon+US station filter →

@@ -49,6 +49,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._2) === Seq(None, Some(30.0), Some(30.0), None))
   }
 
+  test("globalFill matches the unpartitioned window on cross-partition gaps (W4)") {
+    // 200 rows over 4 shuffle partitions with null runs that SPAN range
+    // partition boundaries — the two-wave scan must carry fills across
+    // partitions exactly like the single-window form, both directions,
+    // on two columns at once.
+    val df = (1 to 200).map { i =>
+      (i,
+        if (i % 7 == 0) java.lang.Double.valueOf(i.toDouble) else null,
+        if (i % 53 == 0) java.lang.Double.valueOf(i * 2.0) else null)
+    }.toDF("i", "v", "w")
+    for (backward <- Seq(false, true)) {
+      val scan = Fills.globalFill(df, Seq("v", "w"), Seq($"i"), backward)
+        .orderBy("i").as[(Int, Option[Double], Option[Double])].collect()
+      val fill = if (backward) Fills.bfill _ else Fills.ffill _
+      val window = df.select($"i",
+          fill($"v", Nil, Seq($"i"), None).as("v"),
+          fill($"w", Nil, Seq($"i"), None).as("w"))
+        .orderBy("i").as[(Int, Option[Double], Option[Double])].collect()
+      assert(scan.toSeq === window.toSeq, s"backward=$backward")
+    }
+  }
+
   test("fills are per-partition (no bleed across keys)") {
     val df = Seq[(String, Int, java.lang.Double)](
       ("a", 1, 1.0), ("a", 2, null), ("b", 1, null), ("b", 2, 2.0)
