@@ -150,7 +150,7 @@ object Dedup {
         b => hash(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
       .toDF(idCol, "band", "bh")
     val capped = capBuckets(banded, idCol, Seq("band", "bh"), maxBucketSize)
-      .localCheckpoint() // ids x bands rows; both self-join sides reuse it
+      .transform(graft.ops.Pin.pin) // ids x bands rows; both self-join sides reuse it
     val left = capped.select(col(idCol).as("id_a"), col("band"), col("bh"))
     val right = capped.select(col(idCol).as("id_b"), col("band"), col("bh"))
     left.join(right, Seq("band", "bh"))
@@ -178,12 +178,12 @@ object Dedup {
     // result: the unrestricted form re-shingled the WHOLE corpus once per
     // join side, while the verify cost should be bounded by the candidate
     // set (same shape as minhashNearDupsMd5's semi-join).
-    val p = pairs.localCheckpoint() // bounded pair list, referenced 3×
+    val p = graft.ops.Pin.pin(pairs) // bounded pair list, referenced 3×
     val candIds = p
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     val sh = docs.join(candIds, Seq(idCol), "left_semi")
       .select(col(idCol), shingleHashes(col(textCol), shingleSize).as("sh"))
-      .localCheckpoint()
+      .transform(graft.ops.Pin.pin)
     p
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -303,20 +303,21 @@ object Dedup {
     // candidate table three times downstream; Spark replans (not reuses)
     // each reference, re-running the whole signature pipeline per copy.
     // Both are BOUNDED intermediates (ids x bands rows / candidate pairs),
-    // so pin them with a localCheckpoint: compute once, reuse everywhere.
+    // so pin them (ops.Pin: localCheckpoint in local mode, reliable
+    // checkpoint on a cluster): compute once, reuse everywhere.
     val banded = sigs
       .withColumn("band", floor(col("h_idx") / lit(r)).cast("long"))
       .groupBy(col(idCol).as("id"), col("band"))
       .agg(array_join(transform(
         sort_array(collect_list(struct(col("h_idx"), col("minhash")))),
         s => s.getField("minhash").cast("string")), ",").as("key"))
-      .localCheckpoint()
+      .transform(graft.ops.Pin.pin)
     val cands = banded.select(col("id").as("id_a"), col("band"), col("key"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("key")),
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-      .localCheckpoint()
+      .transform(graft.ops.Pin.pin)
     val candIds = cands
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol)).distinct()
     // restrict BEFORE shingling: the explode+window runs over candidate
@@ -324,7 +325,7 @@ object Dedup {
     val sh = shingleRows(df.join(candIds, Seq(idCol), "left_semi"),
         idCol, textCol, shingleSize)
       .select(col("id"), unhex(md5(col("s").cast("binary"))).as("shh"))
-      .localCheckpoint() // candidate-docs shingles only; reused twice below
+      .transform(graft.ops.Pin.pin) // candidate-docs shingles only; reused twice below
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     val common = cands
       .join(sh.select(col("id").as("id_a"), col("shh")), "id_a")

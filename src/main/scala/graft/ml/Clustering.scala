@@ -210,14 +210,7 @@ object Clustering {
         (sid, best)
       }.toDF("series", "cluster")
         .orderBy("cluster", "series")
-      // localCheckpoint truncates lineage but stores UNREPLICATED blocks
-      // on executors — fine in local mode, unrecoverable under executor
-      // loss on a real cluster. When the session has a reliable
-      // checkpoint dir configured (sc.setCheckpointDir, the cluster-mode
-      // deployment contract), use the fault-tolerant checkpoint instead.
-      val out =
-        if (spark.sparkContext.getCheckpointDir.isDefined) assigned.checkpoint()
-        else assigned.localCheckpoint()
+      val out = graft.ops.Pin.pin(assigned)
       vecs.unpersist(blocking = true)
       KMeansResult(out, centroids, it)
     } finally data.unpersist(blocking = true)

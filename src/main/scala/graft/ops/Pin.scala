@@ -1,0 +1,21 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** Eager lineage-truncating materialization for frames that are reused
+  * by several downstream subtrees (banded LSH tables, candidate pair
+  * lists, k-means assignments).
+  *
+  * `localCheckpoint` is the local-mode implementation: eager, no disk
+  * round-trip — but its blocks are UNREPLICATED executor state, so on a
+  * real cluster an executor loss (or dynamic deallocation) makes the
+  * frame unrecoverable. When the session has a reliable checkpoint
+  * directory configured (`sc.setCheckpointDir`, the cluster-deployment
+  * contract), pin through the fault-tolerant `checkpoint()` instead.
+  */
+object Pin {
+
+  def pin(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+}
