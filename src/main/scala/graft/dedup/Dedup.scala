@@ -437,4 +437,44 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** Connected components over an undirected near-dup pair list
+    * (`id_a`, `id_b`) — dedup needs GROUPS (keep one representative per
+    * component), not pairs. Iterative min-label propagation: each round
+    * every node takes the minimum label among itself and its neighbors;
+    * convergence in graph-diameter rounds, each one hash-shuffled join +
+    * one bounded count action. Near-dup graphs are stars/cliques around
+    * a template (diameter ~2), so 2-3 rounds close them; `maxIter`
+    * bounds pathological chains. At extreme scale the published
+    * alternating large-star/small-star scheme (Kiveris et al.,
+    * "Connected Components in MapReduce") halves round count on long
+    * chains — the per-round join shape below is the same, so it is a
+    * drop-in upgrade if diameters ever warrant it. Output: one row per
+    * node, `group_id` = smallest member id of its component.
+    */
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .transform(graft.ops.Pin.pin) // reused every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .transform(graft.ops.Pin.pin)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .transform(graft.ops.Pin.pin) // truncate the iterative lineage
+      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("lbl").as("group_id"), col("id"))
+  }
 }

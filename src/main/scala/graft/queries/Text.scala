@@ -605,5 +605,81 @@ object Text {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"), gavg(col("q_score")).as("avg_quality"))
         .orderBy("lang")
+    },
+
+    // ---- near-dup GROUPS via connected components over LSH pairs ----
+    // Dedup at corpus scale keeps one representative per duplicate
+    // GROUP, not per pair: q80's verified MinHash pair list feeds
+    // min-label propagation (Dedup.dupGroups). The oracle replays the
+    // identical pair CTE chain and closes components with a recursive
+    // transitive-closure CTE — exact group membership, hash-checked.
+    Q("q102_dup_groups",
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
+        |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
+        |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
+        |  FROM hv CROSS JOIN cs GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(FLOOR(i / 4) AS BIGINT) AS band,
+        |    array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',') AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |cid AS (SELECT DISTINCT id FROM
+        |  (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand)),
+        |shc AS (SELECT doc_id, s FROM sh JOIN cid ON cid.id = sh.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY 1),
+        |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+        |  FROM cand c JOIN shc a ON a.doc_id = c.id_a
+        |  JOIN shc b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
+        |dups AS (SELECT m.id_a, m.id_b
+        |  FROM common m JOIN sizes sa ON sa.doc_id = m.id_a
+        |  JOIN sizes sb ON sb.doc_id = m.id_b
+        |  WHERE CAST(m.n_common AS DOUBLE) / (sa.nsh + sb.nsh - m.n_common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM dups
+        |  UNION ALL SELECT id_b, id_a FROM dups),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+        |SELECT group_id, id AS doc_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
+        |FROM comp ORDER BY group_id, doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Dedup.minhashNearDupsMd5(documents(s, dir), "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("group_id")
+      Dedup.dupGroups(pairs)
+        .select(col("group_id"), col("id").as("doc_id"))
+        .withColumn("n_members", count(lit(1)).over(w).cast("long"))
+        .orderBy("group_id", "doc_id")
+    },
+
+    // ---- Gopher-style n-gram repetition quality features ----
+    // Published MassiveText/Gopher repetition filters: the fraction of a
+    // doc covered by its most frequent word bigram and by bigrams that
+    // repeat. Exact-integer ratios — identical doubles in both engines.
+    Q("q103_repetition_stats",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |gl AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |    list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |  ELSE [array_to_string(t, ' ')] END AS gs FROM toks),
+        |g AS (SELECT doc_id, unnest(gs) AS g FROM gl),
+        |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_ngram_frac,
+        |  CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_ngram_frac
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.repetitionStats(
+        documents(s, dir).filter(col("text").isNotNull), "doc_id", "text", n = 2)
+        .orderBy("doc_id")
     })
 }

@@ -23,6 +23,44 @@ class TextDedupSpec extends AnyFunSuite {
     Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
   }
 
+  test("dupGroups closes components: clique, chain, isolated pair") {
+    // clique {1,2,3}, a 5-node CHAIN 10-11-12-13-14 (diameter 4 — needs
+    // several propagation rounds), and pair {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val got = Dedup.dupGroups(pairs).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("dupGroups propagates min label against the edge direction") {
+    // min id sits at the END of the chain: label must flow 'backwards'
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
+    val got = Dedup.dupGroups(pairs).collect().map(_.getLong(0)).distinct
+    assert(got.toSeq === Seq(1L))
+  }
+
+  test("repetitionStats: exact fractions on planted repetition") {
+    // doc 1: "a b a b a" -> bigrams (a b, b a, a b, b a): top 2/4, dup 4/4
+    // doc 2: all-distinct bigrams -> top 1/3, dup 0
+    // doc 3: single word -> one whole-doc gram, top 1/1
+    val df = Seq(
+      (1L, "a b a b a"),
+      (2L, "w x y z"),
+      (3L, "solo")).toDF("doc_id", "text")
+    val got = TextOps.repetitionStats(df, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got(0) === ((1L, 4L, 0.5, 1.0)))
+    assert(got(1) === ((2L, 3L, 1.0 / 3.0, 0.0)))
+    assert(got(2) === ((3L, 1L, 1.0, 0.0)))
+  }
+
   test("exact dedup groups and keeps min id per canonical text") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "unique one"),
