@@ -63,11 +63,20 @@ object Forecast {
     * One shuffle to a single cached partition makes every fit job a
     * single task. Many-series scale-out is per-group fits (one such
     * bounded series per group), not a bigger single fit.
+    *
+    * Returns (pinned, owned): when the input is ALREADY a cached
+    * single-partition frame (an evaluation grid's shared fold pin, see
+    * `CvObjective.foldData`), it is reused as-is and `owned = false`
+    * tells the fit not to unpersist what it does not own.
     */
-  private[ml] def pinSmall(df: DataFrame): DataFrame = {
-    val pinned = df.repartition(1).cache()
-    pinned.count() // materialize once so fit jobs reuse the cache
-    pinned
+  private[ml] def pinSmall(df: DataFrame): (DataFrame, Boolean) = {
+    if (df.storageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+        df.rdd.getNumPartitions == 1) (df, false)
+    else {
+      val pinned = df.repartition(1).cache()
+      pinned.count() // materialize once so fit jobs reuse the cache
+      (pinned, true)
+    }
   }
 }
 
@@ -116,7 +125,7 @@ object Arimax {
           exogCols: Seq[String], p: Int, d: Int, q: Int): ArimaxModel = {
     require(p >= 1, "need p >= 1")
     val order = Seq(dateCol)
-    val pinned = Forecast.pinSmall(series)
+    val (pinned, ownPin) = Forecast.pinSmall(series)
     val diffed = Forecast.differenced(pinned, targetCol, order, d, "__y")
 
     // ---- stage 1: long AR (order m) for innovation estimates ----
@@ -190,7 +199,7 @@ object Arimax {
         }
         (ld, lr, ds)
       }
-    pinned.unpersist()
+    if (ownPin) pinned.unpersist()
     ArimaxModel(p, d, q, phi, theta, beta, m2.intercept,
       lastDiffs, lastResiduals, diffState)
   }
@@ -234,7 +243,7 @@ object RecursiveGbt {
           maxIter: Int = 20, maxDepth: Int = 5, seed: Long = 42L): RecursiveGbtModel = {
     require(lags.nonEmpty, "need at least one lag")
     val order = Seq(dateCol)
-    val pinned = Forecast.pinSmall(series)
+    val (pinned, ownPin) = Forecast.pinSmall(series)
     val diffed = Forecast.differenced(pinned, targetCol, order, d, "__y")
     val lagCols = lags.map(k => s"__y_lag$k")
     val feats = (lagCols ++ exogCols).toArray
@@ -256,7 +265,7 @@ object RecursiveGbt {
       val c = Lags.withDiff(pinned, targetCol, order, j, s"__l$j")
       diffState(j) = Forecast.tail(c.filter(col(s"__l$j").isNotNull), s"__l$j", order, 1).head
     }
-    pinned.unpersist()
+    if (ownPin) pinned.unpersist()
     RecursiveGbtModel(model, lags, d, exogCols, lastDiffs, diffState)
   }
 }
@@ -282,25 +291,61 @@ object CvObjective {
     } finally folds.unpersist()
   }
 
-  /** Same objective over a PREBUILT (cached, materialized) `blockedFolds`
-    * frame — for evaluation grids where every cell shares the identical
-    * split (sensitivity cube, ablation groups, BO iterations): the split
-    * subtree runs once for the whole grid instead of once per cell.
+  /** One fold's evaluation inputs, pinned once for a whole grid: a
+    * cached single-partition train frame (which `Forecast.pinSmall`
+    * recognizes and reuses without re-shuffling per fit) plus the
+    * collected validation target/exog arrays.
     */
-  def blockedCvMaeOnFolds(folds: DataFrame, dateCol: String, targetCol: String,
-                          exogCols: Seq[String], nSplits: Int)(
-      fitPredict: (DataFrame, Int, Seq[Array[Double]]) => Array[Double]): Seq[Double] =
+  final case class FoldData(train: DataFrame, actual: Array[Double],
+                            exogVal: Seq[Array[Double]])
+
+  /** Build every fold's [[FoldData]] from a cached `blockedFolds` frame.
+    * Release with [[releaseFoldData]] when the grid is done.
+    */
+  def foldData(folds: DataFrame, dateCol: String, targetCol: String,
+               exogCols: Seq[String], nSplits: Int): Seq[FoldData] =
     graft.ops.Par.map(0 until nSplits) { f =>
-      val train = folds.filter(col("fold") === f && !col("is_val")).drop("fold", "is_val")
+      val train = folds.filter(col("fold") === f && !col("is_val"))
+        .drop("fold", "is_val")
+        .repartition(1).cache()
+      train.count()
       val valRows = folds.filter(col("fold") === f && col("is_val"))
         .orderBy(dateCol)
         .select((targetCol +: exogCols).map(c => col(c).cast("double")): _*)
         .collect()
       val actual = valRows.map(_.getDouble(0))
       val exogVal = valRows.map(r => exogCols.indices.map(i => r.getDouble(i + 1)).toArray).toSeq
-      val preds = fitPredict(train, actual.length, exogVal)
-      preds.zip(actual).map { case (pd, a) => math.abs(pd - a) }.sum / actual.length
+      FoldData(train, actual, exogVal)
     }
+
+  def releaseFoldData(fd: Seq[FoldData]): Unit =
+    fd.foreach(_.train.unpersist(blocking = true))
+
+  /** The CV objective over prebuilt [[FoldData]] — the per-cell body of
+    * an evaluation grid, with zero per-cell Spark prep beyond the fits.
+    */
+  def blockedCvMaeOnFoldData(fd: Seq[FoldData])(
+      fitPredict: (DataFrame, Int, Seq[Array[Double]]) => Array[Double]): Seq[Double] =
+    graft.ops.Par.map(fd) { d =>
+      val preds = fitPredict(d.train, d.actual.length, d.exogVal)
+      preds.zip(d.actual).map { case (pd, a) => math.abs(pd - a) }.sum / d.actual.length
+    }
+
+  /** Same objective over a PREBUILT (cached, materialized) `blockedFolds`
+    * frame — for evaluation grids where every cell shares the identical
+    * split (sensitivity cube, ablation groups, BO iterations): the split
+    * subtree runs once for the whole grid instead of once per cell.
+    * Single-use form: pins fold data, evaluates, releases. Grids that
+    * evaluate MANY cells over the same folds should build [[foldData]]
+    * once and call [[blockedCvMaeOnFoldData]] per cell.
+    */
+  def blockedCvMaeOnFolds(folds: DataFrame, dateCol: String, targetCol: String,
+                          exogCols: Seq[String], nSplits: Int)(
+      fitPredict: (DataFrame, Int, Seq[Array[Double]]) => Array[Double]): Seq[Double] = {
+    val fd = foldData(folds, dateCol, targetCol, exogCols, nSplits)
+    try blockedCvMaeOnFoldData(fd)(fitPredict)
+    finally releaseFoldData(fd)
+  }
 
   /** Reference summary: (mean, population std) of the fold MAEs
     * (`np.mean`/`np.std`, `optimization.py:77`).

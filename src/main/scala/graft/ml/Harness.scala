@@ -67,15 +67,18 @@ object Harness {
       q <- (q0 - delta) to (q0 + delta) if q >= 0
     } yield (p, d, q)
     sharedFolds(series, dateCol, nSplits, valSize) { folds =>
-      graft.ops.Par.map(cells) { case (p, d, q) =>
-        val maes = CvObjective.blockedCvMaeOnFolds(folds, dateCol, targetCol,
-          exogCols, nSplits) { (train, steps, exogVal) =>
+      // one pinned FoldData set for the whole cube — a per-cell pin
+      // would re-shuffle and re-cache identical train frames cells×folds
+      // times
+      val fd = CvObjective.foldData(folds, dateCol, targetCol, exogCols, nSplits)
+      try graft.ops.Par.map(cells) { case (p, d, q) =>
+        val maes = CvObjective.blockedCvMaeOnFoldData(fd) { (train, steps, exogVal) =>
           Arimax.fit(train, dateCol, targetCol, exogCols, p, d, q)
             .forecast(steps, exogVal)
         }
         val (m, s) = CvObjective.summary(maes)
         (p, d, q, m, s)
-      }
+      } finally CvObjective.releaseFoldData(fd)
     }
   }
 

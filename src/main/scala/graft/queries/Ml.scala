@@ -335,19 +335,21 @@ object Ml {
       import s.implicits._
       val y = graft.ts.Pinned.arimaxSeries
       val daily = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
-      // every BO iteration shares the identical fold split — build it once
+      // every BO iteration shares the identical fold split — pin the
+      // per-fold train frames + collected val arrays once for the search
       val folds = graft.ops.Splits.blockedFolds(daily, Seq("day"), 2, 0.25).cache()
       folds.count()
+      val fd = CvObjective.foldData(folds, "day", "val", Nil, 2)
       val res = try graft.ml.Bo.minimize(
         Seq(graft.ml.Bo.HpBound("p", 1, 3, isInt = true)),
         nIters = 3, searchSize = 64) { params =>
-        val maes = CvObjective.blockedCvMaeOnFolds(folds, "day", "val", Nil, 2) {
+        val maes = CvObjective.blockedCvMaeOnFoldData(fd) {
           (train, steps, _) =>
             Arimax.fit(train, "day", "val", Nil,
               p = params("p").toInt, d = 0, q = 0).forecast(steps, Nil)
         }
         CvObjective.summary(maes)
-      } finally folds.unpersist()
+      } finally { CvObjective.releaseFoldData(fd); folds.unpersist() }
       res.history.zipWithIndex.map { case ((params, mean, std), i) =>
         (i, params("p").toInt, mean, std, res.best("p").toInt, res.bestMean)
       }.toDF("iter", "p", "mae_mean", "mae_std", "best_p", "best_mae")
