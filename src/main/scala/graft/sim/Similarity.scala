@@ -204,11 +204,40 @@ object Similarity {
     val cands = c.join(q, Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
-    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+    rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Exact top-k over a bounded (query_id, neighbor_id) candidate set:
+    * rank by the cheap codegen'd DOUBLE cosine first (ids + one double
+    * through the per-query window), then exact-DECIMAL re-rank only the
+    * survivors within [[RerankMargin]] of the k-th double score — the
+    * same two-stage scheme as [[cosineTopK]], so LSH/IVF at full
+    * coverage stay bit-equal to the exact path while BigDecimal cost is
+    * O(k·|queries|), not O(|candidates|).
+    */
+  private def rerankCandidates(cands: DataFrame, corpus: DataFrame,
+                               queries: DataFrame, idCol: String,
+                               vecCol: String, k: Int): DataFrame = {
+    val qd = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), sqrt(dot(col(vecCol), col(vecCol))).as("qnD")))
+    val cd = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("cnD"))
+    val dscored = cands.join(qd, "query_id").join(cd, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
+    val wq = Window.partitionBy(col("query_id"))
+    val surv = dscored
+      .withColumn("__drnk", row_number().over(
+        wq.orderBy(col("dcos").desc, col("neighbor_id"))))
+      .withColumn("__dkth", coalesce(
+        max(when(col("__drnk") === k, col("dcos"))).over(wq), lit(-2.0)))
+      .filter(col("dcos") >= col("__dkth") - RerankMargin)
+      .select("query_id", "neighbor_id")
+    val qe = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
+    val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normExact(col(vecCol)).as("cn"))
-    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      normExact(col(vecCol)).as("qn"))
-    val scored = cands.join(qv, "query_id").join(cv, "neighbor_id")
+    val scored = surv.join(qe, "query_id").join(ce, "neighbor_id")
       .withColumn("cosine",
         dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
@@ -234,7 +263,6 @@ object Similarity {
     import org.apache.spark.ml.linalg.{Vectors => MlVectors}
     val spark = corpus.sparkSession
     val corpusF = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), normExact(col(vecCol)).as("cn"),
       org.apache.spark.ml.functions.array_to_vector(
         col(vecCol).cast("array<double>")).as("__f"))
     // A coarse quantizer only partitions the corpus — recall comes from
@@ -243,7 +271,11 @@ object Similarity {
     // practice; the full-probe equivalence (q78) holds for ANY centroids).
     val sampled = corpusF.sample(withReplacement = false, 0.25, seed)
     val trainDf = if (sampled.count() >= nCells * 2L) sampled else corpusF
+    // random init, not k-means||: the parallel init runs ~5 extra
+    // sampling rounds of jobs, and a coarse quantizer's recall comes
+    // from nProbe, not centroid polish
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setInitMode("random")
       .setFeaturesCol("__f").setPredictionCol("__cell").fit(trainDf)
     val centers = model.clusterCenters.map(_.toArray)
     val bc = spark.sparkContext.broadcast(centers)
@@ -256,20 +288,17 @@ object Similarity {
         s
       }.take(nProbe)
     }
-    val c = model.transform(corpusF).drop("__f")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        normExact(col(vecCol)).as("qn"))
+    val c = model.transform(corpusF).select(col("neighbor_id"), col("__cell"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__cell",
         explode(nearestCells(col("qv").cast("array<double>"))))
-    val scored = c.join(q, Seq("__cell"))
+      .select("query_id", "__cell")
+    // candidate join carries ids + the integer cell only; scoring is the
+    // shared double-prefilter + bounded exact re-rank
+    val cands = c.join(q, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+      .select("query_id", "neighbor_id")
+    rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
