@@ -78,6 +78,78 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("dtwBounded: exact early abandon — equal below cutoff, +inf at/above") {
+    import graft.ml.Clustering
+    for (s <- 1 to 20) {
+      val n = sample(Gen.choose(3, 40), 600 + s)
+      val a = sample(Gen.listOfN(n, Gen.choose(-5.0, 5.0)), 700 + s).toArray
+      val b = sample(Gen.listOfN(n, Gen.choose(-5.0, 5.0)), 800 + s).toArray
+      val exact = Clustering.dtw(a, b)
+      // cutoff above the true distance: identical result, bit for bit
+      assert(Clustering.dtwBounded(a, b, exact * 1.01 + 1e-9) === exact)
+      // cutoff at/below the true distance: the result must be unusable
+      // for a best-so-far comparison — either an exact abandon (+inf)
+      // or the completed exact value (which is >= the cutoff). Both are
+      // correct: abandonment triggers only when a full DP row crosses
+      // the bound.
+      for (cut <- Seq(exact * 0.99, exact * 0.5, 0.0)) {
+        val r = Clustering.dtwBounded(a, b, cut)
+        assert(r === Double.PositiveInfinity || r === exact, s"seed $s cut $cut")
+        assert(r >= cut, s"seed $s cut $cut")
+      }
+    }
+  }
+
+  test("dupGroups matches brute-force union-find on random graphs") {
+    import graft.dedup.Dedup
+    for (s <- 1 to 6) {
+      val nNodes = sample(Gen.choose(4, 24), 900 + s)
+      val nEdges = sample(Gen.choose(1, 30), 1000 + s)
+      val edges = (0 until nEdges).map { e =>
+        val a = sample(Gen.choose(0L, nNodes - 1L), 1100 + s * 100 + e)
+        val b = sample(Gen.choose(0L, nNodes - 1L), 1200 + s * 100 + e)
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      if (edges.nonEmpty) {
+        // brute-force union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(x => x -> find(x)).toMap
+        val got = Dedup.dupGroups(edges.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(1) -> r.getLong(0)).toMap
+        assert(got === expected, s"seed $s edges=$edges")
+      }
+    }
+  }
+
+  test("wordNgrams: count and width invariants") {
+    import graft.text.TextOps
+    for (s <- 1 to 10) {
+      val nTok = sample(Gen.choose(1, 15), 1300 + s)
+      val n = sample(Gen.choose(2, 4), 1400 + s)
+      val words = (0 until nTok).map(i => s"w$i")
+      val df = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      val grams = df.select(TextOps.wordNgrams(col("text"), n).as("g"))
+        .head().getSeq[String](0)
+      if (nTok >= n) {
+        assert(grams.length === nTok - n + 1)
+        assert(grams.forall(_.split(" ").length === n))
+        assert(grams.head === words.take(n).mkString(" "))
+        assert(grams.last === words.takeRight(n).mkString(" "))
+      } else {
+        assert(grams === Seq(words.mkString(" ")))
+      }
+    }
+  }
+
   test("blocked folds: total coverage, contiguity, val-suffix — any (n, k)") {
     for (s <- 1 to 10) {
       val n = sample(Gen.choose(10, 120), 400 + s)
