@@ -37,6 +37,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), s"rank limit not pushed into window:\n$p")
   }
 
+  test("repetition stats run shuffle-free inside the scan projection (q103)") {
+    val p = plan("q103_repetition_stats")
+    // the only exchange allowed is the final ORDER BY's range partition;
+    // a hash exchange would mean the per-doc count regressed to an
+    // explode+groupBy that ships every gram string
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"gram shuffle crept back into:\n$p")
+  }
+
+  test("global fill plans no unpartitioned window (W4 via globalFill)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (1 to 100).map(i =>
+      (i, if (i % 5 == 0) java.lang.Double.valueOf(i.toDouble) else null))
+      .toDF("i", "v")
+    val out = graft.ops.Fills.globalFill(df, Seq("v"), Seq(col("i")),
+      backward = true)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"window exec in the scan path:\n$p")
+    // the fill waves live in the RDD lineage: one range shuffle feeding
+    // narrow mapPartitions — never a single-partition coalesce
+    val lineage = out.rdd.toDebugString
+    assert(lineage.contains("ShuffledRowRDD"), s"no range shuffle in:\n$lineage")
+    assert(!lineage.contains("CoalescedRDD"), s"single-partition funnel in:\n$lineage")
+  }
+
   test("exact dedup shuffles fingerprints, never text (q39)") {
     val p = plan("q39_exact_dedup")
     // what crosses the shuffle is the map-side partial aggregate's output
