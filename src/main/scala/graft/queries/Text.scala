@@ -681,5 +681,23 @@ object Text {
       TextOps.repetitionStats(
         documents(s, dir).filter(col("text").isNotNull), "doc_id", "text", n = 2)
         .orderBy("doc_id")
+    },
+
+    // ---- deterministic per-language quota sampling ----
+    // The corpus-curation sampling step: k docs per language, chosen by
+    // md5-hash order of the id — uniform-ish, RNG-free, replayable by
+    // any engine with md5. Spark side runs the two-stage top-k (no
+    // single hot partition for a dominant language at corpus scale).
+    Q("q104_stratified_sample",
+      """WITH r AS (SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM documents)
+        |SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id
+        |FROM r WHERE sample_rank <= 5 ORDER BY lang, sample_rank""".stripMargin) {
+      (s, dir) =>
+      TextOps.stratifiedSample(documents(s, dir), "lang", "doc_id", k = 5)
+        .select("lang", "sample_rank", "doc_id")
+        .orderBy("lang", "sample_rank")
     })
 }

@@ -125,6 +125,19 @@ object TextOps {
         .bitwiseXOR(coalesce(ascii(ch).cast("long"), lit(0L))))
   }
 
+  /** Deterministic stratified sample: up to `k` rows per `groupCol`,
+    * selected by md5-hash order of the id — the per-language quota
+    * sampling step of a corpus pipeline, reproducible in any engine
+    * with md5 (no RNG state). Two-stage top-k underneath
+    * ([[graft.ops.TopK]]), so a dominant group never funnels through
+    * one task. Adds `sample_rank` (1-based within group).
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                       idCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.TopK.topKPerKey(df, Seq(groupCol),
+      Seq(md5(col(idCol).cast("string")), col(idCol)), k,
+      rankCol = "sample_rank")
+
   /** Per-document n-gram repetition features (the published Gopher /
     * MassiveText quality-filter family: fraction of the doc made of its
     * most frequent n-gram, fraction covered by n-grams that repeat).
