@@ -159,7 +159,15 @@ object TextOps {
                       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
     val ws = java.util.regex.Pattern.compile("\\s+")
     val f = udf { (text: String) =>
-      val toks = ws.split(text.trim.toLowerCase, -1)
+      if (text == null) Option.empty[(Long, Double, Double)]
+      else Some(repetitionOf(ws.split(text.trim.toLowerCase, -1), n))
+    }
+    df.select(col(idCol), f(col(textCol)).as("__r"))
+      .select(col(idCol), col("__r._1").as("n_grams"),
+        col("__r._2").as("top_ngram_frac"), col("__r._3").as("dup_ngram_frac"))
+  }
+
+  private def repetitionOf(toks: Array[String], n: Int): (Long, Double, Double) = {
       val tot =
         if (toks.length >= n) toks.length - (n - 1) else 1
       val counts = new java.util.HashMap[String, Long](tot * 2)
@@ -184,9 +192,5 @@ object TextOps {
         if (c > 1) dup += c
       }
       (tot.toLong, top.toDouble / tot, dup.toDouble / tot)
-    }
-    df.select(col(idCol), f(col(textCol)).as("__r"))
-      .select(col(idCol), col("__r._1").as("n_grams"),
-        col("__r._2").as("top_ngram_frac"), col("__r._3").as("dup_ngram_frac"))
   }
 }
