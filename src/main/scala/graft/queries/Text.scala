@@ -699,5 +699,67 @@ object Text {
       TextOps.stratifiedSample(documents(s, dir), "lang", "doc_id", k = 5)
         .select("lang", "sample_rank", "doc_id")
         .orderBy("lang", "sample_rank")
+    },
+
+    // ---- curation capstone v2: the round-6 operators as ONE DAG ----
+    // exact dedup -> repetition filter (Gopher dup-bigram fraction) ->
+    // quality + language gate -> per-language quota sample. Everything
+    // is a scan projection or a bounded window; the one oracle-checked
+    // output proves the composed pipeline end to end, like q70 does for
+    // the round-3 curation ops.
+    Q("q105_curation_sample", {
+      val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
+        val arr = markers.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_filter(toks, x -> list_contains($arr, x))) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextOps.langMarkers.map(_._1)
+      val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = $best AND $best > 0 THEN '$l'").mkString(" ")
+      s"""WITH canon AS (SELECT doc_id, text,
+        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents),
+        |kept AS (SELECT * FROM (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM canon)
+        |  WHERE rn = 1),
+        |rep AS (SELECT doc_id,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_frac
+        |  FROM (SELECT doc_id, g, COUNT(*) AS c FROM
+        |      (SELECT doc_id, unnest(CASE WHEN len(toks) >= 2 THEN
+        |           list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |         ELSE [array_to_string(toks, ' ')] END) AS g
+        |       FROM kept) GROUP BY 1, 2) GROUP BY doc_id),
+        |q AS (SELECT doc_id, toks,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |      + least(CASE WHEN len(toks) > 0
+        |          THEN CAST(len(list_filter(toks, x -> list_contains($stopsSql, x))) AS DOUBLE) / len(toks)
+        |          ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |      + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+        |          THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |          ELSE 0.0 END) * 4.0) * 0.3 AS q_score
+        |  FROM kept),
+        |lng AS (SELECT doc_id, q_score, CASE $cases ELSE 'und' END AS lang
+        |  FROM (SELECT doc_id, q_score, $scoreCols FROM q)),
+        |curated AS (SELECT l.doc_id, l.lang, r.dup_frac
+        |  FROM lng l JOIN rep r USING (doc_id)
+        |  WHERE l.q_score >= 0.4 AND l.lang <> 'und' AND r.dup_frac <= 0.6),
+        |sampled AS (SELECT lang, doc_id, dup_frac,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS sample_rank
+        |  FROM curated)
+        |SELECT lang AS pred_lang, CAST(sample_rank AS BIGINT) AS sample_rank,
+        |  doc_id, dup_frac AS dup_ngram_frac
+        |FROM sampled WHERE sample_rank <= 5
+        |ORDER BY pred_lang, sample_rank""".stripMargin
+    }) { (s, dir) =>
+      val curated = Dedup.dropExactDups(documents(s, dir), "doc_id", "text")
+        .transform(TextOps.withRepetitionStats(_, "text", 2))
+        .withColumn("q_score", TextOps.qualityScore(col("text"), stops))
+        .withColumn("pred_lang", TextOps.langId(col("text")))
+        .filter(col("q_score") >= 0.4 && col("pred_lang") =!= "und" &&
+          col("dup_ngram_frac") <= 0.6)
+      TextOps.stratifiedSample(curated, "pred_lang", "doc_id", k = 5)
+        .select("pred_lang", "sample_rank", "doc_id", "dup_ngram_frac")
+        .orderBy("pred_lang", "sample_rank")
     })
 }

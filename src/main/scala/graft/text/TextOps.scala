@@ -156,15 +156,26 @@ object TextOps {
     * identical doubles in any engine.
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
-                      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+                      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame =
+    withRepetitionStats(df, textCol, n)
+      .select(idCol, "n_grams", "top_ngram_frac", "dup_ngram_frac")
+
+  /** [[repetitionStats]] in column-appending form for pipeline
+    * composition: keeps every input column and adds
+    * `n_grams`/`top_ngram_frac`/`dup_ngram_frac`.
+    */
+  def withRepetitionStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                          n: Int = 2): org.apache.spark.sql.DataFrame = {
     val ws = java.util.regex.Pattern.compile("\\s+")
     val f = udf { (text: String) =>
       if (text == null) Option.empty[(Long, Double, Double)]
       else Some(repetitionOf(ws.split(text.trim.toLowerCase, -1), n))
     }
-    df.select(col(idCol), f(col(textCol)).as("__r"))
-      .select(col(idCol), col("__r._1").as("n_grams"),
-        col("__r._2").as("top_ngram_frac"), col("__r._3").as("dup_ngram_frac"))
+    df.withColumn("__r", f(col(textCol)))
+      .withColumn("n_grams", col("__r._1"))
+      .withColumn("top_ngram_frac", col("__r._2"))
+      .withColumn("dup_ngram_frac", col("__r._3"))
+      .drop("__r")
   }
 
   private def repetitionOf(toks: Array[String], n: Int): (Long, Double, Double) = {
