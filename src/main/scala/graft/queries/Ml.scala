@@ -458,6 +458,33 @@ object Ml {
         .orderBy("variable", "factor")
     },
 
+    // ---- DTW k-means FULL PROTOCOL on the pinned set (M8/M10) ----
+    // On a pinned single-partition fixture the whole protocol is
+    // deterministic: seeded first pick (argmin of chained xxhash64 —
+    // replayed in golden_check.py from the published XXH64 spec),
+    // farthest-first traversal, Lloyd updates with fixed-order float
+    // sums, final assignment. Output carries each series' DTW distance
+    // to its final centroid, so centroid arithmetic is hash-checked too
+    // — the real-data protocol (q53) stays rows+spec, but its math now
+    // has an independently validated end-to-end golden.
+    Q("q106_dtw_kmeans_pinned",
+      s"""SELECT series, cluster, CAST(dk AS DOUBLE)/1e9 AS dist
+        |FROM (VALUES ${Golden.kmeansRows}) t(series, cluster, dk)
+        |ORDER BY series""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ss = graft.ts.Pinned.dtwSeriesSet
+      val df = ss.zipWithIndex.map { case (v, i) => (i.toString, v) }
+        .toSeq.toDF("id", "vec")
+      val res = Clustering.dtwKMeans(df, "id", "vec", k = 3, maxIter = 10)
+      val cents = res.centroids
+      val dist = udf((v: Seq[Double], c: Int) => Clustering.dtw(v.toArray, cents(c)))
+      res.assignments
+        .join(df.withColumnRenamed("id", "series"), "series")
+        .select(col("series").cast("int").as("series"), col("cluster"),
+          snap9(dist(col("vec"), col("cluster"))).as("dist"))
+        .orderBy("series")
+    },
+
     // ---- pairwise DTW distances (M8 core), golden-oracle pinned ----
     // dtw() itself is deterministic DP; the 8×31 pinned series set gives
     // all 28 unordered pair distances, hash-checked against goldens that

@@ -88,6 +88,12 @@ object GoldenGen {
     println("-- q101 (a, b, dk):")
     println(q101.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, " +
       s"${kd(r.getDouble(2))})").mkString(", "))
+
+    val q106 = graft.SparkEntry.queries("q106_dtw_kmeans_pinned")(spark, dir)
+      .orderBy("series").collect()
+    println("-- q106 (series, cluster, dk):")
+    println(q106.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, " +
+      s"${kd(r.getDouble(2))})").mkString(", "))
     spark.stop()
   }
 }
