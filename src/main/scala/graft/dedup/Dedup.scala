@@ -438,6 +438,28 @@ object Dedup {
       .select("id_a", "id_b", "dist")
   }
 
+  /** Benchmark decontamination scan (the published n-gram-overlap
+    * protocol, e.g. GPT-3's 13-gram rule): training docs sharing at
+    * least `minShared` DISTINCT word n-grams with any eval doc. Grams
+    * are md5'd before the join — 16-byte keys shuffle, text never does
+    * — and the eval gram set (bounded by the eval corpus) broadcasts,
+    * so a 100 TB training sweep is one scan + broadcast-join + count.
+    */
+  def contamination(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                    textCol: String, n: Int = 13,
+                    minShared: Int = 1): DataFrame = {
+    import graft.text.TextOps
+    val tg = train.select(col(idCol),
+        explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
+      .select(col(idCol), md5(col("g")).as("gh"))
+    val eg = evalDocs
+      .select(explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
+      .select(md5(col("g")).as("gh")).distinct()
+    tg.join(broadcast(eg), "gh")
+      .groupBy(idCol).agg(countDistinct(col("gh")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over an undirected near-dup pair list
     * (`id_a`, `id_b`) — dedup needs GROUPS (keep one representative per
     * component), not pairs. Iterative min-label propagation: each round

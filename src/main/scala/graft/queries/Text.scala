@@ -761,5 +761,71 @@ object Text {
       TextOps.stratifiedSample(curated, "pred_lang", "doc_id", k = 5)
         .select("pred_lang", "sample_rank", "doc_id", "dup_ngram_frac")
         .orderBy("pred_lang", "sample_rank")
+    },
+
+    // ---- benchmark decontamination: n-gram overlap vs an eval set ----
+    // The published decontamination protocol (n-gram collision against
+    // held-out eval data). Eval set = the deterministic md5-quota sample
+    // (2 docs/language); training docs sharing >= 2 distinct word
+    // trigrams with it are flagged with their overlap counts.
+    Q("q107_decontaminate",
+      """WITH ev AS (SELECT doc_id, text FROM (SELECT lang, doc_id, text,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 2),
+        |tr AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM ev)),
+        |tg AS (SELECT doc_id, md5(g) AS gh FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM tr))),
+        |eg AS (SELECT DISTINCT md5(g) AS gh FROM (
+        |  SELECT unnest(CASE WHEN len(t) >= 3 THEN
+        |      list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' '))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS t FROM ev)))
+        |SELECT doc_id, CAST(COUNT(DISTINCT tg.gh) AS BIGINT) AS n_shared
+        |FROM tg JOIN eg ON eg.gh = tg.gh
+        |GROUP BY doc_id HAVING COUNT(DISTINCT tg.gh) >= 2
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir).select("doc_id", "text")
+      val ev = TextOps.stratifiedSample(docs.join(documents(s, dir).select("doc_id", "lang"), "doc_id"),
+        "lang", "doc_id", k = 2).select("doc_id", "text")
+      val train = docs.join(ev.select("doc_id"), Seq("doc_id"), "left_anti")
+      Dedup.contamination(train, ev, "doc_id", "text", n = 3, minShared = 2)
+        .orderBy("doc_id")
+    },
+
+    // ---- PII redaction scrub ----
+    // The synthetic corpus carries no PII, so three fixture rows with
+    // planted email/phone patterns ride along IN THE QUERY (engine union
+    // = oracle VALUES — symmetric), proving count + replacement on
+    // non-trivial input while the scan covers the real table. Patterns
+    // are backtracking-free so Java regex and RE2 agree; the redacted
+    // text is fingerprinted (md5) to keep the compared output bounded.
+    Q("q108_pii_redact",
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9000001, 'contact alice.smith+work@example.co.uk or bob@test.org now'),
+        |    (9000002, 'call 555-123-4567 or 555 987 6543 today'),
+        |    (9000003, 'no pii here at all')) v(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '${TextOps.EmailPattern}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '${TextOps.PhonePattern}')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(text, '${TextOps.EmailPattern}', '<EMAIL>', 'g'),
+        |    '${TextOps.PhonePattern}', '<PHONE>', 'g')) AS redacted_fp
+        |FROM aug ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val extra = Seq(
+        (9000001L, "contact alice.smith+work@example.co.uk or bob@test.org now"),
+        (9000002L, "call 555-123-4567 or 555 987 6543 today"),
+        (9000003L, "no pii here at all")).toDF("doc_id", "text")
+      val aug = documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(extra)
+      TextOps.redactPii(aug, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          md5(col("redacted")).as("redacted_fp"))
+        .orderBy("doc_id")
     })
 }

@@ -125,6 +125,28 @@ object TextOps {
         .bitwiseXOR(coalesce(ascii(ch).cast("long"), lit(0L))))
   }
 
+  /** Email/phone PII patterns — simple, backtracking-free classes that
+    * behave identically under Java regex (Spark) and RE2 (common oracle
+    * engines): no alternation-order or longest-match ambiguity.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrub (the redaction pass of a training-data pipeline): counts
+    * and replaces email/phone matches with typed placeholders. Pure
+    * codegen'd regexp column math — runs inside the scan projection.
+    * Adds `n_emails`, `n_phones`, and `redacted`.
+    */
+  def redactPii(df: org.apache.spark.sql.DataFrame,
+                textCol: String): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col(textCol), lit(PhonePattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
   /** Deterministic stratified sample: up to `k` rows per `groupCol`,
     * selected by md5-hash order of the id — the per-language quota
     * sampling step of a corpus pipeline, reproducible in any engine

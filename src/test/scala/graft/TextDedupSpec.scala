@@ -61,6 +61,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("contamination flags planted n-gram overlap, skips clean docs") {
+    val evalSet = Seq((100L, "the secret eval question about spark tables")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something about the secret eval question copied here"), // 4 shared 3-grams
+      (2L, "entirely different words with no overlap whatsoever"),
+      (3L, "spark tables appear here but only as a two gram")) // no shared 3-gram
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(train, evalSet, "doc_id", "text",
+      n = 3, minShared = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L))
+    assert(got(1L) >= 2L)
+  }
+
+  test("redactPii counts and replaces emails/phones, leaves clean text") {
+    val df = Seq(
+      (1L, "mail a@b.io and c.d+x@e-f.org, call 555-123-4567"),
+      (2L, "totally clean")).toDF("doc_id", "text")
+    val got = TextOps.redactPii(df, "text").orderBy("doc_id")
+      .select("n_emails", "n_phones", "redacted").collect()
+    assert(got(0).getLong(0) === 2L)
+    assert(got(0).getLong(1) === 1L)
+    assert(got(0).getString(2) === "mail <EMAIL> and <EMAIL>, call <PHONE>")
+    assert(got(1).getLong(0) === 0L)
+    assert(got(1).getString(2) === "totally clean")
+  }
+
   test("exact dedup groups and keeps min id per canonical text") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "unique one"),
