@@ -449,14 +449,18 @@ object Dedup {
                     textCol: String, n: Int = 13,
                     minShared: Int = 1): DataFrame = {
     import graft.text.TextOps
+    // grams dedupe PER DOC inside the row (array_distinct before the
+    // explode — the same shape as the MinHash shingler), so every
+    // (doc, gram) row is unique WITHOUT any distinct shuffle and the
+    // final overlap count is a plain map-side-combining count
     val tg = train.select(col(idCol),
-        explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
+        explode(TextOps.distinctWordNgrams(col(textCol), n)).as("g"))
       .select(col(idCol), md5(col("g")).as("gh"))
     val eg = evalDocs
-      .select(explode(TextOps.wordNgrams(col(textCol), n)).as("g"))
+      .select(explode(TextOps.distinctWordNgrams(col(textCol), n)).as("g"))
       .select(md5(col("g")).as("gh")).distinct()
     tg.join(broadcast(eg), "gh")
-      .groupBy(idCol).agg(countDistinct(col("gh")).as("n_shared"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
 

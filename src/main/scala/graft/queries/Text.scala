@@ -789,10 +789,14 @@ object Text {
         |FROM tg JOIN eg ON eg.gh = tg.gh
         |GROUP BY doc_id HAVING COUNT(DISTINCT tg.gh) >= 2
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = documents(s, dir).select("doc_id", "text")
-      val ev = TextOps.stratifiedSample(docs.join(documents(s, dir).select("doc_id", "lang"), "doc_id"),
-        "lang", "doc_id", k = 2).select("doc_id", "text")
-      val train = docs.join(ev.select("doc_id"), Seq("doc_id"), "left_anti")
+      val docs = documents(s, dir).select("doc_id", "lang", "text")
+      // the tiny eval sample is referenced three times (anti-join spine,
+      // eval grams, and its own windowed derivation) — pin it once
+      val ev = graft.ops.Pin.pin(
+        TextOps.stratifiedSample(docs, "lang", "doc_id", k = 2)
+          .select("doc_id", "text"))
+      val train = docs.select("doc_id", "text")
+        .join(ev.select("doc_id"), Seq("doc_id"), "left_anti")
       Dedup.contamination(train, ev, "doc_id", "text", n = 3, minShared = 2)
         .orderBy("doc_id")
     },

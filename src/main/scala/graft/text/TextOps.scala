@@ -125,6 +125,41 @@ object TextOps {
         .bitwiseXOR(coalesce(ascii(ch).cast("long"), lit(0L))))
   }
 
+  /** JVM-speed DISTINCT word n-grams: same output set as
+    * `array_distinct(wordNgrams(text, n))` in first-occurrence order,
+    * built in one compiled pass (the HOF form evaluates interpreted per
+    * element — the q103/repetitionStats trade-off, documented there).
+    * Null text yields an empty array.
+    */
+  def distinctWordNgrams(text: Column, n: Int): Column = {
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val toks = ws.split(t.trim.toLowerCase, -1)
+        val seen = new java.util.LinkedHashSet[String]()
+        if (toks.length >= n) {
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= toks.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(toks(i + j)); j += 1
+            }
+            seen.add(sb.toString)
+            i += 1
+          }
+        } else seen.add(toks.mkString(" "))
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+    f(text)
+  }
+
   /** Email/phone PII patterns — simple, backtracking-free classes that
     * behave identically under Java regex (Spark) and RE2 (common oracle
     * engines): no alternation-order or longest-match ambiguity.
