@@ -479,13 +479,18 @@ object Dedup {
     * node, `group_id` = smallest member id of its component.
     */
   def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // cache (not checkpoint-pin) the per-round state: an InMemoryRelation
+    // truncates the growing iterative plan just as well, and superseded
+    // rounds release their blocks DETERMINISTICALLY via blocking
+    // unpersist — checkpoint blocks would float until GC+ContextCleaner,
+    // the cleanup-debt class SCALE.md documents.
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .transform(graft.ops.Pin.pin) // reused every round
+      .cache() // reused every round; released before returning
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .transform(graft.ops.Pin.pin)
+      .cache()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -495,12 +500,27 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .transform(graft.ops.Pin.pin) // truncate the iterative lineage
+        .cache()
       changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count()
+        .filter(col("lbl") =!= col("old")).count() // also materializes next
+      labels.unpersist(blocking = true)
       labels = next
       it += 1
     }
-    labels.select(col("lbl").as("group_id"), col("id"))
+    // Silent truncation would SPLIT components (duplicates survive
+    // dedup) — refuse instead: the caller raises maxIter (or switches
+    // to the documented alternating-star scheme for huge diameters).
+    if (changed != 0) {
+      edges.unpersist(blocking = true)
+      labels.unpersist(blocking = true)
+      throw new IllegalStateException(
+        s"dupGroups did not converge in $maxIter rounds — component diameter " +
+          s"exceeds maxIter; raise it (propagation advances one hop per round)")
+    }
+    val out = labels.select(col("lbl").as("group_id"), col("id")).cache()
+    out.count()
+    edges.unpersist(blocking = true)
+    labels.unpersist(blocking = true)
+    out
   }
 }

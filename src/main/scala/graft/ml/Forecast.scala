@@ -300,14 +300,18 @@ object CvObjective {
                             exogVal: Seq[Array[Double]])
 
   /** Build every fold's [[FoldData]] from a cached `blockedFolds` frame.
-    * Release with [[releaseFoldData]] when the grid is done.
+    * Release with [[releaseFoldData]] when the grid is done. If any
+    * fold's pin or collect fails, the folds already pinned are released
+    * before the failure propagates — no partial cache leak.
     */
   def foldData(folds: DataFrame, dateCol: String, targetCol: String,
-               exogCols: Seq[String], nSplits: Int): Seq[FoldData] =
-    graft.ops.Par.map(0 until nSplits) { f =>
+               exogCols: Seq[String], nSplits: Int): Seq[FoldData] = {
+    val done = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    try graft.ops.Par.map(0 until nSplits) { f =>
       val train = folds.filter(col("fold") === f && !col("is_val"))
         .drop("fold", "is_val")
         .repartition(1).cache()
+      done.add(train)
       train.count()
       val valRows = folds.filter(col("fold") === f && col("is_val"))
         .orderBy(dateCol)
@@ -316,7 +320,12 @@ object CvObjective {
       val actual = valRows.map(_.getDouble(0))
       val exogVal = valRows.map(r => exogCols.indices.map(i => r.getDouble(i + 1)).toArray).toSeq
       FoldData(train, actual, exogVal)
+    } catch {
+      case t: Throwable =>
+        done.forEach(_.unpersist(blocking = true))
+        throw t
     }
+  }
 
   def releaseFoldData(fd: Seq[FoldData]): Unit =
     fd.foreach(_.train.unpersist(blocking = true))

@@ -75,9 +75,18 @@ object Fills {
     import org.apache.spark.sql.Row
     val spark = df.sparkSession
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
-    val rdd = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*).rdd
-    val schema = df.schema
+    // Total ordering: the two waves below are separate JOBS over the
+    // same shuffle, and a reduce-side sort re-runs per job with
+    // randomized block-fetch order — ties on the caller's sort key
+    // could order differently between the carry-collect and the fill,
+    // producing fills consistent with NO single ordering. A
+    // deterministic input-position tiebreaker (stable for re-computed
+    // deterministic sources like file scans) makes both sorts total.
+    val tie = "__gf_tie"
+    val keyed = df.withColumn(tie, monotonically_increasing_id())
+    val rdd = keyed.repartitionByRange(parts, order :+ col(tie): _*)
+      .sortWithinPartitions(order :+ col(tie): _*).rdd
+    val schema = keyed.schema
     val idxs = cols.map(schema.fieldIndex).toArray
     val nCols = idxs.length
     // wave 1: per-partition carry-out values
@@ -136,6 +145,6 @@ object Fills {
         out.iterator
       }
     }
-    spark.createDataFrame(filledRdd, schema)
+    spark.createDataFrame(filledRdd, schema).drop(tie)
   }
 }

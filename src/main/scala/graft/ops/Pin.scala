@@ -16,6 +16,12 @@ import org.apache.spark.sql.DataFrame
 object Pin {
 
   def pin(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
-    else df.localCheckpoint()
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // checkpoint() without a prior persist runs the subtree TWICE
+      // (once for the eager count, once when the reliable-checkpoint
+      // write job re-computes partitions) — cache around it.
+      val cached = df.persist()
+      try cached.checkpoint()
+      finally cached.unpersist()
+    } else df.localCheckpoint()
 }

@@ -44,9 +44,11 @@ object Pipelines {
     val renamed = unioned.toDF(unioned.columns.map(snakeCase).toSeq: _*)
     val cast = renamed.withColumn("local_time_end_hour",
       to_timestamp(col("local_time_end_hour")))
+    // no pre-sort: globalFill's own range partition + in-partition sort
+    // IS the ordering — an orderBy here would shuffle+sort the same key
+    // twice for an identically-ordered result
     val pruned = Coverage.dropBelow(cast, coverage)
       .na.drop(minNonNulls)
-      .orderBy("local_time_end_hour")
     val fillCols = pruned.columns.filterNot(Seq("balancing_authority", "data_date",
       "hour_number", "local_time_end_hour", "region").contains).toSeq
     Fills.globalFill(pruned, fillCols,

@@ -23,9 +23,10 @@ object TextOps {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - (n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
+    when(text.isNull, array().cast("array<string>"))
+      .when(size(t) >= n,
+        transform(sequence(lit(1), size(t) - (n - 1)),
+          i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array(array_join(t, " ")))
   }
 
@@ -125,6 +126,21 @@ object TextOps {
         .bitwiseXOR(coalesce(ascii(ch).cast("long"), lit(0L))))
   }
 
+  /** Replicates the `trim(lower(text))` the column-expression tokenizer
+    * applies, for the UDF twins: Spark's `trim` strips 0x20 SPACES only
+    * (Java String.trim also eats tabs/newlines — a real divergence on
+    * whitespace-framed text), and lowercasing pins Locale.ROOT so a
+    * non-English default JVM locale (tr_TR dotless-i) cannot break
+    * parity with `lower()`/the oracle engines.
+    */
+  private def sparkTrimLower(s: String): String = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    s.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** JVM-speed DISTINCT word n-grams: same output set as
     * `array_distinct(wordNgrams(text, n))` in first-occurrence order,
     * built in one compiled pass (the HOF form evaluates interpreted per
@@ -136,7 +152,7 @@ object TextOps {
     val f = udf { (t: String) =>
       if (t == null) Array.empty[String]
       else {
-        val toks = ws.split(t.trim.toLowerCase, -1)
+        val toks = ws.split(sparkTrimLower(t), -1)
         val seen = new java.util.LinkedHashSet[String]()
         if (toks.length >= n) {
           val sb = new java.lang.StringBuilder
@@ -226,7 +242,7 @@ object TextOps {
     val ws = java.util.regex.Pattern.compile("\\s+")
     val f = udf { (text: String) =>
       if (text == null) Option.empty[(Long, Double, Double)]
-      else Some(repetitionOf(ws.split(text.trim.toLowerCase, -1), n))
+      else Some(repetitionOf(ws.split(sparkTrimLower(text), -1), n))
     }
     df.withColumn("__r", f(col(textCol)))
       .withColumn("n_grams", col("__r._1"))
