@@ -61,6 +61,24 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 1L, 1.0, 0.0)))
   }
 
+  test("UDF tokenizers match the column tokenizer on whitespace-framed text") {
+    // Spark's trim strips 0x20 only; Java String.trim also eats
+    // tabs/newlines — these inputs catch any regression to Java trim
+    // (leading tab => leading '' token => different grams).
+    val tricky = Seq(
+      (1L, "\tfoo bar foo bar\n"),
+      (2L, "  spaced   out  "),
+      (3L, "plain words here"),
+      (4L, "UPPER Case MiX")).toDF("doc_id", "text")
+    val viaUdf = TextOps.distinctWordNgrams(col("text"), 2)
+    val viaCols = array_distinct(TextOps.wordNgrams(col("text"), 2))
+    val rows = tricky.select(viaUdf.as("u"), viaCols.as("c")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0).sorted === r.getSeq[String](1).sorted,
+        s"UDF grams ${r.getSeq[String](0)} != column grams ${r.getSeq[String](1)}")
+    }
+  }
+
   test("contamination flags planted n-gram overlap, skips clean docs") {
     val evalSet = Seq((100L, "the secret eval question about spark tables")).toDF("doc_id", "text")
     val train = Seq(
