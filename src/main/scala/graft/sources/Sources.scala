@@ -96,6 +96,23 @@ object Csv {
   def sinkPerFile(df: DataFrame, fileTagCol: String, path: String): Unit =
     df.write.partitionBy(fileTagCol).option("header", "true")
       .mode("overwrite").csv(path)
+
+  /** Bucketed parquet table sink — the co-located-join layout for fact
+    * tables that are repeatedly joined/aggregated on the same key at
+    * corpus scale: both sides bucketed (same key, same bucket count)
+    * join with NO exchange (bucket-pruned sort-merge), and repeated
+    * pipelines amortize the one-time layout shuffle. `sortBucketsBy`
+    * additionally sorts within buckets so the join's per-bucket sort
+    * drops too. Requires a table catalog (saveAsTable) — bucketing
+    * metadata lives there, not in the parquet footer.
+    */
+  def bucketedSink(df: DataFrame, table: String, keys: Seq[String],
+                   buckets: Int, sortBuckets: Boolean = true): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortBuckets) w.sortBy(keys.head, keys.tail: _*) else w)
+      .saveAsTable(table)
+  }
 }
 
 /** Generated-projection fixed-width readers (S5/S6): one `spark.read.text`

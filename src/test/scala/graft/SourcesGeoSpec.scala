@@ -18,6 +18,33 @@ class SourcesGeoSpec extends AnyFunSuite {
     f.getAbsolutePath
   }
 
+  test("bucketed tables join with no exchange and match the plain join") {
+    // the co-located-join layout: both sides bucketed on the join key
+    // with the same bucket count -> the sort-merge join consumes bucket
+    // outputs directly, no shuffle stage on either side
+    val facts = (1 to 500).map(i => (i % 50, i, i * 1.5)).toDF("k", "seq", "v")
+    val dims = (0 until 50).map(i => (i, s"name_$i")).toDF("k", "name")
+    Csv.bucketedSink(facts, "graft_bucket_facts", Seq("k"), 8)
+    Csv.bucketedSink(dims, "graft_bucket_dims", Seq("k"), 8)
+    try {
+      val bf = spark.table("graft_bucket_facts")
+      val bd = spark.table("graft_bucket_dims")
+      // disable broadcast so the join's shuffle behavior is what's tested
+      val joined = bf.join(bd.hint("merge"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      val got = joined.groupBy("name").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val want = facts.join(dims, "k").groupBy("name").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_facts")
+      spark.sql("DROP TABLE IF EXISTS graft_bucket_dims")
+    }
+  }
+
   test("fixed-width .dly parse: header fields + 31 day groups (S5, A3)") {
     // ID(11) YEAR(4) MONTH(2) ELEMENT(4) then 31 x [VALUE(5) M Q S]
     def grp(v: String) = f"${v}%5s" + "  X"

@@ -61,6 +61,28 @@ class StatsSpec extends AnyFunSuite {
     assert(residRms < 1.0, s"resid RMS $residRms")
   }
 
+  test("jacobiEigSym: eigen equation, orthonormal columns, descending order") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val d = 3 + rnd.nextInt(6)
+      val b = Array.fill(d, d)(rnd.nextDouble() * 2 - 1)
+      val a = Array.tabulate(d, d)((i, j) => (b(i)(j) + b(j)(i)) / 2)
+      val (evals, evecs) = graft.ml.Eigen.jacobiEigSym(a)
+      for (f <- 1 until d)
+        assert(evals(f - 1) >= evals(f) - 1e-12, s"trial $trial: order")
+      for (f <- 0 until d; i <- 0 until d) {
+        val av = (0 until d).map(j => a(i)(j) * evecs(j)(f)).sum
+        assert(math.abs(av - evals(f) * evecs(i)(f)) < 1e-9,
+          s"trial $trial: A·v != λ·v at ($i,$f)")
+      }
+      for (f <- 0 until d; g <- f until d) {
+        val dot = (0 until d).map(i => evecs(i)(f) * evecs(i)(g)).sum
+        val want = if (f == g) 1.0 else 0.0
+        assert(math.abs(dot - want) < 1e-9, s"trial $trial: orthonormality ($f,$g)")
+      }
+    }
+  }
+
   test("factor analysis + varimax separates two planted factors (M4)") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 400).map { _ =>
