@@ -63,6 +63,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!lineage.contains("CoalescedRDD"), s"single-partition funnel in:\n$lineage")
   }
 
+  test("decontamination broadcasts the eval gram set, never shuffles text (q107)") {
+    val p = plan("q107_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval gram set not broadcast in:\n$p")
+    // the only hash exchanges may carry (doc_id, gh) / count partials —
+    // document text must never be a shuffle output column
+    val exchanges = "Exchange hashpartitioning\\([^)]*\\)[^\\n]*".r
+      .findAllIn(p).toList
+    exchanges.foreach(e =>
+      assert(!e.contains("text#"), s"text crosses a shuffle: $e"))
+  }
+
+  test("stratified sample runs the two-stage top-k (q104)") {
+    val p = plan("q104_stratified_sample")
+    // stage 1 ranks within (group, input partition) — its window key
+    // carries spark_partition_id; stage 2 is the tiny global rank
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
+      s"no partition-local first stage in:\n$p")
+    assert(p.split("WindowGroupLimit").length >= 2 ||
+      p.split("Window").length >= 3, s"missing two-stage windows in:\n$p")
+  }
+
   test("exact dedup shuffles fingerprints, never text (q39)") {
     val p = plan("q39_exact_dedup")
     // what crosses the shuffle is the map-side partial aggregate's output
