@@ -33,6 +33,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curation scan layer runs unchanged on an unbounded stream") {
+    // quality score, language ID, repetition stats, and PII redaction
+    // are stateless scan projections — the SAME column expressions and
+    // UDFs must plan incrementally on a stream and agree with the batch
+    // result row for row.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox is a fine fox and the fox jumps"),
+      (2L, "mail me at a@b.io and call 555-123-4567 please"),
+      (3L, "la la la la la"))
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      TextOps.redactPii(
+        TextOps.withRepetitionStats(df, "text", 2)
+          .withColumn("q_score", TextOps.qualityScore(col("text"), graft.queries.Text.stops))
+          .withColumn("lang", TextOps.langId(col("text"))), "text")
+        .select("doc_id", "q_score", "lang", "dup_ngram_frac", "n_emails",
+          "n_phones", "redacted")
+    val input = MemoryStream[(Long, String)]
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated_stream").orderBy("doc_id").collect()
+      val batch = curate(docs.toDF("doc_id", "text")).orderBy("doc_id").collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      assert(streamed(1).getAs[Long]("n_emails") === 1L)
+      assert(streamed(1).getAs[Long]("n_phones") === 1L)
+    } finally q.stop()
+  }
+
   test("session windows split a keyed feed on the silence gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
