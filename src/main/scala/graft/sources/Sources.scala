@@ -113,6 +113,19 @@ object Csv {
     (if (sortBuckets) w.sortBy(keys.head, keys.tail: _*) else w)
       .saveAsTable(table)
   }
+
+  /** Size-bounded shard writer — the training-shard layout of a curated
+    * corpus: every output file carries at most `rowsPerShard` records
+    * (`maxRecordsPerFile` splits within a task; the repartition keeps
+    * shard count ~uniform instead of mirroring upstream skew). Readers
+    * stream shards independently, so shard size bounds a loader's unit
+    * of work at any corpus scale.
+    */
+  def shardedSink(df: DataFrame, path: String, rowsPerShard: Int,
+                  approxRows: Long): Unit =
+    df.repartition(math.max(1, (approxRows / math.max(1, rowsPerShard)).toInt))
+      .write.option("maxRecordsPerFile", rowsPerShard.toLong)
+      .mode("overwrite").parquet(path)
 }
 
 /** Generated-projection fixed-width readers (S5/S6): one `spark.read.text`

@@ -18,6 +18,20 @@ class SourcesGeoSpec extends AnyFunSuite {
     f.getAbsolutePath
   }
 
+  test("sharded sink bounds rows per file and round-trips all rows") {
+    val df = (1 to 1000).map(i => (i.toLong, s"doc $i")).toDF("id", "text")
+    val dir = Files.createTempDirectory("graft_shards").toString
+    Csv.shardedSink(df, dir, rowsPerShard = 150, approxRows = 1000)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 1000 / 150, s"too few shards: ${files.length}")
+    files.foreach { f =>
+      val n = spark.read.parquet(f).count()
+      assert(n <= 150, s"shard $f has $n rows")
+    }
+    assert(spark.read.parquet(dir).count() === 1000)
+  }
+
   test("bucketed tables join with no exchange and match the plain join") {
     // the co-located-join layout: both sides bucketed on the join key
     // with the same bucket count -> the sort-merge join consumes bucket
