@@ -101,14 +101,18 @@ object Csv {
     * tables that are repeatedly joined/aggregated on the same key at
     * corpus scale: both sides bucketed (same key, same bucket count)
     * join with NO exchange (bucket-pruned sort-merge), and repeated
-    * pipelines amortize the one-time layout shuffle. `sortBucketsBy`
-    * additionally sorts within buckets so the join's per-bucket sort
-    * drops too. Requires a table catalog (saveAsTable) — bucketing
-    * metadata lives there, not in the parquet footer.
+    * pipelines amortize the one-time layout shuffle. The repartition on
+    * the bucket keys is load-bearing twice over: without it every input
+    * task writes its own file per bucket (tasks × buckets small files),
+    * and Spark only honors in-bucket sortedness — the `sortBuckets`
+    * benefit that lets the join skip its per-bucket sort — when each
+    * bucket holds a single file. Requires a table catalog (saveAsTable);
+    * bucketing metadata lives there, not in the parquet footer.
     */
   def bucketedSink(df: DataFrame, table: String, keys: Seq[String],
                    buckets: Int, sortBuckets: Boolean = true): Unit = {
-    val w = df.write.format("parquet").mode("overwrite")
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortBuckets) w.sortBy(keys.head, keys.tail: _*) else w)
       .saveAsTable(table)
@@ -117,15 +121,23 @@ object Csv {
   /** Size-bounded shard writer — the training-shard layout of a curated
     * corpus: every output file carries at most `rowsPerShard` records
     * (`maxRecordsPerFile` splits within a task; the repartition keeps
-    * shard count ~uniform instead of mirroring upstream skew). Readers
-    * stream shards independently, so shard size bounds a loader's unit
-    * of work at any corpus scale.
+    * shard count ~uniform instead of mirroring upstream skew). CEILING
+    * division sizes partitions at ≤ rowsPerShard, so maxRecordsPerFile
+    * is a guard rather than a per-task splitter (floor division would
+    * put rowsPerShard+ε in every task and split each into one full
+    * shard plus a tiny remainder file). Readers stream shards
+    * independently, so shard size bounds a loader's unit of work at
+    * any corpus scale.
     */
   def shardedSink(df: DataFrame, path: String, rowsPerShard: Int,
-                  approxRows: Long): Unit =
-    df.repartition(math.max(1, (approxRows / math.max(1, rowsPerShard)).toInt))
-      .write.option("maxRecordsPerFile", rowsPerShard.toLong)
+                  approxRows: Long): Unit = {
+    val per = math.max(1L, rowsPerShard.toLong)
+    val quotient = (approxRows + per - 1L) / per
+    val parts = math.max(1L, math.min(quotient, Int.MaxValue.toLong)).toInt
+    df.repartition(parts)
+      .write.option("maxRecordsPerFile", per)
       .mode("overwrite").parquet(path)
+  }
 }
 
 /** Generated-projection fixed-width readers (S5/S6): one `spark.read.text`

@@ -67,12 +67,15 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q107_decontaminate")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"eval gram set not broadcast in:\n$p")
-    // the only hash exchanges may carry (doc_id, gh) / count partials —
-    // document text must never be a shuffle output column
-    val exchanges = "Exchange hashpartitioning\\([^)]*\\)[^\\n]*".r
-      .findAllIn(p).toList
-    exchanges.foreach(e =>
-      assert(!e.contains("text#"), s"text crosses a shuffle: $e"))
+    // what enters the only hash exchange is the overlap count's partial
+    // aggregate output — it must be (doc_id, count), never document
+    // text. (Exchange plan lines print partitioning expressions, not
+    // payload columns, so grep the feeding operator like the q39 guard.)
+    val partialOut = "partial_count[^\\n]*output=\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1))
+    assert(partialOut.isDefined, s"no partial count before the shuffle in:\n$p")
+    assert(!partialOut.get.contains("text#"),
+      s"document text crosses the shuffle: ${partialOut.get}")
   }
 
   test("stratified sample runs the two-stage top-k (q104)") {
@@ -81,8 +84,13 @@ class PlanSpec extends AnyFunSuite {
     // carries spark_partition_id; stage 2 is the tiny global rank
     assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
       s"no partition-local first stage in:\n$p")
-    assert(p.split("WindowGroupLimit").length >= 2 ||
-      p.split("Window").length >= 3, s"missing two-stage windows in:\n$p")
+    // two window STAGES (the current plan shows 2 Window execs and 4
+    // WindowGroupLimit nodes — a single rank-filter stage emits one
+    // Window and a Partial+Final WindowGroupLimit pair)
+    val windows = "\\n[^\\n]*Window \\[".r.findAllIn(p).length
+    val wgl = "WindowGroupLimit".r.findAllIn(p).length
+    assert(windows >= 2 && wgl >= 3,
+      s"missing two-stage windows (Window=$windows, WindowGroupLimit=$wgl) in:\n$p")
   }
 
   test("exact dedup shuffles fingerprints, never text (q39)") {
