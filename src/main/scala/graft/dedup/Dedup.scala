@@ -478,7 +478,37 @@ object Dedup {
     * drop-in upgrade if diameters ever warrant it. Output: one row per
     * node, `group_id` = smallest member id of its component.
     */
-  def dupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def dupGroups(pairs: DataFrame, maxIter: Int = 20,
+                driverThreshold: Long = 100000L): DataFrame = {
+    // HYBRID: a near-dup pair list is usually TINY relative to the
+    // corpus (banded LSH caps bucket fan-out), and a bounded pair set
+    // is a driver-trivial union-find — one collect instead of
+    // 2×diameter distributed jobs. The label-propagation path below
+    // remains the scale route for pair lists above the threshold.
+    val spark = pairs.sparkSession
+    val idsLong = pairs.schema.fields.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (idsLong) {
+      val p = pairs.select(col("id_a"), col("id_b")).cache()
+      val nPairs = p.count()
+      if (nPairs <= driverThreshold) {
+        import spark.implicits._
+        val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+        p.unpersist(blocking = true)
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val pr = parent.getOrElse(x, x)
+          if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        return edges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+          .map(x => (find(x), x)).toDF("group_id", "id")
+      }
+      p.unpersist(blocking = true)
+    }
     // cache (not checkpoint-pin) the per-round state: an InMemoryRelation
     // truncates the growing iterative plan just as well, and superseded
     // rounds release their blocks DETERMINISTICALLY via blocking

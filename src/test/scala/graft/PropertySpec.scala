@@ -123,9 +123,12 @@ class PropertySpec extends AnyFunSuite {
         }
         val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
           .map(x => x -> find(x)).toMap
-        val got = Dedup.dupGroups(edges.toDF("id_a", "id_b")).collect()
-          .map(r => r.getLong(1) -> r.getLong(0)).toMap
-        assert(got === expected, s"seed $s edges=$edges")
+        for (threshold <- Seq(100000L, 0L)) {
+          val got = Dedup.dupGroups(edges.toDF("id_a", "id_b"),
+            driverThreshold = threshold).collect()
+            .map(r => r.getLong(1) -> r.getLong(0)).toMap
+          assert(got === expected, s"seed $s threshold=$threshold edges=$edges")
+        }
       }
     }
   }

@@ -23,26 +23,34 @@ class TextDedupSpec extends AnyFunSuite {
     Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" ")
   }
 
-  test("dupGroups closes components: clique, chain, isolated pair") {
+  test("dupGroups closes components: clique, chain, isolated pair (both paths)") {
     // clique {1,2,3}, a 5-node CHAIN 10-11-12-13-14 (diameter 4 — needs
     // several propagation rounds), and pair {20,21}
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (1L, 3L),
       (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
       (20L, 21L)).toDF("id_a", "id_b")
-    val got = Dedup.dupGroups(pairs).collect()
-      .map(r => r.getLong(1) -> r.getLong(0)).toMap
-    assert(got === Map(
+    val want = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
-      20L -> 20L, 21L -> 20L))
+      20L -> 20L, 21L -> 20L)
+    // driver union-find path (under threshold) and the distributed
+    // label-propagation path (threshold forced to 0) must agree
+    for (threshold <- Seq(100000L, 0L)) {
+      val got = Dedup.dupGroups(pairs, driverThreshold = threshold).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(got === want, s"threshold=$threshold")
+    }
   }
 
-  test("dupGroups propagates min label against the edge direction") {
+  test("dupGroups propagates min label against the edge direction (both paths)") {
     // min id sits at the END of the chain: label must flow 'backwards'
     val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
-    val got = Dedup.dupGroups(pairs).collect().map(_.getLong(0)).distinct
-    assert(got.toSeq === Seq(1L))
+    for (threshold <- Seq(100000L, 0L)) {
+      val got = Dedup.dupGroups(pairs, driverThreshold = threshold)
+        .collect().map(_.getLong(0)).distinct
+      assert(got.toSeq === Seq(1L), s"threshold=$threshold")
+    }
   }
 
   test("repetitionStats: exact fractions on planted repetition") {
