@@ -153,6 +153,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Exact.dsum is bit-identical under any partitioning (vs sequential decimal)") {
+    // the engine's exactness contract in one assertion: the distributed
+    // decimal sum must equal a single-threaded BigDecimal fold for EVERY
+    // partitioning — double sum would drift in the low bits
+    for (s <- 1 to 8) {
+      val xs = sample(Gen.listOfN(200,
+        Gen.choose(-1e6, 1e6).map(v => math.rint(v * 100) / 100)), 1500 + s)
+      val expected = xs.map(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val df = xs.toDF("v")
+      for (parts <- Seq(1, 3, 7, 32)) {
+        val got = df.repartition(parts)
+          .agg(graft.ops.Exact.dsum(col("v"))).head().getDouble(0)
+        assert(got === expected, s"seed $s parts=$parts")
+      }
+    }
+  }
+
   test("blocked folds: total coverage, contiguity, val-suffix — any (n, k)") {
     for (s <- 1 to 10) {
       val n = sample(Gen.choose(10, 120), 400 + s)
