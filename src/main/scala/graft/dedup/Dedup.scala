@@ -486,8 +486,12 @@ object Dedup {
     // 2×diameter distributed jobs. The label-propagation path below
     // remains the scale route for pair lists above the threshold.
     val spark = pairs.sparkSession
-    val idsLong = pairs.schema.fields.take(2)
-      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    // resolve the id columns BY NAME — a frame with extra leading
+    // columns (or reordered ones) must not silently skip the driver
+    // path or mis-detect types
+    val fieldsByName = pairs.schema.fields.map(f => f.name -> f.dataType).toMap
+    val idsLong = Seq("id_a", "id_b").forall(n =>
+      fieldsByName.get(n).contains(org.apache.spark.sql.types.LongType))
     if (idsLong) {
       val p = pairs.select(col("id_a"), col("id_b")).cache()
       val nPairs = p.count()
@@ -496,9 +500,21 @@ object Dedup {
         val edges = p.collect().map(r => (r.getLong(0), r.getLong(1)))
         p.unpersist(blocking = true)
         val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          val pr = parent.getOrElse(x, x)
-          if (pr == x) x else { val r = find(pr); parent(x) = r; r }
+        // iterative find with path-halving: a chain-shaped component at
+        // the 100k-pair threshold is an in-envelope input, and a
+        // recursive find would nest O(chain) frames and overflow the
+        // driver stack. Path-halving keeps amortized near-O(1) finds
+        // with a single constant-stack loop.
+        def find(x0: Long): Long = {
+          var x = x0
+          var px = parent.getOrElse(x, x)
+          while (px != x) {
+            val ppx = parent.getOrElse(px, px)
+            parent(x) = ppx // halve: point x at its grandparent
+            x = ppx
+            px = parent.getOrElse(x, x)
+          }
+          x
         }
         edges.foreach { case (a, b) =>
           val (ra, rb) = (find(a), find(b))
@@ -547,8 +563,12 @@ object Dedup {
         s"dupGroups did not converge in $maxIter rounds — component diameter " +
           s"exceeds maxIter; raise it (propagation advances one hop per round)")
     }
-    val out = labels.select(col("lbl").as("group_id"), col("id")).cache()
-    out.count()
+    // pin (lineage-truncating, eagerly materialized) rather than cache:
+    // a returned cache the caller can't know to release would recreate
+    // the deterministic-cleanup-debt class this function's per-round
+    // blocking unpersists exist to avoid
+    val out = graft.ops.Pin.pin(
+      labels.select(col("lbl").as("group_id"), col("id")))
     edges.unpersist(blocking = true)
     labels.unpersist(blocking = true)
     out

@@ -80,10 +80,14 @@ object Fills {
     // randomized block-fetch order — ties on the caller's sort key
     // could order differently between the carry-collect and the fill,
     // producing fills consistent with NO single ordering. A
-    // deterministic input-position tiebreaker (stable for re-computed
-    // deterministic sources like file scans) makes both sorts total.
+    // deterministic input-position tiebreaker makes both sorts total —
+    // and the keyed frame is PINNED (eagerly materialized, lineage
+    // truncated) so the tie ids are assigned exactly once: without the
+    // pin, a nondeterministic upstream (e.g. a shuffle recomputed on
+    // stage retry) could hand wave 2 different ids than wave 1 and the
+    // fills would disagree with the collected carries.
     val tie = "__gf_tie"
-    val keyed = df.withColumn(tie, monotonically_increasing_id())
+    val keyed = Pin.pin(df.withColumn(tie, monotonically_increasing_id()))
     val rdd = keyed.repartitionByRange(parts, order :+ col(tie): _*)
       .sortWithinPartitions(order :+ col(tie): _*).rdd
     val schema = keyed.schema

@@ -12,6 +12,18 @@ import org.apache.spark.sql.DataFrame
   * frame unrecoverable. When the session has a reliable checkpoint
   * directory configured (`sc.setCheckpointDir`, the cluster-deployment
   * contract), pin through the fault-tolerant `checkpoint()` instead.
+  *
+  * Checkpoint-file lifecycle (cluster-deployment contract): Spark does
+  * NOT delete reliable-checkpoint files by default
+  * (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults to
+  * false), so a long-lived session that pins repeatedly accumulates
+  * checkpoint-dir storage without bound. Deployments that set a
+  * checkpoint dir MUST either (a) set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so the
+  * ContextCleaner removes files when the checkpointed RDD is GC'd, or
+  * (b) point `setCheckpointDir` at a per-job scratch path and delete it
+  * when the job ends. Local mode (`localCheckpoint`) is unaffected —
+  * its blocks die with the executors.
   */
 object Pin {
 

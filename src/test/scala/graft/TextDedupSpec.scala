@@ -43,6 +43,24 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGroups driver path survives a threshold-sized descending chain (no recursion)") {
+    // Adversarial shape for the driver union-find: a single 100k-edge
+    // chain with edges arriving in DESCENDING order builds the deepest
+    // possible parent chain (each union hangs the new max off a
+    // just-linked node). A recursive `find` overflows the driver stack
+    // exactly at the in-envelope input the 100k-pair driverThreshold
+    // permits; the iterative path-halving find must close it.
+    val n = 100000
+    val pairs = spark.range(1, n.toLong + 1)
+      .select((lit(n.toLong + 1) - col("id")).as("id_a"),
+              (lit(n.toLong) - col("id")).as("id_b"))
+      .filter(col("id_b") >= 0L)
+    val groups = Dedup.dupGroups(pairs, driverThreshold = n.toLong).collect()
+    assert(groups.length === n + 1)
+    assert(groups.forall(_.getLong(0) == 0L),
+      "every chain node must resolve to the minimum id 0")
+  }
+
   test("dupGroups propagates min label against the edge direction (both paths)") {
     // min id sits at the END of the chain: label must flow 'backwards'
     val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L)).toDF("id_a", "id_b")
