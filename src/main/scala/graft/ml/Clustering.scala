@@ -80,6 +80,61 @@ object Clustering {
     * k-1 distributed max-min-distance scans — robust to planted-group
     * splits that plain random init falls into, and reproducible.
     */
+  /** Shared deterministic init: the first centroid is the series
+    * minimizing `firstPick` (a per-sid hash expression), the remaining
+    * k-1 come from incremental farthest-first traversal — carry each
+    * series' min-distance-so-far and fold in ONLY the newest centroid
+    * per step, k-1 DTW scans total instead of the 1+2+…+(k-1) quadratic
+    * rescan. The loop is k-1 SEQUENTIAL argmax passes over one bounded
+    * (sid, vec, d) state, i.e. genuine per-partition imperative
+    * iteration: an RDD map/max avoids Catalyst re-planning + codegen
+    * compiling a fresh plan per step, which dominated the DataFrame
+    * form's wall time. Tie-break: max distance, then SMALLEST sid.
+    */
+  private def farthestFirstInit(data: DataFrame, firstPick: org.apache.spark.sql.Column,
+                                kEff: Int, statePartitions: Int): Array[Array[Double]] = {
+    val firstId = data
+      .select(min_by(col("sid"), firstPick).as("s"))
+      .head().getString(0)
+    val init = scala.collection.mutable.ArrayBuffer(
+      data.filter(col("sid") === firstId).head().getSeq[Double](1).toArray)
+    val farthestOrd = new Ordering[(String, Array[Double], Double)] {
+      def compare(a: (String, Array[Double], Double),
+                  b: (String, Array[Double], Double)): Int = {
+        val c = java.lang.Double.compare(a._3, b._3)
+        if (c != 0) c else b._1.compareTo(a._1)
+      }
+    }
+    var stateRdd = data.rdd
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray,
+        Double.PositiveInfinity))
+      .coalesce(statePartitions)
+      .persist()
+    while (init.length < kEff) {
+      val newest = init.last
+      val prev = stateRdd
+      stateRdd = prev
+        .map { case (sid, v, d) => (sid, v, math.min(d, dtwBounded(v, newest, d))) }
+        .persist()
+      val far = stateRdd.max()(farthestOrd)
+      init += far._2
+      prev.unpersist(false)
+    }
+    stateRdd.unpersist(false)
+    init.toArray
+  }
+
+  /** Partition sizing for the bounded iterative k-means state: the
+    * init/Lloyd loops run ~k + iters sequential jobs over it, and at 32
+    * near-empty partitions per job the task-launch overhead dwarfs the
+    * DTW math. ~512 series per partition keeps tasks meaningfully sized;
+    * large series counts still spread to full parallelism.
+    */
+  private def kmeansStatePartitions(spark: org.apache.spark.sql.SparkSession,
+                                    n: Long): Int =
+    math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, (n / 512 + 1).toInt))
+
   def dtwKMeans(series: DataFrame, idCol: String, vecCol: String, k: Int,
                 maxIter: Int = 10, seed: Long = 42L): KMeansResult = {
     val spark = series.sparkSession
@@ -95,52 +150,9 @@ object Clustering {
       // hash — uniform like a shuffle-and-take-head, but no O(#series)
       // driver collect (the previous init materialized every id on the
       // driver just to pick one).
-      val firstId = data
-        .select(min_by(col("sid"), xxhash64(col("sid"), lit(seed))).as("s"))
-        .head().getString(0)
-      val init = scala.collection.mutable.ArrayBuffer(
-        data.filter(col("sid") === firstId).head().getSeq[Double](1).toArray)
-      // Incremental farthest-first: carry each series' min-distance-so-far
-      // and fold in ONLY the newest centroid per step — k-1 DTW scans
-      // total instead of the 1+2+…+(k-1) quadratic rescan. The loop is
-      // k-1 SEQUENTIAL argmax passes over one bounded (sid, vec, d)
-      // state, i.e. genuine per-partition imperative iteration: an RDD
-      // map/max avoids Catalyst re-planning + codegen compiling a fresh
-      // plan per step, which dominated the DataFrame form's wall time.
-      // Tie-break matches the frame version: max distance, then SMALLEST
-      // sid.
-      val farthestOrd = new Ordering[(String, Array[Double], Double)] {
-        def compare(a: (String, Array[Double], Double),
-                    b: (String, Array[Double], Double)): Int = {
-          val c = java.lang.Double.compare(a._3, b._3)
-          if (c != 0) c else b._1.compareTo(a._1)
-        }
-      }
-      // Size the iterative state's partitioning by the series count, not
-      // the upstream shuffle width: the init/Lloyd loops run ~k + iters
-      // sequential jobs over this bounded state, and at 32 near-empty
-      // partitions per job the task-launch overhead dwarfs the DTW math.
-      // ~512 series per partition keeps tasks meaningfully sized; large
-      // series counts still spread to full parallelism.
-      val statePartitions = math.max(1, math.min(
-        spark.sparkContext.defaultParallelism, (n / 512 + 1).toInt))
-      var stateRdd = data.rdd
-        .map(r => (r.getString(0), r.getSeq[Double](1).toArray,
-          Double.PositiveInfinity))
-        .coalesce(statePartitions)
-        .persist()
-      while (init.length < kEff) {
-        val newest = init.last
-        val prev = stateRdd
-        stateRdd = prev
-          .map { case (sid, v, d) => (sid, v, math.min(d, dtwBounded(v, newest, d))) }
-          .persist()
-        val far = stateRdd.max()(farthestOrd)
-        init += far._2
-        prev.unpersist(false)
-      }
-      stateRdd.unpersist(false)
-      var centroids: Array[Array[Double]] = init.toArray
+      val statePartitions = kmeansStatePartitions(spark, n)
+      var centroids: Array[Array[Double]] = farthestFirstInit(
+        data, xxhash64(col("sid"), lit(seed)), kEff, statePartitions)
 
       // Lloyd's iterations as ONE job each: assignment + per-partition
       // (cluster → sum, count) partials fused in a mapPartitions, merged
@@ -212,6 +224,98 @@ object Clustering {
         .orderBy("cluster", "series")
       val out = graft.ops.Pin.pin(assigned)
       vecs.unpersist(blocking = true)
+      KMeansResult(out, centroids, it)
+    } finally data.unpersist(blocking = true)
+  }
+
+  /** Oracle twin of [[dtwKMeans]]: the same Lloyd-with-DTW protocol with
+    * every arithmetic step made cross-engine replayable, so the full
+    * clustering hash-checks against a DuckDB transcript of the protocol
+    * (q109) on real SF data — the q44/q80-style exact twin of the q53
+    * production path.
+    *
+    * Differences from the production variant, each forced by
+    * replayability:
+    *  - first-centroid pick hashes with md5 (DuckDB has no xxhash64);
+    *    farthest-first traversal and tie-breaks are otherwise identical;
+    *  - centroid updates capture members at DECIMAL(38,9) and divide the
+    *    exact sum by the count — partition-order-invariant (the exact
+    *    decimal sum is associative) and bit-reproducible in any engine,
+    *    where the production path's streamed double sums are fast but
+    *    partition-order-sensitive (COVERAGE.md documents that trade);
+    *  - exactly `maxIter` Lloyd rounds (no converged-early stop), so the
+    *    oracle can unroll the same fixed number of stages.
+    *
+    * Scale shape matches the production path: assignments broadcast the
+    * k×len centroids and stream series through one projection; the
+    * update is a (cluster, position) grouped decimal sum — one shuffle
+    * of k×len partials with map-side combine; k×len values collect to
+    * the driver per round.
+    */
+  def dtwKMeansExact(series: DataFrame, idCol: String, vecCol: String, k: Int,
+                     maxIter: Int = 5): KMeansResult = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = series.sparkSession
+    val data = series.select(col(idCol).cast("string").as("sid"),
+      col(vecCol).cast("array<double>").as("vec")).cache()
+    try {
+      val n = data.count()
+      require(k >= 1 && n >= 1, s"need k >= 1 and data, got k=$k n=$n")
+      val kEff = math.min(k.toLong, n).toInt
+      val statePartitions = kmeansStatePartitions(spark, n)
+      var centroids: Array[Array[Double]] =
+        farthestFirstInit(data, md5(col("sid")), kEff, statePartitions)
+      var it = 0
+      while (it < maxIter) {
+        val bc = spark.sparkContext.broadcast(centroids)
+        val assign = udf { (v: Seq[Double]) =>
+          val arr = v.toArray
+          var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+          while (c < bc.value.length) {
+            val d = dtwBounded(arr, bc.value(c), bestD)
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        // decimal-exact pointwise mean per (cluster, position): the same
+        // CAST(SUM(CAST(x AS DECIMAL)) AS DOUBLE)/COUNT shape as every
+        // Exact-captured aggregate, so DuckDB reproduces each centroid
+        // coordinate bit-for-bit; k×len rows collect per round.
+        val stats = data
+          .select(assign(col("vec")).as("cl"),
+            posexplode(col("vec")).as(Seq("pos", "v")))
+          .groupBy("cl", "pos")
+          .agg((sum(col("v").cast(DecimalType(38, 9))).cast("double") /
+            count(lit(1))).as("m"))
+          .collect()
+        val byCl = stats.groupBy(_.getInt(0))
+        centroids = centroids.indices.map { c =>
+          byCl.get(c) match {
+            case Some(rows) =>
+              val m = new Array[Double](rows.length)
+              rows.foreach(r => m(r.getInt(1)) = r.getDouble(2))
+              m
+            case None => centroids(c) // empty cluster keeps its centroid
+          }
+        }.toArray
+        it += 1
+      }
+      val bcF = spark.sparkContext.broadcast(centroids)
+      val assignDist = udf { (v: Seq[Double]) =>
+        val arr = v.toArray
+        var best = 0; var bestD = Double.PositiveInfinity; var c = 0
+        while (c < bcF.value.length) {
+          val d = dtwBounded(arr, bcF.value(c), bestD)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        (best, bestD) // early abandon is exact for the winner's distance
+      }
+      val out = graft.ops.Pin.pin(
+        data.select(col("sid").as("series"), assignDist(col("vec")).as("a"))
+          .select(col("series"), col("a._1").as("cluster"), col("a._2").as("dist"))
+          .orderBy("series"))
       KMeansResult(out, centroids, it)
     } finally data.unpersist(blocking = true)
   }

@@ -155,6 +155,31 @@ object Ml {
       res.assignments
     },
 
+    // ---- DTW k-means EXACT TWIN on real SF data (M8/M10) ----
+    // The q44/q80 twin pattern applied to q53: the same protocol
+    // (md5-seeded farthest-first init, 5 Lloyd rounds, k=12) with
+    // decimal-exact centroid updates, hash-checked against a DuckDB
+    // transcript that replays every stage — prep, each init scan, each
+    // assignment's unrolled DTW dynamic program, each DECIMAL(38,9)
+    // pointwise-mean update — on the real events table. q53 stays the
+    // bench production path (streamed double sums, fused RDD rounds);
+    // this twin pins the protocol's full arithmetic at sf scale.
+    Q("q109_dtw_kmeans_exact", DtwOracle.sql(k = 12, maxIter = 5, len = 30)) { (s, dir) =>
+      val daily = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("day"))
+        .agg(graft.ops.Exact.davg(col("value")).as("val"))
+      val dense = Clustering.completeSeries(daily, Seq("user_id"), "day", "val")
+      val series = Clustering.seriesMatrix(dense, Seq("user_id"), "day", "val")
+      val scaled = Clustering.minMaxScaleArray(series, "vec", "svec")
+      val res = Clustering.dtwKMeansExact(scaled.select(col("user_id"), col("svec")),
+        "user_id", "svec", k = 12, maxIter = 5)
+      res.assignments
+        .select(col("series").cast("bigint").as("series"),
+          col("cluster").cast("bigint").as("cluster"),
+          snap9(col("dist")).as("dist"))
+        .orderBy("series")
+    },
+
     // ---- min-max scaling (M1) as oracle-checked column math ----
     Q("q55_minmax_scale",
       """WITH s AS (SELECT MIN(l_quantity) AS lo_q, MAX(l_quantity) AS hi_q,

@@ -44,6 +44,44 @@ class ClusteringSpec extends AnyFunSuite {
       "different groups merged into one cluster")
   }
 
+  test("dtwKMeansExact: partition-invariant, groups recovered, winner distance exact") {
+    def noisy(base: Array[Double], seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      base.map(_ + r.nextDouble() * 0.1)
+    }
+    val flat = Array.fill(12)(0.0)
+    val ramp = Array.tabulate(12)(_.toDouble)
+    val sine = Array.tabulate(12)(i => 5 * math.sin(i * 0.7))
+    val rows = (0 until 5).flatMap { i =>
+      Seq((s"flat$i", noisy(flat, i).toSeq),
+        (s"ramp$i", noisy(ramp, 100 + i).toSeq),
+        (s"sine$i", noisy(sine, 200 + i).toSeq))
+    }
+    val df = rows.toDF("id", "vec")
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val res = Clustering.dtwKMeansExact(d, "id", "vec", k = 3, maxIter = 5)
+      (res.assignments.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSeq,
+        res.centroids)
+    }
+    val (a, cents) = run(df)
+    // the decimal-exact centroid updates make the WHOLE protocol
+    // partition-order-invariant: a reshuffled input must reproduce every
+    // assignment and distance bit-for-bit
+    val (b, _) = run(df.repartition(7))
+    assert(a === b, "exact twin changed under repartitioning")
+    // planted groups recovered, as in the production variant
+    val got = a.map(t => t._1 -> t._2).toMap
+    for (g <- Seq("flat", "ramp", "sine"))
+      assert((0 until 5).map(i => got(s"$g$i")).distinct.size === 1, s"group $g split")
+    // each reported distance is the true DTW to the assigned centroid
+    val vecs = rows.toMap
+    a.foreach { case (id, c, dist) =>
+      assert(dist === Clustering.dtw(vecs(id).toArray, cents(c)),
+        s"$id: reported distance is not the winner's exact DTW")
+    }
+  }
+
   test("minMaxScale maps min->0, max->1; constant column -> 0 (M1)") {
     val df = Seq((1, 10.0, 7.0), (2, 20.0, 7.0), (3, 15.0, 7.0)).toDF("id", "a", "c")
     val out = Clustering.minMaxScale(df, Seq("a", "c")).orderBy("id").collect()
