@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.Exact.davg
-import graft.text.TextOps
+import graft.text.{Packing, TextOps}
 import graft.dedup.Dedup
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
@@ -831,5 +831,39 @@ object Text {
         .select(col("doc_id"), col("n_emails"), col("n_phones"),
           md5(col("redacted")).as("redacted_fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- sequence packing (training-shard assembly) ----
+    // Greedy first-fit packing of tokenized docs into 512-token training
+    // sequences, bucketed (doc_id % 8) with md5-pinned order inside each
+    // bucket so the per-bucket sequential scans replay in DuckDB as ONE
+    // lockstep recursive CTE (all buckets advance one doc per
+    // iteration). PackingSpec composes the same output with
+    // Csv.shardedSink for the on-disk layout.
+    Q("q110_pack_sequences",
+      s"""WITH RECURSIVE
+        |d AS (SELECT doc_id,
+        |    LEAST(CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT), 512) AS t,
+        |    doc_id % 8 AS bk, md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |o AS (SELECT doc_id, t, bk,
+        |    ROW_NUMBER() OVER (PARTITION BY bk ORDER BY h, doc_id) AS rn FROM d),
+        |pk AS (
+        |  SELECT bk, rn, doc_id, t, CAST(0 AS BIGINT) AS seq, t AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.bk, n.rn, n.doc_id, n.t,
+        |    CASE WHEN p.fill + n.t > 512 AND p.fill > 0 THEN p.seq + 1 ELSE p.seq END,
+        |    CASE WHEN p.fill + n.t > 512 AND p.fill > 0 THEN n.t ELSE p.fill + n.t END
+        |  FROM pk p JOIN o n ON n.bk = p.bk AND n.rn = p.rn + 1),
+        |fr AS (SELECT bk, seq, SUM(t) AS tot FROM pk GROUP BY 1, 2)
+        |SELECT p.bk AS bucket, p.seq AS seq, p.doc_id, p.t AS n_tokens,
+        |  CAST(f.tot AS DOUBLE) / 512.0 AS fill_ratio
+        |FROM pk p JOIN fr f ON p.bk = f.bk AND p.seq = f.seq
+        |ORDER BY bucket, seq, doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+      Packing.packSequences(docs, "doc_id", "n_toks", maxLen = 512, buckets = 8)
+        .orderBy("bucket", "seq", "doc_id")
     })
 }

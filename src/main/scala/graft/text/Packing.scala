@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the training-pipeline stage between curation and
+  * shard writing: variable-length tokenized documents are packed into
+  * fixed-capacity training sequences (greedy first-fit in a pinned
+  * order), and the packed assignment feeds `Csv.shardedSink` for the
+  * on-disk shard layout.
+  *
+  * Greedy packing is inherently sequential — each document's sequence
+  * depends on the fill state left by every predecessor — so the global
+  * form cannot be expressed as a window/prefix computation. The scale
+  * unit here is the BUCKET: documents are deterministically bucketed
+  * (`doc_id % buckets`), each bucket packs independently in md5 order,
+  * and sequence ids are namespaced (bucket, seq). That is exactly how a
+  * real corpus packs at 100 TB — per output shard, not globally — and it
+  * makes the whole operation embarrassingly parallel AND replayable by
+  * an oracle (per-bucket greedy scans advance in lockstep in a single
+  * recursive CTE). Raise `buckets` with corpus size; each bucket's doc
+  * list must fit a task's streaming pass (state is O(1)).
+  *
+  * Determinism contract: order within a bucket is (md5(doc_id), doc_id)
+  * — no data-dependent tie; documents longer than `maxLen` are truncated
+  * to `maxLen` tokens (the standard packing convention) and therefore
+  * occupy a full sequence alone.
+  */
+object Packing {
+
+  /** Pack `docs` into (bucket, seq, doc_id, n_tokens, fill_ratio) rows:
+    * one row per document, `fill_ratio` = packed tokens of its sequence
+    * / `maxLen`. `tokensCol` is the document's token count (any
+    * deterministic count column, e.g. [[TextOps.tokenCount]]).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokensCol: String,
+                    maxLen: Int, buckets: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prepped = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      least(col(tokensCol).cast("long"), lit(maxLen.toLong)).as("toks"),
+      pmod(col(idCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+      md5(col(idCol).cast("string").cast("binary")).as("h"))
+    // each bucket's docs are contiguous and md5-ordered within their
+    // partition, so one streaming pass packs them with O(1) state; the
+    // per-bucket reset makes the result independent of which partition
+    // a bucket lands in
+    val packed = prepped
+      .repartition(buckets, col("bucket"))
+      .sortWithinPartitions("bucket", "h", "doc_id")
+      .select("bucket", "doc_id", "toks")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curB = Long.MinValue
+        var seq = 0L
+        var fill = 0L
+        it.map { case (b, id, t) =>
+          if (b != curB) { curB = b; seq = 0L; fill = 0L }
+          // first-fit-in-order: overflow opens the next sequence; a
+          // zero-token doc never opens one (fill+0 <= maxLen always)
+          if (fill + t > maxLen && fill > 0) { seq += 1; fill = t }
+          else fill += t
+          (b, seq, id, t)
+        }
+      }
+      .toDF("bucket", "seq", "doc_id", "n_tokens")
+    // (bucket, seq) groups are capacity-bounded (<= maxLen tokens), so
+    // the window is small and partition-parallel; long sums are exact,
+    // the single double division replays anywhere
+    val w = Window.partitionBy("bucket", "seq")
+    packed.withColumn("fill_ratio",
+      sum(col("n_tokens")).over(w).cast("double") / lit(maxLen.toDouble))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{Packing, TextOps}
+
+/** Sequence-packing invariants and the sharded-sink composition. */
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def pack(df: org.apache.spark.sql.DataFrame, maxLen: Int, buckets: Int) =
+    Packing.packSequences(df, "doc_id", "n_toks", maxLen, buckets)
+
+  test("capacity, truncation, and zero-token docs") {
+    val docs = Seq(
+      (0L, 300L), (8L, 300L), (16L, 100L), // bucket 0: 300+300 > 512 -> split
+      (1L, 9999L),                         // bucket 1: oversize, truncated to 512
+      (2L, 0L), (10L, 0L)                  // bucket 2: zero-token docs share seq 0
+    ).toDF("doc_id", "n_toks")
+    val out = pack(docs, maxLen = 512, buckets = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // no sequence exceeds capacity
+    val bySeq = out.groupBy(t => (t._1, t._2))
+    bySeq.foreach { case (k, rows) =>
+      assert(rows.map(_._4).sum <= 512, s"sequence $k over capacity")
+    }
+    assert(bySeq.count(_._1._1 == 0L) == 2, "bucket 0 must split into two sequences")
+    val over = out.find(_._3 == 1L).get
+    assert(over._4 === 512L, "oversize doc must be truncated to maxLen")
+    assert(over._5 === 1.0, "truncated doc fills its sequence exactly")
+    assert(out.filter(_._1 == 2L).map(_._2).distinct.toSeq === Seq(0L),
+      "zero-token docs must not open new sequences")
+  }
+
+  test("deterministic under repartitioning; every doc packed exactly once") {
+    val docs = (0L until 500L).map(i => (i, (i * 37) % 700)).toDF("doc_id", "n_toks")
+    val a = pack(docs, 512, 8).orderBy("bucket", "seq", "doc_id").collect().toSeq
+    val b = pack(docs.repartition(13), 512, 8)
+      .orderBy("bucket", "seq", "doc_id").collect().toSeq
+    assert(a === b, "packing changed under input repartitioning")
+    assert(a.map(_.getLong(2)).distinct.length === 500)
+    // greedy first-fit: within a bucket, sequence ids are contiguous from 0
+    a.groupBy(_.getLong(0)).foreach { case (bk, rows) =>
+      val seqs = rows.map(_.getLong(1)).distinct.sorted
+      assert(seqs === (0L until seqs.length).toSeq, s"bucket $bk has sequence gaps")
+    }
+  }
+
+  test("packed output flows through the sharded sink within shard bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("packshard").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
+    val packed = pack(docs, 512, 8)
+    val n = packed.count()
+    graft.sources.Csv.shardedSink(packed, s"$dir/shards", rowsPerShard = 16,
+      approxRows = n)
+    val files = new java.io.File(s"$dir/shards").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() === n, "sharded round-trip lost rows")
+    // every shard respects the row bound
+    val perFile = back.groupBy(input_file_name()).count().collect()
+    assert(perFile.forall(_.getLong(1) <= 16L),
+      s"shard over bound: ${perFile.map(_.getLong(1)).max}")
+  }
+}
