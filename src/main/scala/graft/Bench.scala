@@ -45,25 +45,40 @@ object Bench {
       case Some(names) => SparkEntry.registry.filter(q => names(q.name))
       case None        => SparkEntry.registry
     }
+    // Median-of-N per query (SPARK_GRAFT_BENCH_REPS, default 3): this
+    // box's ambient drift is ±25% on single shots (SCALE.md variance
+    // record — same-code totals observed 105.7-134.3s), so a one-shot
+    // record whipsaws round-over-round. The median absorbs a single
+    // slow rep; set reps=1 for quick local iteration.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
     val results = selected.map { q =>
-      // Isolate queries from each other's leftovers before starting the
-      // clock. Round 3 showed a uniform +0.5-1.2s drift on ~20 small
-      // queries as the suite grew; round 5 showed a 7.4x spike on the
-      // query following a localCheckpoint-heavy one. Both trace to
-      // ASYNC cleanup (GC-driven ContextCleaner block removal) landing
-      // inside the next query's timed region, so release everything
-      // synchronously here instead: blocking-unpersist every persistent
-      // RDD (this covers localCheckpoint block pins — they register as
-      // cached RDDs), drop cached plans, then let one explicit GC queue
-      // whatever tiny refs remain (broadcast stubs) for the cleaner.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
-      val t0 = System.nanoTime()
-      try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        // Isolate reps/queries from each other's leftovers before
+        // starting the clock. Round 3 showed a uniform +0.5-1.2s drift
+        // on ~20 small queries as the suite grew; round 5 showed a 7.4x
+        // spike on the query following a localCheckpoint-heavy one. Both
+        // trace to ASYNC cleanup (GC-driven ContextCleaner block
+        // removal) landing inside the next query's timed region, so
+        // release everything synchronously here instead:
+        // blocking-unpersist every persistent RDD (this covers
+        // localCheckpoint block pins — they register as cached RDDs),
+        // drop cached plans, then let one explicit GC queue whatever
+        // tiny refs remain (broadcast stubs) for the cleaner.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.name -> median(times)
     }
     // The driver captures a bounded 2000-char tail of the output: short
     // "qNN" keys + millisecond precision keep the whole line inside it
@@ -74,7 +89,7 @@ object Bench {
       s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
