@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns next to typed metadata; decode /
   * feature-extraction runs batch-wise over partitions.
   *
-  * The actual codec step is STUBBED — image/audio libraries are not in
-  * this container — with a deterministic fake (`fakeDecode`) so the
-  * Spark-side contract (schema, partitioning, batch shape, null handling)
-  * is real and tested. A production deployment swaps `fakeDecode` for a
-  * JNI/library call without touching any plan shape.
+  * The codec is PLUGGABLE: the default is a deterministic fake
+  * (`fakeDecode`/`fakeResize`) so the Spark-side contract (schema,
+  * partitioning, batch shape, null handling) stays oracle-checkable, and
+  * [[ImageIo]] provides a REAL pure-JVM image codec (javax.imageio —
+  * PNG/BMP/GIF/JPEG/TIFF, headless, no native libs) behind the same
+  * batch APIs. Audio/video codecs are not in the JDK and remain faked
+  * (`sampleFrames`); a production deployment plugs a JNI/library call in
+  * without touching any plan shape.
   *
   * Scale notes: blobs never enter a shuffle key; feature extraction is
   * `mapPartitions` (one codec init per partition, not per row); metadata
@@ -122,9 +125,14 @@ object Multimodal {
     }(encoder)
   }
 
-  /** Resize over partitions (same batch contract as [[extractFeatures]]). */
+  /** Resize over partitions (same batch contract as [[extractFeatures]]).
+    * `resample` is the pluggable codec — the deterministic fake by
+    * default (oracle-checkable, q91), [[ImageIo.resize]] for real image
+    * blobs; a null result marks an undecodable blob.
+    */
   def resizeBlobs(df: DataFrame, idCol: String, blobCol: String,
-                  w: Int, h: Int): DataFrame = {
+                  w: Int, h: Int,
+                  resample: (Array[Byte], Int, Int) => Array[Byte] = fakeResize): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -133,16 +141,20 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
       rows.map { r =>
         val blob = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        Row(r.getLong(0), fakeResize(blob, w, h))
+        Row(r.getLong(0), resample(blob, w, h))
       }
     }(encoder)
   }
 
-  /** Batch feature extraction over partitions: one "codec" per partition,
+  /** Batch feature extraction over partitions: one codec per partition,
     * rows streamed through it. Output: (idCol, features array<float>).
+    * `decode` is the pluggable codec — the deterministic fake by default
+    * (oracle-checkable, q47), [[ImageIo.features]] for real image blobs;
+    * a null result marks an undecodable blob.
     */
   def extractFeatures(df: DataFrame, idCol: String, blobCol: String,
-                      featureDim: Int = 16): DataFrame = {
+                      featureDim: Int = 16,
+                      decode: (Array[Byte], Int) => Array[Float] = fakeDecode): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -150,11 +162,12 @@ object Multimodal {
     val encoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
     val input = df.select(col(idCol).cast("long"), col(blobCol))
     input.mapPartitions { rows =>
-      // per-partition init site (real codec would open its context here)
+      // per-partition init site (a stateful codec would open its context here)
       rows.map { r =>
         val id = r.getLong(0)
         val blob = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        Row(id, fakeDecode(blob, featureDim).toSeq)
+        val f = decode(blob, featureDim)
+        Row(id, if (f == null) null else f.toSeq)
       }
     }(encoder)
   }
