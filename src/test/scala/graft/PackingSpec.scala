@@ -47,6 +47,29 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("matches an independent sequential reference on random sizes") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(1234)
+    val docs = (0L until 400L).map(i => (i, rnd.nextInt(800).toLong))
+    val maxLen = 512
+    val buckets = 8
+    // plain single-threaded greedy over each bucket in (md5, id) order
+    val want = docs.groupBy(_._1 % buckets).toSeq.flatMap { case (bk, ds) =>
+      var seq = 0L; var fill = 0L
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).map { case (id, t0) =>
+        val t = math.min(t0, maxLen.toLong)
+        if (fill + t > maxLen && fill > 0) { seq += 1; fill = t } else fill += t
+        (bk, seq, id, t)
+      }
+    }.sorted
+    val got = pack(docs.toDF("doc_id", "n_toks"), maxLen, buckets)
+      .select("bucket", "seq", "doc_id", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(got === want)
+  }
+
   test("packed output flows through the sharded sink within shard bounds") {
     val dir = java.nio.file.Files.createTempDirectory("packshard").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")

@@ -103,4 +103,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!partialOut.get.contains("text#"),
       s"document text crosses the shuffle: ${partialOut.get}")
   }
+
+  test("sequence packing: one bucket exchange, no doc text in flight (q110)") {
+    val p = plan("q110_pack_sequences")
+    // exactly one hash exchange (the bucket repartition) may move data;
+    // the fill-ratio window repartitions on the bounded (bucket, seq)
+    // key — anything beyond those two means the greedy scan or the
+    // tokenizer grew a shuffle it does not need
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+    assert(exchanges <= 2, s"expected <=2 hash exchanges (bucket + window), got $exchanges in:\n$p")
+    // the packed rows that shuffle carry counts and ids, never the text
+    assert(!"Exchange hashpartitioning[^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text crosses a shuffle in:\n$p")
+  }
 }
