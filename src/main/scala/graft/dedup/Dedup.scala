@@ -525,52 +525,151 @@ object Dedup {
       }
       p.unpersist(blocking = true)
     }
-    // cache (not checkpoint-pin) the per-round state: an InMemoryRelation
-    // truncates the growing iterative plan just as well, and superseded
-    // rounds release their blocks DETERMINISTICALLY via blocking
-    // unpersist — checkpoint blocks would float until GC+ContextCleaner,
-    // the cleanup-debt class SCALE.md documents.
+    // The per-round label state iterates as an RDD, not a DataFrame.
+    // Round 7 finding: the DataFrame loop's logical plan embedded the
+    // previous round's tree ~3x per round (nbrMin join + next join +
+    // changed-count join each reference `labels`), so plans grew
+    // exponentially with round count — a cache truncates EXECUTION but
+    // not the PLAN, and merely materializing the execution-listener
+    // plan description OOM'd the driver once a component needed ~8+
+    // propagation hops. The RDD lineage is a shared DAG (linear), the
+    // same bounded-state pattern as dtwKMeans' Lloyd loop, and
+    // superseded rounds still release DETERMINISTICALLY via blocking
+    // unpersist. Ids are cast to long — every near-dup pair producer in
+    // this engine emits integral doc ids.
+    {
+      import org.apache.spark.sql.types._
+      val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+      require(pairs.schema.fields.filter(f =>
+        f.name == "id_a" || f.name == "id_b").forall(f => integral(f.dataType)),
+        "dupGroups' distributed path requires integral ids (id_a, id_b)")
+    }
+    import spark.implicits._
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache() // reused every round; released before returning
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .cache()
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)].rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) } // src -> dst
+      .persist()
+    var labels = edges.map(_._1).distinct().map(x => (x, x)).persist()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min("lbl").as("nlbl"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") =!= col("old")).count() // also materializes next
+      val nbrMin = edges.join(labels) // (src, (dst, src's lbl))
+        .map { case (_, (dst, lbl)) => (dst, lbl) }
+        .reduceByKey(math.min)
+      val next = labels.leftOuterJoin(nbrMin)
+        .mapValues { case (own, nbr) => math.min(own, nbr.getOrElse(own)) }
+        .persist()
+      changed = next.join(labels)
+        .filter { case (_, (n, o)) => n != o }.count() // also materializes next
       labels.unpersist(blocking = true)
       labels = next
       it += 1
     }
     // Silent truncation would SPLIT components (duplicates survive
     // dedup) — refuse instead: the caller raises maxIter (or switches
-    // to the documented alternating-star scheme for huge diameters).
+    // to [[dupGroupsAltStar]] for huge diameters).
     if (changed != 0) {
       edges.unpersist(blocking = true)
       labels.unpersist(blocking = true)
       throw new IllegalStateException(
         s"dupGroups did not converge in $maxIter rounds — component diameter " +
-          s"exceeds maxIter; raise it (propagation advances one hop per round)")
+          s"exceeds maxIter; raise it, or use dupGroupsAltStar (O(log n) rounds)")
     }
     // pin (lineage-truncating, eagerly materialized) rather than cache:
     // a returned cache the caller can't know to release would recreate
     // the deterministic-cleanup-debt class this function's per-round
     // blocking unpersists exist to avoid
     val out = graft.ops.Pin.pin(
-      labels.select(col("lbl").as("group_id"), col("id")))
+      labels.map { case (id, lbl) => (lbl, id) }.toDF("group_id", "id"))
     edges.unpersist(blocking = true)
     labels.unpersist(blocking = true)
     out
+  }
+
+  /** Connected components by ALTERNATING STARS (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — the documented
+    * long-diameter upgrade to [[dupGroups]]' per-hop label propagation:
+    * each round applies large-star (every node's larger neighbors re-hang
+    * off its minimum) then small-star (smaller neighbors and the center
+    * re-hang off the minimum), which contracts chains geometrically —
+    * O(log n) rounds instead of O(diameter). Per round: two
+    * groupBy+join+distinct passes over the edge set and an anti-join
+    * stability check, all on id-pair rows (text never enters). Same
+    * output contract as dupGroups: one row per node, `group_id` =
+    * smallest member id; throws rather than silently splitting
+    * components if `maxIter` is exhausted.
+    *
+    * Prefer dupGroups for near-dup graphs (stars/cliques, diameter ~2:
+    * one cheap join per round wins); prefer this when components can be
+    * long paths (chained near-dup templates, transitive similarity).
+    */
+  def dupGroupsAltStar(pairs: DataFrame, maxIter: Int = 30): DataFrame =
+    altStarImpl(pairs, maxIter)._1
+
+  private[graft] def altStarImpl(pairs: DataFrame, maxIter: Int): (DataFrame, Int) = {
+    import graft.ops.Pin
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val nodes = pairs.select(col("id_a").cast("long").as("id"))
+      .union(pairs.select(col("id_b").cast("long").as("id"))).distinct().cache()
+    // The rounds iterate over an RDD, not a DataFrame: each star step
+    // references the edge state twice (symmetrize) — as a Catalyst plan
+    // that is a TREE that doubles per step and blows up analysis after a
+    // handful of rounds, while the RDD lineage is a shared DAG (linear),
+    // the same bounded-state pattern as dtwKMeans' Lloyd loop. Canonical
+    // (a > b) undirected edge set throughout.
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("a"),
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("b"))
+      .distinct()
+      .as[(Long, Long)].rdd
+      .persist()
+    var rounds = 0
+    var stable = edges.isEmpty()
+    while (!stable && rounds < maxIter) {
+      val ls = starStep(edges, large = true).persist()
+      val ss = starStep(ls, large = false).persist()
+      // stable when small-star output equals the previous round's edges
+      val changed = ss.subtract(edges).count() + edges.subtract(ss).count()
+      ls.unpersist(blocking = true)
+      edges.unpersist(blocking = true)
+      edges = ss
+      rounds += 1
+      stable = changed == 0
+    }
+    if (!stable) {
+      edges.unpersist(blocking = true)
+      nodes.unpersist(blocking = true)
+      throw new IllegalStateException(
+        s"dupGroupsAltStar did not converge in $maxIter rounds (expected O(log n))")
+    }
+    // converged edges form stars (child -> component minimum)
+    val out = Pin.pin(
+      nodes.join(edges.toDF("id", "lbl"), Seq("id"), "left")
+        .select(coalesce(col("lbl"), col("id")).as("group_id"), col("id")))
+    edges.unpersist(blocking = true)
+    nodes.unpersist(blocking = true)
+    (out, rounds)
+  }
+
+  /** One star operation: from each center u with neighborhood Γ(u) and
+    * m = min(Γ(u) ∪ {u}), re-hang the LARGER (large-star) or the
+    * not-larger neighbors plus the center itself (small-star) off m.
+    * Every undirected edge is covered from one of its endpoints' centers,
+    * so no connectivity is lost; emitted edges are (x, m) with x > m —
+    * already canonical.
+    */
+  private def starStep(edges: org.apache.spark.rdd.RDD[(Long, Long)],
+                       large: Boolean): org.apache.spark.rdd.RDD[(Long, Long)] = {
+    val sym = edges.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+    val mins = sym.reduceByKey(math.min)
+      .map { case (u, mv) => (u, math.min(mv, u)) }
+    val j = sym.join(mins) // (u, (v, m))
+    val hung =
+      if (large) j.collect { case (u, (v, m)) if v > u => (v, m) }
+      else j.collect { case (u, (v, m)) if v < u => (v, m) }.union(mins)
+    hung.filter { case (a, b) => a != b }.distinct()
   }
 }

@@ -71,6 +71,42 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGroupsAltStar agrees with union-find; chains close in O(log n) rounds") {
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) { parent(x) = parent.getOrElse(parent(x), parent(x)); x = parent(x) }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+    }
+    // seeded random graph: several components of mixed shape
+    val rnd = new scala.util.Random(77)
+    val rand = (0 until 120).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    // a 200-node chain: diameter 199 — label propagation would need 199
+    // rounds; alternating stars must contract it geometrically
+    val chain = (1L until 200L).map(i => (i + 1000L, i + 999L))
+    for ((edges, tag) <- Seq((rand, "random"), (chain, "chain"))) {
+      val want = unionFind(edges)
+      val (df, rounds) = Dedup.altStarImpl(edges.toDF("id_a", "id_b"), maxIter = 30)
+      val got = df.collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+      assert(got === want, s"$tag: alt-star disagrees with union-find")
+      assert(rounds <= 12, s"$tag: took $rounds rounds — not logarithmic")
+    }
+    // parity with the production dupGroups on the random graph
+    val viaProp = Dedup.dupGroups(rand.toDF("id_a", "id_b"), driverThreshold = 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val viaStar = Dedup.dupGroupsAltStar(rand.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(viaProp === viaStar)
+  }
+
   test("repetitionStats: exact fractions on planted repetition") {
     // doc 1: "a b a b a" -> bigrams (a b, b a, a b, b a): top 2/4, dup 4/4
     // doc 2: all-distinct bigrams -> top 1/3, dup 0
