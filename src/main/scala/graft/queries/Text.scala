@@ -833,6 +833,60 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- C4-style line/page quality filter ----
+    // The published C4 heuristics over the real table plus planted
+    // multi-line fixtures (the synthetic docs have no newlines or
+    // terminal punctuation, so — exactly like q108's PII fixtures — the
+    // union plants every branch: kept/dropped lines, lorem-ipsum page,
+    // curly-brace page, a 3-good-line keeper, a 2-good-line reject).
+    Q("q111_c4_filter",
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9200001, 'this first line has terminal punctuation and words.' || chr(10) ||
+        |       'too short.' || chr(10) ||
+        |       'no terminal punctuation on this long line here' || chr(10) ||
+        |       'the javascript line should always be dropped outright.' || chr(10) ||
+        |       'a second proper sentence with enough words in it!' || chr(10) ||
+        |       'and a third proper sentence closes the page, right?'),
+        |    (9200002, 'lorem ipsum dolor sit amet makes the page drop.' || chr(10) ||
+        |       'even though this line here is perfectly fine.' || chr(10) ||
+        |       'and so is this other one with many words too.'),
+        |    (9200003, 'a page containing a curly brace { must be dropped.' || chr(10) ||
+        |       'despite having plenty of good lines like this one.' || chr(10) ||
+        |       'and yet another good line to go with the others.'),
+        |    (9200004, 'only two good lines live on this page, sadly.' || chr(10) ||
+        |       'so the page-level keep flag must come out false.')) v(doc_id, text)),
+        |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM aug),
+        |k AS (SELECT doc_id, text, len(ls) AS n_lines,
+        |    list_filter(ls, l -> regexp_matches(trim(l), '[.!?"]$$')
+        |      AND len(string_split_regex(trim(l), '\\s+')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM t)
+        |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+        |    AND len(kept) >= 3) AS keep_doc,
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS cleaned_fp
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val extra = Seq(
+        (9200001L, "this first line has terminal punctuation and words.\ntoo short.\n" +
+          "no terminal punctuation on this long line here\n" +
+          "the javascript line should always be dropped outright.\n" +
+          "a second proper sentence with enough words in it!\n" +
+          "and a third proper sentence closes the page, right?"),
+        (9200002L, "lorem ipsum dolor sit amet makes the page drop.\n" +
+          "even though this line here is perfectly fine.\n" +
+          "and so is this other one with many words too."),
+        (9200003L, "a page containing a curly brace { must be dropped.\n" +
+          "despite having plenty of good lines like this one.\n" +
+          "and yet another good line to go with the others."),
+        (9200004L, "only two good lines live on this page, sadly.\n" +
+          "so the page-level keep flag must come out false.")).toDF("doc_id", "text")
+      val aug = documents(s, dir).select(col("doc_id"), col("text")).unionByName(extra)
+      TextOps.c4Clean(aug, "doc_id", "text").orderBy("doc_id")
+    },
+
     // ---- sequence packing (training-shard assembly) ----
     // Greedy first-fit packing of tokenized docs into 512-token training
     // sequences, bucketed (doc_id % 8) with md5-pinned order inside each

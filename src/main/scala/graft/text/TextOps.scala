@@ -81,6 +81,34 @@ object TextOps {
     lenScore * lit(0.4) + stopScore * lit(0.3) + punctPenalty * lit(0.3)
   }
 
+  /** C4-style line-and-page cleaning (Raffel et al., "Exploring the
+    * Limits of Transfer Learning…", §2.2 — the published heuristics):
+    * keep lines that end in terminal punctuation, have ≥ `minLineWords`
+    * words, and don't mention javascript; drop whole pages containing
+    * "lorem ipsum" or a curly brace, or with fewer than `minKeptLines`
+    * surviving lines. Pure scan-projection column math (split + HOF
+    * filter, codegen'd, no shuffle) — at 100 TB this runs inside the
+    * parquet scan like the other quality filters. Output per doc:
+    * (id, n_lines, n_kept, keep_doc, cleaned_fp) where `cleaned_fp` is
+    * the md5 of the newline-joined surviving lines (text itself never
+    * leaves the scan).
+    */
+  def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+              minLineWords: Int = 5, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      (!lower(col(textCol)).contains("lorem ipsum") &&
+        !col(textCol).contains("{") &&
+        size(kept) >= minKeptLines).as("keep_doc"),
+      md5(array_join(kept, "\n")).as("cleaned_fp"))
+  }
+
   /** Marker stopwords per language for the n-gram/marker language-ID
     * heuristic. Public wordlist-style markers only.
     */

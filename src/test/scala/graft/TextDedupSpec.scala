@@ -167,6 +167,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(1).getString(2) === "totally clean")
   }
 
+  test("c4Clean keeps punctuated >=5-word lines, drops lorem/brace/thin pages") {
+    val df = Seq(
+      (1L, "a good line with five words.\nshort.\nno end punctuation on this line\n" +
+        "javascript should kill this otherwise fine line.\nanother good long line ends here!\n" +
+        "a third good line finishes the page, yes?"),
+      (2L, "lorem ipsum dolor sit amet drops the page.\nfine line with enough words here.\n" +
+        "another fine line with enough words too."),
+      (3L, "brace { page is dropped despite good lines here.\nsecond decent line with words enough.\n" +
+        "third decent line with words enough, ok."),
+      (4L, "only one good line exists on this page.")).toDF("doc_id", "text")
+    val got = TextOps.c4Clean(df, "doc_id", "text").orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      (1L, 6L, 3L, true),   // 3 of 6 lines survive -> kept page
+      (2L, 3L, 3L, false),  // lorem ipsum kills the page
+      (3L, 3L, 3L, false),  // curly brace kills the page
+      (4L, 1L, 1L, false))) // fewer than 3 surviving lines
+  }
+
   test("exact dedup groups and keeps min id per canonical text") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "unique one"),
