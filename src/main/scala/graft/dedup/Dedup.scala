@@ -31,6 +31,33 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Per-duplicate-group keep decision by QUALITY, not id — the keep
+    * policy a curated training set actually wants (min-id keeps are
+    * arbitrary; near-identical pages differ in boilerplate, casing, and
+    * junk, and the cleanest copy should survive). One row per group:
+    * (fp, keep_id, n_docs, best_score), keep = argmax score with ties
+    * to the smaller id (total, replayable order). Shape: fingerprints +
+    * (id, score) aggregate with map-side combine — text never crosses
+    * the shuffle. Requires a numeric `idCol`.
+    */
+  def keepBestGroups(df: DataFrame, idCol: String, textCol: String,
+                     scoreCol: String): DataFrame =
+    df.select(TextOps.fingerprint(col(textCol)).as("fp"),
+        col(idCol).as("__id"), col(scoreCol).as("__s"))
+      .groupBy("fp")
+      .agg(
+        max_by(col("__id"), struct(col("__s"), (-col("__id")).as("n"))).as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        max(col("__s")).as("best_score"))
+
+  /** The kept rows themselves: full input rows whose id won its group in
+    * [[keepBestGroups]] — a broadcast-or-shuffle semi-join on ids only.
+    */
+  def keepBest(df: DataFrame, idCol: String, textCol: String,
+               scoreCol: String): DataFrame =
+    df.join(keepBestGroups(df, idCol, textCol, scoreCol)
+      .select(col("keep_id").as(idCol)), Seq(idCol), "left_semi")
+
   // -------------------------------------------------------------- minhash
 
   /** Large Mersenne prime for universal hashing; h is a 32-bit murmur so

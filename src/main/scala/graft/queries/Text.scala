@@ -833,6 +833,37 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- quality-keep exact dedup (keep best, not min id) ----
+    Q("q112_keep_best_dedup",
+      s"""WITH t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |  r AS (SELECT doc_id, text,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+        |    CASE WHEN len(toks) > 0
+        |         THEN CAST(len(list_filter(toks, x -> list_contains($stopsSql, x))) AS DOUBLE) / len(toks)
+        |         ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN length(text) > 0
+        |         THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |         ELSE 0.0 END AS punct_ratio
+        |  FROM t),
+        |  sc AS (SELECT doc_id, text,
+        |    len_score * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3
+        |      + greatest(0.0, 1.0 - punct_ratio * 4.0) * 0.3 AS q_score
+        |  FROM r),
+        |  g AS (SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        |    doc_id, q_score FROM sc),
+        |  w AS (SELECT fp, doc_id, q_score,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY q_score DESC, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY fp) AS n_docs,
+        |    MAX(q_score) OVER (PARTITION BY fp) AS best_score
+        |  FROM g)
+        |SELECT fp, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs, best_score
+        |FROM w WHERE rn = 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      val scored = documents(s, dir).select(col("doc_id"), col("text"),
+        TextOps.qualityScore(col("text"), stops).as("q_score"))
+      Dedup.keepBestGroups(scored, "doc_id", "text", "q_score").orderBy("fp")
+    },
+
     // ---- C4-style line/page quality filter ----
     // The published C4 heuristics over the real table plus planted
     // multi-line fixtures (the synthetic docs have no newlines or

@@ -199,6 +199,22 @@ class TextDedupSpec extends AnyFunSuite {
     assert(kept.toSeq === Seq(1L, 3L, 5L))
   }
 
+  test("keepBest keeps the highest-quality dup, ties to the smaller id") {
+    val df = Seq(
+      (1L, "Hello   World", 0.3),   // same canonical group as 2 and 4
+      (2L, "hello world", 0.9),     // best quality -> kept
+      (4L, "HELLO WORLD ", 0.9),    // tie on score -> id 2 wins
+      (3L, "unique one", 0.5),
+      (5L, "unique two", 0.1)).toDF("doc_id", "text", "q")
+    val groups = Dedup.keepBestGroups(df, "doc_id", "text", "q").collect()
+    val g = groups.find(_.getAs[Long]("n_docs") == 3L).get
+    assert(g.getAs[Long]("keep_id") === 2L)
+    assert(g.getAs[Double]("best_score") === 0.9)
+    val kept = Dedup.keepBest(df, "doc_id", "text", "q")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L, 5L))
+  }
+
   test("minhash LSH recalls planted near-duplicates, skips unrelated docs") {
     val base = mkDoc(7, 120)
     val nearDup = base.split(" ").updated(5, "changed").mkString(" ")
