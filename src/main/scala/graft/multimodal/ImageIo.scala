@@ -105,6 +105,45 @@ object ImageIo {
       }
     }.orNull
 
+  /** Real full-decode stats in the [[Multimodal]] batch shape:
+    * (id, width, height, format, rgb_sum, n_px) — `rgb_sum` is the exact
+    * integer Σ(r+g+b) over all decoded pixels (no float rounding, so a
+    * byte-level oracle reproduces it bit-for-bit), nulls for undecodable
+    * blobs. Format name comes from the header reader, pixels from the
+    * full decode — one codec init per partition.
+    */
+  def imageStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("format", StringType),
+      StructField("rgb_sum", LongType),
+      StructField("n_px", LongType)))
+    val encoder = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(outSchema)
+    df.select(col(idCol).cast("long"), col(blobCol)).mapPartitions { rows =>
+      rows.map { r =>
+        val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        (meta(blob), decode(blob)) match {
+          case (Some((w, h, f)), Some(img)) =>
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Row(r.getLong(0), w, h, f, sum, w.toLong * h)
+          case _ => Row(r.getLong(0), null, null, null, null, null)
+        }
+      }
+    }(encoder)
+  }
+
   /** Real header-metadata scan in the [[Multimodal]] batch shape:
     * (id, width, height, format), nulls for undecodable blobs.
     */

@@ -561,6 +561,53 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- REAL image codec, oracle-checked (closes the codec-fake gap) ----
+    // Two independent parsers over the same planted bytes: Spark decodes
+    // with javax.imageio (header reader + full pixel decode); the oracle
+    // re-parses the blob hex with byte-offset arithmetic — BMP
+    // little-endian dims @18/@22 and first pixel B,G,R @54 (the BMP bytes
+    // themselves are hand-written from the spec, NOT ImageIO-encoded, so
+    // the JDK decoder is checked against an independent construction);
+    // PNG big-endian IHDR dims @16/@20 (checking the JDK *encoder*'s
+    // header against the PNG spec) with the pixel sum from the planted
+    // color literals (checking encode→decode pixel round-trip).
+    // rgb_sum is exact integer Σ(r+g+b) — no float in the compared
+    // output. Undecodable blobs (planted non-image + empty) must yield
+    // all-NULL rows, not exceptions.
+    Q("q113_image_codec",
+      s"""WITH blobs(id, kind, hx, pr, pg, pb) AS (VALUES
+        |    ${graft.multimodal.PlantedImages.sqlValues})
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CASE kind
+        |    WHEN 'png' THEN CAST(('0x' || substr(hx, 33, 8)) AS INTEGER)
+        |    WHEN 'bmp' THEN CAST(CAST(('0x' || substr(hx, 37, 2)) AS INTEGER)
+        |                       + CAST(('0x' || substr(hx, 39, 2)) AS INTEGER) * 256
+        |                       + CAST(('0x' || substr(hx, 41, 2)) AS INTEGER) * 65536
+        |                       + CAST(('0x' || substr(hx, 43, 2)) AS INTEGER) * 16777216 AS INTEGER)
+        |  END AS width,
+        |  CASE kind
+        |    WHEN 'png' THEN CAST(('0x' || substr(hx, 41, 8)) AS INTEGER)
+        |    WHEN 'bmp' THEN CAST(CAST(('0x' || substr(hx, 45, 2)) AS INTEGER)
+        |                       + CAST(('0x' || substr(hx, 47, 2)) AS INTEGER) * 256
+        |                       + CAST(('0x' || substr(hx, 49, 2)) AS INTEGER) * 65536
+        |                       + CAST(('0x' || substr(hx, 51, 2)) AS INTEGER) * 16777216 AS INTEGER)
+        |  END AS height,
+        |  CASE WHEN kind IN ('png', 'bmp') THEN kind END AS format,
+        |  CASE kind
+        |    WHEN 'bmp' THEN CAST((CAST(('0x' || substr(hx, 109, 2)) AS INTEGER)
+        |                        + CAST(('0x' || substr(hx, 111, 2)) AS INTEGER)
+        |                        + CAST(('0x' || substr(hx, 113, 2)) AS INTEGER))
+        |                        * width * height AS BIGINT)
+        |    WHEN 'png' THEN CAST((pr + pg + pb) * width * height AS BIGINT)
+        |  END AS rgb_sum,
+        |  CASE WHEN kind IN ('png', 'bmp')
+        |       THEN CAST(width * height AS BIGINT) END AS n_px
+        |FROM blobs ORDER BY id""".stripMargin) { (s, dir) =>
+      val rows = graft.multimodal.PlantedImages.all.map(p => (p.id, p.blob))
+      val df = s.createDataFrame(rows).toDF("id", "blob")
+      graft.multimodal.ImageIo.imageStats(df, "id", "blob").orderBy("id")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>

@@ -90,4 +90,30 @@ class ImageIoSpec extends AnyFunSuite {
     })
     assert(r1.last.isNullAt(1))
   }
+
+  test("imageStats on planted fixtures: spec-written BMPs decode to planted dims/colors") {
+    import graft.multimodal.PlantedImages
+    val df = PlantedImages.all.map(p => (p.id, p.blob)).toDF("id", "blob")
+    val got = ImageIo.imageStats(df, "id", "blob").orderBy("id").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    PlantedImages.all.foreach { p =>
+      val r = got(p.id)
+      if (p.kind == "bad") {
+        assert(r.isNullAt(1) && r.isNullAt(3) && r.isNullAt(4),
+          s"undecodable id=${p.id} must be all-null")
+      } else {
+        assert(r.getInt(1) === p.w && r.getInt(2) === p.h, s"dims id=${p.id}")
+        assert(r.getString(3) === p.kind, s"format id=${p.id}")
+        assert(r.getLong(4) === (p.r + p.g + p.b).toLong * p.w * p.h,
+          s"exact pixel sum id=${p.id}")
+        assert(r.getLong(5) === p.w.toLong * p.h)
+      }
+    }
+    // the hand-written BMP bytes carry the documented header layout
+    val b0 = PlantedImages.all.head
+    assert(b0.blob(0) === 'B'.toByte && b0.blob(1) === 'M'.toByte)
+    assert((b0.blob(18) & 0xff) === b0.w && (b0.blob(22) & 0xff) === b0.h)
+    assert((b0.blob(54) & 0xff, b0.blob(55) & 0xff, b0.blob(56) & 0xff) ===
+      ((b0.b, b0.g, b0.r)))
+  }
 }
