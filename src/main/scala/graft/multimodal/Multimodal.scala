@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * The codec is PLUGGABLE: the default is a deterministic fake
   * (`fakeDecode`/`fakeResize`) so the Spark-side contract (schema,
-  * partitioning, batch shape, null handling) stays oracle-checkable, and
+  * partitioning, batch shape, null handling) stays oracle-checkable;
   * [[ImageIo]] provides a REAL pure-JVM image codec (javax.imageio —
-  * PNG/BMP/GIF/JPEG/TIFF, headless, no native libs) behind the same
-  * batch APIs. Audio/video codecs are not in the JDK and remain faked
+  * PNG/BMP/GIF/JPEG/TIFF, headless, no native libs) and [[AudioIo]] a
+  * REAL pure-JVM audio codec (javax.sound.sampled — WAV/AU/AIFF) behind
+  * the same batch APIs, both oracle-checked on planted fixtures
+  * (q113/q114). Video codecs are not in the JDK and remain faked
   * (`sampleFrames`); a production deployment plugs a JNI/library call in
   * without touching any plan shape.
   *

@@ -608,6 +608,67 @@ object Text {
       graft.multimodal.ImageIo.imageStats(df, "id", "blob").orderBy("id")
     },
 
+    // ---- REAL audio codec, oracle-checked (audio twin of q113) ----
+    // Spark decodes planted WAV (RIFF LE) and AU (BE) blobs with
+    // javax.sound.sampled; the oracle re-parses identical bytes by
+    // offset arithmetic in the opposite direction — both containers are
+    // hand-written from their specs (never javax.sound-encoded), so the
+    // JDK parser is checked against an independent construction. The
+    // pixel-sum analogue is pcm_sum: the exact signed-16-bit sample sum
+    // ((v+32768)%65536-32768 is the branchless sign extension), which
+    // checks the *decode* (endianness, frame framing), not just headers.
+    Q("q114_audio_codec",
+      s"""WITH blobs(id, kind, hx) AS (VALUES
+        |    ${graft.multimodal.PlantedAudio.sqlValues}),
+        |p AS (SELECT id, kind, hx,
+        |  CASE kind
+        |    WHEN 'wav' THEN CAST(('0x' || substr(hx, 45, 2)) AS INTEGER)
+        |                  + CAST(('0x' || substr(hx, 47, 2)) AS INTEGER) * 256
+        |    WHEN 'au'  THEN CAST(('0x' || substr(hx, 41, 8)) AS INTEGER)
+        |  END AS ch,
+        |  CASE kind
+        |    WHEN 'wav' THEN CAST(('0x' || substr(hx, 49, 2)) AS INTEGER)
+        |                  + CAST(('0x' || substr(hx, 51, 2)) AS INTEGER) * 256
+        |                  + CAST(('0x' || substr(hx, 53, 2)) AS INTEGER) * 65536
+        |                  + CAST(('0x' || substr(hx, 55, 2)) AS INTEGER) * 16777216
+        |    WHEN 'au'  THEN CAST(('0x' || substr(hx, 33, 8)) AS INTEGER)
+        |  END AS rate,
+        |  CASE kind
+        |    WHEN 'wav' THEN CAST(('0x' || substr(hx, 69, 2)) AS INTEGER)
+        |                  + CAST(('0x' || substr(hx, 71, 2)) AS INTEGER) * 256
+        |    WHEN 'au'  THEN CASE CAST(('0x' || substr(hx, 25, 8)) AS INTEGER)
+        |                      WHEN 3 THEN 16 END
+        |  END AS bits,
+        |  CASE kind
+        |    WHEN 'wav' THEN CAST(('0x' || substr(hx, 81, 2)) AS INTEGER)
+        |                  + CAST(('0x' || substr(hx, 83, 2)) AS INTEGER) * 256
+        |                  + CAST(('0x' || substr(hx, 85, 2)) AS INTEGER) * 65536
+        |                  + CAST(('0x' || substr(hx, 87, 2)) AS INTEGER) * 16777216
+        |    WHEN 'au'  THEN CAST(('0x' || substr(hx, 17, 8)) AS INTEGER)
+        |  END AS data_size
+        |  FROM blobs)
+        |SELECT CAST(id AS BIGINT) AS id,
+        |  CASE kind WHEN 'wav' THEN 'wave' WHEN 'au' THEN 'au' END AS format,
+        |  CAST(ch AS INTEGER) AS channels,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(bits AS INTEGER) AS bits,
+        |  CAST(data_size // (2 * ch) AS BIGINT) AS n_frames,
+        |  CAST(CASE kind
+        |    WHEN 'wav' THEN list_sum(list_transform(range(data_size // 2), k ->
+        |      (CAST(('0x' || substr(hx, 89 + 4 * k, 2)) AS INTEGER)
+        |     + CAST(('0x' || substr(hx, 91 + 4 * k, 2)) AS INTEGER) * 256
+        |     + 32768) % 65536 - 32768))
+        |    WHEN 'au'  THEN list_sum(list_transform(range(data_size // 2), k ->
+        |      (CAST(('0x' || substr(hx, 49 + 4 * k, 2)) AS INTEGER) * 256
+        |     + CAST(('0x' || substr(hx, 51 + 4 * k, 2)) AS INTEGER)
+        |     + 32768) % 65536 - 32768))
+        |  END AS BIGINT) AS pcm_sum
+        |FROM p ORDER BY id""".stripMargin) { (s, dir) =>
+      val rows = graft.multimodal.PlantedAudio.all.map(p => (p.id, p.blob))
+      val df = s.createDataFrame(rows).toDF("id", "blob")
+      graft.multimodal.AudioIo.audioStats(df, "id", "blob").orderBy("id")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
