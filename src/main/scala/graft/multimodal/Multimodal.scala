@@ -14,10 +14,13 @@ import org.apache.spark.sql.types._
   * [[ImageIo]] provides a REAL pure-JVM image codec (javax.imageio —
   * PNG/BMP/GIF/JPEG/TIFF, headless, no native libs) and [[AudioIo]] a
   * REAL pure-JVM audio codec (javax.sound.sampled — WAV/AU/AIFF) behind
-  * the same batch APIs, both oracle-checked on planted fixtures
-  * (q113/q114). Video codecs are not in the JDK and remain faked
-  * (`sampleFrames`); a production deployment plugs a JNI/library call in
-  * without touching any plan shape.
+  * the same batch APIs, and [[VideoIo]] a REAL RIFF/AVI demuxer (own
+  * chunk walker from the published layout; Motion-PNG frames decode via
+  * [[ImageIo]]) — all three oracle-checked on planted fixtures
+  * (q113/q114/q115). Only compressed video *codecs* (H.264 etc.) are
+  * absent from the JDK; `sampleFrames`' fake remains the pluggable
+  * default for those, and a production deployment plugs a JNI/library
+  * call in without touching any plan shape.
   *
   * Scale notes: blobs never enter a shuffle key; feature extraction is
   * `mapPartitions` (one codec init per partition, not per row); metadata

@@ -669,6 +669,61 @@ object Text {
       graft.multimodal.AudioIo.audioStats(df, "id", "blob").orderBy("id")
     },
 
+    // ---- REAL video demux + frame decode, oracle-checked (q113/q114 twin) ----
+    // Spark walks planted RIFF/AVI containers with VideoIo's generic
+    // chunk walker and decodes each Motion-PNG frame with javax.imageio;
+    // the oracle re-walks the SAME bytes by offset arithmetic — it
+    // chases the chunk chain (hdrl size -> movi -> '00dc' sizes ->
+    // even-padded next offsets) through lateral aliases rather than
+    // assuming fixed frame positions, then parses each frame's PNG IHDR
+    // big-endian. Frame pixel sums come from the planted color literals
+    // (encode->decode round-trip, as in q113's PNG path). Undecodable
+    // blobs yield a single all-NULL row.
+    Q("q115_video_demux", {
+      def le32(pos: String) =
+        s"""(CAST(('0x' || substr(hx, 2*($pos)+1, 2)) AS INTEGER)
+           | + CAST(('0x' || substr(hx, 2*($pos)+3, 2)) AS INTEGER) * 256
+           | + CAST(('0x' || substr(hx, 2*($pos)+5, 2)) AS INTEGER) * 65536
+           | + CAST(('0x' || substr(hx, 2*($pos)+7, 2)) AS INTEGER) * 16777216)""".stripMargin.replaceAll("\n\\s*", " ")
+      def be32(pos: String) = s"CAST(('0x' || substr(hx, 2*($pos)+1, 8)) AS INTEGER)"
+      val n = graft.multimodal.PlantedVideos.framesPerVideo
+      // chained frame-chunk offsets: c0 after 'movi', each next skips the
+      // 8-byte chunk header + payload + odd-size pad
+      val chain = (0 until n).map { f =>
+        val prev = if (f == 0) s"c0" else s"c$f"
+        s"${le32(s"$prev+4")} AS s$f, $prev + 8 AS d$f" +
+          (if (f < n - 1) s", $prev + 8 + s$f + s$f % 2 AS c${f + 1}" else "")
+      }.mkString(",\n        |    ")
+      def pick(col: Int => String) =
+        (0 until n).map(f => s"WHEN $f THEN ${col(f)}").mkString("CASE idx ", " ", " END")
+      s"""WITH blobs(id, kind, hx, ${(0 until n).map("cs" + _).mkString(", ")}) AS (VALUES
+        |    ${graft.multimodal.PlantedVideos.sqlValues}),
+        |a AS (SELECT *, ${le32("48")} AS nf, 20 + ${le32("16")} + 12 AS c0
+        |  FROM blobs WHERE kind = 'avi'),
+        |fr AS (SELECT *,
+        |    $chain
+        |  FROM a),
+        |idxs(idx) AS (VALUES ${(0 until n).map(f => s"($f)").mkString(", ")}),
+        |av AS (SELECT id, idx,
+        |    ${pick(f => be32(s"d$f+16"))} AS w,
+        |    ${pick(f => be32(s"d$f+20"))} AS h,
+        |    ${pick(f => s"cs$f")} AS cs, nf
+        |  FROM fr CROSS JOIN idxs)
+        |SELECT CAST(id AS BIGINT) AS id, CAST(idx AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(cs * w * h AS BIGINT) AS rgb_sum, CAST(nf AS BIGINT) AS n_frames
+        |FROM av
+        |UNION ALL
+        |SELECT CAST(id AS BIGINT), NULL, NULL, NULL, NULL, NULL
+        |FROM blobs WHERE kind = 'bad'
+        |ORDER BY id, frame_idx""".stripMargin
+    }) { (s, dir) =>
+      val rows = graft.multimodal.PlantedVideos.all.map(p => (p.id, p.blob))
+      val df = s.createDataFrame(rows).toDF("id", "blob")
+      graft.multimodal.VideoIo.videoFrameStats(df, "id", "blob")
+        .orderBy("id", "frame_idx")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
