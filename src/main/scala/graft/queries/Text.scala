@@ -724,6 +724,47 @@ object Text {
         .orderBy("id", "frame_idx")
     },
 
+    // ---- BPE vocabulary learning (tokenizer training), oracle-checked ----
+    // Full-protocol replay: the oracle re-runs all 6 merge iterations as
+    // machine-generated chained CTEs (pair counts -> deterministic
+    // argmax -> literal replace), MATERIALIZED so DuckDB doesn't inline
+    // the w-chain exponentially. Both engines share the two-space symbol
+    // representation whose left-to-right literal-replace semantics agree
+    // exactly (see Bpe scaladoc); ties break on pair string ascending.
+    Q("q116_bpe_merges", {
+      val k = 6
+      val chain = (1 to k).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT pair, SUM(cnt) AS c FROM (
+          |    SELECT unnest(list_transform(range(len(sp)-1),
+          |        j -> sp[j+1] || '  ' || sp[j+2])) AS pair, cnt
+          |    FROM (SELECT string_split(trim(seq), '  ') AS sp, cnt FROM w${i - 1}))
+          |  GROUP BY pair),
+          |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+          |w$i AS MATERIALIZED (SELECT replace(seq,
+          |    ' ' || (SELECT pair FROM b$i) || ' ',
+          |    ' ' || (SELECT replace(pair, '  ', '') FROM b$i) || ' ') AS seq, cnt
+          |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      val finals = (1 to k).map(i =>
+        s"""SELECT CAST($i AS INTEGER) AS step,
+          |  string_split(pair, '  ')[1] AS lhs, string_split(pair, '  ')[2] AS rhs,
+          |  replace(pair, '  ', '') AS merged, CAST(c AS BIGINT) AS cnt FROM b$i""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq, cnt
+        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+        |    WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word)),
+        |$chain
+        |SELECT * FROM ($finals) ORDER BY step""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      graft.text.Bpe.learnMerges(
+          graft.text.Bpe.wordCounts(documents(s, dir), "text"), "word", "cnt", 6)
+        .toDF().select(col("step"), col("lhs"), col("rhs"), col("merged"), col("cnt"))
+        .orderBy("step")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
