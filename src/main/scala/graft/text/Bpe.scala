@@ -50,18 +50,70 @@ object Bpe {
   private def toSeqCol(word: Column): Column =
     concat(lit("  "), concat_ws("  ", split(word, "")), lit("  "))
 
-  /** Learn `nMerges` BPE merges from a (word, count) frame. Each
-    * iteration: adjacent-pair frequencies (map-side combined groupBy
-    * over the distinct-word frame), deterministic argmax, literal
-    * replace; the evolving frame is [[Pin]]ned per round so lineage
-    * stays constant-depth and both the pair job and the replace read
-    * one materialization.
+  /** Learn `nMerges` BPE merges from a (word, count) frame.
+    *
+    * Hybrid, like `Dedup.dupGroups`: when the distinct-word frame is
+    * small enough to collect (`driverThreshold`, default 200k words —
+    * real-world tokenizer training corpora compress to a few million
+    * distinct words, and production trainers run the merge loop
+    * in-memory for exactly this reason), the merge loop runs on the
+    * driver with the SAME representation and replace semantics, so both
+    * paths produce identical tables; above the threshold each iteration
+    * is a distributed pair-count job (map-side combined groupBy over
+    * the distinct-word frame), deterministic argmax, literal replace,
+    * with the evolving frame [[Pin]]ned per round so lineage stays
+    * constant-depth. Either way the corpus itself is touched exactly
+    * once (in [[wordCounts]]) — merges never rescan it.
     */
   def learnMerges(words: DataFrame, wordCol: String, cntCol: String,
-                  nMerges: Int): Seq[Merge] = {
+                  nMerges: Int, driverThreshold: Long = 200000L): Seq[Merge] = {
+    val counted = words.select(col(wordCol).as("word"), col(cntCol).cast("long").as("cnt"))
+    val cached = counted.cache()
+    try {
+      if (cached.count() <= driverThreshold) {
+        val local = cached.collect().map(r => (r.getString(0), r.getLong(1)))
+        learnMergesLocal(local, nMerges)
+      } else learnMergesDistributed(cached, nMerges)
+    } finally cached.unpersist(blocking = true)
+  }
+
+  /** Driver merge loop — same two-space strings, same left-to-right
+    * `String.replace`, same (count desc, pair asc) tie-break as the
+    * distributed path: bit-identical output by construction.
+    */
+  private def learnMergesLocal(words: Array[(String, Long)], nMerges: Int): Seq[Merge] = {
+    val out = ArrayBuffer.empty[Merge]
+    var seqs = words.map { case (w, c) => ("  " + w.mkString("  ") + "  ", c) }
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      seqs.foreach { case (s, c) =>
+        val syms = s.trim.split("  ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + "  " + syms(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+        val Array(l, r) = pair.split("  ", 2)
+        val merged = l + r
+        out += Merge(step, l, r, merged, cnt)
+        seqs = seqs.map { case (s, c) => (s.replace(s" $pair ", s" $merged "), c) }
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def learnMergesDistributed(words: DataFrame, nMerges: Int): Seq[Merge] = {
     val out = ArrayBuffer.empty[Merge]
     var cur = Pin.pin(words.select(
-      toSeqCol(col(wordCol)).as("seq"), col(cntCol).cast("long").as("cnt")))
+      toSeqCol(col("word")).as("seq"), col("cnt")))
     var step = 1
     var done = false
     while (step <= nMerges && !done) {

@@ -58,4 +58,16 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.learnMerges(corpus.repartition(7), "word", "cnt", 4)
     assert(a === b)
   }
+
+  test("hybrid: driver path and distributed path produce identical merge tables") {
+    // force the distributed path with threshold 0; default takes the driver path
+    val viaDriver = Bpe.learnMerges(corpus, "word", "cnt", 6)
+    val viaCluster = Bpe.learnMerges(corpus, "word", "cnt", 6, driverThreshold = 0L)
+    assert(viaDriver === viaCluster)
+    // and on a messier corpus with deep ties
+    val docs = Seq("aba abba abab baba", "bb aa ab ba abba abab").toDF("text")
+    val wc = Bpe.wordCounts(docs, "text")
+    assert(Bpe.learnMerges(wc, "word", "cnt", 5) ===
+      Bpe.learnMerges(wc, "word", "cnt", 5, driverThreshold = 0L))
+  }
 }
