@@ -67,6 +67,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("real codec scan layer runs unchanged on an unbounded stream") {
+    // the codec paths are stateless mapPartitions batches — the SAME
+    // call must plan incrementally on a stream and agree with batch.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.multimodal.{ImageIo, PlantedImages}
+    val blobs = PlantedImages.all.map(p => (p.id, p.blob))
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = ImageIo.imageStats(input.toDF().toDF("id", "blob"), "id", "blob")
+      .writeStream.format("memory").queryName("codec_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(blobs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("codec_stream").orderBy("id").collect()
+      val batch = ImageIo.imageStats(blobs.toDF("id", "blob"), "id", "blob")
+        .orderBy("id").collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("session windows split a keyed feed on the silence gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
