@@ -765,6 +765,63 @@ object Text {
         .orderBy("step")
     },
 
+    // ---- DSIR-style importance resampling (data selection), oracle ----
+    // Hashed unigram+bigram profiles (1024 md5 buckets) for the target
+    // subset (lang='en') vs the raw pool; per-doc masses are exact
+    // integer sums of add-one-smoothed bucket counts and the weight is
+    // their single IEEE-identical double ratio (the published
+    // log-likelihood form is transcendental and cannot hash-match
+    // across engines — documented deviation in Dsir.scala). sel_rank
+    // marks the top-50 non-target docs (weight desc, doc_id tiebreak),
+    // via the two-stage top-k on the Spark side and a window on the
+    // oracle side — identical for any total order.
+    Q("q117_dsir_selection",
+      s"""WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |                x -> regexp_matches(x, '^[a-z]+$$')) AS tk
+        |  FROM documents),
+        |g AS (SELECT doc_id, t, unnest(tk) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, t, unnest(list_transform(range(len(tk)-1),
+        |      j -> tk[j+1] || ' ' || tk[j+2])) AS gram FROM toks),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, t", "md5(gram)", "g", "h")}),
+        |b AS (SELECT doc_id, t,
+        |    CAST(((h % 1024) + 1024) % 1024 AS INTEGER) AS bucket FROM hv),
+        |prof AS (SELECT bucket, COUNT(*) AS r_cnt,
+        |    SUM(CASE WHEN t THEN 1 ELSE 0 END) AS t_cnt
+        |  FROM b GROUP BY bucket),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_grams,
+        |    SUM(t_cnt + 1) AS t_mass, SUM(r_cnt + 1) AS r_mass
+        |  FROM b JOIN prof USING (bucket) GROUP BY doc_id),
+        |w AS (SELECT d.doc_id,
+        |    CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+        |    CAST(COALESCE(t_mass, 0) AS BIGINT) AS t_mass,
+        |    CAST(COALESCE(r_mass, 0) AS BIGINT) AS r_mass,
+        |    CASE WHEN r_mass IS NOT NULL
+        |         THEN CAST(t_mass AS DOUBLE) / CAST(r_mass AS DOUBLE)
+        |         ELSE 0.0 END AS weight,
+        |    d.lang
+        |  FROM documents d LEFT JOIN sc USING (doc_id)),
+        |sel AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS BIGINT) AS rn
+        |  FROM w WHERE lang <> 'en')
+        |SELECT w.doc_id, n_grams, t_mass, r_mass, weight,
+        |  CASE WHEN sel.rn <= 50 THEN sel.rn END AS sel_rank
+        |FROM w LEFT JOIN sel USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docsDf = documents(s, dir)
+      val w = graft.text.Dsir.importanceWeights(
+        docsDf, "doc_id", "text", col("lang") === "en")
+      val raw = w.join(docsDf.select("doc_id", "lang"), "doc_id")
+        .filter(col("lang") =!= "en").drop("lang")
+      val sel = graft.text.Dsir.select(raw, "doc_id", 50)
+        .select(col("doc_id"), col("rank").as("sel_rank"))
+      w.join(sel, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("t_mass"), col("r_mass"),
+          col("weight"), col("sel_rank"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>

@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.md5Hash64
+
+/** Data selection via importance resampling — DSIR-style (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling"):
+  * score every raw document by how target-domain-like its hashed n-gram
+  * profile is, then keep the top quota.
+  *
+  * Mechanics follow the paper: unigram+bigram features hashed into B
+  * buckets (hashing bounds the profile size regardless of vocabulary —
+  * the property that makes the method 100 TB-viable: both profiles are
+  * B-row frames, broadcast into the scoring join, and scoring itself is
+  * a scan projection + one groupBy(doc_id)). One deliberate, documented
+  * deviation: the published score is the log-likelihood ratio
+  * Σ log(p_t[b]/p_r[b]) — transcendental, so two engines disagree in
+  * the last ulp and a bit-exact oracle is impossible. We rank by the
+  * arithmetic-mean ratio instead: weight = Σ(t_cnt[b]+1) / Σ(r_cnt[b]+1)
+  * over the doc's gram buckets (add-one smoothed), an exact
+  * integer-over-integer whose single double division is IEEE-identical
+  * everywhere. Same monotone intent (target-heavy buckets ↑, raw-common
+  * buckets ↓), hash-checkable end to end (q117).
+  */
+object Dsir {
+
+  /** Lower-cased `[a-z]+` unigrams + space-joined bigrams per document
+    * (the ASCII scope shared with [[Bpe]] — keeps cross-engine char
+    * semantics exact). Output: (carry columns, gram) — carries travel
+    * with the explode so no gram-stream join is ever needed.
+    */
+  def gramRows(docs: DataFrame, idCol: String, textCol: String,
+               carry: Seq[Column] = Seq.empty): DataFrame = {
+    val toks = filter(
+      split(lower(col(textCol)), "\\s+"), t => t.rlike("^[a-z]+$"))
+    val bis = when(size(col("__toks")) >= 2,
+      transform(sequence(lit(0), size(col("__toks")) - 2),
+        i => concat_ws(" ", element_at(col("__toks"), i + 1),
+          element_at(col("__toks"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol) +: carry :+ toks.as("__toks"): _*)
+      .withColumn("gram", explode(concat(col("__toks"), bis)))
+      .drop("__toks")
+  }
+
+  private def bucketOf(gram: Column, buckets: Int): Column =
+    pmod(md5Hash64(gram), lit(buckets.toLong)).cast("int")
+
+  /** Score all documents against a target subset. Returns one row per
+    * input document: (idCol, n_grams, t_mass, r_mass, weight) where
+    * t/r_mass are exact integer sums of add-one-smoothed bucket counts
+    * and weight = t_mass / r_mass (0.0 for gram-less docs).
+    *
+    * `isTarget` marks the target-domain rows *within* `docs` (the DSIR
+    * setting scores the raw pool against a small in-distribution set).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column, buckets: Int = 1024): DataFrame = {
+    val grams = gramRows(docs, idCol, textCol, carry = Seq(isTarget.as("__t")))
+      .withColumn("bucket", bucketOf(col("gram"), buckets))
+    val profile = grams.groupBy("bucket").agg(
+      count(lit(1)).as("r_cnt"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("t_cnt"))
+    val scored = grams
+      .join(broadcast(profile), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(col("t_cnt") + 1L).as("t_mass"),
+        sum(col("r_cnt") + 1L).as("r_mass"))
+      .withColumn("weight",
+        col("t_mass").cast("double") / col("r_mass").cast("double"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("t_mass"), lit(0L)).as("t_mass"),
+        coalesce(col("r_mass"), lit(0L)).as("r_mass"),
+        coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** Keep the top `k` raw (non-target) documents by importance weight
+    * (ties break on id ascending), via the two-stage top-k so a global
+    * rank never funnels all rows through one task.
+    */
+  def select(weights: DataFrame, idCol: String, k: Int): DataFrame =
+    graft.ops.TopK.topKPerKey(weights, Seq.empty,
+      Seq(col("weight").desc, col(idCol).asc), k, rankCol = "rank")
+}
