@@ -822,6 +822,35 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- deterministic data mixing (mixture-weighted interleave), oracle ----
+    // Stride scheduling over language groups: i-th doc of group g keys
+    // (i+0.5)/w_g, one IEEE double division; the global reading order is
+    // that key with (lang, doc_id) tiebreak. Spark computes BOTH ranks
+    // via the range-partition+offset zipWithIndex scheme (no window at
+    // all); the oracle uses plain windows — identical for a total order.
+    Q("q118_data_mixing",
+      s"""WITH hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, lang",
+             "md5(CAST(doc_id AS VARCHAR))", "documents", "h")}),
+        |w(lang, wt) AS (VALUES
+        |    ('en', 0.4), ('de', 0.25), ('fr', 0.2), ('es', 0.1), ('zh', 0.05)),
+        |r AS (SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) - 1
+        |      AS BIGINT) AS src_rank
+        |  FROM hv WHERE lang IN (SELECT lang FROM w)),
+        |k AS (SELECT doc_id, r.lang, src_rank,
+        |    (CAST(src_rank AS DOUBLE) + 0.5) / wt AS mix_key
+        |  FROM r JOIN w ON r.lang = w.lang)
+        |SELECT doc_id, lang, src_rank, mix_key,
+        |  CAST(row_number() OVER (ORDER BY mix_key, lang, doc_id) AS BIGINT)
+        |    AS mix_pos
+        |FROM k ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.Mixing.interleave(documents(s, dir), "lang", "doc_id",
+          Map("en" -> 0.4, "de" -> 0.25, "fr" -> 0.2, "es" -> 0.1, "zh" -> 0.05))
+        .select(col("doc_id"), col("lang"), col("src_rank"), col("mix_key"),
+          col("mix_pos"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
