@@ -851,6 +851,48 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- BM25 keyword retrieval (rational idf), oracle-checked ----
+    // Every arithmetic step is a fixed-association IEEE +,×,÷ of
+    // engine-computed exact integers (N, Σdl, df, tf, dl), so the
+    // scores hash-match bit-for-bit; the log-idf deviation is documented
+    // in Retrieval.scala. Spark: stats agg + scan projection + two-stage
+    // top-k; oracle: the same expression tree over a CROSS JOIN with the
+    // one-row stats CTE and a window rank.
+    Q("q119_bm25_search", {
+      val terms = Seq("hash", "join", "vector")
+      val tfCols = terms.map(t =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n        |    ")
+      val dfAggs = terms.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+      def comp(t: String) =
+        s"""((CAST(n - df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+           | * (CAST(tf_$t AS DOUBLE) * ${1.2 + 1}) / (CAST(tf_$t AS DOUBLE)
+           | + ${1.2} * (${1 - 0.75} + ${0.75} * (CAST(dl AS DOUBLE)
+           | / (CAST(sumdl AS DOUBLE) / n))))""".stripMargin.replaceAll("\n\\s*\\|?", " ")
+      val score = terms.map(comp).reduceLeft((a, b) => s"($a + $b)")
+      s"""WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\\s+'),
+        |                x -> regexp_matches(x, '^[a-z]+$$')) AS toks
+        |  FROM documents),
+        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+        |    $tfCols
+        |  FROM tk),
+        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfAggs FROM d),
+        |sc AS (SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")},
+        |    $score AS score
+        |  FROM d CROSS JOIN st)
+        |SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")}, score,
+        |  CAST(rn AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+        |WHERE rn <= 20 ORDER BY rank""".stripMargin
+    }) { (s, dir) =>
+      graft.text.Retrieval.bm25(documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "vector"), topK = 20)
+        .select(col("doc_id"), col("dl"), col("tf_hash"), col("tf_join"),
+          col("tf_vector"), col("score"), col("rank"))
+        .orderBy("rank")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>
