@@ -893,6 +893,55 @@ object Text {
         .orderBy("rank")
     },
 
+    // ---- product quantization ANN (encode + ADC), oracle-checked ----
+    // Full protocol replay: md5-ordered codebook sample, per-subspace
+    // exact-decimal argmin encode, ADC lookup-table search. Every
+    // distance is the DECIMAL capture sum (order-free exact), ranking
+    // uses the unsnapped decimals, output snaps once to DECIMAL(18,9)
+    // →double (the q41 parity pattern).
+    Q("q120_pq_ann", {
+      def sq(a: String, b: String) =
+        s"""(SELECT SUM(CAST((CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | AS DECIMAL(38,18))) FROM range(8) t(i))""".stripMargin.replaceAll("\n\\s*\\|?", " ")
+      s"""WITH hv AS (SELECT * FROM ${md5Hash64Sql("vec_id",
+             "md5(CAST(vec_id AS VARCHAR))", "embeddings", "h")}),
+        |samp AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS code FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM hv)
+        |  WHERE rn <= 16),
+        |js AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j),
+        |cb AS (SELECT j, code,
+        |    list_transform(range(8), i -> e.embedding[j*8 + i + 1]) AS cvec
+        |  FROM samp JOIN embeddings e USING (vec_id) CROSS JOIN js),
+        |subs AS (SELECT vec_id, j,
+        |    list_transform(range(8), i -> embedding[j*8 + i + 1]) AS sub
+        |  FROM embeddings CROSS JOIN js),
+        |ed AS (SELECT s.vec_id, s.j, cb.code, ${sq("s.sub", "cb.cvec")} AS dist
+        |  FROM subs s JOIN cb ON s.j = cb.j),
+        |codes AS (SELECT vec_id AS neighbor_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+        |    FROM ed) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, j,
+        |    list_transform(range(8), i -> embedding[j*8 + i + 1]) AS qsub
+        |  FROM embeddings CROSS JOIN js WHERE vec_id < 3),
+        |td AS (SELECT query_id, q.j, cb.code, ${sq("q.qsub", "cb.cvec")} AS d
+        |  FROM qs q JOIN cb ON q.j = cb.j),
+        |adc AS (SELECT query_id, neighbor_id, SUM(d) AS adc
+        |  FROM codes c JOIN td ON td.j = c.j AND td.code = c.code
+        |  WHERE neighbor_id <> query_id GROUP BY 1, 2)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id,
+        |  CAST(FLOOR(adc * 1000000000 + 0.5) AS DOUBLE) / 1000000000.0 AS adc
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adc, neighbor_id) AS rn FROM adc)
+        |WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin
+    }) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 3), "vec_id",
+          "embedding", m = 8, k = 16, dim = 64, topK = 10)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- corpus curation capstone: dedup -> quality -> language (oracle) ----
     Q("q70_curation_pipeline", {
       val scoreCols = TextOps.langMarkers.map { case (lang, markers) =>

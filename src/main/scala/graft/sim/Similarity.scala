@@ -335,4 +335,113 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011: "Product
+  // Quantization for Nearest Neighbor Search") — the standard
+  // billion-vector compression: split each d-dim vector into m
+  // subvectors, quantize each against a per-subspace codebook of k
+  // centroids, and search with asymmetric distance computation (ADC):
+  // per query, an m×k lookup table of query-to-centroid distances; a
+  // stored vector's distance is the sum of m table lookups over its
+  // codes (m log₂k bits per vector instead of 4d bytes — the reason PQ
+  // scans billions of vectors in memory).
+  //
+  // Codebooks here are deterministic md5-ordered samples (training on a
+  // sample is standard PQ practice; Lloyd refinement improves recall,
+  // not mechanics — the MLlib-trained path is ivfTopK's pattern). All
+  // distances use the DECIMAL(28,18) capture (order-free exact sums), so
+  // encode argmins and ADC sums are engine-exact end to end (q120).
+  // ---------------------------------------------------------------------
+
+  /** Exact squared-L2 distance via the decimal capture — returns the
+    * DECIMAL sum (no double rounding) so downstream argmins and ADC
+    * additions stay exact and order-free.
+    */
+  def sqDistExact(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        (d * d).cast(D)
+      }),
+      lit(java.math.BigDecimal.ZERO).cast(D),
+      (acc, x) => (acc + x).cast(D))
+
+  /** Per-subspace codebook rows (j, code, cvec): the k corpus vectors
+    * with the smallest (md5(id), id) — deterministic, shuffle-invariant —
+    * sliced into m subvectors each. Bounded k×m rows (driver-collected,
+    * broadcast by the callers).
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                 m: Int, k: Int, dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim must split evenly into $m subspaces")
+    val sampled = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(graft.dedup.Dedup.md5Hash64(col(idCol).cast("string")),
+        col(idCol))
+      .limit(k).collect()
+    val rows = for {
+      (r, c) <- sampled.zipWithIndex.toSeq
+      j <- 0 until m
+    } yield (j, c, r.getSeq[Float](1).slice(j * dsub, (j + 1) * dsub))
+    import spark.implicits._
+    rows.toDF("j", "code", "cvec")
+  }
+
+  /** Encode every vector as m codes: explode into subvectors, join the
+    * broadcast codebook, exact-decimal argmin (ties to the lower code).
+    * Output: (idCol, j, code).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val subs = corpus
+      .select(col(idCol), explode(sequence(lit(0), lit(m - 1))).as("j"),
+        col(vecCol))
+      .withColumn("sub", slice(col(vecCol), col("j") * dsub + 1, lit(dsub)))
+      .drop(vecCol)
+    subs.join(broadcast(codebook), Seq("j"))
+      .withColumn("dist", sqDistExact(col("sub"), col("cvec")))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col(idCol), col("j"), col("best.code").as("code"))
+  }
+
+  /** ADC top-k: per query an m×k distance table (bounded, broadcast),
+    * then one scan over the corpus codes summing m exact-decimal
+    * lookups. Output per query: (query_id, rank, neighbor_id, adc) with
+    * adc snapped to DECIMAL(18,9)→double for cross-engine output parity;
+    * ranking uses the unsnapped exact decimal.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, m: Int, k: Int, dim: Int,
+             topK: Int): DataFrame = {
+    val dsub = dim / m
+    val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
+    val codes = pqEncode(corpus, idCol, vecCol, cb, m, dim)
+      .withColumnRenamed(idCol, "neighbor_id")
+    val qsubs = queries
+      .select(col(idCol).as("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol))
+      .withColumn("qsub", slice(col(vecCol), col("j") * dsub + 1, lit(dsub)))
+      .drop(vecCol)
+    val table = qsubs.join(broadcast(cb), Seq("j"))
+      .withColumn("td", sqDistExact(col("qsub"), col("cvec")))
+      .select("query_id", "j", "code", "td")
+    val adc = codes.join(broadcast(table), Seq("j", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("td")).as("adc"))
+    // snap scale-9 via floor(x·1e9 + ½)/1e9 in pure decimal arithmetic:
+    // the exact ADC decimal CAN land on a half boundary at scale 9, where
+    // engines' decimal-cast rounding modes disagree — floor doesn't.
+    graft.ops.TopK.topKPerKey(adc, Seq("query_id"),
+      Seq(col("adc").asc, col("neighbor_id").asc), topK, rankCol = "rank")
+      .withColumn("adc",
+        floor(col("adc") * lit(1000000000L) + lit(0.5).cast("decimal(2,1)"))
+          .cast("double") / lit(1.0e9))
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
 }

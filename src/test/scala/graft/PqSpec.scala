@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.Similarity
+
+/** Product quantization: encode invariants, the ADC identity on
+  * codebook members, full-coverage equivalence to exact search, and
+  * repartition stability.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private val dim = 16
+  private val m = 4
+
+  // deterministic synthetic embeddings, no two subvectors identical
+  private def corpus(n: Int) = (0L until n.toLong).map { i =>
+    (i, Array.tabulate(dim)(d =>
+      (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+  }.toDF("vec_id", "embedding")
+
+  test("codes are m per vector, in [0, k); sampled vectors encode to themselves") {
+    val df = corpus(40)
+    val cb = Similarity.pqCodebook(df, "vec_id", "embedding", m, 8, dim)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cb, m, dim)
+    val rows = codes.collect()
+    assert(rows.length === 40 * m)
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) < 8))
+    // which ids were sampled, and with which code index?
+    val sampledIds = df
+      .orderBy(graft.dedup.Dedup.md5Hash64(col("vec_id").cast("string")), col("vec_id"))
+      .limit(8).collect().map(_.getLong(0)).zipWithIndex.toMap
+    rows.filter(r => sampledIds.contains(r.getLong(0))).foreach { r =>
+      assert(r.getInt(2) === sampledIds(r.getLong(0)),
+        s"sampled vec ${r.getLong(0)} must encode to its own centroid (dist 0)")
+    }
+  }
+
+  test("full-coverage codebook (k = n) makes ADC identical to exact search") {
+    val df = corpus(20) // k = n = 20: every vector is its own centroid
+    val queries = df.filter(col("vec_id") < 3)
+    val pq = Similarity.pqTopK(df, queries, "vec_id", "embedding", m, 20, dim, 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact squared-L2 brute force
+    val all = corpus(20).collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val want = (0L until 3L).flatMap { q =>
+      all.keys.filter(_ != q).toSeq
+        .map { x =>
+          val d = all(q).zip(all(x)).map { case (a, b) =>
+            val t = a.toDouble - b.toDouble; t * t
+          }.sum
+          (x, d)
+        }
+        .sortBy { case (x, d) => (d, x) }.take(5).zipWithIndex
+        .map { case ((x, _), i) => (q, (i + 1).toLong, x) }
+    }
+    assert(pq.toSeq === want)
+  }
+
+  test("repartition-stable") {
+    val df = corpus(30)
+    val q = df.filter(col("vec_id") < 2)
+    val a = Similarity.pqTopK(df.repartition(1), q, "vec_id", "embedding", m, 8, dim, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = Similarity.pqTopK(df.repartition(7), q, "vec_id", "embedding", m, 8, dim, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+}
