@@ -58,17 +58,24 @@ object Dsir {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
                         isTarget: Column, buckets: Int = 1024): DataFrame = {
-    val grams = gramRows(docs, idCol, textCol, carry = Seq(isTarget.as("__t")))
-      .withColumn("bucket", bucketOf(col("gram"), buckets))
-    val profile = grams.groupBy("bucket").agg(
-      count(lit(1)).as("r_cnt"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("t_cnt"))
-    val scored = grams
+    // one pass over the gram stream: per-doc bucket multiplicities,
+    // pinned because both the profile and the scoring derive from them
+    // (re-deriving would tokenize + explode the corpus twice — measured
+    // 6.0 → 4.8 s at sf0.1)
+    val perDoc = graft.ops.Pin.pin(
+      gramRows(docs, idCol, textCol, carry = Seq(isTarget.as("__t")))
+        .withColumn("bucket", bucketOf(col("gram"), buckets))
+        .groupBy(col(idCol), col("__t"), col("bucket"))
+        .agg(count(lit(1)).as("n")))
+    val profile = perDoc.groupBy("bucket").agg(
+      sum(col("n")).as("r_cnt"),
+      sum(when(col("__t"), col("n")).otherwise(0L)).as("t_cnt"))
+    val scored = perDoc
       .join(broadcast(profile), Seq("bucket"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(col("t_cnt") + 1L).as("t_mass"),
-        sum(col("r_cnt") + 1L).as("r_mass"))
+      .agg(sum(col("n")).as("n_grams"),
+        sum((col("t_cnt") + 1L) * col("n")).as("t_mass"),
+        sum((col("r_cnt") + 1L) * col("n")).as("r_mass"))
       .withColumn("weight",
         col("t_mass").cast("double") / col("r_mass").cast("double"))
     docs.select(col(idCol))

@@ -10,8 +10,10 @@ class EntrySmokeSpec extends AnyFunSuite {
     // keys fixed it. Guard the arithmetic as the registry grows: prefix +
     // shortKey":999.999, per query + suffix must stay under ~1900 chars
     // (the window also has to fit sbt's trailing [success] line).
+    // per query: "key":999.99, -> quotes(2) + colon(1) + value(<=6) +
+    // comma(1) = key + 10 worst case (centisecond fmtQ since round 7)
     val perQuery = SparkEntry.registry
-      .map(q => q.name.takeWhile(_ != '_').length + 12).sum
+      .map(q => q.name.takeWhile(_ != '_').length + 10).sum
     val line = 90 + perQuery + 40
     assert(line < 1900, s"bench line worst case $line chars; shorten keys")
     val short = SparkEntry.registry.map(_.name.takeWhile(_ != '_'))
