@@ -60,6 +60,19 @@ class PqSpec extends AnyFunSuite {
     assert(pq.toSeq === want)
   }
 
+  test("native exact_sqdist matches the declarative HOF bit-for-bit") {
+    val df = corpus(25).select(
+      col("embedding").as("a"),
+      reverse(col("embedding")).as("b"))
+    val got = df.select(
+      Similarity.sqDistExact(col("a"), col("b")).as("n"),
+      Similarity.sqDistExactHof(col("a"), col("b")).as("h")).collect()
+    got.foreach { r =>
+      assert(r.getDecimal(0).compareTo(r.getDecimal(1)) === 0,
+        s"native ${r.getDecimal(0)} != hof ${r.getDecimal(1)}")
+    }
+  }
+
   test("repartition-stable") {
     val df = corpus(30)
     val q = df.filter(col("vec_id") < 2)
