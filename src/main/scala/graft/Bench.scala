@@ -85,7 +85,7 @@ object Bench {
     // (rounds 2 and 3 both overflowed the window and recorded
     // parsed=null; full query names live in CORRECTNESS_r*.json).
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // per-query values at centisecond precision: the registry passed 115
+    // per-query values at centisecond precision: the registry passed 117
     // queries and 3-decimal values pushed the worst-case line past the
     // 2000-char window (EntrySmokeSpec guards the arithmetic); ambient
     // drift is ±25%, so 10 ms granularity loses nothing real.

@@ -152,10 +152,8 @@ object PlantedAudio {
     wavs ++ aus ++ bad
   }
 
-  private def hex(bs: Array[Byte]): String =
-    bs.map(b => f"${b & 0xff}%02x").mkString
-
   /** `(id, kind, hex(blob))` VALUES rows for the oracle. */
   def sqlValues: String =
-    all.map(p => s"(${p.id}, '${p.kind}', '${hex(p.blob)}')").mkString(",\n    ")
+    all.map(p => s"(${p.id}, '${p.kind}', '${PlantedImages.hex(p.blob)}')")
+      .mkString(",\n    ")
 }

@@ -25,10 +25,34 @@ import org.apache.spark.sql.types._
   */
 object ImageIo {
 
-  /** Full decode; None for null/empty/undecodable blobs. */
+  /** Full decode; None for null/empty/undecodable blobs — including
+    * recognized-but-corrupt media, where `ImageIO.read` finds a reader
+    * and then THROWS on the damaged pixel stream (e.g. a valid PNG
+    * signature over truncated IDAT data). Swallowing that into None is
+    * the skip-don't-crash contract: on a 1000-executor job, one corrupt
+    * blob must cost a null row, not a task-retry storm.
+    */
   def decode(blob: Array[Byte]): Option[BufferedImage] =
     if (blob == null || blob.length == 0) None
-    else Option(ImageIO.read(new ByteArrayInputStream(blob)))
+    else try Option(ImageIO.read(new ByteArrayInputStream(blob)))
+    catch { case _: java.io.IOException | _: RuntimeException => None }
+
+  /** Exact integer Σ(r+g+b) over the image's own raster. */
+  def rgbSum(img: BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
 
   /** Header-only metadata (width, height, format): the reader parses the
     * header without decoding pixel data — the shape a 100 TB metadata
@@ -46,6 +70,9 @@ object ImageIo {
           r.setInput(iis)
           Some((r.getWidth(0), r.getHeight(0),
             r.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } catch {
+          // recognized container, corrupt header — skip, don't crash
+          case _: java.io.IOException | _: RuntimeException => None
         } finally r.dispose()
       }
     } finally iis.close()
@@ -125,19 +152,13 @@ object ImageIo {
       rows.map { r =>
         val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         (meta(blob), decode(blob)) match {
-          case (Some((w, h, f)), Some(img)) =>
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            Row(r.getLong(0), w, h, f, sum, w.toLong * h)
+          // pixel sums iterate the DECODED raster's own dims; a blob
+          // whose header claims different dims than its raster decodes
+          // to (malformed) is treated as corrupt — null row, never an
+          // out-of-bounds getRGB crash inside a task
+          case (Some((w, h, f)), Some(img))
+              if img.getWidth == w && img.getHeight == h =>
+            Row(r.getLong(0), w, h, f, rgbSum(img), w.toLong * h)
           case _ => Row(r.getLong(0), null, null, null, null, null)
         }
       }

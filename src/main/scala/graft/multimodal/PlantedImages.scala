@@ -84,7 +84,8 @@ object PlantedImages {
     bmps ++ pngs ++ bad
   }
 
-  private def hex(bs: Array[Byte]): String =
+  /** Lowercase hex of a blob — shared by all planted-fixture oracles. */
+  private[multimodal] def hex(bs: Array[Byte]): String =
     bs.map(b => f"${b & 0xff}%02x").mkString
 
   /** `(id, kind, hex(blob), planted r, g, b)` VALUES rows for the oracle. */

@@ -49,22 +49,31 @@ object VideoIo {
       if (size < 0 || pos + 8 + size > riffEnd) return None
       if (id == "LIST") {
         val listType = fourcc(blob, pos.toInt + 8)
-        var p = pos + 12
-        val end = pos + 8 + size
-        while (p + 8 <= end) {
-          val cid = fourcc(blob, p.toInt)
-          val csz = le32(blob, p.toInt + 4).toLong
-          if (csz < 0 || p + 8 + csz > end) return None
-          if (listType == "hdrl" && cid == "avih" && csz >= 40) {
-            val o = p.toInt + 8
-            meta = Some(AviMeta(le32(blob, o + 32), le32(blob, o + 36), le32(blob, o + 16)))
-          } else if (listType == "movi" && cid.length == 4 &&
-              cid(0).isDigit && cid(1).isDigit &&
-              (cid.substring(2) == "dc" || cid.substring(2) == "db")) {
-            frames += java.util.Arrays.copyOfRange(blob, p.toInt + 8, (p + 8 + csz).toInt)
+        // returns false on malformed nesting (bad size) → whole blob None
+        def walk(from: Long, until: Long, inMovi: Boolean): Boolean = {
+          var p = from
+          while (p + 8 <= until) {
+            val cid = fourcc(blob, p.toInt)
+            val csz = le32(blob, p.toInt + 4).toLong
+            if (csz < 0 || p + 8 + csz > until) return false
+            if (listType == "hdrl" && cid == "avih" && csz >= 40) {
+              val o = p.toInt + 8
+              meta = Some(AviMeta(le32(blob, o + 32), le32(blob, o + 36), le32(blob, o + 16)))
+            } else if (inMovi && cid == "LIST" &&
+                fourcc(blob, p.toInt + 8) == "rec ") {
+              // the spec's interleave convention groups frame chunks in
+              // LIST('rec ') sub-lists — recurse one level into them
+              if (!walk(p + 12, p + 8 + csz, inMovi = true)) return false
+            } else if (inMovi && cid.length == 4 &&
+                cid(0).isDigit && cid(1).isDigit &&
+                (cid.substring(2) == "dc" || cid.substring(2) == "db")) {
+              frames += java.util.Arrays.copyOfRange(blob, p.toInt + 8, (p + 8 + csz).toInt)
+            }
+            p += 8 + csz + (csz & 1)  // chunks are even-padded
           }
-          p += 8 + csz + (csz & 1)  // chunks are even-padded
+          true
         }
+        if (!walk(pos + 12, pos + 8 + size, inMovi = listType == "movi")) return None
       }
       pos += 8 + size + (size & 1)
     }
@@ -74,8 +83,10 @@ object VideoIo {
   /** Demux + per-frame decode in the [[Multimodal]] batch shape: one row
     * per frame — (id, frame_idx, width, height, rgb_sum, n_frames) with
     * frame dims and the exact integer pixel sum from the real PNG decode
-    * and n_frames from the container's main header; a single all-NULL
-    * row for undecodable blobs.
+    * and n_frames from the container's main header. Ids never vanish: a
+    * decodable container with zero frames emits one row with null frame
+    * fields and its header count; an undecodable blob emits a single
+    * all-NULL row.
     */
   def videoFrameStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
     val outSchema = StructType(Seq(
@@ -91,26 +102,19 @@ object VideoIo {
         val id = r.getLong(0)
         val blob = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
         demux(blob) match {
-          case Some((meta, frames)) =>
+          case Some((meta, frames)) if frames.nonEmpty =>
             frames.iterator.zipWithIndex.map { case (fb, i) =>
               ImageIo.decode(fb) match {
                 case Some(img) =>
-                  val (w, h) = (img.getWidth, img.getHeight)
-                  var sum = 0L
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) {
-                      val rgb = img.getRGB(x, y)
-                      sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                      x += 1
-                    }
-                    y += 1
-                  }
-                  Row(id, i, w, h, sum, meta.totalFrames.toLong)
+                  Row(id, i, img.getWidth, img.getHeight, ImageIo.rgbSum(img),
+                    meta.totalFrames.toLong)
                 case None => Row(id, i, null, null, null, meta.totalFrames.toLong)
               }
             }
+          case Some((meta, _)) =>
+            // decodable container, zero frames: the id must not vanish —
+            // one row carrying the (zero) header frame count
+            Iterator.single(Row(id, null, null, null, null, meta.totalFrames.toLong))
           case None => Iterator.single(Row(id, null, null, null, null, null))
         }
       }
@@ -185,14 +189,11 @@ object PlantedVideos {
     avis ++ bad
   }
 
-  private def hex(bs: Array[Byte]): String =
-    bs.map(b => f"${b & 0xff}%02x").mkString
-
   /** `(id, kind, hex(blob), r+g+b of each frame)` VALUES rows. */
   def sqlValues: String =
     all.map { p =>
       val sums = (0 until framesPerVideo)
         .map(f => p.colors.lift(f).map { case (r, g, b) => r + g + b }.getOrElse(0))
-      s"(${p.id}, '${p.kind}', '${hex(p.blob)}', ${sums.mkString(", ")})"
+      s"(${p.id}, '${p.kind}', '${PlantedImages.hex(p.blob)}', ${sums.mkString(", ")})"
     }.mkString(",\n    ")
 }

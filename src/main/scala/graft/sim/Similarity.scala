@@ -366,8 +366,12 @@ object Similarity {
         org.apache.spark.sql.graft.Bridge.expression(b)))
 
   /** Declarative higher-order-function form of [[sqDistExact]] — same
-    * values bit-for-bit on dense equal-length arrays, kept as the
-    * portable reference implementation (interpreted per element;
+    * values bit-for-bit on dense equal-length arrays whose per-element
+    * squared differences stay under DECIMAL(28,18)'s 10 integer digits
+    * (|x−y| < ~10⁵ — every embedding here; beyond that this form's
+    * element cast nulls out while the native form, accumulating at
+    * precision 38, still returns the finite sum). Kept as the portable
+    * reference implementation (interpreted per element;
     * q120 measured 4.0 → 3.6 s when the native form replaced it — the
     * query is dominated by its encode shuffle, not the scalar, but the
     * native form keeps the scoring projection inside whole-stage
@@ -452,11 +456,25 @@ object Similarity {
     // snap scale-9 via floor(x·1e9 + ½)/1e9 in pure decimal arithmetic:
     // the exact ADC decimal CAN land on a half boundary at scale 9, where
     // engines' decimal-cast rounding modes disagree — floor doesn't.
+    // Precision bookkeeping matters here: DECIMAL(38,18) × DECIMAL(20,0)
+    // would exceed precision 38 and Spark's precision-loss rule rounds
+    // the product at scale 6 — BELOW the 9 digits the snap needs. ADC
+    // sums are small (≤10 int digits), so narrow to DECIMAL(28,18)
+    // first (exact) and multiply by an INT literal (DECIMAL(10,0)):
+    // 28+10+1 = 39 → adjusted DECIMAL(38,17), which holds the 9-frac-
+    // digit product exactly. PqSpec pins the half-boundary class.
     graft.ops.TopK.topKPerKey(adc, Seq("query_id"),
       Seq(col("adc").asc, col("neighbor_id").asc), topK, rankCol = "rank")
-      .withColumn("adc",
-        floor(col("adc") * lit(1000000000L) + lit(0.5).cast("decimal(2,1)"))
-          .cast("double") / lit(1.0e9))
+      .withColumn("adc", snap9Floor(col("adc")))
       .select("query_id", "rank", "neighbor_id", "adc")
   }
+
+  /** floor(x·1e9 + ½)/1e9 over exact decimals (see [[pqTopK]]); input
+    * must carry ≤10 integer digits so the DECIMAL(28,18) narrowing is
+    * exact.
+    */
+  def snap9Floor(adc: Column): Column =
+    floor(adc.cast(DecimalType(28, 18)) * lit(1000000000)
+        + lit(0.5).cast("decimal(2,1)"))
+      .cast("double") / lit(1.0e9)
 }

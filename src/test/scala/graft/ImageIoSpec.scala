@@ -116,4 +116,22 @@ class ImageIoSpec extends AnyFunSuite {
     assert((b0.blob(54) & 0xff, b0.blob(55) & 0xff, b0.blob(56) & 0xff) ===
       ((b0.b, b0.g, b0.r)))
   }
+
+  test("recognized-but-corrupt media yields null rows, not task failures") {
+    // valid PNG signature + header, truncated pixel stream: ImageIO finds
+    // a reader and read() THROWS — decode must swallow to None
+    val good = png(16, 16)((x, y) => x * 65536 + y)
+    val truncated = good.take(40)
+    assert(ImageIo.decode(truncated) === None)
+    assert(ImageIo.meta(truncated).isDefined, "header itself parses")
+    // garbage after a real header: every prefix must be crash-free
+    (8 until good.length by 17).foreach { cut =>
+      ImageIo.decode(good.take(cut)) // must not throw
+    }
+    val df = Seq((1L, good), (2L, truncated)).toDF("id", "blob")
+    val rows = ImageIo.imageStats(df, "id", "blob").orderBy("id").collect()
+    assert(!rows(0).isNullAt(4))
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(4),
+      "corrupt blob must produce a null row")
+  }
 }

@@ -73,6 +73,24 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("snap9Floor: exact at the decimal half boundary and in the (38,6) failure class") {
+    // a DECIMAL(38,18)×DECIMAL(20,0) product would be rounded by Spark at
+    // scale 6; values whose ·1e9 fractional part is in [0.4999995, 0.5)
+    // would then snap UP instead of down — pin both sides of the boundary
+    val cases = Seq(
+      ("1.000000000500000000", 1.000000001), // exactly .5 -> up (floor(x+.5))
+      ("1.000000000499999600", 1.0),         // the (38,6) failure class -> down
+      ("1.000000000499999999", 1.0),
+      ("2.123456789499999900", 2.123456789),
+      ("2.123456789500000000", 2.12345679))
+    import org.apache.spark.sql.types.DecimalType
+    val df = cases.map(_._1).toDF("s")
+      .select(col("s").cast(DecimalType(38, 18)).as("adc"))
+    val got = df.select(Similarity.snap9Floor(col("adc")).as("v"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("repartition-stable") {
     val df = corpus(30)
     val q = df.filter(col("vec_id") < 2)

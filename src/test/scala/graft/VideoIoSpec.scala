@@ -62,6 +62,47 @@ class VideoIoSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(frames(2), odd))
   }
 
+  test("frames inside LIST('rec ') grouping sub-lists are demuxed") {
+    // the AVI interleave convention: wrap each frame chunk in its own
+    // LIST('rec '); a size-following walker must find them all
+    val p = PlantedVideos.all.head
+    val Some((_, want)) = VideoIo.demux(p.blob)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] = {
+      val pad = payload.length & 1
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length + pad)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes("US-ASCII")).putInt(payload.length).put(payload)
+      if (pad == 1) bb.put(0.toByte)
+      bb.array()
+    }
+    val recs = want.flatMap(f =>
+      chunk("LIST", "rec ".getBytes("US-ASCII") ++ chunk("00dc", f))).toArray
+    val hdrlEnd = {
+      val hs = (p.blob(16) & 0xff) | ((p.blob(17) & 0xff) << 8) |
+        ((p.blob(18) & 0xff) << 16) | ((p.blob(19) & 0xff) << 24)
+      20 + hs
+    }
+    val body = p.blob.slice(8, hdrlEnd) ++
+      chunk("LIST", "movi".getBytes("US-ASCII") ++ recs)
+    val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    val Some((_, got)) = VideoIo.demux(out.array())
+    assert(got.length === want.length)
+    assert(got.zip(want).forall { case (a, b) => java.util.Arrays.equals(a, b) })
+  }
+
+  test("zero-frame but decodable AVI keeps its id: one row with the header count") {
+    val blob = PlantedVideos.aviBytes(3, 3, Seq.empty)
+    val Some((meta, frames)) = VideoIo.demux(blob)
+    assert(meta.totalFrames === 0 && frames.isEmpty)
+    val df = Seq((7L, blob)).toDF("id", "blob")
+    val rows = VideoIo.videoFrameStats(df, "id", "blob").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getLong(0) === 7L && rows(0).isNullAt(1))
+    assert(rows(0).getLong(5) === 0L, "header frame count must survive")
+  }
+
   test("malformed containers -> None; truncation never throws") {
     assert(VideoIo.demux(null).isEmpty)
     assert(VideoIo.demux(Array.empty[Byte]).isEmpty)
