@@ -681,6 +681,114 @@ object Dedup {
     (out, rounds)
   }
 
+  // ------------------------------------------------ duplicate-span dedup
+
+  /** Merged duplicate n-gram spans per document — substring-granularity
+    * dedup in the style of the published exact-substring protocol (see
+    * the reference's dedup coverage; the technique: any word n-gram
+    * occurring at least `minOccur` times ANYWHERE in the corpus —
+    * including repeats inside one document — marks every position it
+    * covers as duplicated; per document, overlapping-or-adjacent
+    * duplicate windows merge into maximal spans [s, e] in token
+    * positions, 1-based inclusive).
+    *
+    * 100 TB shape: the gram stream is a scan projection carrying
+    * (doc_id, pos, 16-byte md5) — text never leaves the scan;
+    * occurrence counting is a map-side-combined groupBy on the hash;
+    * the dup-hash semi-join shuffles hashes only; span merging windows
+    * over (doc_id, pos) int pairs partitioned by document, so no
+    * single-partition stage exists anywhere.
+    *
+    * Returns one row per (doc, merged span): (doc_id, s, e).
+    */
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+               n: Int, minOccur: Int = 2): DataFrame = {
+    require(n >= 1, s"gram size must be >= 1, got $n")
+    require(minOccur >= 2, s"minOccur must be >= 2, got $minOccur")
+    val base = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("toks"))
+    // Guarded gram list: sequence(1, 0) in Spark DESCENDS ([1, 0]), so
+    // the size >= n case must be gated explicitly, not left to sequence.
+    val gramList = when(size(col("toks")) >= n,
+        expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> md5(array_join(slice(toks, i, $n), ' ')))"))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("doc_id"), posexplode(gramList))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gh"))
+    val dupGh = grams.groupBy("gh").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minOccur).select("gh")
+    val dp = grams.join(dupGh, Seq("gh"), "left_semi").select("doc_id", "pos")
+    // Gaps-and-islands: a window starts a new span iff it begins past
+    // the furthest end seen so far plus one (adjacent windows merge —
+    // their covered token ranges are contiguous).
+    val wPrev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dp.withColumn("prev_end", max(col("pos") + (n - 1)).over(wPrev))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("island_id", sum(col("new_island")).over(wRun))
+      .groupBy("doc_id", "island_id")
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (n - 1)).as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** Per-document duplicate-span statistics: (doc_id, n_tokens,
+    * n_dup_spans, dup_tokens, kept_tokens, spans_fp) for every document
+    * with at least one merged span, where `spans_fp` is the md5 of the
+    * ordered "s:e" span list — a bounded fingerprint of WHERE the
+    * duplication sits, replayable by any engine.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, minOccur: Int = 2): DataFrame = {
+    val nTok = df.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val st = dupSpans(df, idCol, textCol, n, minOccur)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("e")))),
+          x => concat(x("s").cast("string"), lit(":"),
+            x("e").cast("string"))), ",")).as("spans_fp"))
+    st.join(nTok, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_dup_spans"),
+        col("dup_tokens"),
+        (col("n_tokens") - col("dup_tokens")).as("kept_tokens"),
+        col("spans_fp"))
+  }
+
+  /** The rewritten documents: tokens covered by any merged duplicate
+    * span are dropped, the rest re-join with single spaces. One row per
+    * input document (docs with no spans pass through re-normalized).
+    *
+    * Scale note: pairing spans with text moves the TEXT through a
+    * doc_id shuffle — the one unavoidable cost of a rewrite pass (any
+    * substring-level dedup pays it exactly once, at output-writing
+    * time); everything upstream of this join still shuffles only
+    * hashes and int pairs. The span side aggregates to one bounded
+    * array row per affected document before the join.
+    */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int, minOccur: Int = 2): DataFrame = {
+    val spans = dupSpans(df, idCol, textCol, n, minOccur)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("e"))))
+        .as("__spans"))
+    val base = df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(col(textCol)).as("__toks"))
+    base.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        array_join(filter(col("__toks"), (t, i) =>
+          !exists(coalesce(col("__spans"),
+              array().cast("array<struct<s:bigint,e:bigint>>")),
+            sp => sp("s") <= i + 1 && i + 1 <= sp("e"))), " ")
+          .as("cleaned"))
+  }
+
   /** One star operation: from each center u with neighborhood Γ(u) and
     * m = min(Γ(u) ∪ {u}), re-hang the LARGER (large-star) or the
     * not-larger neighbors plus the center itself (small-star) off m.

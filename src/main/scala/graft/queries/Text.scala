@@ -1245,6 +1245,44 @@ object Text {
       Dedup.keepBestGroups(scored, "doc_id", "text", "q_score").orderBy("fp")
     },
 
+    // ---- duplicate n-gram SPAN dedup (substring granularity) ----
+    // The exact-substring protocol: a 4-gram occurring >= 2 times
+    // anywhere in the corpus marks its positions; per doc, overlapping
+    // or adjacent windows merge into maximal spans (gaps-and-islands —
+    // identical integer window math in both engines). spans_fp
+    // fingerprints the ordered span list so the compare pins WHERE the
+    // duplication sits, not just how much.
+    Q("q121_dup_spans",
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, pos, md5(array_to_string(toks[pos:pos+3], ' ')) AS gh
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(range(1, greatest(len(toks)-2, 1))) AS pos FROM t)),
+        |dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+        |isl AS (SELECT doc_id, pos,
+        |  CASE WHEN pos > COALESCE(MAX(pos + 3) OVER (PARTITION BY doc_id
+        |        ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -9223372036854775808) + 1
+        |     THEN 1 ELSE 0 END AS new_island FROM dp),
+        |isl2 AS (SELECT doc_id, pos, SUM(new_island) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island_id FROM isl),
+        |sp AS (SELECT doc_id, island_id, MIN(pos) AS s, MAX(pos) + 3 AS e
+        |  FROM isl2 GROUP BY doc_id, island_id),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+        |  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+        |  md5(string_agg(s || ':' || e, ',' ORDER BY s)) AS spans_fp
+        |  FROM sp GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+        |SELECT st.doc_id, nt.n_tokens, st.n_dup_spans, st.dup_tokens,
+        |  nt.n_tokens - st.dup_tokens AS kept_tokens, st.spans_fp
+        |FROM st JOIN nt USING (doc_id) ORDER BY st.doc_id""".stripMargin) {
+      (s, dir) =>
+      Dedup.dupSpanStats(documents(s, dir), "doc_id", "text",
+        n = 4, minOccur = 2).orderBy("doc_id")
+    },
+
     // ---- C4-style line/page quality filter ----
     // The published C4 heuristics over the real table plus planted
     // multi-line fixtures (the synthetic docs have no newlines or
