@@ -495,6 +495,32 @@ object Relational {
         .orderBy("n_nationkey")
     },
 
+    // ---- JSONL sink -> scan round-trip (training-data interchange) ----
+    // Sinks the documents table to JSON Lines, scans it back with the
+    // original schema, and aggregates per language; the oracle reads the
+    // parquet directly, so a hash match proves the JSONL write/read path
+    // is value-faithful through JSON string escaping and numeric
+    // round-trip (count + char sums + distinct/min/max text md5s).
+    Q("q122_jsonl_roundtrip",
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_fp,
+        |  MIN(md5(text)) AS min_fp, MAX(md5(text)) AS max_fp
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q122").toString +
+        "/docs_jsonl"
+      val docs = documents(s, dir)
+      graft.sources.Jsonl.sink(docs, tmp)
+      graft.sources.Jsonl.scan(s, tmp, Some(docs.schema))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_fp"),
+          min(md5(col("text"))).as("min_fp"),
+          max(md5(col("text"))).as("max_fp"))
+        .orderBy("lang")
+    },
+
     // ---- skip-preamble CSV scan (S4, oracle) ----
     // Writes an EIA-export-shaped file (4 preamble lines + header + the
     // region rows), scans it with the preamble dropped, and hash-checks

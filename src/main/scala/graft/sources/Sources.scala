@@ -140,6 +140,39 @@ object Csv {
   }
 }
 
+/** JSON Lines — the de-facto interchange format of training-data
+  * pipelines (one JSON object per line; every dump/filter tool in the
+  * ecosystem reads and writes it). Spark's native json source IS
+  * line-delimited by default, so both directions are ordinary
+  * distributed scans/writes with full column pruning.
+  */
+object Jsonl {
+
+  /** JSONL scan. The explicit schema is the 100 TB contract: inference
+    * costs a full extra pass over the corpus AND widens types from
+    * whatever rows it happens to sample — pass `None` only for
+    * exploration. Corrupt lines land in the PERMISSIVE-mode
+    * `_corrupt_record` column when the schema declares one, mirroring
+    * the codec layer's corrupt-media-rows-stay-visible contract.
+    */
+  def scan(spark: SparkSession, path: String,
+           schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None    => spark.read.json(path)
+    }
+
+  /** JSONL sink: one JSON object per line, fields in schema order
+    * (deterministic layout — two writes of the same frame are
+    * byte-identical up to file split boundaries). Leave `singleFile`
+    * false at scale; it exists for the reference's one-file exports.
+    */
+  def sink(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+}
+
 /** Generated-projection fixed-width readers (S5/S6): one `spark.read.text`
   * scan plus substring/trim column math — the parse runs inside the scan
   * projection, whole-stage codegen'd, no per-line closure.
