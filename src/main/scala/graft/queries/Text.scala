@@ -1245,6 +1245,49 @@ object Text {
       Dedup.keepBestGroups(scored, "doc_id", "text", "q_score").orderBy("fp")
     },
 
+    // ---- embedding-space (semantic) decontamination ----
+    // The semantic twin of q107: eval = the deterministic md5-quota
+    // sample (2 vectors/label), training vectors whose cosine to ANY
+    // eval vector reaches 0.33 are flagged with hit count and best
+    // match. Cosines are the decimal-exact dot over sqrt-of-exact-dot
+    // norms, mirrored term-for-term in the oracle, so the double
+    // compare is bit-exact.
+    Q("q123_semantic_decon",
+      s"""WITH ev AS (SELECT vec_id, embedding FROM (SELECT vec_id, embedding,
+        |    ROW_NUMBER() OVER (PARTITION BY label
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |  FROM embeddings) WHERE rn <= 2),
+        |tr AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM ev)),
+        |p AS (SELECT tr.vec_id AS tid, ev.vec_id AS eid,
+        |    ${dotSql("tr.embedding", "ev.embedding")} /
+        |    (sqrt(${dotSql("tr.embedding", "tr.embedding")}) *
+        |     sqrt(${dotSql("ev.embedding", "ev.embedding")})) AS cos
+        |  FROM tr, ev),
+        |f AS (SELECT tid, eid, cos FROM p WHERE cos >= 0.33),
+        |w AS (SELECT tid, eid, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY tid ORDER BY cos DESC, eid) AS rn,
+        |    COUNT(*) OVER (PARTITION BY tid) AS nh FROM f)
+        |SELECT tid AS train_id, CAST(nh AS BIGINT) AS n_hits,
+        |  eid AS best_eval_id,
+        |  CAST(CAST(cos AS DECIMAL(18,9)) AS DOUBLE) AS best_cos
+        |FROM w WHERE rn = 1 ORDER BY train_id""".stripMargin) { (s, dir) =>
+      // best_cos snaps to DECIMAL(18,9) like q41: DuckDB's
+      // decimal(·,18)->double cast double-rounds and can sit one ulp off
+      // Spark's correctly-rounded cast
+      val em = embeddings(s, dir)
+      val ev = graft.ops.Pin.pin(
+        TextOps.stratifiedSample(em, "label", "vec_id", k = 2)
+          .select(col("vec_id"), col("embedding")))
+      val train = em.select(col("vec_id"), col("embedding"))
+        .join(ev.select("vec_id"), Seq("vec_id"), "left_anti")
+      Similarity.semanticContamination(train, ev, "vec_id", "embedding",
+        minCos = 0.33)
+        .withColumn("best_cos", col("best_cos")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("train_id")
+    },
+
     // ---- duplicate n-gram SPAN dedup (substring granularity) ----
     // The exact-substring protocol: a 4-gram occurring >= 2 times
     // anywhere in the corpus marks its positions; per doc, overlapping

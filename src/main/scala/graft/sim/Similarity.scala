@@ -477,4 +477,44 @@ object Similarity {
     floor(adc.cast(DecimalType(28, 18)) * lit(1000000000)
         + lit(0.5).cast("decimal(2,1)"))
       .cast("double") / lit(1.0e9)
+
+  /** Embedding-space decontamination — the semantic twin of the n-gram
+    * protocol ([[graft.dedup.Dedup.contamination]]): a training vector is
+    * contaminated if its cosine to ANY eval vector reaches `minCos`.
+    * Eval sets are bounded by definition, so the eval frame broadcasts
+    * whole and the sweep is ONE scan over the training corpus (a
+    * broadcast nested-loop against the tiny eval side): a codegen'd
+    * double prefilter keeps pairs within the re-rank margin of the
+    * threshold, and only those survivors pay the decimal-exact re-score
+    * — the same prefilter-then-exact pattern as [[cosineTopK]] /
+    * [[cosineNearDups]]. Output one row per flagged training vector:
+    * (train_id, n_hits, best_eval_id, best_cos), best = argmax cosine
+    * with ties to the smaller eval id.
+    */
+  def semanticContamination(train: DataFrame, evalVecs: DataFrame,
+                            idCol: String, vecCol: String,
+                            minCos: Double): DataFrame = {
+    val eD = broadcast(evalVecs.select(col(idCol).as("eval_id"),
+      col(vecCol).as("ev"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("enD")))
+    val tD = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("tnD"))
+    val cand = tD.crossJoin(eD)
+      .filter(dot(col("tv"), col("ev")) / (col("tnD") * col("enD"))
+        >= minCos - RerankMargin)
+      .select("train_id", "eval_id")
+    val eE = broadcast(evalVecs.select(col(idCol).as("eval_id"),
+      col(vecCol).as("ev"), normExact(col(vecCol)).as("en")))
+    val tE = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      normExact(col(vecCol)).as("tn"))
+    cand.join(tE, "train_id").join(eE, "eval_id")
+      .withColumn("cos", dotExact(col("tv"), col("ev"))
+        / (col("tn") * col("en")))
+      .filter(col("cos") >= minCos)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_hits"),
+        max_by(col("eval_id"),
+          struct(col("cos"), (-col("eval_id")).as("n"))).as("best_eval_id"),
+        max(col("cos")).as("best_cos"))
+  }
 }

@@ -344,6 +344,80 @@ class TextDedupSpec extends AnyFunSuite {
     assert(a.map { case (i, v) => (i, v.toSeq) }.toSeq ===
       b.map { case (i, v) => (i, v.toSeq) }.toSeq)
   }
+
+  test("dupSpans: hand-computed spans, merge of overlap+adjacency, stats consistency") {
+    // With n=3, minOccur=2:
+    //  doc 1: "a b c d e f g h"  — shares grams with doc 2
+    //  doc 2: "a b c d x y z a b c d e"
+    //    corpus grams "a b c" (3×: d1@1, d2@1, d2@8), "b c d" (3×),
+    //    "c d e" (2×: d1@3, d2@10) mark d1 positions 1,2,3 →
+    //    one merged span [1,5]; d2 positions 1,2 → [1,4] and 8,9,10 →
+    //    [8,12] ([1,4] and [8,12] stay separate: 8 > 4+1)
+    //  doc 3: "p q r s t u v w" — no shared grams, no output row
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y z a b c d e"),
+      (3L, "p q r s t u v w")).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "s")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(spans === Seq((1L, 1L, 5L), (2L, 1L, 4L), (2L, 8L, 12L)))
+
+    val st = Dedup.dupSpanStats(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(st.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val byDoc = st.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(byDoc(1L) === ((8L, 1L, 5L, 3L)))   // 8 tokens, 1 span, 5 dup, 3 kept
+    assert(byDoc(2L) === ((12L, 2L, 9L, 3L)))  // 12 tokens, 2 spans, 9 dup, 3 kept
+
+    val cleaned = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toMap
+    assert(cleaned(1L) === "f g h")
+    assert(cleaned(2L) === "x y z")
+    assert(cleaned(3L) === "p q r s t u v w") // untouched doc passes through
+  }
+
+  test("dupSpans: cleaned token count equals kept_tokens on real docs (sf0.001)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val stats = Dedup.dupSpanStats(docs, "doc_id", "text", n = 4)
+    val cleaned = Dedup.removeDupSpans(docs, "doc_id", "text", n = 4)
+      .select(col("doc_id"),
+        when(col("cleaned") === "", 0L)
+          .otherwise(size(split(col("cleaned"), " ")).cast("long"))
+          .as("n_clean"))
+    // every flagged doc: tokens surviving the rewrite == kept_tokens;
+    // spans must also be disjoint and ordered (dup_tokens == sum of
+    // span lengths is already how stats are built, so compare against
+    // the independent rewrite path instead)
+    val bad = stats.join(cleaned, "doc_id")
+      .filter(col("n_clean") =!= col("kept_tokens")).count()
+    assert(bad === 0L)
+    assert(stats.count() > 0, "sf0.001 corpus should contain dup 4-grams")
+  }
+
+  test("semanticContamination: planted copy flags at cos 1.0, orthogonal stays clean") {
+    val ev = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f)),   // colinear with eval 100 -> cos 1.0
+      (2L, Array(0.0f, 0.0f, 5.0f)),   // orthogonal to both -> clean
+      (3L, Array(1.0f, 1.0f, 0.0f)))   // cos ~0.707 to BOTH evals -> 2 hits
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticContamination(train, ev, "vec_id",
+        "embedding", minCos = 0.5)
+      .orderBy("train_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) === Seq(1L, 3L))
+    val m = got.map(r => r._1 -> r).toMap
+    assert(m(1L)._2 === 1L && m(1L)._3 === 100L && m(1L)._4 === 1.0)
+    // two equal-cosine hits: best ties to the SMALLER eval id
+    assert(m(3L)._2 === 2L && m(3L)._3 === 100L)
+    assert(math.abs(m(3L)._4 - math.sqrt(0.5)) < 1e-15)
+  }
 }
 
 /** Native exact_dot expression: bit-parity with the declarative HOF form,
@@ -400,59 +474,6 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
       k = 10, nCells = 8, nProbe = 8)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(full === exact, "probing every cell must equal exact search")
-  }
-
-  test("dupSpans: hand-computed spans, merge of overlap+adjacency, stats consistency") {
-    // With n=3, minOccur=2:
-    //  doc 1: "a b c d e f g h"  — shares grams with doc 2
-    //  doc 2: "a b c d x y z a b c d e"
-    //    corpus grams "a b c" (3×: d1@1, d2@1, d2@8), "b c d" (3×),
-    //    "c d e" (2×: d1@3, d2@10) mark d1 positions 1,2,3 →
-    //    one merged span [1,5]; d2 positions 1,2 → [1,4] and 8,9,10 →
-    //    [8,12] ([1,4] and [8,12] stay separate: 8 > 4+1)
-    //  doc 3: "p q r s t u v w" — no shared grams, no output row
-    val docs = Seq(
-      (1L, "a b c d e f g h"),
-      (2L, "a b c d x y z a b c d e"),
-      (3L, "p q r s t u v w")).toDF("doc_id", "text")
-    val spans = Dedup.dupSpans(docs, "doc_id", "text", n = 3)
-      .orderBy("doc_id", "s")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(spans === Seq((1L, 1L, 5L), (2L, 1L, 4L), (2L, 8L, 12L)))
-
-    val st = Dedup.dupSpanStats(docs, "doc_id", "text", n = 3)
-      .orderBy("doc_id").collect()
-    assert(st.map(_.getLong(0)).toSeq === Seq(1L, 2L))
-    val byDoc = st.map(r => r.getLong(0) ->
-      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(byDoc(1L) === ((8L, 1L, 5L, 3L)))   // 8 tokens, 1 span, 5 dup, 3 kept
-    assert(byDoc(2L) === ((12L, 2L, 9L, 3L)))  // 12 tokens, 2 spans, 9 dup, 3 kept
-
-    val cleaned = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
-      .orderBy("doc_id").as[(Long, String)].collect().toMap
-    assert(cleaned(1L) === "f g h")
-    assert(cleaned(2L) === "x y z")
-    assert(cleaned(3L) === "p q r s t u v w") // untouched doc passes through
-  }
-
-  test("dupSpans: cleaned token count equals kept_tokens on real docs (sf0.001)") {
-    val docs = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text")
-    val stats = Dedup.dupSpanStats(docs, "doc_id", "text", n = 4)
-    val cleaned = Dedup.removeDupSpans(docs, "doc_id", "text", n = 4)
-      .select(col("doc_id"),
-        when(col("cleaned") === "", 0L)
-          .otherwise(size(split(col("cleaned"), " ")).cast("long"))
-          .as("n_clean"))
-    // every flagged doc: tokens surviving the rewrite == kept_tokens;
-    // spans must also be disjoint and ordered (dup_tokens == sum of
-    // span lengths is already how stats are built, so compare against
-    // the independent rewrite path instead)
-    val bad = stats.join(cleaned, "doc_id")
-      .filter(col("n_clean") =!= col("kept_tokens")).count()
-    assert(bad === 0L)
-    assert(stats.count() > 0, "sf0.001 corpus should contain dup 4-grams")
   }
 
   test("salted join equals plain join (deterministic salt) under hot keys") {
