@@ -494,22 +494,25 @@ object Similarity {
   def semanticContamination(train: DataFrame, evalVecs: DataFrame,
                             idCol: String, vecCol: String,
                             minCos: Double): DataFrame = {
-    val eD = broadcast(evalVecs.select(col(idCol).as("eval_id"),
+    // ONE scan, no re-attach join: a fixed threshold needs no windowed
+    // k-th cutoff, so the decimal re-score can run inline right after
+    // the double prefilter — Catalyst evaluates the projection only for
+    // rows that survive the filter, and the vectors never appear in any
+    // exchange (the sole shuffle is the final groupBy on integer ids).
+    // The exact train norm is also computed post-filter: per surviving
+    // pair (bounded by the contamination rate × |eval|) instead of per
+    // corpus row.
+    val e = broadcast(evalVecs.select(col(idCol).as("eval_id"),
       col(vecCol).as("ev"),
-      sqrt(dot(col(vecCol), col(vecCol))).as("enD")))
-    val tD = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("enD"),
+      normExact(col(vecCol)).as("en")))
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("tnD"))
-    val cand = tD.crossJoin(eD)
+    t.crossJoin(e)
       .filter(dot(col("tv"), col("ev")) / (col("tnD") * col("enD"))
         >= minCos - RerankMargin)
-      .select("train_id", "eval_id")
-    val eE = broadcast(evalVecs.select(col(idCol).as("eval_id"),
-      col(vecCol).as("ev"), normExact(col(vecCol)).as("en")))
-    val tE = train.select(col(idCol).as("train_id"), col(vecCol).as("tv"),
-      normExact(col(vecCol)).as("tn"))
-    cand.join(tE, "train_id").join(eE, "eval_id")
       .withColumn("cos", dotExact(col("tv"), col("ev"))
-        / (col("tn") * col("en")))
+        / (normExact(col("tv")) * col("en")))
       .filter(col("cos") >= minCos)
       .groupBy("train_id")
       .agg(count(lit(1)).as("n_hits"),

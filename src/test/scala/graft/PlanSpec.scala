@@ -104,6 +104,32 @@ class PlanSpec extends AnyFunSuite {
       s"document text crosses the shuffle: ${partialOut.get}")
   }
 
+  test("dup-span dedup: text never crosses any shuffle (q121)") {
+    val p = plan("q121_dup_spans")
+    // the gram count must partial-aggregate map-side, and no exchange —
+    // gram count, dup semi-join, doc window, stats join — may carry the
+    // document text; everything in flight is (doc_id, pos, hash)
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"no map-side partial aggregate before the gram-count shuffle in:\n$p")
+    assert(!"Exchange hashpartitioning[^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text crosses a shuffle in:\n$p")
+  }
+
+  test("semantic decon: one scan, eval broadcast, one integer-key shuffle (q123)") {
+    val p = plan("q123_semantic_decon")
+    assert(p.contains("BroadcastExchange"), s"eval set not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"training side re-attached through a shuffle join:\n$p")
+    // the ONLY hash exchange is the final stats groupBy on train_id —
+    // vectors live exclusively inside the scan stage
+    val hashEx = "Exchange hashpartitioning\\(([^\\n]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.contains("train_id"),
+      s"expected exactly one train_id exchange, got $hashEx in:\n$p")
+    assert(!hashEx.exists(_.contains("embedding#")),
+      s"embedding vectors cross a shuffle in:\n$p")
+  }
+
   test("sequence packing: one bucket exchange, no doc text in flight (q110)") {
     val p = plan("q110_pack_sequences")
     // exactly one hash exchange (the bucket repartition) may move data;
