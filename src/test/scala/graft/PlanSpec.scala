@@ -106,11 +106,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("dup-span dedup: text never crosses any shuffle (q121)") {
     val p = plan("q121_dup_spans")
-    // the gram count must partial-aggregate map-side, and no exchange —
-    // gram count, dup semi-join, doc window, stats join — may carry the
-    // document text; everything in flight is (doc_id, pos, hash)
-    assert(p.contains("partial_count") || p.contains("partial"),
-      s"no map-side partial aggregate before the gram-count shuffle in:\n$p")
+    // single-pass shape: ONE gram-stream exchange (the gh count window),
+    // then doc-keyed island/stat stages — no exchange anywhere may carry
+    // the document text; everything in flight is (doc_id, pos, hash)
+    assert("Exchange hashpartitioning\\(gh".r.findFirstIn(p).isDefined,
+      s"no gram-hash exchange (count window) in:\n$p")
     assert(!"Exchange hashpartitioning[^\\n]*text#".r.findFirstIn(p).isDefined,
       s"document text crosses a shuffle in:\n$p")
   }
