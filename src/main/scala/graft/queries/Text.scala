@@ -1245,6 +1245,39 @@ object Text {
       Dedup.keepBestGroups(scored, "doc_id", "text", "q_score").orderBy("fp")
     },
 
+    // ---- corpus datasheet: CUBE rollup over (lang, source) ----
+    // The dataset-card reporting sweep: every marginal — per lang, per
+    // source, per pair, grand total — in ONE cube aggregation. Quality
+    // mean uses the grid-snapped exact capture (Exact.gavg) so the
+    // double is identical under any partitioning and in DuckDB's
+    // GROUP BY CUBE replay; grouping flags mark rolled-up dimensions.
+    Q("q124_corpus_datasheet",
+      s"""WITH t AS (SELECT lang, source, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |r AS (SELECT lang, source,
+        |  CAST(len(toks) AS BIGINT) AS tok,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + least(CASE WHEN len(toks) > 0
+        |        THEN CAST(len(list_filter(toks, x -> list_contains($stopsSql, x))) AS DOUBLE) / len(toks)
+        |        ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |        ELSE 0.0 END * 4.0) * 0.3 AS q,
+        |  CAST(length(text) AS BIGINT) AS chars FROM t)
+        |SELECT lang, source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  CAST(SUM(CAST(ROUND(q * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+        |    / 1000000.0 / COUNT(q) AS avg_q,
+        |  MAX(chars) AS max_chars
+        |FROM r GROUP BY CUBE (lang, source)
+        |ORDER BY g_lang, g_source, lang, source""".stripMargin) { (s, dir) =>
+      TextOps.datasheet(documents(s, dir), Seq("lang", "source"), "text", stops)
+        .orderBy("g_lang", "g_source", "lang", "source")
+    },
+
     // ---- embedding-space (semantic) decontamination ----
     // The semantic twin of q107: eval = the deterministic md5-quota
     // sample (2 vectors/label), training vectors whose cosine to ANY

@@ -305,4 +305,29 @@ object TextOps {
       }
       (tot.toLong, top.toDouble / tot, dup.toDouble / tot)
   }
+
+  /** Corpus datasheet — the dataset-card rollup: ONE `cube` aggregation
+    * over the given dimensions yields every marginal (each dim, each
+    * dim pair, …, grand total) in a single shuffle with map-side
+    * partial aggregation — the shape that replaces 2^d separate groupBy
+    * jobs for a reporting sweep over a 100 TB corpus. Per-cell stats:
+    * doc count, token sum, grid-snapped exact mean quality (plan- and
+    * partitioning-invariant), max char length. `g_<dim>` grouping flags
+    * (1 = rolled up) disambiguate ALL-rows from genuine null dimension
+    * values.
+    */
+  def datasheet(df: org.apache.spark.sql.DataFrame, dims: Seq[String],
+                textCol: String, stops: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(dims.map(col) ++ Seq(
+      tokenCount(col(textCol)).as("__tok"),
+      qualityScore(col(textCol), stops).as("__q"),
+      length(col(textCol)).cast("long").as("__chars")): _*)
+    val aggs = dims.map(d => grouping(col(d)).cast("long").as(s"g_$d")) ++ Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("__tok")).as("sum_tokens"),
+      graft.ops.Exact.gavg(col("__q")).as("avg_q"),
+      max(col("__chars")).as("max_chars"))
+    base.cube(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

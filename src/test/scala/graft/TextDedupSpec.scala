@@ -398,6 +398,25 @@ class TextDedupSpec extends AnyFunSuite {
     assert(stats.count() > 0, "sf0.001 corpus should contain dup 4-grams")
   }
 
+  test("datasheet cube: marginals match direct groupBys, flags mark rollups") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val ds = TextOps.datasheet(docs, Seq("lang", "source"), "text",
+      graft.queries.Text.stops).collect()
+    val total = docs.count()
+    // grand total row: both dims rolled up
+    val grand = ds.filter(r => r.getLong(2) == 1L && r.getLong(3) == 1L)
+    assert(grand.length === 1 && grand.head.getLong(4) === total)
+    // per-lang marginal equals a direct groupBy
+    val direct = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perLang = ds.filter(r => r.getLong(2) == 0L && r.getLong(3) == 1L)
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(perLang === direct)
+    // cell counts sum to the total within each slice
+    val cells = ds.filter(r => r.getLong(2) == 0L && r.getLong(3) == 0L)
+    assert(cells.map(_.getLong(4)).sum === total)
+  }
+
   test("semanticContamination: planted copy flags at cos 1.0, orthogonal stays clean") {
     val ev = Seq(
       (100L, Array(1.0f, 0.0f, 0.0f)),
