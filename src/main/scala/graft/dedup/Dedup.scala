@@ -681,6 +681,33 @@ object Dedup {
     (out, rounds)
   }
 
+  // ------------------------------------------------- incremental dedup
+
+  /** Batch-incremental exact dedup — the daily-crawl shape: classify an
+    * incoming batch against an existing corpus WITHOUT re-deduping the
+    * corpus. Per incoming document: `dup_corpus` (fingerprint already in
+    * the corpus), `dup_batch` (an earlier incoming doc — smaller id —
+    * has the same fingerprint), or `new`. Only 16-byte fingerprints
+    * shuffle: the corpus side reduces to a distinct-fp stream, the
+    * within-batch tie-break is a window over (fp, id) pairs; at 100 TB
+    * the corpus fp set is a parquet table maintained across increments,
+    * not recomputed (this method accepts it as `existing`).
+    */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val in = incoming.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val ex = existing.select(TextOps.fingerprint(col(textCol)).as("fp"))
+      .distinct().withColumn("__in_corpus", lit(1))
+    val w = Window.partitionBy("fp").orderBy(col(idCol))
+    in.withColumn("__rn", row_number().over(w))
+      .join(ex, Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        when(col("__in_corpus").isNotNull, "dup_corpus")
+          .when(col("__rn") > 1, "dup_batch")
+          .otherwise("new").as("status"))
+  }
+
   // ------------------------------------------------ duplicate-span dedup
 
   /** Merged duplicate n-gram spans per document — substring-granularity

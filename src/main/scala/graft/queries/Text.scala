@@ -1245,6 +1245,77 @@ object Text {
       Dedup.keepBestGroups(scored, "doc_id", "text", "q_score").orderBy("fp")
     },
 
+    // ---- per-domain quota cap (keep-best under cap) ----
+    // The "max pages per domain" web-curation heuristic: the 10
+    // best-quality docs per source survive, ties to the smaller id.
+    // Rank order is the q38 quality score, replayed exactly.
+    Q("q125_domain_cap",
+      s"""WITH t AS (SELECT source, doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + least(CASE WHEN len(toks) > 0
+        |        THEN CAST(len(list_filter(toks, x -> list_contains($stopsSql, x))) AS DOUBLE) / len(toks)
+        |        ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |        ELSE 0.0 END * 4.0) * 0.3 AS q_score FROM t),
+        |w AS (SELECT source, doc_id, q_score, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY q_score DESC, doc_id) AS rn FROM r)
+        |SELECT source, CAST(rn AS BIGINT) AS cap_rank, doc_id, q_score
+        |FROM w WHERE rn <= 10 ORDER BY source, cap_rank""".stripMargin) {
+      (s, dir) =>
+      val scored = documents(s, dir).select(col("source"), col("doc_id"),
+        TextOps.qualityScore(col("text"), stops).as("q_score"))
+      TextOps.domainCap(scored, "source", "doc_id", "q_score", cap = 10)
+        .select("source", "cap_rank", "doc_id", "q_score")
+        .orderBy("source", "cap_rank")
+    },
+
+    // ---- batch-incremental exact dedup (daily-crawl shape) ----
+    // Incoming batch (doc_id % 3 = 0) classified against the existing
+    // corpus (the rest): already-in-corpus, duplicate-within-batch
+    // (earlier id wins), or new. Fingerprints only. The synthetic
+    // corpus has no exact dups, so — like q108's PII fixtures — planted
+    // rows ride along in the query (engine union = oracle VALUES,
+    // symmetric) to prove all three statuses: 9300000 copies an
+    // existing doc (dup_corpus), 9300003/9300006 copy each other
+    // (new + dup_batch, earlier id wins).
+    Q("q126_incremental_dedup",
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9300001, 'planted corpus page kept in the existing set'),
+        |    (9300000, 'planted corpus page kept in the existing set'),
+        |    (9300003, 'planted batch duplicate arriving twice today'),
+        |    (9300006, 'planted batch  duplicate   arriving twice today'))
+        |    v(doc_id, text)),
+        |inc AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM aug WHERE doc_id % 3 = 0),
+        |ex AS (SELECT DISTINCT
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM aug WHERE doc_id % 3 <> 0),
+        |w AS (SELECT doc_id, fp,
+        |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM inc)
+        |SELECT doc_id, fp,
+        |  CASE WHEN fp IN (SELECT fp FROM ex) THEN 'dup_corpus'
+        |       WHEN rn > 1 THEN 'dup_batch' ELSE 'new' END AS status
+        |FROM w ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val extra = Seq(
+        (9300001L, "planted corpus page kept in the existing set"),
+        (9300000L, "planted corpus page kept in the existing set"),
+        (9300003L, "planted batch duplicate arriving twice today"),
+        (9300006L, "planted batch  duplicate   arriving twice today"))
+        .toDF("doc_id", "text")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(extra)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+      val existing = docs.filter(col("doc_id") % 3 =!= 0)
+      Dedup.incrementalDedup(incoming, existing, "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // ---- corpus datasheet: CUBE rollup over (lang, source) ----
     // The dataset-card reporting sweep: every marginal — per lang, per
     // source, per pair, grand total — in ONE cube aggregation. Quality

@@ -306,6 +306,18 @@ object TextOps {
       (tot.toLong, top.toDouble / tot, dup.toDouble / tot)
   }
 
+  /** Per-domain quota cap — the published "max pages per registered
+    * domain" heuristic of web-corpus curation: keep the `cap`
+    * best-scoring documents per group (ties to the smaller id), so no
+    * single template farm dominates the training mix. Two-stage top-k
+    * underneath: a mega-domain never funnels through one task.
+    */
+  def domainCap(df: org.apache.spark.sql.DataFrame, groupCol: String,
+                idCol: String, scoreCol: String, cap: Int)
+      : org.apache.spark.sql.DataFrame =
+    graft.ops.TopK.topKPerKey(df, Seq(groupCol),
+      Seq(col(scoreCol).desc, col(idCol)), cap, rankCol = "cap_rank")
+
   /** Corpus datasheet — the dataset-card rollup: ONE `cube` aggregation
     * over the given dimensions yields every marginal (each dim, each
     * dim pair, …, grand total) in a single shuffle with map-side

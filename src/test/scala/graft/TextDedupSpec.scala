@@ -398,6 +398,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(stats.count() > 0, "sf0.001 corpus should contain dup 4-grams")
   }
 
+  test("incrementalDedup classifies corpus-dup, batch-dup (earlier id wins), new") {
+    val existing = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "  Alpha   beta GAMMA "), // canonical copy of corpus doc 1
+      (11L, "fresh content one"),
+      (12L, "repeated in batch"),
+      (13L, "repeated  in   batch"),  // same canonical text as 12
+      (14L, "fresh content two")).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(incoming, existing, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got === Map(10L -> "dup_corpus", 11L -> "new", 12L -> "new",
+      13L -> "dup_batch", 14L -> "new"))
+  }
+
+  test("domainCap keeps the cap best per group, ties to smaller id") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.5), ("a", 3L, 0.9), ("a", 4L, 0.7),
+      ("b", 5L, 0.1)).toDF("src", "id", "score")
+    val got = TextOps.domainCap(df, "src", "id", "score", cap = 2)
+      .select("src", "cap_rank", "id").orderBy("src", "cap_rank")
+      .as[(String, Long, Long)].collect().toSeq
+    // group a: 0.9 tie between ids 1 and 3 -> 1 first, then 3; 0.7/0.5 cut
+    assert(got === Seq(("a", 1L, 1L), ("a", 2L, 3L), ("b", 1L, 5L)))
+  }
+
   test("datasheet cube: marginals match direct groupBys, flags mark rollups") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val ds = TextOps.datasheet(docs, Seq("lang", "source"), "text",
