@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.ops.{Exact, Fills, Lags, Splits}
-import graft.ops.Exact.davg
+import graft.ops.Exact.{davg, dsum}
 
 /** Ordered / time-series operator coverage (SURVEY.md §2.6 + M5/M24):
   * fills with limits, lags/differences, sliding windows, blocked CV,
@@ -361,6 +361,33 @@ object Series {
           min(col("event_id")).as("first_event"),
           max(col("event_id")).as("last_event"))
         .orderBy("user_id", "session_id")
+    },
+
+    // ---- salted skew join == plain join (hot-key spreading, oracle) ----
+    // The static skew fix for hot fact keys: deterministic salt from
+    // event_id spreads each user over 8 subtasks, the per-user dim
+    // replicates 8x, and the aggregate must equal DuckDB's PLAIN join —
+    // an independent-engine proof that salting changes placement, never
+    // results. (The in-suite twin is the ParSpec/TextDedupSpec equality
+    // test; this pins it against a second engine on real data.)
+    Q("q127_salted_join",
+      """WITH dim AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS u_n
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+        |  CAST(SUM(d.u_n) AS BIGINT) AS sum_un
+        |FROM events e JOIN dim d USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val ev = events(s, dir)
+      val dim = ev.groupBy("user_id").agg(count(lit(1)).as("u_n"))
+      graft.ops.Skew.saltedJoin(
+          ev.select(col("event_id"), col("user_id"),
+            col("event_type"), col("value")),
+          dim, "user_id", salts = 8, saltExpr = Some(col("event_id")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"),
+          sum(col("u_n")).as("sum_un"))
+        .orderBy("event_type")
     }
   )
 }
