@@ -264,6 +264,95 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** EXACT Jaccard similarity join at scale: same output contract as
+    * [[jaccardPairs]] (all pairs with n-gram-set jaccard >= threshold),
+    * but candidate generation uses PREFIX FILTERING (the AllPairs family,
+    * Bayardo et al., WWW 2007) instead of the full shingle equi-join.
+    *
+    * Why: in the plain equi-join a boilerplate shingle shared by m docs
+    * contributes m²/2 join rows — the hot-key quadratic blow-up that kills
+    * the exact join at corpus scale. Prefix filtering orders every doc's
+    * shingles by GLOBAL frequency ascending (rarest first; ties broken by
+    * the 64-bit hash — one total order shared by all docs) and joins only
+    * each doc's first `|d| - ceil(t*|d|) + 1` shingles: if two sets have
+    * jaccard >= t, their prefixes under any common total order must share
+    * at least one element (pigeonhole on the required overlap
+    * `|A∩B| >= t/(1+t)*(|A|+|B|) >= t*max(|A|,|B|)`), so no qualifying
+    * pair is missed — while the boilerplate shingles, being the most
+    * frequent, sort to the SUFFIX and never generate candidates. A
+    * length filter (`min(nsh) >= t*max(nsh)`, necessary for jaccard >= t)
+    * prunes inside the join; exact verification then runs only on the
+    * surviving candidate pairs.
+    *
+    * Scale shape: one groupBy for frequencies (map-side combined), one
+    * doc-partitioned window for ranks, an equi-join on PREFIX rows only
+    * (shuffle keyed by the 64-bit hash — never text), and a
+    * candidate-bounded verify join. Intermediates referenced twice are
+    * pinned. This is the scale path that upgrades [[jaccardPairs]] (kept
+    * as the labeled quadratic oracle baseline, reference `Dedup.ipynb`
+    * n-gram Jaccard semantics).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Shingle sets as 64-bit identities from the [[shingleHashes]] scan
+    // projection (the [[verifyJaccard]] identity space — no per-token
+    // window, no text in flight). One explode feeds the global document
+    // frequency via a count window over the hash (one shuffle gives df
+    // per ROW — the groupBy+re-join form costs a second full-stream
+    // shuffle; same trick as the dup-span gram counting), then the stream
+    // collapses back to ONE ROW PER DOC: shingles sorted by (df, h) — the
+    // shared canonical order. From here on nothing is per-shingle except
+    // the prefix stream: the doc frame is |docs| rows, and exact
+    // verification is an in-codegen array_intersect against it (LONG
+    // elements keep Spark's hash-set fast path; binary/struct elements
+    // fall back to a nested-loop compare), not a re-join of the full
+    // shingle stream.
+    val ex = df.select(col(idCol).as("id"),
+        explode(shingleHashes(coalesce(col(textCol), lit("")), shingleSize)).as("h"))
+    val docSets = graft.ops.Pin.pin(
+      ex.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ss"))
+        .select(col("id"), expr("transform(ss, x -> x.h)").as("shs"),
+          size(col("ss")).cast("long").as("nsh")))
+    // Prefix length p = |d| - ceil(t*|d|) + 1 (AllPairs, jaccard form);
+    // rk is the 1-based rank of the shingle in the canonical order.
+    val prefix = docSets.select(col("id"), col("nsh"),
+        posexplode(slice(col("shs"), lit(1),
+          (col("nsh") - ceil(lit(threshold) * col("nsh")) + lit(1)).cast("int"))))
+      .select(col("id"), col("nsh"), (col("pos") + 1).as("rk"), col("col").as("shh"))
+    // Candidates: equi-join on prefix shingles, with the length filter
+    // (jaccard >= t forces min|d| >= t*max|d|) and PPJoin's positional
+    // filter — the overlap can't exceed 1 + min remaining suffix length
+    // at the matched rank, so rows whose upper bound misses the required
+    // overlap t/(1+t)*(|A|+|B|) drop before the distinct. (Per-row
+    // filtering is safe: for a qualifying pair the FIRST common shingle
+    // sits in both prefixes and its bound holds.) Algebra kept
+    // multiplicative to avoid a double-rounding ceil at the boundary.
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shh") === col("b.shh") && col("a.id") < col("b.id") &&
+          least(col("a.nsh"), col("b.nsh")) >=
+            lit(threshold) * greatest(col("a.nsh"), col("b.nsh")) &&
+          (lit(1) + least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk"))) *
+            lit(1.0 + threshold) >=
+            lit(threshold) * (col("a.nsh") + col("b.nsh")) - lit(1e-9))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // Exact verification: one hash join per side against the |docs|-row
+    // set frame, intersection in codegen.
+    val ca = docSets.select(col("id").as("id_a"), col("shs").as("shs_a"),
+      col("nsh").as("n_a"))
+    val cb = docSets.select(col("id").as("id_b"), col("shs").as("shs_b"),
+      col("nsh").as("n_b"))
+    cand.join(ca, "id_a").join(cb, "id_b")
+      .withColumn("n_common", size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
   /** Oracle-checkable MinHash signatures in long form (id, h_idx, minhash):
     * each shingle is md5-hashed ONCE ([[md5Hash64]]) and hash family i is
     * `h XOR c_i`, where constant c_i is itself the md5-derived hash of

@@ -1516,5 +1516,36 @@ object Text {
         .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_toks"))
       Packing.packSequences(docs, "doc_id", "n_toks", maxLen = 512, buckets = 8)
         .orderBy("bucket", "seq", "doc_id")
+    },
+
+    // ---- prefix-filtered EXACT Jaccard join (AllPairs scale path) ----
+    // Same answer as q77 by a different algorithm: the engine generates
+    // candidates from global-frequency-ordered PREFIXES (rarest shingles
+    // first, |d|-ceil(t|d|)+1 of them) plus a length filter, so the hot
+    // boilerplate shingles never reach the join; the oracle replays the
+    // PLAIN full shingle equi-join in DuckDB. The hash compare therefore
+    // proves the prefix filter loses no qualifying pair — second-engine
+    // cross-algorithm equality, the q127 pattern.
+    Q("q128_prefix_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sa.nsh AS BIGINT) AS n_a, CAST(sb.nsh AS BIGINT) AS n_b,
+        |  CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      Dedup.prefixJaccardPairs(documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
     })
 }

@@ -531,4 +531,52 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
       saltExpr = Some(col("v"))).agg(count(lit(1)), sum("v"), sum("w")).head()
     assert(plain === salted)
   }
+
+  test("prefixJaccardPairs = jaccardPairs exactly, incl. boilerplate-heavy corpus") {
+    // Fixture engineered so the prefix filter MUST prune: "copyright
+    // footer boilerplate trailer" shingles appear in every doc (highest
+    // frequency → suffix, never joined), while each near-dup pair shares
+    // rare content shingles that land in the prefix. Pairs straddle the
+    // 0.5 threshold, and one doc is shorter than the shingle size.
+    val boiler = "copyright footer boilerplate trailer all rights reserved"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"alpha beta gamma delta epsilon zeta $boiler"), // exact dup of 1
+      (3L, s"alpha beta gamma delta epsilon eta $boiler"),  // near dup of 1/2
+      (4L, s"one two three four five six seven $boiler"),   // unrelated + boiler
+      (5L, s"one two three four nine ten eleven $boiler"),  // partial overlap w/ 4
+      (6L, "tiny doc"),                                     // < shingle size
+      (7L, "tiny doc")                                      // dup of the short one
+    ).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val pref = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(pref === exact, s"threshold $t")
+      assert(exact.nonEmpty, s"threshold $t fixture must produce pairs")
+    }
+    // the boilerplate-only overlap between unrelated docs stays below 0.5
+    val at05 = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at05.contains((1L, 2L)) && at05.contains((6L, 7L)))
+    assert(!at05.exists { case (a, b) => (a <= 3 && b >= 4 && b <= 5) })
+  }
+
+  test("prefixJaccardPairs prefix prune: hot shingle generates no candidates") {
+    // Every doc shares ONE hot shingle; contents are otherwise disjoint.
+    // The plain equi-join would emit n^2/2 candidate rows through the hot
+    // key; the prefix path must emit zero pairs (nothing qualifies) —
+    // and, structurally, the hot shingle must fall outside every prefix.
+    val hot = "shared hot shingle"
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5).count() === 0L)
+    // cross-check vs exact on a corpus where only the hot key overlaps
+    assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count() === 0L)
+  }
 }
