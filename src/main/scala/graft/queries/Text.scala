@@ -5,6 +5,7 @@ import graft.Tables._
 import graft.ops.Exact.davg
 import graft.text.{Packing, TextOps}
 import graft.dedup.Dedup
+import graft.sketch.Sketch
 import graft.sim.Similarity
 import graft.multimodal.Multimodal
 
@@ -1547,5 +1548,75 @@ object Text {
       Dedup.prefixJaccardPairs(documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- KMV distinct-count sketch (distinct tokens per language) ----
+    // Bottom-k over md5-derived 64-bit hashes: the compare pins the
+    // EXACT k-th order statistic (sketch state), the estimate is one
+    // fixed-association double expression over exactly-representable
+    // constants (2^63, 2^64), and n_exact rides along as the quality
+    // row. HLL++ (approx_count_distinct) can't be oracle-checked —
+    // its registers are Spark-private; KMV is engine-neutral.
+    Q("q129_kmv_distinct",
+      s"""WITH t AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT lang, tok FROM t WHERE tok IS NOT NULL AND tok <> ''),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("lang, tok", "md5(tok)",
+               "(SELECT DISTINCT lang, tok FROM tk)", "h")}),
+        |dh AS (SELECT DISTINCT lang, h FROM hv),
+        |r AS (SELECT lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+        |ex AS (SELECT lang, COUNT(*) AS n_exact FROM dh GROUP BY 1),
+        |kth AS (SELECT lang, MAX(h) AS kth_min, COUNT(*) AS n_in
+        |  FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT kth.lang, CAST(256 AS BIGINT) AS k, kth.kth_min,
+        |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |  CASE WHEN kth.n_in < 256 THEN CAST(ex.n_exact AS DOUBLE)
+        |    ELSE 255.0 / ((CAST(kth.kth_min AS DOUBLE) + 9223372036854775808.0)
+        |      / 18446744073709551616.0) END AS est_distinct
+        |FROM kth JOIN ex USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull && col("tok") =!= "")
+      Sketch.kmvDistinct(toks, "lang", "tok", k = 256).orderBy("lang")
+    },
+
+    // ---- count-min sketch heavy-hitter estimates ----
+    // 4x1024 counter table over the full token stream, probed for fixed
+    // keys (frequent, mid, and an absent one — the estimate is biased
+    // up, never down; n_exact rides along so the round records the
+    // bias). Salted md5 row hashes replay in DuckDB; pmod via
+    // ((h % w) + w) % w on both sides.
+    Q("q130_cms_heavy_hitters",
+      s"""WITH t AS (SELECT
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT tok FROM t WHERE tok IS NOT NULL AND tok <> ''),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("tok, r",
+               "md5(tok || '#cms' || CAST(r AS VARCHAR))",
+               "(SELECT tok, i AS r FROM tk, range(4) t2(i))", "h")}),
+        |cells AS (SELECT r, ((h % 1024) + 1024) % 1024 AS b, COUNT(*) AS c
+        |  FROM hv GROUP BY 1, 2),
+        |pr AS (SELECT * FROM (VALUES ('join'), ('hash'), ('scan'),
+        |    ('zzzabsent')) v(tok)),
+        |ph AS (SELECT * FROM ${md5Hash64Sql("tok, r",
+               "md5(tok || '#cms' || CAST(r AS VARCHAR))",
+               "(SELECT tok, i AS r FROM pr, range(4) t3(i))", "h")}),
+        |pc AS (SELECT tok, r, ((h % 1024) + 1024) % 1024 AS b FROM ph),
+        |est AS (SELECT tok, MIN(COALESCE(c, 0)) AS est FROM pc
+        |  LEFT JOIN cells USING (r, b) GROUP BY 1),
+        |ex AS (SELECT tok, COUNT(*) AS n_exact FROM tk
+        |  WHERE tok IN (SELECT tok FROM pr) GROUP BY 1)
+        |SELECT est.tok, CAST(est.est AS BIGINT) AS est,
+        |  CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact
+        |FROM est LEFT JOIN ex USING (tok) ORDER BY tok""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val toks = documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull && col("tok") =!= "")
+      val probes = Seq("join", "hash", "scan", "zzzabsent").toDF("tok")
+      Sketch.cmsHeavyHitters(toks, "tok", probes, depth = 4, width = 1024)
+        .orderBy("tok")
     })
 }

@@ -1,0 +1,104 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.ops.TopK
+
+/** Mergeable sketches for corpus-scale profiling — the operations that
+  * replace exact global aggregation when the answer only needs to be
+  * approximately right but the input is 100 TB:
+  *
+  *  - [[kmvDistinct]]: distinct-count estimation (KMV / bottom-k,
+  *    Bar-Yossef et al. 2002) — "how many distinct tokens / URLs per
+  *    language" without a global distinct of the raw keys;
+  *  - [[cmsHeavyHitters]]: count-min sketch frequency estimation
+  *    (Cormode & Muthukrishnan 2005) — biased-up counts for probe keys
+  *    from a fixed (depth × width) table of counters.
+  *
+  * Both are built on [[Dedup.md5Hash64]] identities, so every register /
+  * order statistic is deterministic under any partitioning AND
+  * replayable bit-for-bit by the DuckDB oracle — unlike
+  * `approx_count_distinct`'s HLL++, whose registers are Spark-private.
+  * All aggregation is map-side combinable (min/sum), shuffles carry
+  * 8-byte hashes, never keys.
+  */
+object Sketch {
+
+  /** K-minimum-values distinct-count estimate per group.
+    *
+    * The k smallest 64-bit hash values of the group's distinct keys
+    * locate the k-th order statistic r_k in the unsigned hash space;
+    * uniformity gives E[distinct] ≈ (k-1) / (r_k / 2^64). Groups with
+    * fewer than k distinct keys fall back to their exact count (the
+    * sketch IS the full set there — standard KMV).
+    *
+    * Output: (groupCol, k, kth_min — the exact order statistic, so the
+    * compare pins the sketch state, not just the estimate —, n_exact for
+    * the quality row, est_distinct). The estimate is one fixed-
+    * association double expression over exactly-representable constants
+    * (2^63, 2^64), identical in any IEEE engine.
+    *
+    * Scale shape: distinct on (group, 8-byte hash) — one map-side-
+    * combined shuffle, keys never leave the scan — then the two-stage
+    * top-k, so a dominant group never funnels through one task. State is
+    * k longs per group; sketches from disjoint corpus shards merge by
+    * "union, keep k smallest" for free (bottom-k of a union is the
+    * bottom-k of the bottom-ks).
+    */
+  def kmvDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val dh = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), Dedup.md5Hash64(col(keyCol)).as("h"))
+      .distinct()
+      .transform(graft.ops.Pin.pin) // feeds both the top-k and n_exact
+    val kth = TopK.topKPerKey(dh, Seq("g"), Seq(col("h")), k, "rn")
+      .groupBy("g").agg(max(col("h")).as("kth_min"), count(lit(1)).as("n_in_sketch"))
+    val exact = dh.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    kth.join(exact, "g")
+      .withColumn("est_distinct",
+        when(col("n_in_sketch") < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((col("kth_min").cast("double") + lit(9.223372036854775808e18)) /
+              lit(1.8446744073709551616e19))))
+      .select(col("g").as(groupCol), lit(k.toLong).as("k"), col("kth_min"),
+        col("n_exact"), col("est_distinct"))
+  }
+
+  /** Count-min sketch frequency estimates for `probes` against the
+    * key stream: depth hash rows × width counters, estimate = min over
+    * rows of the probed counter (biased up, never down).
+    *
+    * The sketch is ONE groupBy over (row, bucket) int pairs — the
+    * classic shape: the counter table is depth × width cells no matter
+    * how many input rows, every cell a map-side-combined sum, and the
+    * probe lookup is a broadcast join of the probe keys' cells. Row
+    * hashes are salted [[Dedup.md5Hash64]] (`key + "#cms<i>"`), buckets
+    * `pmod(h, width)` — deterministic and oracle-replayable.
+    *
+    * Output: (probe key, est — the count-min estimate, n_exact).
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, probes: DataFrame,
+                      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    def buckets(key: org.apache.spark.sql.Column) = array((0 until depth).map(i =>
+      pmod(Dedup.md5Hash64(concat(key, lit(s"#cms$i"))), lit(width.toLong))): _*)
+    // ONE scan: each key contributes its depth cells, collapsed map-side.
+    val cells = df.filter(col(keyCol).isNotNull)
+      .select(posexplode(buckets(col(keyCol))).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(count(lit(1)).as("c"))
+    val probeCells = probes
+      .select(col(keyCol).as("key"), posexplode(buckets(col(keyCol))).as(Seq("r", "b")))
+    // The counter table is depth*width rows however big the input — it
+    // broadcasts; a cell no input key hashed into reads as 0.
+    val est = probeCells.join(broadcast(cells), Seq("r", "b"), "left")
+      .groupBy("key").agg(min(coalesce(col("c"), lit(0L))).as("est"))
+    val exact = df.select(col(keyCol).as("key"))
+      .join(broadcast(probes.select(col(keyCol).as("key"))), Seq("key"), "left_semi")
+      .groupBy("key").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key").as(keyCol), col("est"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+  }
+}
