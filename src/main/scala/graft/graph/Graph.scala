@@ -1,0 +1,114 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Pin
+
+/** Graph construction + ranking for corpus/catalog curation — the
+  * "importance from structure" stage a 100 TB pipeline runs over link,
+  * citation, or co-occurrence graphs (host authority for quality
+  * filtering, product centrality, query-click graphs).
+  *
+  * [[coOccurrenceEdges]] builds the classic market-basket graph: items
+  * sharing a group become symmetric neighbors. The self-join is WITHIN a
+  * group only — quadratic in lines-per-group (bounded, e.g. ≤7 lineitems
+  * per TPC-H order), never in table size.
+  *
+  * [[pageRank]] is the simplified PageRank iteration (Brin & Page 1998;
+  * dangling mass leaks rather than redistributes — documented, standard
+  * for fixed-iteration ranking) in N-NORMALIZED form — ranks start at
+  * 1.0 and sum to ≈N, so rank_{t+1}(v) = (1-d) + d * Σ_{u→v}
+  * rank_t(u)/outdeg(u) needs no global node count anywhere (true
+  * PageRank = this / N). Each per-node inbound sum is grid-snapped into
+  * an exact decimal aggregation (the `graft.ops.Exact.gsum` idiom at a 1e-10
+  * grid — normalized contributions sit near 1/outdeg, so the fine grid
+  * keeps ~9 significant digits while DECIMAL(38,0) still has integer
+  * headroom for any realistic in-degree mass), so every iteration is
+  * bit-deterministic under any partitioning and replays in any engine
+  * with the same ANSI expression tree — a plain double sum would drift
+  * in the low bits and diverge over iterations.
+  *
+  * Scale shape: edges pinned once with outdeg attached; one shuffle per
+  * iteration (groupBy dst, map-side combined) plus an equi-join of the
+  * |nodes|-row rank frame; rank state never exceeds one row per node and
+  * is pinned per iteration to truncate lineage. No driver-side state.
+  */
+object Graph {
+
+  /** Symmetric co-occurrence edges (src, dst): distinct item pairs that
+    * share a group, both directions, self-pairs excluded.
+    */
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    // ONE map-side-combined groupBy to per-group sorted item sets, then
+    // the i<j pairs explode in the projection — the equivalent self-join
+    // costs two exchanges plus the join; this costs one exchange and the
+    // within-group quadratic work happens on the bounded array.
+    val sets = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy("g").agg(array_sort(collect_set(col("i"))).as("s"))
+    val pairs = sets
+      .select(explode(expr(
+        "flatten(transform(s, (x, ix) -> " +
+          "transform(slice(s, ix + 2, size(s)), y -> struct(x AS src, y AS dst))))"))
+        .as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct()
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Contribution grid: ROUND(x * 1e10) captured into DECIMAL(38,0) —
+    * exact, associative, order-invariant; /1e10 back to double. ANSI
+    * twin: `CAST(SUM(CAST(ROUND(x * 10000000000.0, 0) AS DECIMAL(38,0)))
+    * AS DOUBLE) / 10000000000.0`. Valid for |x| < 2^53/1e10 ≈ 9e5.
+    */
+  private def gsum10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c * 1.0e10, 0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+      .cast("double") / 1.0e10
+
+  /** Fixed-iteration simplified PageRank over (src, dst) edges, in
+    * N-normalized form. Returns (id, rank) with mean rank ≈ 1. Nodes =
+    * src ∪ dst; a node with no in-edges keeps the teleport rank (1-d),
+    * a node with no out-edges contributes nothing.
+    *
+    * `broadcastRanks` (default true): the rank frame is one (id, double)
+    * row per node — it broadcasts comfortably up to ~10^8 nodes, making
+    * each iteration a broadcast hash join with NO sort and leaving the
+    * groupBy(dst) exchange as the only per-iteration shuffle. Set false
+    * for web-scale node sets: the join falls back to sort-merge against
+    * the src-clustered pinned edge frame (no edge re-shuffle, but a
+    * per-iteration sort — the standard giant-graph trade).
+    */
+  def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3,
+               broadcastRanks: Boolean = true): DataFrame = {
+    // ONE exchange for the whole edge prep: repartition by src, then
+    // dedup and outdeg both run under that partitioning — the (src,dst)
+    // dropDuplicates needs only (src,dst)-clustering, which hash(src)
+    // already provides, and the outdeg count window needs src-clustering
+    // (no groupBy+re-join). The pinned frame stays HASH-PARTITIONED BY
+    // src, so every iteration's rank join lines up without re-shuffling
+    // the edge stream; the only per-iteration edge-stream exchange left
+    // is the groupBy(dst) aggregation, which is intrinsic.
+    val e = Pin.pin(edges.select(col("src"), col("dst"))
+      .repartition(col("src"))
+      .dropDuplicates("src", "dst")
+      .withColumn("outdeg",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+    // nodes derive from the PINNED frame — deriving from e0 would replay
+    // the whole edge build a second time.
+    val nodes = Pin.pin(
+      e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id"))).distinct())
+    var rank = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val r = if (broadcastRanks) broadcast(rank) else rank
+      val inbound = e.join(r, col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("outdeg")).as("x"))
+        .groupBy("dst").agg(gsum10(col("x")).as("s"))
+      rank = Pin.pin(nodes
+        .join(inbound, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+    }
+    rank
+  }
+}

@@ -760,6 +760,48 @@ object Relational {
             col("o_totalprice") * 1000000.0 + col("o_orderkey")).as("best_key"),
           min(col("o_totalprice")).as("best_price"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- co-occurrence graph + PageRank (graph-structure ranking) ----
+    // Market-basket edges (parts sharing an order, symmetric, pair
+    // generation quadratic only WITHIN an order), then three
+    // N-normalized PageRank iterations with every inbound sum captured
+    // on a 1e-10 grid into DECIMAL(38,0) — bit-deterministic under any
+    // partitioning, replayed below as three chained CTEs with the
+    // identical expression tree. Every oracle literal is CAST to DOUBLE
+    // — DuckDB parses decimal-point literals as DECIMAL, which would
+    // silently run the whole iteration in decimal arithmetic (and
+    // decimal 0.15 is not the double 1.0-0.85, which rounds to
+    // 0.15000000000000002).
+    Q("q131_coorder_pagerank",
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |p AS (SELECT DISTINCT a.i AS src, b.i AS dst
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+        |e0 AS (SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p),
+        |od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY 1),
+        |e AS (SELECT e0.src, e0.dst, od.outdeg FROM e0 JOIN od USING (src)),
+        |n AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+        |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM n),
+        |i1 AS (SELECT e.dst, CAST(SUM(CAST(ROUND((r.rank / e.outdeg) * CAST(10000000000.0 AS DOUBLE), 0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / CAST(10000000000.0 AS DOUBLE) AS s
+        |  FROM e JOIN r0 r ON r.id = e.src GROUP BY 1),
+        |r1 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(i1.s, CAST(0.0 AS DOUBLE)) AS rank
+        |  FROM n LEFT JOIN i1 ON i1.dst = n.id),
+        |i2 AS (SELECT e.dst, CAST(SUM(CAST(ROUND((r.rank / e.outdeg) * CAST(10000000000.0 AS DOUBLE), 0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / CAST(10000000000.0 AS DOUBLE) AS s
+        |  FROM e JOIN r1 r ON r.id = e.src GROUP BY 1),
+        |r2 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(i2.s, CAST(0.0 AS DOUBLE)) AS rank
+        |  FROM n LEFT JOIN i2 ON i2.dst = n.id),
+        |i3 AS (SELECT e.dst, CAST(SUM(CAST(ROUND((r.rank / e.outdeg) * CAST(10000000000.0 AS DOUBLE), 0)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / CAST(10000000000.0 AS DOUBLE) AS s
+        |  FROM e JOIN r2 r ON r.id = e.src GROUP BY 1),
+        |r3 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(i3.s, CAST(0.0 AS DOUBLE)) AS rank
+        |  FROM n LEFT JOIN i3 ON i3.dst = n.id)
+        |SELECT id, rank FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
+      val edges = graft.graph.Graph.coOccurrenceEdges(
+        lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.graph.Graph.pageRank(edges, damping = 0.85, iters = 3)
+        .orderBy("id")
     }
   )
 }

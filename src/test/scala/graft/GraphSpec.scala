@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.graph.Graph
+
+/** Hand-checked PageRank semantics + co-occurrence construction + the
+  * determinism the oracle compare relies on.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  test("coOccurrenceEdges: symmetric distinct pairs within groups only") {
+    val df = Seq((1, "a"), (1, "b"), (1, "b"), (1, "c"),
+      (2, "c"), (2, "d"), (3, "e")).toDF("g", "i")
+    val e = Graph.coOccurrenceEdges(df, "g", "i")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = Set(("a","b"),("a","c"),("b","c"),("c","d")) // within groups
+    assert(e === want.map(identity) ++ want.map(_.swap))
+    assert(!e.exists { case (a, b) => a == b })     // no self loops
+    assert(!e.contains(("a","d")) && !e.contains(("d","e"))) // no cross-group
+  }
+
+  test("pageRank: hand-computed 1-iteration values on a fixed graph") {
+    // star: a -> {b, c}; b -> a. Normalized, d = 0.5, 1 iteration:
+    // rank(a) = 0.5 + 0.5 * (1/1)   [from b, outdeg 1]   = 1.0
+    // rank(b) = 0.5 + 0.5 * (1/2)   [from a, outdeg 2]   = 0.75
+    // rank(c) = 0.5 + 0.5 * (1/2)                        = 0.75
+    val e = Seq(("a","b"),("a","c"),("b","a")).toDF("src","dst")
+    val r = Graph.pageRank(e, damping = 0.5, iters = 1)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("a" -> 1.0, "b" -> 0.75, "c" -> 0.75))
+  }
+
+  test("pageRank: dangling node contributes nothing; no-inbound keeps teleport") {
+    // a -> b; b dangles (no out-edges). 2 iterations, d = 0.5:
+    // it1: a = 0.5 (no inbound), b = 0.5 + 0.5*1 = 1.0
+    // it2: a = 0.5,              b = 0.5 + 0.5*0.5 = 0.75
+    val e = Seq(("a","b")).toDF("src","dst")
+    val r = Graph.pageRank(e, damping = 0.5, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r === Map("a" -> 0.5, "b" -> 0.75))
+  }
+
+  test("pageRank is deterministic under repartition and edge duplication") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val base = Graph.pageRank(edges, 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val again = Graph.pageRank(edges.union(edges).repartition(13), 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === base)
+  }
+}
