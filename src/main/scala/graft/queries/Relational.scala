@@ -802,6 +802,30 @@ object Relational {
         lineitem(s, dir), "l_orderkey", "l_partkey")
       graft.graph.Graph.pageRank(edges, damping = 0.85, iters = 3)
         .orderBy("id")
+    },
+
+    // ---- bloom-pruned semi join (dynamic-filter pruning) ----
+    // The fact stream is pre-filtered by the dimension's bloom bits
+    // (salted md5, deterministic) before the exact semi join removes
+    // false positives — the oracle replays a PLAIN semi join, so the
+    // hash compare proves the filter admits every true match (no false
+    // negatives), the q127/q128 cross-algorithm pattern. At scale this
+    // is the shape for dims too big to broadcast raw: bits are mBits/64
+    // longs however many keys the dim has.
+    Q("q132_bloom_semi_join",
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM customer
+        |              WHERE c_custkey = o_custkey AND c_acctbal < 0)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val debtors = customer(s, dir).filter(col("c_acctbal") < 0)
+      graft.ops.Bloom.bloomSemiJoin(orders(s, dir), debtors,
+          "o_custkey", "c_custkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 }
