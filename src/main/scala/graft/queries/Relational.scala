@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.ops.{Coverage, Reshape}
+import graft.ops.{Coverage, Layout, Reshape}
 import graft.ops.Exact.{davg, dsum}
 
 /** Relational operator coverage (SURVEY.md §2.1-2.8): scans, projections,
@@ -826,6 +826,27 @@ object Relational {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- z-order layout codes (multi-dim data-skipping write path) ----
+    // Morton interleave of (order-date day number, customer-folded
+    // grid): rows sorted by z land in files tight in BOTH time and
+    // customer locality. The oracle replays the identical 32-term bit
+    // expression; Layout.zorderBy is the write path (range-partition by
+    // code, no global single-task sort) — plan-guarded in LayoutSpec.
+    Q("q133_zorder_codes",
+      s"""WITH t AS (SELECT o_orderkey,
+        |    (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS d,
+        |    ((o_custkey % 65536) + 65536) % 65536 AS c
+        |  FROM orders)
+        |SELECT o_orderkey, CAST(${Layout.morton16Sql("d", "c")} AS BIGINT) AS z
+        |FROM t ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      orders(s, dir)
+        .select(col("o_orderkey"),
+          Layout.morton16(
+            datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")),
+            pmod(col("o_custkey"), lit(65536L))).as("z"))
+        .orderBy("o_orderkey")
     }
   )
 }
