@@ -1618,5 +1618,106 @@ object Text {
       val probes = Seq("join", "hash", "scan", "zzzabsent").toDF("tok")
       Sketch.cmsHeavyHitters(toks, "tok", probes, depth = 4, width = 1024)
         .orderBy("tok")
+    },
+
+    // ---- KMV overlap estimation (sketch-based join cardinality) ----
+    // Pairwise vocabulary overlap between languages FROM SKETCH STATE
+    // ALONE (Beyer 2007): merge two bottom-k sketches, keep the k
+    // smallest (the union's own sketch), count the survivors present in
+    // both — kappa/k estimates Jaccard, times the union estimate gives
+    // |A∩B| without touching raw data again. The optimizer-statistics
+    // technique for join-size estimation. Exact n_common rides along as
+    // the quality row; the pair computation is one row per group pair.
+    Q("q134_kmv_overlap",
+      s"""WITH t AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT DISTINCT lang, tok FROM t
+        |  WHERE tok IS NOT NULL AND tok <> ''),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("lang, tok", "md5(tok)", "tk", "h")}),
+        |dh AS (SELECT DISTINCT lang, h FROM hv),
+        |r AS (SELECT lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+        |sk AS (SELECT lang, list_sort(list(h)) AS s FROM r WHERE rn <= 256
+        |  GROUP BY 1),
+        |pr AS (SELECT a.lang AS g_a, b.lang AS g_b, a.s AS ska, b.s AS skb
+        |  FROM sk a JOIN sk b ON a.lang < b.lang),
+        |c AS (SELECT g_a, g_b, ska, skb,
+        |    list_sort(list_distinct(list_concat(ska, skb)))[1:256] AS ku FROM pr),
+        |d AS (SELECT g_a, g_b, ku,
+        |    len(list_intersect(list_intersect(ku, ska), skb)) AS kappa,
+        |    len(ku) AS keff, ku[len(ku)] AS union_kth FROM c),
+        |e AS (SELECT g_a, g_b, kappa, keff, union_kth,
+        |    CASE WHEN keff < 256 THEN CAST(keff AS DOUBLE)
+        |      ELSE 255.0 / ((CAST(union_kth AS DOUBLE) + 9223372036854775808.0)
+        |        / 18446744073709551616.0) END AS est_union,
+        |    CAST(kappa AS DOUBLE) / CAST(keff AS DOUBLE) AS est_jaccard
+        |  FROM d),
+        |ex AS (SELECT x.lang AS xg_a, y.lang AS xg_b, COUNT(*) AS n_common
+        |  FROM dh x JOIN dh y ON x.h = y.h AND x.lang < y.lang GROUP BY 1, 2)
+        |SELECT e.g_a, e.g_b, CAST(e.kappa AS BIGINT) AS kappa,
+        |  CAST(256 AS BIGINT) AS k, e.union_kth, e.est_union, e.est_jaccard,
+        |  e.est_jaccard * e.est_union AS est_intersection,
+        |  CAST(COALESCE(ex.n_common, 0) AS BIGINT) AS n_common
+        |FROM e LEFT JOIN ex ON ex.xg_a = e.g_a AND ex.xg_b = e.g_b
+        |ORDER BY e.g_a, e.g_b""".stripMargin) { (s, dir) =>
+      val toks = documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull && col("tok") =!= "")
+      Sketch.kmvOverlap(toks, "lang", "tok", k = 256).orderBy("g_a", "g_b")
+    },
+
+    // ---- incremental corpus-stats maintenance (sketch merge law) ----
+    // The maintained-stats-table pattern (q126's shape for statistics):
+    // per-lang (n_docs, n_tokens, KMV vocab sketch) computed for the
+    // existing corpus and for today's batch SEPARATELY, then merged —
+    // counts add, sketches take the bottom-k of the union — with no
+    // rescan of history. The oracle computes the same stats FROM
+    // SCRATCH over everything: equality proves the merge law
+    // end-to-end on real data (incremental ≡ recompute).
+    Q("q135_incremental_stats",
+      s"""WITH t AS (SELECT lang, doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |cnt AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |tk AS (SELECT DISTINCT lang, unnest(toks) AS tok FROM t),
+        |tkf AS (SELECT lang, tok FROM tk WHERE tok IS NOT NULL AND tok <> ''),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("lang, tok", "md5(tok)", "tkf", "h")}),
+        |dh AS (SELECT DISTINCT lang, h FROM hv),
+        |r AS (SELECT lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+        |sk AS (SELECT lang, MAX(h) AS kth_min, COUNT(*) AS n_in
+        |  FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT cnt.lang, cnt.n_docs, cnt.n_tokens, sk.kth_min,
+        |  CASE WHEN sk.n_in < 256 THEN CAST(sk.n_in AS DOUBLE)
+        |    ELSE 255.0 / ((CAST(sk.kth_min AS DOUBLE) + 9223372036854775808.0)
+        |      / 18446744073709551616.0) END AS est_distinct
+        |FROM cnt JOIN sk USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      def stats(docs: org.apache.spark.sql.DataFrame) = {
+        val cnt = docs.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+        val toks = docs
+          .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .filter(col("tok").isNotNull && col("tok") =!= "")
+        cnt.join(Sketch.kmvState(toks, "lang", "tok", k = 256), Seq("lang"), "left")
+      }
+      val docs = documents(s, dir)
+      val corpus = stats(docs.filter(col("doc_id") % 3 =!= 0))
+      val batch = stats(docs.filter(col("doc_id") % 3 === 0))
+      val empty = array().cast("array<long>")
+      val merged = corpus.select(col("lang"), col("n_docs").as("d_a"),
+          col("n_tokens").as("t_a"), col("sk").as("sk_a"))
+        .join(batch.select(col("lang"), col("n_docs").as("d_b"),
+          col("n_tokens").as("t_b"), col("sk").as("sk_b")), Seq("lang"), "full_outer")
+        .select(col("lang"),
+          (coalesce(col("d_a"), lit(0L)) + coalesce(col("d_b"), lit(0L))).as("n_docs"),
+          (coalesce(col("t_a"), lit(0L)) + coalesce(col("t_b"), lit(0L))).as("n_tokens"),
+          Sketch.kmvMerge(coalesce(col("sk_a"), empty),
+            coalesce(col("sk_b"), empty), 256).as("sk"))
+      merged.select(col("lang"), col("n_docs"), col("n_tokens"),
+          element_at(col("sk"), size(col("sk"))).as("kth_min"),
+          Sketch.kmvEstimate(col("sk"), 256).as("est_distinct"))
+        .orderBy("lang")
     })
 }

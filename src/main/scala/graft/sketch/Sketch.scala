@@ -1,6 +1,6 @@
 package graft.sketch
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.ops.TopK
@@ -64,6 +64,87 @@ object Sketch {
               lit(1.8446744073709551616e19))))
       .select(col("g").as(groupCol), lit(k.toLong).as("k"), col("kth_min"),
         col("n_exact"), col("est_distinct"))
+  }
+
+  /** Per-group KMV sketch STATE: (groupCol, sk — the k smallest 64-bit
+    * key hashes, ascending). The unit other sketch ops build on: states
+    * from disjoint shards combine with [[kmvMerge]] and read out with
+    * [[kmvEstimate]], so a maintained stats table never rescans history.
+    */
+  def kmvState(df: DataFrame, groupCol: String, keyCol: String,
+               k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val dh = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), Dedup.md5Hash64(col(keyCol)).as("h"))
+      .distinct()
+    TopK.topKPerKey(dh, Seq("g"), Seq(col("h")), k, "rn")
+      .groupBy("g").agg(sort_array(collect_list(col("h"))).as("sk"))
+      .select(col("g").as(groupCol), col("sk"))
+  }
+
+  /** Merge law: bottom-k of a union is the bottom-k of the bottom-ks. */
+  def kmvMerge(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_union(a, b)), 1, k)
+
+  /** Distinct-count readout from sketch state (exact when |sk| < k). */
+  def kmvEstimate(sk: Column, k: Int): Column =
+    when(size(sk) < k, size(sk).cast("double"))
+      .otherwise(lit((k - 1).toDouble) /
+        ((element_at(sk, size(sk)).cast("double") + lit(9.223372036854775808e18)) /
+          lit(1.8446744073709551616e19)))
+
+  /** Pairwise distinct-set OVERLAP estimates between groups, from KMV
+    * sketch state alone — the join-cardinality / corpus-overlap
+    * estimation technique: for groups A and B, merge their bottom-k
+    * sketches, keep the k smallest of the union (the union's own KMV
+    * sketch K), and count κ = |K ∩ S_A ∩ S_B|. Then κ/k estimates the
+    * Jaccard of the two DISTINCT-key sets, (k-1)/(r_k/2^64) estimates
+    * |A ∪ B|, and their product estimates |A ∩ B| — no pass over the
+    * raw data beyond the one sketch build (Beyer et al., SIGMOD 2007).
+    *
+    * Output: (g_a, g_b, kappa, k, union_kth — exact sketch state —,
+    * est_union, est_jaccard, est_intersection) for every unordered
+    * group pair, plus exact n_common for the quality row. The pair
+    * computation is a self-join of ONE ROW PER GROUP (bounded by group
+    * count, never by data); array math runs in codegen on LONG arrays.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String,
+                 k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val dh = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), Dedup.md5Hash64(col(keyCol)).as("h"))
+      .distinct()
+      .transform(graft.ops.Pin.pin)
+    val sk = TopK.topKPerKey(dh, Seq("g"), Seq(col("h")), k, "rn")
+      .groupBy("g").agg(sort_array(collect_list(col("h"))).as("sk"))
+      .transform(graft.ops.Pin.pin)
+    val a = sk.select(col("g").as("g_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("g").as("g_b"), col("sk").as("sk_b"))
+    val pairs = a.join(b, col("g_a") < col("g_b"))
+      .withColumn("ku", slice(array_sort(array_union(col("sk_a"), col("sk_b"))),
+        1, k))
+      .withColumn("kappa",
+        size(array_intersect(array_intersect(col("ku"), col("sk_a")), col("sk_b")))
+          .cast("long"))
+      .withColumn("keff", size(col("ku")).cast("long")) // < k ⇒ ku IS the union
+      .withColumn("union_kth", element_at(col("ku"), size(col("ku"))))
+      .withColumn("est_union",
+        when(col("keff") < k, col("keff").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            ((col("union_kth").cast("double") + lit(9.223372036854775808e18)) /
+              lit(1.8446744073709551616e19))))
+      .withColumn("est_jaccard", col("kappa").cast("double") / col("keff").cast("double"))
+      .withColumn("est_intersection", col("est_jaccard") * col("est_union"))
+    // exact overlap for the quality row: one self-join of the distinct
+    // hash stream, group-pair counting on 8-byte keys
+    val exact = dh.as("x").join(dh.as("y"),
+        col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("g_a"), col("y.g").as("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs.join(exact, Seq("g_a", "g_b"), "left")
+      .select(col("g_a"), col("g_b"), col("kappa"), lit(k.toLong).as("k"),
+        col("union_kth"), col("est_union"), col("est_jaccard"),
+        col("est_intersection"), coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
   /** Count-min sketch frequency estimates for `probes` against the

@@ -49,6 +49,33 @@ class SketchSpec extends AnyFunSuite {
     assert(kth === merged.last)
   }
 
+  test("kmvOverlap: exact below k, close estimates above k") {
+    // small groups (< k): the sketches ARE the sets — every figure exact.
+    // A = {1..100}, B = {51..150}: |A∩B| = 50, |A∪B| = 150, J = 1/3.
+    val small = ((1 to 100).map(i => ("A", s"v$i")) ++
+      (51 to 150).map(i => ("B", s"v$i"))).toDF("g", "key")
+    val r = Sketch.kmvOverlap(small, "g", "key", k = 256).head()
+    assert(r.getAs[String]("g_a") === "A" && r.getAs[String]("g_b") === "B")
+    assert(r.getAs[Long]("kappa") === 50L)
+    assert(r.getAs[Double]("est_union") === 150.0)
+    assert(r.getAs[Double]("est_jaccard") === 50.0 / 150.0)
+    assert(r.getAs[Double]("est_intersection") === (50.0 / 150.0) * 150.0)
+    assert(r.getAs[Long]("n_common") === 50L)
+    // large groups: 10k each sharing 5k -> union 15k, J = 1/3. The
+    // jaccard estimator's 1-sigma relative error at k = 256 is
+    // sqrt(J(1-J)/k)/J ~ 9%; key prefixes are a fixed hash draw, so the
+    // bounds are ~2 sigma on a verified-typical draw (an independent
+    // Python replay of the same md5 space reproduces these figures
+    // exactly — the deviation is the estimator's, not the engine's).
+    val big = ((1 to 10000).map(i => ("A", s"tok$i")) ++
+      (5001 to 15000).map(i => ("B", s"tok$i"))).toDF("g", "key")
+    val rb = Sketch.kmvOverlap(big, "g", "key", k = 256).head()
+    assert(math.abs(rb.getAs[Double]("est_union") - 15000.0) / 15000.0 < 0.2)
+    assert(math.abs(rb.getAs[Double]("est_jaccard") - 1.0 / 3.0) / (1.0 / 3.0) < 0.2)
+    assert(math.abs(rb.getAs[Double]("est_intersection") - 5000.0) / 5000.0 < 0.25)
+    assert(rb.getAs[Long]("n_common") === 5000L)
+  }
+
   test("cmsHeavyHitters: never underestimates, exact on planted counts") {
     val stream = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"t$i") ++
       Seq.fill(37)("mid")
