@@ -1719,5 +1719,45 @@ object Text {
           element_at(col("sk"), size(col("sk"))).as("kth_min"),
           Sketch.kmvEstimate(col("sk"), 256).as("est_distinct"))
         .orderBy("lang")
+    },
+
+    // ---- KMV via single-pass Aggregator (streaming-maintainable) ----
+    // Same answer as q129 (the oracle is the identical replay) computed
+    // by the map-side-combinable KmvAgg aggregator instead of the
+    // two-stage window top-k: each partition ships at most k longs per
+    // group through the shuffle. The SAME aggregator runs incrementally
+    // under Structured Streaming (StreamingSpec stream ≡ batch parity),
+    // so a live ingest keeps this sketch current without re-scans.
+    Q("q136_kmv_agg_distinct",
+      s"""WITH t AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT lang, tok FROM t WHERE tok IS NOT NULL AND tok <> ''),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("lang, tok", "md5(tok)",
+               "(SELECT DISTINCT lang, tok FROM tk)", "h")}),
+        |dh AS (SELECT DISTINCT lang, h FROM hv),
+        |r AS (SELECT lang, h,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+        |ex AS (SELECT lang, COUNT(*) AS n_exact FROM dh GROUP BY 1),
+        |kth AS (SELECT lang, MAX(h) AS kth_min, COUNT(*) AS n_in
+        |  FROM r WHERE rn <= 256 GROUP BY 1)
+        |SELECT kth.lang, CAST(256 AS BIGINT) AS k, kth.kth_min,
+        |  CAST(ex.n_exact AS BIGINT) AS n_exact,
+        |  CASE WHEN kth.n_in < 256 THEN CAST(ex.n_exact AS DOUBLE)
+        |    ELSE 255.0 / ((CAST(kth.kth_min AS DOUBLE) + 9223372036854775808.0)
+        |      / 18446744073709551616.0) END AS est_distinct
+        |FROM kth JOIN ex USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      val dh = documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull && col("tok") =!= "")
+        .select(col("lang"), Dedup.md5Hash64(col("tok")).as("h"))
+        .distinct()
+      dh.groupBy("lang")
+        .agg(graft.sketch.KmvAgg.kmv(col("h"), 256).as("sk"),
+          count(lit(1)).as("n_exact"))
+        .select(col("lang"), lit(256L).as("k"),
+          element_at(col("sk"), size(col("sk"))).as("kth_min"), col("n_exact"),
+          Sketch.kmvEstimate(col("sk"), 256).as("est_distinct"))
+        .orderBy("lang")
     })
 }

@@ -49,6 +49,30 @@ class SketchSpec extends AnyFunSuite {
     assert(kth === merged.last)
   }
 
+  test("KmvAgg: insert/merge laws — agg sketch == sorted bottom-k, dup-proof") {
+    val agg = new graft.sketch.KmvAgg.Agg(8)
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(300)(rnd.nextLong(1000)) // dense => many duplicates
+    val seq = vals.foldLeft(agg.zero)(agg.reduce)
+    assert(seq.toSeq === vals.distinct.sorted.take(8))
+    // merge of arbitrary splits equals the sequential fold
+    for (cut <- Seq(1, 57, 150, 299)) {
+      val (l, r) = vals.splitAt(cut)
+      val m = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(m.toSeq === seq.toSeq, s"cut=$cut")
+    }
+    assert(agg.merge(agg.zero, seq).toSeq === seq.toSeq)
+    assert(agg.merge(seq, agg.zero).toSeq === seq.toSeq)
+    // column form on a DataFrame equals kmvState
+    val df = (1 to 5000).map(i => ("g", s"s${i % 900}")).toDF("g", "key")
+    val viaAgg = df.select(col("g"), graft.dedup.Dedup.md5Hash64(col("key")).as("h"))
+      .groupBy("g").agg(graft.sketch.KmvAgg.kmv(col("h"), 32).as("sk"))
+      .head().getSeq[Long](1)
+    val viaState = Sketch.kmvState(df, "g", "key", 32).head().getSeq[Long](1)
+    assert(viaAgg === viaState)
+  }
+
   test("kmvOverlap: exact below k, close estimates above k") {
     // small groups (< k): the sketches ARE the sets — every figure exact.
     // A = {1..100}, B = {51..150}: |A∩B| = 50, |A∪B| = 150, J = 1/3.

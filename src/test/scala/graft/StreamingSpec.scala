@@ -134,4 +134,37 @@ class StreamingSpec extends AnyFunSuite {
         "only the first doc per fingerprint may pass")
     } finally q.stop()
   }
+
+  test("streaming KMV sketch over a live feed equals the batch sketch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"key${i % 700}"))
+    val input = MemoryStream[(String, String)]
+    val hashed = graft.dedup.Dedup.md5Hash64(col("key"))
+    val agg = input.toDF().toDF("g", "key")
+      .select(col("g"), hashed.as("h"))
+      .groupBy("g").agg(graft.sketch.KmvAgg.kmv(col("h"), 64).as("sk"))
+    val q = agg.writeStream.format("memory")
+      .queryName("kmv_stream").outputMode("complete").start()
+    try {
+      // arrive in three uneven micro-batches
+      input.addData(rows.take(100))
+      q.processAllAvailable()
+      input.addData(rows.slice(100, 1700))
+      q.processAllAvailable()
+      input.addData(rows.drop(1700))
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val batch = rows.toDF("g", "key")
+        .select(col("g"), hashed.as("h"))
+        .groupBy("g").agg(graft.sketch.KmvAgg.kmv(col("h"), 64).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(streamed === batch)
+      // and both equal the window-top-k sketch state
+      val state = graft.sketch.Sketch.kmvState(rows.toDF("g", "key"), "g", "key", 64)
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(batch === state)
+    } finally q.stop()
+  }
 }
