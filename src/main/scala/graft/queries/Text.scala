@@ -1759,5 +1759,84 @@ object Text {
           element_at(col("sk"), size(col("sk"))).as("kth_min"), col("n_exact"),
           Sketch.kmvEstimate(col("sk"), 256).as("est_distinct"))
         .orderBy("lang")
+    },
+
+    // ---- CMS-backed rare-bigram scoring (sketch as feature source) ----
+    // The approximate-frequency-feature composition: a count-min table
+    // over corpus bigrams collapses to depth*width longs, ships into
+    // the scan as a literal, and scores every document's bigrams with
+    // ZERO joins or shuffles — the per-doc rare fraction is a fluency /
+    // contamination signal a 100 TB pipeline cannot afford to compute
+    // with an exact (vocab-sized) frequency join. Estimates are biased
+    // up only, so "rare" is conservative; oracle replays the full
+    // counter table and the same min-of-rows probe per distinct bigram.
+    Q("q137_cms_rare_ratio",
+      s"""WITH t AS (SELECT doc_id,
+        |    string_split_regex(trim(lower(text)), '\\s+') AS toks FROM documents),
+        |gl AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN
+        |      list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+        |    ELSE [array_to_string(toks, ' ')] END AS gs FROM t),
+        |occ AS (SELECT doc_id, unnest(gs) AS bg FROM gl),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("bg, r",
+               "md5(bg || '#cms' || CAST(r AS VARCHAR))",
+               "(SELECT bg, i AS r FROM occ, range(4) t2(i))", "h")}),
+        |cells AS (SELECT r, ((h % 4096) + 4096) % 4096 AS b, COUNT(*) AS c
+        |  FROM hv GROUP BY 1, 2),
+        |dt AS (SELECT DISTINCT bg FROM occ),
+        |dhv AS (SELECT * FROM ${md5Hash64Sql("bg, r",
+               "md5(bg || '#cms' || CAST(r AS VARCHAR))",
+               "(SELECT bg, i AS r FROM dt, range(4) t3(i))", "h")}),
+        |db AS (SELECT bg, r, ((h % 4096) + 4096) % 4096 AS b FROM dhv),
+        |est AS (SELECT bg, MIN(c) AS est FROM db JOIN cells USING (r, b) GROUP BY 1),
+        |cnt AS (SELECT o.doc_id, COUNT(*) AS n_grams,
+        |    COUNT(*) FILTER (WHERE e.est < 20) AS n_rare
+        |  FROM occ o JOIN est e USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(cnt.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(cnt.n_rare, 0) AS BIGINT) AS n_rare,
+        |  CASE WHEN COALESCE(cnt.n_grams, 0) > 0
+        |    THEN CAST(cnt.n_rare AS DOUBLE) / cnt.n_grams ELSE 0.0 END AS rare_ratio
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN cnt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val occ = graft.ops.Pin.pin(docs
+        .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 2)).as("bg")))
+      // hash once per DISTINCT gram, both for the cells (weighted by
+      // occurrence count) and for the estimates, which then broadcast
+      // back onto the occurrence stream — vocabulary-sized hashing, not
+      // corpus-sized
+      val gcounts = graft.ops.Pin.pin(occ.groupBy("bg").agg(count(lit(1)).as("n")))
+      val cells = Sketch.cmsCellsArray(gcounts, "bg", depth = 4, width = 4096,
+        weightCol = Some("n"))
+      val est = gcounts.select(col("bg"),
+        Sketch.cmsEstimate(col("bg"), cells, depth = 4, width = 4096).as("est"))
+      val perDoc = occ.join(broadcast(est), "bg")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
+          count(when(col("est") < 20L, lit(1))).as("n_rare"))
+      docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_rare"), lit(0L)).as("n_rare"))
+        .withColumn("rare_ratio",
+          when(col("n_grams") > 0,
+            col("n_rare").cast("double") / col("n_grams")).otherwise(lit(0.0)))
+        .orderBy("doc_id")
+    },
+
+    // ---- rendezvous (HRW) shard routing ----
+    // Consistent ingest routing: argmax over shards of a salted key
+    // hash. Unlike pmod, shrinking the shard set reassigns ONLY the
+    // removed shard's keys (ShardSpec pins that property); assignment
+    // is a pure scan projection. Oracle replays the same argmax per
+    // key over the identical md5 hash family.
+    Q("q138_rendezvous_shards",
+      s"""WITH hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, r",
+             "md5(CAST(doc_id AS VARCHAR) || '#shard' || CAST(r AS VARCHAR))",
+             "(SELECT doc_id, i AS r FROM documents, range(16) t(i))", "h")})
+        |SELECT doc_id, CAST(arg_max(r, h) AS BIGINT) AS shard
+        |FROM hv GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          graft.ops.Shard.rendezvous(col("doc_id"), 16).as("shard"))
+        .orderBy("doc_id")
     })
 }

@@ -147,6 +147,41 @@ object Sketch {
         col("est_intersection"), coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
+  /** The CMS counter table as a driver-side array (row-major,
+    * depth × width longs — bounded by the sketch dimensions, never by
+    * input size), for shipping into scan-side expressions as a broadcast
+    * frequency dictionary.
+    */
+  def cmsCellsArray(df: DataFrame, keyCol: String, depth: Int = 4,
+                    width: Int = 1024,
+                    weightCol: Option[String] = None): Array[Long] = {
+    // With a weight column the input is a pre-aggregated (key, count)
+    // frame: the key is hashed ONCE per distinct value instead of once
+    // per occurrence — same cells, a vocabulary-sized amount of hashing.
+    val w = weightCol.map(col(_).cast("long")).getOrElse(lit(1L))
+    val cells = df.filter(col(keyCol).isNotNull)
+      .select(w.as("w"), posexplode(array((0 until depth).map(i =>
+        pmod(Dedup.md5Hash64(concat(col(keyCol), lit(s"#cms$i"))),
+          lit(width.toLong))): _*)).as(Seq("r", "b")))
+      .groupBy("r", "b").agg(sum(col("w")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Array.tabulate(depth * width) { i =>
+      cells.getOrElse((i / width, (i % width).toLong), 0L)
+    }
+  }
+
+  /** Scan-side CMS frequency estimate of `key` from a cells array:
+    * min over depth rows of the probed counter (biased up, never down).
+    * Pure expression — usable inside higher-order functions over token
+    * arrays, so per-document frequency features never join or shuffle.
+    */
+  def cmsEstimate(key: Column, cells: Array[Long], depth: Int = 4,
+                  width: Int = 1024): Column =
+    (0 until depth).map { i =>
+      val b = pmod(Dedup.md5Hash64(concat(key, lit(s"#cms$i"))), lit(width.toLong))
+      element_at(lit(cells), (lit(i.toLong * width) + b).cast("int") + 1)
+    }.reduce(least(_, _))
+
   /** Count-min sketch frequency estimates for `probes` against the
     * key stream: depth hash rows × width counters, estimate = min over
     * rows of the probed counter (biased up, never down).
