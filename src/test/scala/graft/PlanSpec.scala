@@ -130,6 +130,52 @@ class PlanSpec extends AnyFunSuite {
       s"embedding vectors cross a shuffle in:\n$p")
   }
 
+  test("prefix Jaccard: broadcast candidate generation, pair-id shuffle only (q128)") {
+    val p = plan("q128_prefix_jaccard")
+    // the prefix-shingle equi-join and both shingle-set re-attachments
+    // broadcast — a SortMergeJoin would ship the shingle stream
+    assert(!p.contains("SortMergeJoin"), s"prefix join shuffled a side:\n$p")
+    assert("BroadcastHashJoin \\[shh#".r.findFirstIn(p).isDefined,
+      s"prefix candidates not generated by a broadcast shingle-hash join:\n$p")
+    // the only hash exchange is the candidate-pair dedup on (id_a, id_b)
+    // — two longs per surviving candidate, never shingle arrays or text
+    val hashEx = "Exchange hashpartitioning\\(([^\\n]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(hashEx.length == 1 && hashEx.head.contains("id_a"),
+      s"expected exactly one (id_a,id_b) exchange, got $hashEx in:\n$p")
+    assert(!hashEx.exists(e => e.contains("text#") || e.contains("shs")),
+      s"shingle payload crosses a shuffle in:\n$p")
+  }
+
+  test("KMV aggregator combines map-side before the group shuffle (q136)") {
+    val p = plan("q136_kmv_agg_distinct")
+    // the partial_agg row that crosses the lang exchange is the bounded
+    // KMV buffer (<=k longs) + a count — never token strings
+    val partial = "partial_agg\\(h#[^\\n]*output=\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1))
+    assert(partial.isDefined, s"no map-side partial KMV aggregate in:\n$p")
+    assert(!partial.get.contains("tok#"),
+      s"token strings cross the aggregator shuffle: ${partial.get}")
+    assert(!"Exchange hashpartitioning\\([^\\n]*tok#".r.findFirstIn(p).isDefined,
+      s"token strings key an exchange in:\n$p")
+  }
+
+  test("CMS scoring broadcasts estimates; only count rows shuffle (q137)") {
+    val p = plan("q137_cms_rare_ratio")
+    // the per-distinct-gram estimates broadcast back onto the occurrence
+    // stream — never a shuffle join keyed on gram strings
+    assert("BroadcastHashJoin \\[bg#".r.findFirstIn(p).isDefined,
+      s"estimates not broadcast onto occurrences in:\n$p")
+    // the per-doc score aggregate combines map-side: what crosses the
+    // doc_id exchange is (doc_id, two counts), never bigram strings
+    val partialOut =
+      "partial_count\\(1\\), partial_count\\(CASE[^\\n]*output=\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(p).map(_.group(1))
+    assert(partialOut.isDefined, s"no map-side partial score counts in:\n$p")
+    assert(!partialOut.get.contains("bg#") && !partialOut.get.contains("text#"),
+      s"gram payload crosses the score shuffle: ${partialOut.get}")
+  }
+
   test("sequence packing: one bucket exchange, no doc text in flight (q110)") {
     val p = plan("q110_pack_sequences")
     // exactly one hash exchange (the bucket repartition) may move data;
