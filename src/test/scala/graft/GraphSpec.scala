@@ -22,6 +22,26 @@ class GraphSpec extends AnyFunSuite {
     assert(!e.contains(("a","d")) && !e.contains(("d","e"))) // no cross-group
   }
 
+  test("triangleCounts: hand-computed counts, clustering, input-form invariance") {
+    // two triangles sharing edge (b,c): {a,b,c} and {b,c,d}, plus a
+    // pendant e hanging off a. Degrees: a=3 b=3 c=3 d=2 e=1.
+    // n_tri: a=1 b=2 c=2 d=1 e=0. clustering: a = 1/C(3,2) = 1/3,
+    // b = c = 2/3, d = 1/C(2,2)... = 1/1 = 1.0, e = 0.
+    val pairs = Seq(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),("a","e"))
+      .toDF("src","dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val got = asMap(Graph.triangleCounts(pairs))
+    assert(got === Map(
+      "a" -> (3L, 1L, 1.0 / 3.0), "b" -> (3L, 2L, 2.0 / 3.0),
+      "c" -> (3L, 2L, 2.0 / 3.0), "d" -> (2L, 1L, 1.0),
+      "e" -> (1L, 0L, 0.0)))
+    // symmetric input, duplicated edges, reversed pairs — same answer
+    val sym = pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    assert(asMap(Graph.triangleCounts(sym.unionAll(sym))) === got)
+  }
+
   test("pageRank: hand-computed 1-iteration values on a fixed graph") {
     // star: a -> {b, c}; b -> a. Normalized, d = 0.5, 1 iteration:
     // rank(a) = 0.5 + 0.5 * (1/1)   [from b, outdeg 1]   = 1.0
