@@ -1838,5 +1838,38 @@ object Text {
         .select(col("doc_id"),
           graft.ops.Shard.rendezvous(col("doc_id"), 16).as("shard"))
         .orderBy("doc_id")
+    },
+
+    // ---- priority sampling (weighted, unbiased subset sums) ----
+    // Duffield-Lund-Thorup (JACM 2007): top-k by w/u priority with
+    // u from the salted md5 family; ŵ = max(w, τ) at the (k+1)-th
+    // priority threshold makes any subset sum estimable from the
+    // sample. Every double step is a fixed association of correctly-
+    // rounded ops over exact constants (2^63, 2^64), so DuckDB replays
+    // the identical priorities and the identical top-k.
+    Q("q140_priority_sample",
+      s"""WITH w AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |wp AS (SELECT * FROM w WHERE n_tokens > 0),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, n_tokens",
+               "md5(CAST(doc_id AS VARCHAR) || '#ps')", "wp", "h")}),
+        |p AS (SELECT doc_id, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) /
+        |      (((CAST(h AS DOUBLE) + CAST(9223372036854775808.0 AS DOUBLE))
+        |          + CAST(1.0 AS DOUBLE))
+        |        / CAST(18446744073709551616.0 AS DOUBLE)) AS pri
+        |  FROM hv),
+        |r AS (SELECT doc_id, n_tokens, pri,
+        |    ROW_NUMBER() OVER (ORDER BY pri DESC, doc_id) AS rn FROM p),
+        |t AS (SELECT MAX(CASE WHEN rn = 101 THEN pri END) AS tau FROM r)
+        |SELECT CAST(r.rn AS BIGINT) AS smp_rank, r.doc_id, r.n_tokens,
+        |  GREATEST(CAST(r.n_tokens AS DOUBLE),
+        |    COALESCE(t.tau, CAST(0.0 AS DOUBLE))) AS w_hat
+        |FROM r, t WHERE r.rn <= 100 ORDER BY smp_rank""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.ops.Sampling.prioritySample(docs, "doc_id", "n_tokens", k = 100)
+        .orderBy("smp_rank")
     })
 }
