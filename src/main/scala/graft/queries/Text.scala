@@ -1871,5 +1871,60 @@ object Text {
         TextOps.tokenCount(col("text")).as("n_tokens"))
       graft.ops.Sampling.prioritySample(docs, "doc_id", "n_tokens", k = 100)
         .orderBy("smp_rank")
+    },
+
+    // ---- HyperLogLog registers (distinct tokens per language) ----
+    // Flajolet et al. 2007 on the same task as q129/q136, so the two
+    // distinct-sketch families are directly comparable. Everything is
+    // exactly replayable: bucket = top-9 hash bits (HUGEINT floor-div),
+    // ρ via binary-string length, the harmonic sum as an EXACT
+    // DECIMAL(38,0) sum of powers of two scaled by 2^56 (a double
+    // accumulation would be partition-order-sensitive — the terms span
+    // more than 53 bits), and the α·m²/Σ readout as one fixed
+    // association of correctly-rounded double ops. Raw estimator only:
+    // linear-counting/HLL++ corrections need ln / empirical tables
+    // that no second engine replays bit-for-bit.
+    Q("q141_hll_distinct",
+      s"""WITH t AS (SELECT lang,
+        |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        |  FROM documents),
+        |tk AS (SELECT lang, tok FROM t WHERE tok IS NOT NULL AND tok <> ''),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("lang, tok", "md5(tok)",
+               "(SELECT DISTINCT lang, tok FROM tk)", "h")}),
+        |dh AS (SELECT DISTINCT lang, h FROM hv),
+        |b AS (SELECT lang,
+        |    CAST((CASE WHEN h >= 0 THEN CAST(h AS HUGEINT)
+        |      ELSE CAST(h AS HUGEINT) + 18446744073709551616::HUGEINT END)
+        |      // 36028797018963968::HUGEINT AS BIGINT) AS bucket,
+        |    CAST((CASE WHEN h >= 0 THEN CAST(h AS HUGEINT)
+        |      ELSE CAST(h AS HUGEINT) + 18446744073709551616::HUGEINT END)
+        |      % 36028797018963968::HUGEINT AS BIGINT) AS w
+        |  FROM dh),
+        |r AS (SELECT lang, bucket,
+        |    MAX(CASE WHEN w = 0 THEN 56 ELSE 56 - length(bin(w)) END) AS reg
+        |  FROM b GROUP BY 1, 2),
+        |st AS (SELECT lang, COUNT(*) AS n_regs,
+        |    SUM(CAST(1::BIGINT << (56 - reg) AS DECIMAL(38,0))) AS sp
+        |  FROM r GROUP BY 1),
+        |ex AS (SELECT lang, COUNT(*) AS n_exact FROM dh GROUP BY 1),
+        |fin AS (SELECT st.lang, (512 - st.n_regs) AS v_zero,
+        |    st.sp + CAST(CAST(512 - st.n_regs AS HUGEINT)
+        |      * 72057594037927936::HUGEINT AS DECIMAL(38,0)) AS s,
+        |    ex.n_exact
+        |  FROM st JOIN ex USING (lang))
+        |SELECT lang, CAST(v_zero AS BIGINT) AS v_zero,
+        |  CAST(s AS DOUBLE) AS reg_sum, CAST(n_exact AS BIGINT) AS n_exact,
+        |  ((((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |        + CAST(1.079 AS DOUBLE) / CAST(512.0 AS DOUBLE)))
+        |      * CAST(512.0 AS DOUBLE)) * CAST(512.0 AS DOUBLE))
+        |    * CAST(72057594037927936.0 AS DOUBLE)) / CAST(s AS DOUBLE) AS est_hll
+        |FROM fin ORDER BY lang""".stripMargin) { (s, dir) =>
+      val toks = documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(col("tok").isNotNull && col("tok") =!= "")
+      Sketch.hllDistinct(toks, "lang", "tok", p = 9)
+        .select(col("g").as("lang"), col("v_zero"), col("reg_sum"),
+          col("n_exact"), col("est_hll"))
+        .orderBy("lang")
     })
 }

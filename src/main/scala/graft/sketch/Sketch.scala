@@ -147,6 +147,86 @@ object Sketch {
         col("est_intersection"), coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
+  /** HyperLogLog register frame (g, bucket, reg) per group (Flajolet,
+    * Fusy, Gandouet & Meunier, AofA 2007): bucket = top p hash bits,
+    * reg = max over the group's distinct keys of ρ(w) — the position of
+    * the first 1-bit in the remaining 64-p bits. ρ is computed exactly
+    * as (64-p+1) - bitlength(w) via the engine's binary-string length
+    * (`bin`), which any SQL engine replays without leading-zero
+    * intrinsics. Registers merge across shards by per-bucket max —
+    * the HLL mergeability property, pinned by SketchSpec.
+    *
+    * KMV (q129/q136) stays the suite's primary distinct sketch because
+    * its state is a plain order statistic; HLL trades that simplicity
+    * for O(m) fixed state per group at ~1.04/√m relative error.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String,
+                   p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 16, "HLL precision p in [4,16]")
+    hllRegistersFromHashes(
+      df.filter(col(keyCol).isNotNull)
+        .select(col(groupCol).as("g"), Dedup.md5Hash64(col(keyCol)).as("h"))
+        .distinct(), p)
+  }
+
+  /** Registers from an already-hashed distinct (g, h) frame — shuffles
+    * carry 8-byte hashes only; raw keys never leave the scan.
+    */
+  def hllRegistersFromHashes(dh: DataFrame, p: Int): DataFrame = {
+    val wbits = 64 - p
+    dh.select(col("g"), shiftrightunsigned(col("h"), wbits).as("bucket"),
+        col("h").bitwiseAND(lit((1L << wbits) - 1)).as("w"))
+      .groupBy("g", "bucket")
+      .agg(max(when(col("w") === 0, lit(wbits + 1))
+        .otherwise(lit(wbits + 1) - length(bin(col("w"))))).as("reg"))
+  }
+
+  /** Raw HLL readout from a register frame: the harmonic sum
+    * Σ 2^-reg is captured EXACTLY as an integer sum of 2^(wbits+1-reg)
+    * scaled by 2^(wbits+1) — every term a power of two in
+    * DECIMAL(38,0), order-invariant under any partitioning (a double
+    * accumulation would be partition-order-sensitive: the terms span
+    * more than 53 bits). The estimate α_m·m²/Σ is then one fixed
+    * association of correctly-rounded double ops. Returns (g, v_zero,
+    * reg_sum — CAST of the exact scaled sum —, est_hll). Bias
+    * corrections (linear counting, HLL++) need ln/empirical tables
+    * that are not bit-replayable cross-engine; the raw estimator is
+    * the oracle-checkable core, accurate to ~1.04/√m in the mid range.
+    */
+  def hllEstimate(regs: DataFrame, p: Int = 9): DataFrame = {
+    val wbits = 64 - p
+    val m = 1L << p
+    val scale = 1L << (wbits + 1) // 2^(wbits+1) — exact as long and double
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val st = regs.groupBy("g").agg(
+      count(lit(1)).as("n_regs"),
+      sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wbits + 1} - reg)")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sp"))
+    st.select(col("g"), (lit(m) - col("n_regs")).as("v_zero"),
+        (col("sp") + (lit(m) - col("n_regs"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(scale))
+          .as("s"))
+      .select(col("g"), col("v_zero"), col("s").cast("double").as("reg_sum"),
+        ((((alpha * lit(m.toDouble)) * lit(m.toDouble)) * lit(scale.toDouble)) /
+          col("s").cast("double")).as("est_hll"))
+  }
+
+  /** Per-group HLL distinct estimate with the exact count as the
+    * quality row: (g, v_zero, reg_sum, n_exact, est_hll).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  p: Int = 9): DataFrame = {
+    val dh = df.filter(col(keyCol).isNotNull)
+      .select(col(groupCol).as("g"), Dedup.md5Hash64(col(keyCol)).as("h"))
+      .distinct()
+      .transform(graft.ops.Pin.pin) // feeds both the registers and n_exact
+    val est = hllEstimate(hllRegistersFromHashes(dh, p), p)
+    val exact = dh.groupBy("g").agg(count(lit(1)).as("n_exact"))
+    est.join(exact, "g")
+      .select(col("g"), col("v_zero"), col("reg_sum"), col("n_exact"),
+        col("est_hll"))
+  }
+
   /** The CMS counter table as a driver-side array (row-major,
     * depth × width longs — bounded by the sketch dimensions, never by
     * input size), for shipping into scan-side expressions as a broadcast

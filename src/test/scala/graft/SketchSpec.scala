@@ -100,6 +100,36 @@ class SketchSpec extends AnyFunSuite {
     assert(rb.getAs[Long]("n_common") === 5000L)
   }
 
+  test("hllDistinct: accuracy in range, register merge law, repartition invariance") {
+    val rows = (1 to 30000).map(i => ("big", s"k$i")) ++
+      (1 to 5000).map(i => ("mid", s"m$i"))
+    val df = rows.toDF("g", "key")
+    val out = Sketch.hllDistinct(df, "g", "key", p = 9)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // raw estimator, m = 512 -> ~4.6% std error; 15% is a real but
+    // non-flaky band (hashes are fixed, so this never varies run-to-run)
+    assert(math.abs(out("big").getDouble(4) - 30000.0) / 30000.0 < 0.15)
+    assert(math.abs(out("mid").getDouble(4) - 5000.0) / 5000.0 < 0.15)
+    assert(out("big").getLong(3) === 30000L) // n_exact rides along
+    // merge law: per-bucket max of shard registers == whole-input registers
+    val (a, b) = (df.filter(col("key") < "k2"), df.filter(col("key") >= "k2"))
+    val merged = Sketch.hllRegisters(a, "g", "key", p = 9)
+      .unionAll(Sketch.hllRegisters(b, "g", "key", p = 9))
+      .groupBy("g", "bucket").agg(max("reg").as("reg"))
+    val whole = Sketch.hllRegisters(df, "g", "key", p = 9)
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(m(merged) === m(whole))
+    // estimates from merged registers match the direct path bit-for-bit
+    val estM = Sketch.hllEstimate(merged, p = 9)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(estM("big") === out("big").getDouble(4))
+    // partition invariance (the oracle-compare contract)
+    val rep = Sketch.hllDistinct(df.repartition(17), "g", "key", p = 9)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rep("big") === out("big").getDouble(4))
+  }
+
   test("cmsHeavyHitters: never underestimates, exact on planted counts") {
     val stream = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"t$i") ++
       Seq.fill(37)("mid")
