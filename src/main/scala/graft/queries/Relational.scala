@@ -878,6 +878,38 @@ object Relational {
             datediff(to_date(col("o_orderdate")), lit("1992-01-01").cast("date")),
             pmod(col("o_custkey"), lit(65536L))).as("z"))
         .orderBy("o_orderkey")
+    },
+
+    // ---- bottom-k sample quantiles (sketch-based percentiles) ----
+    // Cohen-Kaplan bottom-k sampling: the 512 smallest salted-md5
+    // hashes per group are a deterministic uniform sample; quantile
+    // readout picks ELEMENTS at floor(q·(n-1)) from the sorted sample
+    // (never interpolates), so the oracle replays it value-for-value.
+    // The exact twin is q16 (percentile over the full group — the
+    // single-task-per-group funnel this sketch replaces at scale);
+    // SketchSpec pins sample-vs-exact closeness and the merge law.
+    Q("q142_sample_quantiles",
+      s"""WITH hv AS (SELECT * FROM ${OracleSql.md5Hash64Sql(
+             "o_orderpriority, o_orderkey, o_totalprice",
+             "md5(CAST(o_orderkey AS VARCHAR) || '#qs')", "orders", "h")}),
+        |r AS (SELECT o_orderpriority, o_totalprice, h,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY h, o_orderkey) AS rn
+        |  FROM hv),
+        |sm AS (SELECT o_orderpriority,
+        |    list(o_totalprice ORDER BY o_totalprice) AS vs, COUNT(*) AS n
+        |  FROM r WHERE rn <= 512 GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n_sample,
+        |  vs[CAST(floor(CAST(0.25 AS DOUBLE)*(n-1)) AS BIGINT)+1] AS q25,
+        |  vs[CAST(floor(CAST(0.5 AS DOUBLE)*(n-1)) AS BIGINT)+1] AS q50,
+        |  vs[CAST(floor(CAST(0.75 AS DOUBLE)*(n-1)) AS BIGINT)+1] AS q75,
+        |  vs[CAST(floor(CAST(0.9 AS DOUBLE)*(n-1)) AS BIGINT)+1] AS q90
+        |FROM sm ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.sketch.Sketch.bottomKSampleQuantiles(orders(s, dir),
+          "o_orderpriority", "o_totalprice", "o_orderkey", k = 512)
+        .select(col("g").as("o_orderpriority"), col("n_sample"),
+          col("q25"), col("q50"), col("q75"), col("q90"))
+        .orderBy("o_orderpriority")
     }
   )
 }

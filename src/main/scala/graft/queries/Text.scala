@@ -35,18 +35,10 @@ object Text {
   private def dotSql(a: String, b: String): String =
     s"CAST((SELECT SUM(CAST(CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE) AS DECIMAL(38,18))) FROM range(64) t(i)) AS DOUBLE)"
 
-  /** Derived-table fragment mirroring [[Dedup.md5Hash64]]: first 16 md5
-    * hex chars assembled through HUGEINT into a signed (two's-complement)
-    * BIGINT named `out`, alongside the passthrough `keys` columns.
-    */
+  /** See [[OracleSql.md5Hash64Sql]] (shared across query files). */
   private def md5Hash64Sql(keys: String, hexExpr: String, from: String,
                            out: String): String =
-    s"""(SELECT $keys, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
-       |    THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS $out
-       |  FROM (SELECT $keys,
-       |      CAST(CAST(('0x'||substr(hex,1,8)) AS BIGINT) AS HUGEINT) * 4294967296::HUGEINT
-       |        + CAST(CAST(('0x'||substr(hex,9,8)) AS BIGINT) AS HUGEINT) AS hu
-       |    FROM (SELECT $keys, $hexExpr AS hex FROM $from)))""".stripMargin
+    OracleSql.md5Hash64Sql(keys, hexExpr, from, out)
 
   val all: Seq[Q] = Seq(
 

@@ -227,6 +227,43 @@ object Sketch {
         col("est_hll"))
   }
 
+  /** Per-group approximate quantiles from a bottom-k-by-hash sample
+    * (bottom-k sketches: Cohen & Kaplan, PODC 2007). The k rows with
+    * the smallest salted md5 hashes form a uniform without-replacement
+    * sample of the group — deterministic, replayable, and mergeable
+    * exactly like KMV (bottom-k of a union = bottom-k of the shard
+    * bottom-ks), so per-shard samples roll up without rescans. Sample
+    * quantiles converge at ~√(q(1-q)/k) rank error.
+    *
+    * This is the 100 TB shape for percentile profiling: exact per-group
+    * quantiles need a full sort (or a single-task funnel per group);
+    * this is one two-stage top-k plus an O(k) in-memory array per
+    * group. The readout picks ELEMENTS (lower quantile, index
+    * floor(q·(n-1))) — never interpolates — so outputs are input
+    * values, exact in any engine.
+    *
+    * Output: (g, n_sample, q_<label> per requested quantile).
+    */
+  def bottomKSampleQuantiles(df: DataFrame, groupCol: String,
+                             valueCol: String, idCol: String,
+                             k: Int = 512,
+                             qs: Seq[(String, Double)] =
+                               Seq("q25" -> 0.25, "q50" -> 0.5,
+                                   "q75" -> 0.75, "q90" -> 0.9),
+                             salt: String = "#qs"): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
+      col(idCol).as("id"),
+      Dedup.md5Hash64(concat(col(idCol).cast("string"), lit(salt))).as("h"))
+    val smp = TopK.topKPerKey(base, Seq("g"), Seq(col("h"), col("id")), k, "rn")
+    val agg = smp.groupBy("g").agg(
+      array_sort(collect_list(col("v"))).as("vs"), count(lit(1)).as("n"))
+    val sels = qs.map { case (label, q) =>
+      element_at(col("vs"),
+        floor(lit(q) * (col("n") - 1)).cast("int") + 1).as(label)
+    }
+    agg.select(col("g") +: col("n").as("n_sample") +: sels: _*)
+  }
+
   /** The CMS counter table as a driver-side array (row-major,
     * depth × width longs — bounded by the sketch dimensions, never by
     * input size), for shipping into scan-side expressions as a broadcast

@@ -130,6 +130,28 @@ class SketchSpec extends AnyFunSuite {
     assert(rep("big") === out("big").getDouble(4))
   }
 
+  test("bottomKSampleQuantiles: exact below k, close above k, repartition-invariant") {
+    // group "small" (300 rows < k): the sample IS the group, so the
+    // readout is the exact lower quantile of the full data
+    val rows = (1 to 300).map(i => ("small", i.toDouble, s"s$i")) ++
+      (1 to 20000).map(i => ("big", i.toDouble, s"b$i"))
+    val df = rows.toDF("g", "v", "id")
+    val out = Sketch.bottomKSampleQuantiles(df, "g", "v", "id", k = 512)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("small").getLong(1) === 300L)
+    // n=300: floor(.5*299)=149 -> sorted(1..300)(149) = 150.0
+    assert(out("small").getDouble(3) === 150.0)
+    assert(out("small").getDouble(2) === 75.0)   // floor(.25*299)=74 -> 75
+    // group "big": k=512 uniform sample of 1..20000 — rank std error
+    // ~sqrt(.5*.5/512) ~ 2.2%; 10% is a fixed-hash (non-flaky) band
+    assert(out("big").getLong(1) === 512L)
+    assert(math.abs(out("big").getDouble(3) - 10000.0) / 10000.0 < 0.10)
+    assert(math.abs(out("big").getDouble(5) - 18000.0) / 18000.0 < 0.10)
+    val rep = Sketch.bottomKSampleQuantiles(df.repartition(11), "g", "v", "id",
+        k = 512).collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rep("big") === out("big").getDouble(3))
+  }
+
   test("cmsHeavyHitters: never underestimates, exact on planted counts") {
     val stream = Seq.fill(500)("hot") ++ (1 to 2000).map(i => s"t$i") ++
       Seq.fill(37)("mid")
