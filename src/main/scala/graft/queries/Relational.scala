@@ -880,6 +880,36 @@ object Relational {
         .orderBy("o_orderkey")
     },
 
+    // ---- JSON payload extraction (semi-structured columns) ----
+    // Every event pipeline carries a JSON props blob; the engine parses
+    // it IN the scan projection with a declared schema (from_json →
+    // codegen'd Jackson, malformed rows → null, never an error), so
+    // extraction costs no shuffle and downstream aggregation sees a
+    // typed column. A schemaless get_json_object-per-field approach
+    // re-parses the blob once per field — from_json parses once.
+    Q("q143_json_extract",
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS n_null_k,
+        |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k")
+      events(s, dir)
+        .select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("k").isNull, lit(1))).as("n_null_k"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
     // ---- bottom-k sample quantiles (sketch-based percentiles) ----
     // Cohen-Kaplan bottom-k sampling: the 512 smallest salted-md5
     // hashes per group are a deterministic uniform sample; quantile
