@@ -167,4 +167,29 @@ class StreamingSpec extends AnyFunSuite {
       assert(batch === state)
     } finally q.stop()
   }
+
+  test("streaming HLL registers over a live feed equal the batch registers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // register maintenance is a per-(group, bucket) MAX — incrementally
+    // computable in complete mode with no sketch-specific state code
+    val rows = (1 to 4000).map(i => (s"g${i % 2}", s"key${i % 900}"))
+    val input = MemoryStream[(String, String)]
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      graft.sketch.Sketch.hllRegistersFromHashes(
+        df.select(col("g"), graft.dedup.Dedup.md5Hash64(col("key")).as("h")),
+        p = 9)
+    val q = regs(input.toDF().toDF("g", "key"))
+      .writeStream.format("memory")
+      .queryName("hll_stream").outputMode("complete").start()
+    try {
+      input.addData(rows.take(500))
+      q.processAllAvailable()
+      input.addData(rows.drop(500))
+      q.processAllAvailable()
+      def m(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(m(spark.table("hll_stream")) === m(regs(rows.toDF("g", "key"))))
+    } finally q.stop()
+  }
 }
