@@ -136,9 +136,13 @@ object Graph {
       .join(a.select(col("u").as("v"), col("ns").as("nsv")), Seq("v"))
       .select(col("u"), col("v"),
         explode(expr("array_intersect(nsu, nsv)")).as("w"))
-    val perNode = tri
+    val perNode0 = tri
       .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    // one (id, long) row per triangle-bearing node — same size regime
+    // as the degree frame, so it broadcasts under the same flag and the
+    // readout join needs no exchange
+    val perNode = if (broadcastDeg) broadcast(perNode0) else perNode0
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))

@@ -176,6 +176,20 @@ class PlanSpec extends AnyFunSuite {
       s"gram payload crosses the score shuffle: ${partialOut.get}")
   }
 
+  test("triangle counting: edge-iterator with broadcast adjacency, no shuffle joins (q139)") {
+    val p = plan("q139_triangle_count")
+    // the closing check must be the per-edge intersection of broadcast
+    // out-lists — a SortMergeJoin anywhere means either the adjacency
+    // attachment or the readout regressed to shuffling the edge stream
+    assert(p.contains("array_intersect"), s"edge-iterator intersection gone from:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffle join crept into:\n$p")
+    // the degree-attachment joins sit above the Pin and don't print in
+    // the final executed plan; the visible three are adjacency ×2 +
+    // the per-node readout
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"adjacency/readout frames not broadcast in:\n$p")
+  }
+
   test("sequence packing: one bucket exchange, no doc text in flight (q110)") {
     val p = plan("q110_pack_sequences")
     // exactly one hash exchange (the bucket repartition) may move data;
