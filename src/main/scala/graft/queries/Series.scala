@@ -126,6 +126,47 @@ object Series {
         .orderBy("day")
     },
 
+    // ---- rolling z-score anomaly detection (per-series, partitioned) ----
+    // The classic ops/monitoring pass over a metric feed: per user, a
+    // 24-event trailing window yields mean and E[v²] through the 1e-6
+    // grid capture (order-invariant exact sums — a double window sum
+    // would drift with partition recompute order), variance by the
+    // textbook E[v²]−mean² with one fixed association, and |z| > 2.5
+    // flags anomalies on FULL windows only. Window is partitioned by
+    // series key — the scale-correct shape (q26's global frame is the
+    // single-series special case).
+    Q("q144_rolling_anomaly",
+      """WITH e AS (SELECT user_id, event_id, value AS v, ts FROM events),
+        |w AS (SELECT user_id, event_id, v,
+        |    COUNT(*) OVER win AS n,
+        |    CAST(SUM(CAST(ROUND(v * 1000000.0, 0) AS DECIMAL(30,0))) OVER win AS DOUBLE)
+        |      / 1000000.0 / COUNT(v) OVER win AS mean,
+        |    CAST(SUM(CAST(ROUND((v * v) * 1000000.0, 0) AS DECIMAL(30,0))) OVER win AS DOUBLE)
+        |      / 1000000.0 / COUNT(v * v) OVER win AS msq
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, v AS value,
+        |  (v - mean) / sqrt(msq - mean * mean) AS z
+        |FROM w
+        |WHERE n = 24 AND msq - mean * mean > 0
+        |  AND abs((v - mean) / sqrt(msq - mean * mean)) > 2.5
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-23, 0)
+      val base = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value").as("v"), col("ts"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("mean", Exact.gavgOver(col("v"), w))
+        .withColumn("msq", Exact.gavgOver(col("v") * col("v"), w))
+      val varc = col("msq") - col("mean") * col("mean")
+      base.filter(col("n") === 24 && varc > 0)
+        .withColumn("z", (col("v") - col("mean")) / sqrt(varc))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("user_id"), col("event_id"), col("v").as("value"), col("z"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- blocked time-series CV (W8) ----
     Q("q27_blocked_cv",
       """WITH r AS (SELECT event_id,
