@@ -167,6 +167,54 @@ object Series {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- Holt linear-trend exponential smoothing + h-step forecast ----
+    // Holt (1957), α=0.2, β=0.1, init l₁=y₁, b₁=y₂−y₁: the recursion
+    // runs per series as ONE codegen'd aggregate() fold over the
+    // calendar-bounded daily array (no UDF, no driver loop, no
+    // per-step Catalyst replanning — the q52 series-matrix shape), so
+    // 10⁶ series smooth in parallel with nothing but (key, array) in
+    // flight. Every step is a fixed association of correctly-rounded
+    // double ops, so the DuckDB oracle replays the identical recursion
+    // as a recursive CTE — cross-algorithm, bit-for-bit.
+    Q("q145_holt_forecast",
+      """WITH RECURSIVE pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS val
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT user_id, val,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM pd),
+        |nn AS (SELECT user_id, COUNT(*) AS n FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT d1.user_id, 1 AS i, d1.val AS l, d2.val - d1.val AS b
+        |  FROM d d1 JOIN d d2 ON d2.user_id = d1.user_id AND d1.rn = 1 AND d2.rn = 2
+        |  UNION ALL
+        |  SELECT r.user_id, r.i + 1,
+        |    CAST(0.2 AS DOUBLE) * d.val + CAST(0.8 AS DOUBLE) * (r.l + r.b),
+        |    CAST(0.1 AS DOUBLE) * ((CAST(0.2 AS DOUBLE) * d.val
+        |        + CAST(0.8 AS DOUBLE) * (r.l + r.b)) - r.l)
+        |      + CAST(0.9 AS DOUBLE) * r.b
+        |  FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.i + 1),
+        |fin AS (SELECT r.user_id, r.l, r.b
+        |  FROM r JOIN nn ON nn.user_id = r.user_id AND r.i = nn.n)
+        |SELECT user_id, CAST(h AS BIGINT) AS h, l AS level, b AS trend,
+        |  l + CAST(h AS DOUBLE) * b AS yhat
+        |FROM fin, range(1, 8) t(h)
+        |ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+      val perDay = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("day"))
+        .agg(davg(col("value")).as("val"))
+      val ser = perDay.groupBy("user_id")
+        .agg(expr("transform(array_sort(collect_list(struct(day, val))), x -> x.val)")
+          .as("vs"))
+        .filter(size(col("vs")) >= 2)
+      ser.withColumn("st", graft.ts.Smooth.holt(col("vs"), alpha = 0.2, beta = 0.1))
+        .select(col("user_id"), col("st"),
+          explode(sequence(lit(1L), lit(7L))).as("h"))
+        .select(col("user_id"), col("h"),
+          col("st.l").as("level"), col("st.b").as("trend"),
+          (col("st.l") + col("h").cast("double") * col("st.b")).as("yhat"))
+        .orderBy("user_id", "h")
+    },
+
     // ---- blocked time-series CV (W8) ----
     Q("q27_blocked_cv",
       """WITH r AS (SELECT event_id,
