@@ -215,6 +215,74 @@ object Series {
         .orderBy("user_id", "h")
     },
 
+    // ---- CUSUM changepoint monitoring (per-series drift alarms) ----
+    // Page (1954), two-sided, k=0.5σ allowance, h=4σ threshold: the
+    // per-user daily series standardizes against its own exact
+    // (grid-captured) mean/σ, then the alarm recursion runs as the
+    // same codegen'd aggregate() fold as q145 — per-series sequential
+    // state, corpus-parallel execution. The oracle replays mean/σ as
+    // plain exact SQL aggregates and the recursion as a recursive CTE
+    // carrying (hi, lo, alarm bookkeeping) — bit-for-bit.
+    Q("q146_cusum_alarms",
+      """WITH RECURSIVE pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS val
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(ROUND(val * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+        |      / 1000000.0 / COUNT(val) AS mean,
+        |    CAST(SUM(CAST(ROUND((val * val) * 1000000.0, 0) AS DECIMAL(30,0))) AS DOUBLE)
+        |      / 1000000.0 / COUNT(val * val) AS msq
+        |  FROM pd GROUP BY 1),
+        |d AS (SELECT user_id, val,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM pd),
+        |b AS (SELECT user_id, n, mean, sqrt(msq - mean * mean) AS stdv FROM st
+        |  WHERE n >= 2 AND msq - mean * mean > 0),
+        |r AS (
+        |  SELECT user_id, n, mean, stdv, 0 AS i,
+        |    CAST(0.0 AS DOUBLE) AS hi, CAST(0.0 AS DOUBLE) AS lo,
+        |    CAST(0 AS BIGINT) AS n_alarms, CAST(-1 AS BIGINT) AS first_alarm,
+        |    CAST(0.0 AS DOUBLE) AS max_stat
+        |  FROM b
+        |  UNION ALL
+        |  SELECT q.user_id, q.n, q.mean, q.stdv, q.i, q.hi, q.lo,
+        |    q.n_alarms + CASE WHEN q.hi > CAST(4.0 AS DOUBLE)
+        |        OR q.lo > CAST(4.0 AS DOUBLE)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+        |    CASE WHEN (q.hi > CAST(4.0 AS DOUBLE) OR q.lo > CAST(4.0 AS DOUBLE))
+        |        AND q.first_alarm = -1
+        |      THEN CAST(q.i AS BIGINT) ELSE q.first_alarm END,
+        |    GREATEST(q.max_stat, q.hi, q.lo)
+        |  FROM (SELECT r.user_id, r.n, r.mean, r.stdv, r.i + 1 AS i,
+        |      GREATEST(CAST(0.0 AS DOUBLE),
+        |        r.hi + (d.val - r.mean) / r.stdv - CAST(0.5 AS DOUBLE)) AS hi,
+        |      GREATEST(CAST(0.0 AS DOUBLE),
+        |        r.lo - (d.val - r.mean) / r.stdv - CAST(0.5 AS DOUBLE)) AS lo,
+        |      r.n_alarms, r.first_alarm, r.max_stat
+        |    FROM r JOIN d ON d.user_id = r.user_id AND d.rn = r.i + 1) q)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_days, n_alarms, first_alarm,
+        |  max_stat
+        |FROM r WHERE i = n ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val perDay = events(s, dir)
+        .groupBy(col("user_id"), eventDay.as("day"))
+        .agg(davg(col("value")).as("val"))
+      val ser = perDay.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        Exact.gavg(col("val")).as("mean"),
+        Exact.gavg(col("val") * col("val")).as("msq"),
+        expr("transform(array_sort(collect_list(struct(day, val))), x -> x.val)")
+          .as("vs"))
+      val varc = col("msq") - col("mean") * col("mean")
+      val st = ser.filter(col("n") >= 2 && varc > 0)
+        .withColumn("stdv", sqrt(varc))
+        .withColumn("zs", expr("transform(vs, y -> (y - mean) / stdv)"))
+        .withColumn("st", graft.ts.Smooth.cusum(col("zs"), k = 0.5, h = 4.0))
+      st.select(col("user_id"), col("n").as("n_days"),
+          col("st.n_alarms").as("n_alarms"),
+          col("st.first_alarm").as("first_alarm"),
+          col("st.max_stat").as("max_stat"))
+        .orderBy("user_id")
+    },
+
     // ---- blocked time-series CV (W8) ----
     Q("q27_blocked_cv",
       """WITH r AS (SELECT event_id,

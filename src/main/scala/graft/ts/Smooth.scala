@@ -20,6 +20,34 @@ object Smooth {
     * level/trend; forecast h steps ahead as l + h·b. Requires
     * size(vs) >= 2 (filter shorter series upstream).
     */
+  /** Two-sided CUSUM changepoint monitor (Page 1954) over a
+    * STANDARDIZED series array: hi_t = max(0, hi_{t−1} + z_t − k),
+    * lo_t = max(0, lo_{t−1} − z_t − k); a step alarms when either side
+    * exceeds h (textbook k=0.5, h=4 in allowance/threshold units of
+    * σ). Statistics keep accumulating after an alarm (no reset) — the
+    * variant that makes the fold state a pure function of the prefix.
+    * Returns struct(hi, lo, n_alarms, first_alarm — 1-based index or
+    * −1 —, max_stat, i).
+    */
+  def cusum(zs: Column, k: Double, h: Double): Column = {
+    val init = struct(lit(0.0).as("hi"), lit(0.0).as("lo"),
+      lit(0L).as("n_alarms"), lit(-1L).as("first_alarm"),
+      lit(0.0).as("max_stat"), lit(0L).as("i"))
+    aggregate(zs, init, (acc, z) => {
+      val hiNew = greatest(lit(0.0), acc.getField("hi") + z - lit(k))
+      val loNew = greatest(lit(0.0), acc.getField("lo") - z - lit(k))
+      val alarm = hiNew > lit(h) || loNew > lit(h)
+      struct(hiNew.as("hi"), loNew.as("lo"),
+        (acc.getField("n_alarms")
+          + when(alarm, lit(1L)).otherwise(lit(0L))).as("n_alarms"),
+        when(alarm && acc.getField("first_alarm") === lit(-1L),
+            acc.getField("i") + lit(1L))
+          .otherwise(acc.getField("first_alarm")).as("first_alarm"),
+        greatest(acc.getField("max_stat"), hiNew, loNew).as("max_stat"),
+        (acc.getField("i") + lit(1L)).as("i"))
+    })
+  }
+
   def holt(vs: Column, alpha: Double, beta: Double): Column = {
     val y1 = element_at(vs, 1)
     val y2 = element_at(vs, 2)

@@ -31,6 +31,26 @@ class SmoothSpec extends AnyFunSuite {
     assert(r.getDouble(0) === 7.5 && r.getDouble(1) === 4.5)
   }
 
+  test("cusum: planted level shift alarms shortly after the shift, stable series never") {
+    // standardized series: 20 in-control points at z ~ 0, then a +2σ
+    // shift. hi accumulates (2 - 0.5) = 1.5/step -> crosses h=4 on the
+    // 3rd post-shift point (index 23); total alarms = all remaining
+    // steps from there (no reset)
+    val zs = Seq.fill(20)(0.0) ++ Seq.fill(10)(2.0)
+    val df = Seq(Tuple1(zs)).toDF("zs")
+    val r = df.select(graft.ts.Smooth.cusum(col("zs"), 0.5, 4.0).as("st"))
+      .select(col("st.n_alarms"), col("st.first_alarm"), col("st.max_stat"))
+      .collect()(0)
+    assert(r.getLong(1) === 23L, "first alarm on the 3rd post-shift point")
+    assert(r.getLong(0) === 8L, "every later point alarms too (no reset)")
+    assert(r.getDouble(2) === 15.0) // 10 * 1.5 accumulated drift
+    // in-control noise never alarms: alternating +-0.4 stays under k
+    val calm = Seq(Tuple1((1 to 30).map(i => if (i % 2 == 0) 0.4 else -0.4))).toDF("zs")
+    val c = calm.select(graft.ts.Smooth.cusum(col("zs"), 0.5, 4.0).as("st"))
+      .select(col("st.n_alarms")).collect()(0)
+    assert(c.getLong(0) === 0L)
+  }
+
   test("1-alpha / 1-beta are exactly the doubles the SQL twin writes") {
     // q145's oracle writes CAST(0.8 AS DOUBLE) / CAST(0.9 AS DOUBLE);
     // Smooth computes 1.0 - alpha in Scala. For the registered
