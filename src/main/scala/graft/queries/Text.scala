@@ -758,6 +758,65 @@ object Text {
         .orderBy("step")
     },
 
+    // ---- BPE corpus tokenization (the apply side of q116) ----
+    // The actual 100 TB tokenization stage: merges learned once
+    // (vocabulary-sized, q116's protocol), the segmentation computed
+    // per DISTINCT word (vocabulary-sized again), and the corpus only
+    // ever streams through a broadcast word→token-count join — the
+    // quadratic-ish merge machinery never touches the occurrence
+    // stream. Oracle replays the full learn chain (q116's generated
+    // CTEs, carrying the word through the replaces) plus the same
+    // occurrence join.
+    Q("q147_bpe_tokenize", {
+      val k = 6
+      val chain = (1 to k).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT pair, SUM(cnt) AS c FROM (
+          |    SELECT unnest(list_transform(range(len(sp)-1),
+          |        j -> sp[j+1] || '  ' || sp[j+2])) AS pair, cnt
+          |    FROM (SELECT string_split(trim(seq), '  ') AS sp, cnt FROM w${i - 1}))
+          |  GROUP BY pair),
+          |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+          |w$i AS MATERIALIZED (SELECT word, replace(seq,
+          |    ' ' || (SELECT pair FROM b$i) || ' ',
+          |    ' ' || (SELECT replace(pair, '  ', '') FROM b$i) || ' ') AS seq, cnt
+          |  FROM w${i - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w0 AS MATERIALIZED (
+        |  SELECT word, '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq, cnt
+        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+        |    WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word)),
+        |$chain,
+        |seg AS (SELECT word,
+        |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_toks FROM w$k),
+        |occ AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
+        |  FROM documents),
+        |occf AS (SELECT doc_id, word FROM occ WHERE regexp_matches(word, '^[a-z]+$$')),
+        |per AS (SELECT o.doc_id, COUNT(*) AS n_words, SUM(s.n_toks) AS n_bpe_tokens
+        |  FROM occf o JOIN seg s USING (word) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
+        |  CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val docs = documents(s, dir)
+      val vocab = graft.ops.Pin.pin(graft.text.Bpe.wordCounts(docs, "text"))
+      val merges = graft.text.Bpe.learnMerges(vocab, "word", "cnt", 6)
+      val seg = graft.text.Bpe.segment(vocab.select(col("word")), "word", merges)
+        .select(col("word"), size(col("tokens")).cast("long").as("n_toks"))
+      val occ = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val per = occ.join(broadcast(seg), "word")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
+          sum(col("n_toks")).as("n_bpe_tokens"))
+      docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- DSIR-style importance resampling (data selection), oracle ----
     // Hashed unigram+bigram profiles (1024 md5 buckets) for the target
     // subset (lang='en') vs the raw pool; per-doc masses are exact
