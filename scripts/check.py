@@ -79,15 +79,25 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     oracle_sql = json.loads((OUT_DIR / "oracle_sql.json").read_text())
+    errors_path = OUT_DIR / "errors.json"
+    verify_errors = json.loads(errors_path.read_text()) if errors_path.exists() else {}
 
     n_pass = n_fail = 0
     result_dirs = sorted(p for p in OUT_DIR.iterdir() if p.is_dir())
     for rd in result_dirs:
         name = rd.name
+        if name in verify_errors:
+            print(f"ERR  {name}: {verify_errors[name]}")
+            n_fail += 1
+            continue
         try:
             spark_df = pd.read_parquet(rd)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if "__verify_error" in spark_df.columns:
+            print(f"ERR  {name}: error marker present (see errors.json)")
             n_fail += 1
             continue
         if name not in oracle_sql:

@@ -56,8 +56,13 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // Per-query: median over successful reps; a rep that throws counts as
+    // an ERROR, never as a timing. Round 7 recorded 22 broken queries'
+    // time-to-exception (~0.1 s each) as if they ran, silently deflating
+    // the suite total by ~25 s — errors must be visible, not fast.
     val results = selected.map { q =>
-      val times = (1 to reps).map { _ =>
+      var errReps = 0
+      val times = (1 to reps).flatMap { _ =>
         // Isolate reps/queries from each other's leftovers before
         // starting the clock. Round 3 showed a uniform +0.5-1.2s drift
         // on ~20 small queries as the suite grew; round 5 showed a 7.4x
@@ -74,27 +79,38 @@ object Bench {
         spark.catalog.clearCache()
         System.gc()
         val t0 = System.nanoTime()
-        try q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errReps += 1
+          System.err.println(s"[bench] ${q.name}: $e")
+          None
+        }
       }
-      q.name -> median(times)
+      (q.name, if (times.nonEmpty) median(times) else -1.0, errReps)
     }
-    // The driver captures a bounded 2000-char tail of the output: short
-    // "qNN" keys + millisecond precision keep the whole line inside it
-    // (rounds 2 and 3 both overflowed the window and recorded
-    // parsed=null; full query names live in CORRECTNESS_r*.json).
+    // The driver captures a bounded 2000-char tail of the output, so the
+    // line must stay well inside it (rounds 2 and 3 overflowed and
+    // recorded parsed=null). Per-query times are a positional ARRAY in
+    // registration order (index i ↔ SparkEntry.registry(i).name — the
+    // same order CORRECTNESS lists, minus sorting): at 160 queries the
+    // old `"qNN":t` object format could not fit, the array version stays
+    // under ~1200 chars (EntrySmokeSpec guards the arithmetic). A value
+    // of -1 marks a query whose every rep errored; partially-errored
+    // queries keep their successful-rep median and appear in "errors"
+    // (short name → failed-rep count), which is {} on a clean run.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // per-query values at centisecond precision: the registry passed 117
-    // queries and 3-decimal values pushed the worst-case line past the
-    // 2000-char window (EntrySmokeSpec guards the arithmetic); ambient
-    // drift is ±25%, so 10 ms granularity loses nothing real.
-    def fmtQ(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
-    val qs = results.map { case (k, v) =>
-      s"\"" + k.takeWhile(_ != '_') + "\":" + fmtQ(v)
+    // centisecond per-query precision: ambient drift is ±25%, so 10 ms
+    // granularity loses nothing real and keeps the line short.
+    def fmtQ(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qs = results.map(r => fmtQ(r._2)).mkString("[", ",", "]")
+    val errs = results.filter(_._3 > 0).map { case (n, _, e) =>
+      "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -21,6 +21,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failed queries must be VISIBLE in the artifacts, not silently absent
+    // (round 7 lost 22 broken queries this way: Verify printed to stderr,
+    // wrote nothing, and the driver omitted the rows — CORRECTNESS looked
+    // all-green). Two signals per failure: a 0-row `__verify_error` marker
+    // parquet (the driver's compare then records a failing row — 0 rows
+    // never passes either the oracle or the rows-only check) and an
+    // errors.json with the exception text for humans and scripts/check.py.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
@@ -28,6 +36,15 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) =
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+        try {
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("__verify_error", StringType))))
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -45,6 +62,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(
+        s"[verify] ${errors.size} queries ERRORED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -6,16 +6,16 @@ class EntrySmokeSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
   test("worst-case Bench JSON line fits the driver's 2000-char capture window") {
-    // Rounds 2 and 3 both overflowed the window (parsed=null); short qNN
-    // keys fixed it. Guard the arithmetic as the registry grows: prefix +
-    // shortKey":999.999, per query + suffix must stay under ~1900 chars
-    // (the window also has to fit sbt's trailing [success] line).
-    // per query: "key":999.99, -> quotes(2) + colon(1) + value(<=6) +
-    // comma(1) = key + 10 worst case (centisecond fmtQ since round 7)
-    val perQuery = SparkEntry.registry
-      .map(q => q.name.takeWhile(_ != '_').length + 10).sum
-    val line = 90 + perQuery + 40
-    assert(line < 1900, s"bench line worst case $line chars; shorten keys")
+    // Rounds 2 and 3 both overflowed the window (parsed=null); round 8
+    // switched per-query times to a positional array in registration
+    // order, which removes the per-query key overhead entirely. Guard
+    // the arithmetic as the registry grows: prefix + "999.99," per query
+    // + suffix must stay under ~1425 chars (25% headroom against the
+    // ~1900 usable budget — the window also has to fit sbt's trailing
+    // [success] line). Worst case per query: 6 value digits + comma = 7.
+    val line = 110 + SparkEntry.registry.size * 7 + 40
+    assert(line < 1425, s"bench line worst case $line chars; tighten format")
+    // error keys (rare) still use the short qNN prefix — keep it unique
     val short = SparkEntry.registry.map(_.name.takeWhile(_ != '_'))
     assert(short.distinct.size == short.size, "short qNN keys must stay unique")
   }
