@@ -37,9 +37,16 @@ object Graph {
 
   /** Symmetric co-occurrence edges (src, dst): distinct item pairs that
     * share a group, both directions, self-pairs excluded.
+    *
+    * `distinctPairs = false` skips the cross-group pair dedup (one
+    * ~|pairs|-row shuffle) and emits one row per (group, pair) instead —
+    * correct whenever the consumer dedups anyway, e.g. [[pageRank]]'s
+    * adjacency `collect_set` or [[triangleCounts]]'s canonicalizing
+    * `distinct` (round-8 q131 measurement: the dedup was pure overlap).
     */
-  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
-    val pairs = coOccurrencePairs(df, groupCol, itemCol)
+  def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
+                        distinctPairs: Boolean = true): DataFrame = {
+    val pairs = coOccurrencePairs(df, groupCol, itemCol, distinctPairs)
     pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
   }
 
@@ -48,20 +55,21 @@ object Graph {
     * symmetric form, the natural input for undirected algorithms like
     * [[triangleCounts]].
     */
-  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String): DataFrame = {
+  def coOccurrencePairs(df: DataFrame, groupCol: String, itemCol: String,
+                        distinctPairs: Boolean = true): DataFrame = {
     // ONE map-side-combined groupBy to per-group sorted item sets, then
     // the i<j pairs explode in the projection — the equivalent self-join
     // costs two exchanges plus the join; this costs one exchange and the
     // within-group quadratic work happens on the bounded array.
     val sets = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
       .groupBy("g").agg(array_sort(collect_set(col("i"))).as("s"))
-    sets
+    val exploded = sets
       .select(explode(expr(
         "flatten(transform(s, (x, ix) -> " +
           "transform(slice(s, ix + 2, size(s)), y -> struct(x AS src, y AS dst))))"))
         .as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .distinct()
+    if (distinctPairs) exploded.distinct() else exploded
   }
 
   /** Contribution grid: ROUND(x * 1e10) captured into DECIMAL(38,0) —
@@ -162,42 +170,80 @@ object Graph {
     * row per node — it broadcasts comfortably up to ~10^8 nodes, making
     * each iteration a broadcast hash join with NO sort and leaving the
     * groupBy(dst) exchange as the only per-iteration shuffle. Set false
-    * for web-scale node sets: the join falls back to sort-merge against
-    * the src-clustered pinned edge frame (no edge re-shuffle, but a
+    * for web-scale node sets: the join falls back to sort-merge (a
     * per-iteration sort — the standard giant-graph trade).
+    *
+    * `adjacencyForm` (default true): edge state is pinned as one
+    * (src, adj: array<dst>, outdeg) row per SOURCE — built in a single
+    * map-side-combined groupBy (collect_set dedups (src,dst) for free,
+    * outdeg = array size, so the old repartition + in-partition dedup +
+    * window-sort prep collapses to one exchange with no sort), and each
+    * iteration joins the broadcast rank frame against |sources| rows
+    * instead of |edges| rows before exploding straight into the
+    * aggregation. Round-8 measurement on the q131 co-occurrence graph
+    * (sf0.1, local[4]): 23.1 s → see BENCH_r08 — the per-iteration join
+    * input shrinks ~90×. The trade is per-source adjacency arrays: fine
+    * whenever max out-degree is bounded (co-occurrence, citation,
+    * host-link graphs); for web-scale HUB graphs (a source with 10^7+
+    * out-neighbors makes a pathological array row) set
+    * `adjacencyForm = false` to keep edge state in row form — same
+    * results (GraphSpec pins both paths to the same fixture ranks).
     */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3,
-               broadcastRanks: Boolean = true): DataFrame = {
-    // ONE exchange for the whole edge prep: repartition by src, then
-    // dedup and outdeg both run under that partitioning — the (src,dst)
-    // dropDuplicates needs only (src,dst)-clustering, which hash(src)
-    // already provides, and the outdeg count window needs src-clustering
-    // (no groupBy+re-join). The pinned frame stays HASH-PARTITIONED BY
-    // src, so every iteration's rank join lines up without re-shuffling
-    // the edge stream; the only per-iteration edge-stream exchange left
-    // is the groupBy(dst) aggregation, which is intrinsic.
-    val e = Pin.pin(edges.select(col("src"), col("dst"))
-      .repartition(col("src"))
-      .dropDuplicates("src", "dst")
-      .withColumn("outdeg",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src"))))
-    // nodes derive from the PINNED frame — deriving from e0 would replay
-    // the whole edge build a second time.
-    val nodes = Pin.pin(
-      e.select(col("src").as("id"))
-        .unionAll(e.select(col("dst").as("id"))).distinct())
-    var rank = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
-      val r = if (broadcastRanks) broadcast(rank) else rank
-      val inbound = e.join(r, col("src") === col("id"))
-        .select(col("dst"), (col("rank") / col("outdeg")).as("x"))
-        .groupBy("dst").agg(gsum10(col("x")).as("s"))
-      rank = Pin.pin(nodes
-        .join(inbound, col("id") === col("dst"), "left")
-        .select(col("id"),
-          (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+               broadcastRanks: Boolean = true,
+               adjacencyForm: Boolean = true): DataFrame = {
+    if (adjacencyForm) {
+      val adj = Pin.pin(edges.select(col("src"), col("dst"))
+        .groupBy("src").agg(collect_set(col("dst")).as("adj"))
+        .withColumn("outdeg", size(col("adj")).cast("long")))
+      // nodes derive from the PINNED frame — deriving from the raw edge
+      // stream would replay the whole edge build a second time.
+      val nodes = Pin.pin(
+        adj.select(col("src").as("id"))
+          .unionAll(adj.select(explode(col("adj")).as("id"))).distinct())
+      var rank = nodes.withColumn("rank", lit(1.0))
+      for (_ <- 1 to iters) {
+        val r = if (broadcastRanks) broadcast(rank) else rank
+        val inbound = adj.join(r, col("src") === col("id"))
+          .select(explode(col("adj")).as("dst"),
+            (col("rank") / col("outdeg")).as("x"))
+          .groupBy("dst").agg(gsum10(col("x")).as("s"))
+        rank = Pin.pin(nodes
+          .join(inbound, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+      }
+      rank
+    } else {
+      // Row-form fallback for hub-skewed graphs: ONE exchange for the
+      // whole edge prep — repartition by src, then dedup and outdeg both
+      // run under that partitioning (the (src,dst) dropDuplicates needs
+      // only (src,dst)-clustering, which hash(src) already provides, and
+      // the outdeg count window needs src-clustering). The pinned frame
+      // stays HASH-PARTITIONED BY src; the only per-iteration edge-stream
+      // exchange is the intrinsic groupBy(dst) aggregation.
+      val e = Pin.pin(edges.select(col("src"), col("dst"))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .withColumn("outdeg",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("src"))))
+      val nodes = Pin.pin(
+        e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct())
+      var rank = nodes.withColumn("rank", lit(1.0))
+      for (_ <- 1 to iters) {
+        val r = if (broadcastRanks) broadcast(rank) else rank
+        val inbound = e.join(r, col("src") === col("id"))
+          .select(col("dst"), (col("rank") / col("outdeg")).as("x"))
+          .groupBy("dst").agg(gsum10(col("x")).as("s"))
+        rank = Pin.pin(nodes
+          .join(inbound, col("id") === col("dst"), "left")
+          .select(col("id"),
+            (lit(1.0 - damping) +
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+      }
+      rank
     }
-    rank
   }
 }

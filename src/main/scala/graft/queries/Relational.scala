@@ -799,7 +799,7 @@ object Relational {
         |  FROM n LEFT JOIN i3 ON i3.dst = n.id)
         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
       val edges = graft.graph.Graph.coOccurrenceEdges(
-        lineitem(s, dir), "l_orderkey", "l_partkey")
+        lineitem(s, dir), "l_orderkey", "l_partkey", distinctPairs = false)
       graft.graph.Graph.pageRank(edges, damping = 0.85, iters = 3)
         .orderBy("id")
     },

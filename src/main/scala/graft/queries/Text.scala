@@ -767,38 +767,12 @@ object Text {
     // stream. Oracle replays the full learn chain (q116's generated
     // CTEs, carrying the word through the replaces) plus the same
     // occurrence join.
-    Q("q147_bpe_tokenize", {
-      val k = 6
-      val chain = (1 to k).map { i =>
-        s"""p$i AS MATERIALIZED (SELECT pair, SUM(cnt) AS c FROM (
-          |    SELECT unnest(list_transform(range(len(sp)-1),
-          |        j -> sp[j+1] || '  ' || sp[j+2])) AS pair, cnt
-          |    FROM (SELECT string_split(trim(seq), '  ') AS sp, cnt FROM w${i - 1}))
-          |  GROUP BY pair),
-          |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
-          |w$i AS MATERIALIZED (SELECT word, replace(seq,
-          |    ' ' || (SELECT pair FROM b$i) || ' ',
-          |    ' ' || (SELECT replace(pair, '  ', '') FROM b$i) || ' ') AS seq, cnt
-          |  FROM w${i - 1})""".stripMargin
-      }.mkString(",\n")
-      s"""WITH w0 AS MATERIALIZED (
-        |  SELECT word, '  ' || array_to_string(string_split(word, ''), '  ') || '  ' AS seq, cnt
-        |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-        |      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
-        |    WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word)),
-        |$chain,
-        |seg AS (SELECT word,
-        |    CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS n_toks FROM w$k),
-        |occ AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS word
-        |  FROM documents),
-        |occf AS (SELECT doc_id, word FROM occ WHERE regexp_matches(word, '^[a-z]+$$')),
-        |per AS (SELECT o.doc_id, COUNT(*) AS n_words, SUM(s.n_toks) AS n_bpe_tokens
-        |  FROM occf o JOIN seg s USING (word) GROUP BY 1)
+    Q("q147_bpe_tokenize",
+      s"""WITH ${OracleSql.bpePerDocSql(6)}
         |SELECT d.doc_id, CAST(COALESCE(per.n_words, 0) AS BIGINT) AS n_words,
         |  CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
         |FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = documents(s, dir)
       val vocab = graft.ops.Pin.pin(graft.text.Bpe.wordCounts(docs, "text"))
       val merges = graft.text.Bpe.learnMerges(vocab, "word", "cnt", 6)
@@ -1977,5 +1951,71 @@ object Text {
         .select(col("g").as("lang"), col("v_zero"), col("reg_sum"),
           col("n_exact"), col("est_hll"))
         .orderBy("lang")
+    },
+
+    // ---- composed capstone: BPE-tokenize → pack → shard-route ----
+    // The last unchained segment of the training-data path as ONE
+    // oracle-checked DAG: merges learned from the corpus (q116
+    // protocol), per-doc BPE token totals via the broadcast vocab join
+    // (q147), greedy first-fit packing of those totals into 512-token
+    // sequences in 8 md5-ordered buckets (q110), and a rendezvous-
+    // hashed shard id per packed sequence (q138) — the assignment
+    // `Csv.shardedSink` writes by. The oracle replays the entire chain:
+    // the merge CTEs, the recursive lockstep pack, and the HRW argmax,
+    // so the hash compare certifies the composition end-to-end, not
+    // just the stages in isolation.
+    //
+    // Scale shape is inherited per stage and nothing new crosses a
+    // shuffle: the corpus streams once through the broadcast seg join,
+    // packing exchanges only (doc_id, count, bucket), and the shard id
+    // is a scan projection over the packed frame.
+    Q("q148_tokenize_pack_shard",
+      s"""WITH RECURSIVE ${OracleSql.bpePerDocSql(6)},
+        |pd AS (SELECT dd.doc_id,
+        |    LEAST(CAST(COALESCE(per.n_bpe_tokens, 0) AS BIGINT), 512) AS t,
+        |    dd.doc_id % 8 AS bk, md5(CAST(dd.doc_id AS VARCHAR)) AS h
+        |  FROM (SELECT doc_id FROM documents) dd LEFT JOIN per USING (doc_id)),
+        |o AS (SELECT doc_id, t, bk,
+        |    ROW_NUMBER() OVER (PARTITION BY bk ORDER BY h, doc_id) AS rn FROM pd),
+        |pk AS (
+        |  SELECT bk, rn, doc_id, t, CAST(0 AS BIGINT) AS sq, t AS fill
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT n.bk, n.rn, n.doc_id, n.t,
+        |    CASE WHEN p.fill + n.t > 512 AND p.fill > 0 THEN p.sq + 1 ELSE p.sq END,
+        |    CASE WHEN p.fill + n.t > 512 AND p.fill > 0 THEN n.t ELSE p.fill + n.t END
+        |  FROM pk p JOIN o n ON n.bk = p.bk AND n.rn = p.rn + 1),
+        |fr AS (SELECT bk, sq, SUM(t) AS tot FROM pk GROUP BY 1, 2),
+        |ks AS (SELECT bk, sq,
+        |    CAST(bk AS VARCHAR) || ':' || CAST(sq AS VARCHAR) AS k
+        |  FROM (SELECT DISTINCT bk, sq FROM pk)),
+        |hv AS (SELECT * FROM ${OracleSql.md5Hash64Sql("bk, sq, r",
+               "md5(k || '#shard' || CAST(r AS VARCHAR))",
+               "(SELECT bk, sq, k, i AS r FROM ks, range(16) t(i))", "h2")}),
+        |sh AS (SELECT bk, sq, CAST(arg_max(r, h2) AS BIGINT) AS shard
+        |  FROM hv GROUP BY 1, 2)
+        |SELECT p.bk AS bucket, p.sq AS seq, p.doc_id, p.t AS n_tokens,
+        |  CAST(f.tot AS DOUBLE) / 512.0 AS fill_ratio, sh.shard
+        |FROM pk p
+        |JOIN fr f ON p.bk = f.bk AND p.sq = f.sq
+        |JOIN sh ON p.bk = sh.bk AND p.sq = sh.sq
+        |ORDER BY bucket, seq, doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val vocab = graft.ops.Pin.pin(graft.text.Bpe.wordCounts(docs, "text"))
+      val merges = graft.text.Bpe.learnMerges(vocab, "word", "cnt", 6)
+      val seg = graft.text.Bpe.segment(vocab.select(col("word")), "word", merges)
+        .select(col("word"), size(col("tokens")).cast("long").as("n_toks"))
+      val occ = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val counts = docs.select(col("doc_id"))
+        .join(occ.join(broadcast(seg), "word")
+          .groupBy("doc_id").agg(sum(col("n_toks")).as("n_bpe")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+      Packing.packSequences(counts, "doc_id", "n_bpe", maxLen = 512, buckets = 8)
+        .withColumn("shard", graft.ops.Shard.rendezvous(
+          concat_ws(":", col("bucket"), col("seq")), 16))
+        .orderBy("bucket", "seq", "doc_id")
     })
 }

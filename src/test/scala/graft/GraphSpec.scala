@@ -73,4 +73,15 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(again === base)
   }
+
+  test("pageRank adjacency form and row-form fallback produce identical ranks") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val adjForm = Graph.pageRank(edges, 0.85, 3, adjacencyForm = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rowForm = Graph.pageRank(edges, 0.85, 3, adjacencyForm = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(adjForm === rowForm)
+  }
 }
