@@ -115,4 +115,35 @@ object Splits {
     val (r, _) = withGlobalRowNumberCols(right, rightOrder, "__pos")
     l.join(r, Seq("__pos")).drop("__pos")
   }
+
+  /** Deterministic hash-based split assignment — the standard
+    * train/val/test partition of a training corpus: u =
+    * (md5Hash64(id ++ salt) + 2⁶³) / 2⁶⁴ ∈ [0,1) and the id lands in the
+    * first split whose cumulative fraction exceeds u. Adds `u_unit`
+    * (the unit-interval hash) and `split` (the assigned name).
+    *
+    * Properties a sampling-based split lacks: stable under reruns,
+    * re-partitioning, corpus growth (a document's assignment never
+    * changes when OTHER documents arrive — the property that keeps eval
+    * sets fixed across crawl snapshots), and replayable by any engine
+    * with md5 (the q140/q138 salted-hash family). Pure scan projection:
+    * no shuffle, no state, no count() pre-pass. Cumulative thresholds
+    * are accumulated in IEEE order on the driver and embedded as
+    * literals, so the boundary doubles are engine-identical.
+    */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+                fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val u = (graft.dedup.Dedup.md5Hash64(
+        concat(col(idCol).cast("string"), lit(salt))).cast("double") +
+      lit(9.223372036854776e18)) / lit(1.8446744073709552e19)
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assign = fractions.init.zip(cum.init).foldRight(
+        lit(fractions.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
+    }
+    df.withColumn("u_unit", u).withColumn("split", assign)
+  }
 }

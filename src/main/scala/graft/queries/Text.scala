@@ -2017,5 +2017,155 @@ object Text {
         .withColumn("shard", graft.ops.Shard.rendezvous(
           concat_ws(":", col("bucket"), col("seq")), 16))
         .orderBy("bucket", "seq", "doc_id")
+    },
+
+    // ---- Gopher document-quality rules (Rae et al. 2021 A1.1) ----
+    // The published document-level sibling of q111's C4 line rules:
+    // word-count bounds, mean word length, symbol-to-word ratio,
+    // bullet/ellipsis line ratios, alphabetic-word share, stop-word
+    // presence. Scan-projection only. The fixture union plants one
+    // violation per rule (q111's pattern — synthetic corpus docs are
+    // single-line and can't exercise the line-ratio branches): a
+    // keeper, a too-short doc, a long-word doc, a hash-symbol doc, a
+    // bullet page, an ellipsis page, a numeric page, a stopword-free
+    // page. Every ratio is ONE double division over engine-identical
+    // integers, so the keep flag replays bit-for-bit.
+    Q("q149_gopher_filter",
+      """WITH aug AS (SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (9300001, 'the quick brown fox jumps over a lazy dog of june and that nearby have with style ' || repeat('plain word filler text goes here ', 6)),
+        |    (9300002, 'just ten small words live inside this tiny doc here'),
+        |    (9300003, repeat('incomprehensibilities ', 48) || 'of the and that have with'),
+        |    (9300004, 'the of and that have with ' || repeat('tag#one ', 46)),
+        |    (9300005, repeat('- item the of and filler words here' || chr(10), 10)),
+        |    (9300006, repeat('a plain line with the of and words' || chr(10), 6) ||
+        |       repeat('this line trails off with and the...' || chr(10), 4)),
+        |    (9300007, 'the of and that have with ' || repeat('12345 ', 46)),
+        |    (9300008, repeat('plain filler words appear here again ', 9))) v(doc_id, text)),
+        |t AS (SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS tk,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM aug),
+        |m AS (SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+        |      / len(tk) AS mean_word_len,
+        |    CAST((length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+        |      / len(tk) AS symbol_ratio,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE)
+        |      / len(ls) AS bullet_ratio,
+        |    CAST(len(list_filter(ls, l -> regexp_matches(trim(l), '\.\.\.$'))) AS DOUBLE)
+        |      / len(ls) AS ellipsis_ratio,
+        |    CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE)
+        |      / len(tk) AS alpha_ratio,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |        s -> list_contains(tk, s))) AS BIGINT) AS n_stopwords
+        |  FROM t)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+        |  ellipsis_ratio, alpha_ratio, n_stopwords,
+        |  (n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1
+        |    AND bullet_ratio <= 0.9
+        |    AND ellipsis_ratio <= 0.3
+        |    AND alpha_ratio >= 0.8
+        |    AND n_stopwords >= 2) AS keep_doc
+        |FROM m ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val extra = Seq(
+        (9300001L, "the quick brown fox jumps over a lazy dog of june and that nearby have with style " +
+          "plain word filler text goes here " * 6),
+        (9300002L, "just ten small words live inside this tiny doc here"),
+        (9300003L, "incomprehensibilities " * 48 + "of the and that have with"),
+        (9300004L, "the of and that have with " + "tag#one " * 46),
+        (9300005L, "- item the of and filler words here\n" * 10),
+        (9300006L, "a plain line with the of and words\n" * 6 +
+          "this line trails off with and the...\n" * 4),
+        (9300007L, "the of and that have with " + "12345 " * 46),
+        (9300008L, "plain filler words appear here again " * 9)).toDF("doc_id", "text")
+      val aug = documents(s, dir).select(col("doc_id"), col("text")).unionByName(extra)
+      TextOps.gopherQuality(aug, "doc_id", "text").orderBy("doc_id")
+    },
+
+    // ---- deterministic hash-based train/val/test split ----
+    // The standard corpus partition: u = (md5Hash64(id ++ '#split') +
+    // 2^63) / 2^64 in [0,1), first-cumulative-threshold assignment at
+    // 0.8 / 0.1 / 0.1. Stable under reruns, repartitioning, AND corpus
+    // growth (an id's split never changes when other docs arrive — what
+    // keeps eval sets fixed across crawl snapshots); a pure scan
+    // projection, vs. sampling-based splits that need a count or a seed
+    // contract. The 0.9000000000000001 threshold literal IS the IEEE
+    // sum 0.8 + 0.1 — the driver accumulates in IEEE order and the
+    // oracle embeds the identical double, so boundary ids agree.
+    Q("q150_hash_split",
+      s"""WITH hv AS (SELECT * FROM ${OracleSql.md5Hash64Sql("doc_id",
+             "md5(CAST(doc_id AS VARCHAR) || '#split')", "documents", "h")}),
+        |u AS (SELECT doc_id,
+        |    (CAST(h AS DOUBLE) + CAST(9223372036854775808.0 AS DOUBLE))
+        |      / CAST(18446744073709551616.0 AS DOUBLE) AS u_unit
+        |  FROM hv)
+        |SELECT doc_id, u_unit,
+        |  CASE WHEN u_unit < CAST(0.8 AS DOUBLE) THEN 'train'
+        |       WHEN u_unit < CAST(0.9000000000000001 AS DOUBLE) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.Splits.hashSplit(
+          documents(s, dir).select("doc_id"), "doc_id", "#split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    },
+
+    // ---- WebDataset-style tar shard assembly (ustar, own-spec) ----
+    // The on-disk shard format multimodal training corpora actually use:
+    // each bucket's docs stream once through a mapPartitions that builds
+    // the POSIX ustar bytes (sources/Tar.scala — fixed mode/uid/mtime,
+    // so shard bytes are a pure function of the entry sequence) and then
+    // RE-PARSES its own output; the emitted rows (name, payload byte
+    // offset, size, payload md5) come from the PARSED bytes, so the
+    // hash compare certifies writer ∘ parser against the byte-level
+    // spec. The oracle replays offsets as a plain window cumsum —
+    // off_i = 512 + Σ_{j<i}(512 header + payload padded to 512) — which
+    // only matches if every header is exactly one block and every pad
+    // is exact. Buckets are the parallel unit (Packing's pattern):
+    // shard size is bounded by bucketing, never by corpus size.
+    Q("q151_tar_shards",
+      """WITH e AS (SELECT doc_id, doc_id % 4 AS bucket,
+        |    printf('%012d', doc_id) || '.txt' AS name,
+        |    octet_length(encode(text)) AS sz, md5(text) AS payload_md5
+        |  FROM documents)
+        |SELECT bucket, name,
+        |  CAST(512 + COALESCE(SUM(512 + ((sz + 511) // 512) * 512)
+        |      OVER (PARTITION BY bucket ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_off,
+        |  CAST(sz AS BIGINT) AS n_bytes,
+        |  payload_md5
+        |FROM e ORDER BY bucket, name""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val prepped = documents(s, dir).select(
+        pmod(col("doc_id"), lit(4L)).as("bucket"),
+        format_string("%012d.txt", col("doc_id")).as("name"),
+        col("text"))
+      prepped.repartition(4, col("bucket"))
+        .sortWithinPartitions("bucket", "name")
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          // a hash partition may hold several buckets; entries arrive
+          // bucket-contiguous and name-sorted, one shard per bucket
+          it.toSeq.groupBy(_._1).toSeq.sortBy(_._1).iterator.flatMap {
+            case (b, es) =>
+              val tar = graft.sources.Tar.write(
+                es.iterator.map { case (_, n, t) =>
+                  (n, t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                })
+              graft.sources.Tar.parse(tar).map { e =>
+                val hex = java.security.MessageDigest.getInstance("MD5")
+                  .digest(e.payload).map(x => f"$x%02x").mkString
+                (b, e.name, e.offset, e.size, hex)
+              }
+          }
+        }
+        .toDF("bucket", "name", "byte_off", "n_bytes", "payload_md5")
+        .orderBy("bucket", "name")
     })
 }

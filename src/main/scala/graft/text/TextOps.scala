@@ -109,6 +109,62 @@ object TextOps {
       md5(array_join(kept, "\n")).as("cleaned_fp"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", appendix A1.1
+    * — the published document-level repetition-free heuristics, the
+    * sibling of [[c4Clean]]'s line-level rules): keep a document iff
+    *   1. 50 ≤ word count ≤ 100,000;
+    *   2. 3 ≤ mean word length ≤ 10;
+    *   3. symbol-to-word ratio ('#' and '…' as "...") ≤ 0.1;
+    *   4. ≤ 90% of lines start with a bullet;
+    *   5. ≤ 30% of lines end with an ellipsis;
+    *   6. ≥ 80% of words contain an alphabetic character;
+    *   7. ≥ 2 distinct stop words from {the, be, to, of, and, that,
+    *      have, with} appear.
+    * Pure scan-projection column math (split + HOF filter/aggregate,
+    * codegen'd, no shuffle) like the other quality filters — at 100 TB
+    * this runs inside the parquet scan. Every emitted ratio is ONE
+    * IEEE double division over engine-identical integers, so the raw
+    * doubles and the keep flag replay bit-for-bit in a second engine.
+    */
+  def gopherQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val meanLen = meanTokenLen(t)
+    val nHash = (length(t) - length(expr(s"replace($textCol, '#', '')"))).cast("long")
+    val nEllip = ((length(t) -
+      length(expr(s"replace($textCol, '...', '')"))) / 3).cast("long")
+    val symbolRatio = (nHash + nEllip).cast("double") / nWords.cast("double")
+    val lines = split(t, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+      .cast("double") / nLines.cast("double")
+    val ellipsisRatio = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+      .cast("double") / nLines.cast("double")
+    val alphaRatio = size(filter(toks, w => w.rlike("[a-z]")))
+      .cast("double") / nWords.cast("double")
+    val stopArr = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    val nStops = size(filter(stopArr, s => array_contains(toks, s))).cast("long")
+    df.select(col(idCol),
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"),
+      bulletRatio.as("bullet_ratio"),
+      ellipsisRatio.as("ellipsis_ratio"),
+      alphaRatio.as("alpha_ratio"),
+      nStops.as("n_stopwords"),
+      (nWords.between(50L, 100000L) &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symbolRatio <= 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        nStops >= 2L).as("keep_doc"))
+  }
+
   /** Marker stopwords per language for the n-gram/marker language-ID
     * heuristic. Public wordlist-style markers only.
     */

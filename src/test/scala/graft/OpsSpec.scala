@@ -117,6 +117,31 @@ class OpsSpec extends AnyFunSuite {
     assert(sp === 17)
   }
 
+  test("hashSplit: deterministic, growth-stable, roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Splits.hashSplit(df, "id", "#s", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every id assigned exactly once to a declared split
+    assert(a.size === 2000 && a.values.toSet === Set("train", "val", "test"))
+    // rerun + repartition: identical assignment
+    val b = Splits.hashSplit(df.repartition(7), "id", "#s", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(b === a)
+    // corpus growth: the original ids keep their assignment
+    val grown = Splits.hashSplit((1L to 4000L).toDF("id"), "id", "#s", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+    // proportions within 3 sigma of the md5-uniform expectation
+    val n = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 1600) < 3 * math.sqrt(2000 * 0.8 * 0.2))
+    assert(math.abs(n("val") - 200) < 3 * math.sqrt(2000 * 0.1 * 0.9))
+    // a different salt reshuffles assignments
+    val c = Splits.hashSplit(df, "id", "#other", fr)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(c !== a)
+  }
+
   test("unionAligned pads missing columns with nulls (T2: ETL.py:38-54)") {
     val a = Seq((1, "x")).toDF("id", "only_a")
     val b = Seq((2, 9.9)).toDF("id", "only_b")

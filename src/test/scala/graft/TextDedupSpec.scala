@@ -186,6 +186,34 @@ class TextDedupSpec extends AnyFunSuite {
       (4L, 1L, 1L, false))) // fewer than 3 surviving lines
   }
 
+  test("gopherQuality: each rule flips keep_doc on its planted violation") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog of june and that nearby have with style " +
+        "plain word filler text goes here " * 6),         // keeper
+      (2L, "just ten small words live inside this tiny doc here"),      // too short
+      (3L, "incomprehensibilities " * 48 + "of the and that have with"), // mean len > 10
+      (4L, "the of and that have with " + "tag#one " * 46),             // symbol ratio
+      (5L, "- item the of and filler words here\n" * 10),               // bullet lines
+      (6L, "a plain line with the of and words\n" * 6 +
+        "this line trails off with and the...\n" * 4),                  // ellipsis lines
+      (7L, "the of and that have with " + "12345 " * 46),               // alpha ratio
+      (8L, "plain filler words appear here again " * 9)                 // no stopwords
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherQuality(df, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(8)).toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false, 4L -> false,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false))
+    // and the per-rule metric that fails is the intended one
+    val rows = TextOps.gopherQuality(df, "doc_id", "text").orderBy("doc_id").collect()
+    assert(rows(1).getLong(1) < 50L)                      // n_words
+    assert(rows(2).getDouble(2) > 10.0)                   // mean_word_len
+    assert(rows(3).getDouble(3) > 0.1)                    // symbol_ratio
+    assert(rows(4).getDouble(4) > 0.9)                    // bullet_ratio
+    assert(rows(5).getDouble(5) > 0.3)                    // ellipsis_ratio
+    assert(rows(6).getDouble(6) < 0.8)                    // alpha_ratio
+    assert(rows(7).getLong(7) < 2L)                       // n_stopwords
+  }
+
   test("exact dedup groups and keeps min id per canonical text") {
     val df = Seq(
       (1L, "Hello   World"), (2L, "hello world"), (3L, "unique one"),
