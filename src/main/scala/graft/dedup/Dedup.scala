@@ -220,15 +220,26 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Cross-engine reproducible 64-bit hash: the first 16 hex chars of md5,
-    * assembled as a signed long (two's complement — shiftleft wraps, which
-    * bitwise ops are allowed to do under ANSI). Any engine with md5 can
+  /** Cross-engine reproducible 64-bit hash: the first 8 md5 digest bytes
+    * as a signed long (two's complement). Any engine with md5 can
     * replicate it bit-for-bit (the DuckDB oracle assembles the same value
-    * via HUGEINT arithmetic); xxhash64 is Spark-only. ~4× slower than
+    * via HUGEINT arithmetic); xxhash64 is Spark-only. Slower than
     * xxhash64 — use for oracle-checked paths, keep xxhash64 in production
-    * hot paths.
+    * hot paths. Since round 8 this is the native codegen'd
+    * [[graft.functions.Md5Hash64]] (digest bytes straight to long, no
+    * hex-string round-trip); [[md5Hash64Ref]] keeps the declarative
+    * composition as the portable reference, pinned equal by DedupSpec.
     */
-  def md5Hash64(c: Column): Column = {
+  def md5Hash64(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.Md5Hash64(
+        org.apache.spark.sql.graft.Bridge.expression(c.cast("binary"))))
+
+  /** Declarative reference form of [[md5Hash64]]: first 16 hex chars of
+    * md5 assembled via conv + shiftleft (shiftleft wraps, which bitwise
+    * ops are allowed to do under ANSI) — same values bit-for-bit.
+    */
+  def md5Hash64Ref(c: Column): Column = {
     val hex = md5(c.cast("binary"))
     val hi = conv(substring(hex, 1, 8), 16, 10).cast("long")
     val lo = conv(substring(hex, 9, 8), 16, 10).cast("long")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.ExactDotProduct
+import graft.functions.{ExactDotProduct, Md5Hash64}
 
 /** Session extensions registering the engine's native expressions with
   * the SQL function registry, so `spark.sql("SELECT exact_dot(a, b)")`
@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "exact_dot(arrayA, arrayB)")
         ExactDotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("md5hash64"),
+      new ExpressionInfo(classOf[Md5Hash64].getName, "md5hash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "md5hash64(binary)")
+        Md5Hash64(children.head)
       }))
   }
 }

@@ -186,6 +186,22 @@ class TextDedupSpec extends AnyFunSuite {
       (4L, 1L, 1L, false))) // fewer than 3 surviving lines
   }
 
+  test("native Md5Hash64 expression ≡ declarative hex composition") {
+    val rnd = new scala.util.Random(23)
+    val strs = (1 to 500).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) :+
+      "" :+ "exact" :+ "é世界" // empty, ascii, multi-byte UTF-8
+    val df = strs.toDF("s")
+    val rows = df.select(
+        Dedup.md5Hash64(col("s")).as("fast"),
+        Dedup.md5Hash64Ref(col("s")).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // and the interpreted (non-codegen) path agrees too
+    val interp = df.selectExpr("s").filter(
+      Dedup.md5Hash64(col("s")) =!= Dedup.md5Hash64Ref(col("s"))).count()
+    assert(interp === 0L)
+  }
+
   test("gopherQuality: each rule flips keep_doc on its planted violation") {
     val df = Seq(
       (1L, "the quick brown fox jumps over a lazy dog of june and that nearby have with style " +
@@ -522,6 +538,15 @@ class ExactDotSpec extends org.scalatest.funsuite.AnyFunSuite {
     val r = spark.sql("SELECT exact_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
       "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))").head().getDouble(0)
     assert(r === 4.0)
+  }
+
+  test("md5hash64 is SQL-registered through GraftExtensions") {
+    val viaSql = spark.sql(
+      "SELECT md5hash64(CAST('exact' AS BINARY))").head().getLong(0)
+    val viaColumn = spark.sql("SELECT 'exact' AS s")
+      .select(graft.dedup.Dedup.md5Hash64(org.apache.spark.sql.functions.col("s")))
+      .head().getLong(0)
+    assert(viaSql === viaColumn)
   }
 }
 
