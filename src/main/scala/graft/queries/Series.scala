@@ -545,6 +545,39 @@ object Series {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"),
           sum(col("u_n")).as("sum_un"))
         .orderBy("event_type")
+    },
+
+    // ---- GLOBAL two-wave ffill/bfill (W4), oracle ----
+    // The unbounded global fill that an empty-partition window would
+    // funnel through ONE task, run instead as Fills.globalFill's
+    // two-wave scan (range-partition + per-partition carry-outs + a
+    // driver prefix scan + a narrow broadcast-carry fill — every wave
+    // parallel). The oracle replays it as the single-window IGNORE
+    // NULLS form, so the hash compare proves the distributed carry
+    // protocol equals the semantic definition on real data. Values are
+    // raw parquet doubles carried verbatim — no arithmetic, exact.
+    Q("q152_global_fill",
+      """WITH e AS (SELECT event_id,
+        |    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        |  FROM events)
+        |SELECT event_id,
+        |  last_value(v IGNORE NULLS) OVER (ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill,
+        |  first_value(v IGNORE NULLS) OVER (ORDER BY event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_bfill
+        |FROM e ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val e = events(s, dir).select(
+        col("event_id"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v_ffill"),
+        when(col("event_type") === "error", lit(null).cast("double"))
+          .otherwise(col("value")).as("v_bfill"))
+      val ff = graft.ops.Fills.globalFill(
+        e, Seq("v_ffill"), Seq(col("event_id")), backward = false)
+      graft.ops.Fills.globalFill(
+          ff, Seq("v_bfill"), Seq(col("event_id")), backward = true)
+        .select("event_id", "v_ffill", "v_bfill")
+        .orderBy("event_id")
     }
   )
 }
