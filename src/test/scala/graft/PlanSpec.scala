@@ -46,6 +46,23 @@ class PlanSpec extends AnyFunSuite {
       s"gram shuffle crept back into:\n$p")
   }
 
+  test("Gopher filter runs shuffle-free inside the scan projection (q149)") {
+    val p = plan("q149_gopher_filter")
+    // all seven rules are HOF column math over the scanned text — a hash
+    // exchange would mean a rule regressed to an explode+groupBy
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"token/line shuffle crept into the Gopher rules:\n$p")
+  }
+
+  test("hash split is a pure scan projection (q150)") {
+    val p = plan("q150_hash_split")
+    // assignment must need no count() pre-pass, no window, no exchange
+    // beyond the final ORDER BY's range partition
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash split stopped being a scan projection:\n$p")
+    assert(!p.contains("Window"), s"window crept into hash split:\n$p")
+  }
+
   test("global fill plans no unpartitioned window (W4 via globalFill)") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
