@@ -67,6 +67,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Gopher filter + hash split run unchanged on an unbounded stream") {
+    // both are stateless scan projections (PlanSpec guards the batch
+    // shape) — the SAME calls must plan incrementally and agree with
+    // batch row for row, which is what lets the ingest path score and
+    // route documents as they arrive rather than in a rescan.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.TextOps
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog of june and that nearby have with style " +
+        "plain word filler text goes here " * 6),
+      (2L, "just ten small words live inside this tiny doc here"),
+      (3L, "plain filler words appear here again " * 9))
+    def route(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Splits.hashSplit(
+        TextOps.gopherQuality(df, "doc_id", "text"), "doc_id", "#s",
+        Seq("train" -> 0.9, "test" -> 0.1))
+    val input = MemoryStream[(Long, String)]
+    val q = route(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_stream").orderBy("doc_id").collect()
+      val batch = route(docs.toDF("doc_id", "text")).orderBy("doc_id").collect()
+      assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+      assert(streamed(0).getAs[Boolean]("keep_doc"))
+      assert(!streamed(1).getAs[Boolean]("keep_doc"))
+    } finally q.stop()
+  }
+
   test("real codec scan layer runs unchanged on an unbounded stream") {
     // the codec paths are stateless mapPartitions batches — the SAME
     // call must plan incrementally on a stream and agree with batch.
