@@ -46,6 +46,17 @@ class PlanSpec extends AnyFunSuite {
       s"gram shuffle crept back into:\n$p")
   }
 
+  test("tokenize-pack-shard capstone never ships text through a shuffle (q148)") {
+    val p = plan("q148_tokenize_pack_shard")
+    // the corpus streams once through the broadcast vocab join; the only
+    // hash exchanges carry (doc_id, counts, bucket) — a text column in
+    // any exchange means a stage regressed to shuffling the corpus
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"vocab join stopped broadcasting in:\n$p")
+    assert(!"Exchange (hash|range)partitioning[^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text entered a shuffle in:\n$p")
+  }
+
   test("Gopher filter runs shuffle-free inside the scan projection (q149)") {
     val p = plan("q149_gopher_filter")
     // all seven rules are HOF column math over the scanned text — a hash

@@ -55,6 +55,19 @@ class TarSpec extends AnyFunSuite {
     assert(h(154) === 0.toByte && h(155) === ' '.toByte)
   }
 
+  test("round-trip holds for randomized entry sequences") {
+    val rnd = new scala.util.Random(5)
+    (1 to 25).foreach { _ =>
+      val entries = (1 to rnd.nextInt(10) + 1).map { i =>
+        val payload = Array.fill[Byte](rnd.nextInt(2000))(rnd.nextInt().toByte)
+        (f"member_$i%03d.bin", payload)
+      }
+      val parsed = Tar.parse(Tar.write(entries.iterator))
+      assert(parsed.map(e => (e.name, e.payload.toSeq)) ===
+        entries.map { case (n, p) => (n, p.toSeq) })
+    }
+  }
+
   test("writer rejects over-long names and parser stops at the end marker") {
     intercept[IllegalArgumentException](Tar.header("x" * 100, 1L))
     val tar = Tar.write(Iterator(("one.txt", bytes("abc"))))
