@@ -40,6 +40,35 @@ object Text {
                            out: String): String =
     OracleSql.md5Hash64Sql(keys, hexExpr, from, out)
 
+  /** BM25 oracle CTE chain (q119/q153): `tk` (filtered tokens) → `d`
+    * (per-doc length + per-term tf) → `st` (corpus stats) → `sc`
+    * (per-doc fixed-association score). Returns the CTE list WITHOUT
+    * the `WITH` keyword; callers append their ranking select.
+    */
+  private def bm25CoreSql(terms: Seq[String]): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n    ")
+    val dfAggs = terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
+    def comp(t: String) =
+      s"""((CAST(n - df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
+         | * (CAST(tf_$t AS DOUBLE) * ${1.2 + 1}) / (CAST(tf_$t AS DOUBLE)
+         | + ${1.2} * (${1 - 0.75} + ${0.75} * (CAST(dl AS DOUBLE)
+         | / (CAST(sumdl AS DOUBLE) / n))))""".stripMargin.replaceAll("\n\\s*\\|?", " ")
+    val score = terms.map(comp).reduceLeft((a, b) => s"($a + $b)")
+    s"""tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\\s+'),
+      |                x -> regexp_matches(x, '^[a-z]+$$')) AS toks
+      |  FROM documents),
+      |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+      |    $tfCols
+      |  FROM tk),
+      |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfAggs FROM d),
+      |sc AS (SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")},
+      |    $score AS score
+      |  FROM d CROSS JOIN st)""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ---- per-document token statistics (scan-projection only) ----
@@ -886,27 +915,7 @@ object Text {
     // one-row stats CTE and a window rank.
     Q("q119_bm25_search", {
       val terms = Seq("hash", "join", "vector")
-      val tfCols = terms.map(t =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n        |    ")
-      val dfAggs = terms.map(t =>
-        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(", ")
-      def comp(t: String) =
-        s"""((CAST(n - df_$t AS DOUBLE) + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5))
-           | * (CAST(tf_$t AS DOUBLE) * ${1.2 + 1}) / (CAST(tf_$t AS DOUBLE)
-           | + ${1.2} * (${1 - 0.75} + ${0.75} * (CAST(dl AS DOUBLE)
-           | / (CAST(sumdl AS DOUBLE) / n))))""".stripMargin.replaceAll("\n\\s*\\|?", " ")
-      val score = terms.map(comp).reduceLeft((a, b) => s"($a + $b)")
-      s"""WITH tk AS (SELECT doc_id,
-        |    list_filter(string_split_regex(lower(text), '\\s+'),
-        |                x -> regexp_matches(x, '^[a-z]+$$')) AS toks
-        |  FROM documents),
-        |d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-        |    $tfCols
-        |  FROM tk),
-        |st AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl, $dfAggs FROM d),
-        |sc AS (SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")},
-        |    $score AS score
-        |  FROM d CROSS JOIN st)
+      s"""WITH ${bm25CoreSql(terms)}
         |SELECT doc_id, dl, ${terms.map("tf_" + _).mkString(", ")}, score,
         |  CAST(rn AS BIGINT) AS rank
         |FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
@@ -2167,5 +2176,62 @@ object Text {
         }
         .toDF("bucket", "name", "byte_off", "n_bytes", "payload_md5")
         .orderBy("bucket", "name")
+    },
+
+    // ---- reciprocal-rank fusion of lexical + dense retrieval ----
+    // The standard hybrid-retrieval combiner (Cormack, Clarke &
+    // Büttcher SIGIR 2009): rrf(d) = Σ_lists 1/(60 + rank_list(d))
+    // over the BM25 top-50 (q119's ranker) and the exact-cosine top-50
+    // for a pinned query embedding (q41's ranker, vec_id 0 — doc_id ≡
+    // vec_id in the testdata). Only RANKS enter the fusion, so the
+    // cross-engine double story is two exact divisions and one
+    // addition; both rankers are already certified individually and
+    // the oracle replays the whole composition. The fusion itself is a
+    // full outer join of two ≤50-row lists — bounded, broadcastable,
+    // nothing corpus-sized past the rankers' own two-stage top-k.
+    Q("q153_rrf_fusion", {
+      val terms = Seq("hash", "join", "vector")
+      s"""WITH ${bm25CoreSql(terms)},
+        |lex AS (SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+        |  WHERE rn <= 50),
+        |qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+        |cv AS (SELECT vec_id AS doc_id, embedding AS v FROM embeddings),
+        |scored AS (SELECT doc_id,
+        |    ${dotSql("q", "v")}
+        |    / (SQRT(${dotSql("q", "q")}) * SQRT(${dotSql("v", "v")})) AS cosine
+        |  FROM cv CROSS JOIN qv WHERE doc_id <> 0),
+        |dense AS (SELECT doc_id, CAST(rn AS BIGINT) AS dense_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rn FROM scored)
+        |  WHERE rn <= 50),
+        |f AS (SELECT doc_id, l.lex_rank, de.dense_rank,
+        |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(l.lex_rank AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE))
+        |    + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(de.dense_rank AS DOUBLE)),
+        |      CAST(0.0 AS DOUBLE)) AS rrf
+        |  FROM lex l FULL JOIN dense de USING (doc_id))
+        |SELECT doc_id, lex_rank, dense_rank, rrf, CAST(rn AS BIGINT) AS fused_rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f)
+        |WHERE rn <= 20 ORDER BY fused_rank""".stripMargin
+    }) { (s, dir) =>
+      val lex = graft.text.Retrieval.bm25(documents(s, dir), "doc_id", "text",
+          Seq("hash", "join", "vector"), topK = 50)
+        .select(col("doc_id"), col("rank").as("lex_rank"))
+      val emb = embeddings(s, dir)
+      val dense = Similarity.cosineTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", 50)
+        .select(col("neighbor_id").as("doc_id"), col("rnk").as("dense_rank"))
+      val fused = lex.join(dense, Seq("doc_id"), "full")
+        .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("lex_rank").cast("double")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("dense_rank").cast("double")), lit(0.0)))
+            .as("rrf"))
+      // the fused frame is <= 100 rows (two top-50 lists) — the global
+      // window is bounded by construction, not by the corpus
+      fused.withColumn("fused_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("fused_rank") <= 20)
+        .orderBy("fused_rank")
     })
 }
