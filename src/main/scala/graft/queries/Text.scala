@@ -40,6 +40,49 @@ object Text {
                            out: String): String =
     OracleSql.md5Hash64Sql(keys, hexExpr, from, out)
 
+  /** MinHash→LSH→verify→transitive-closure oracle CTE chain
+    * (q102/q154): shingles → md5-64 hashes → 16-hash signatures → 4
+    * banded keys → candidate pairs → exact-Jaccard verify at 0.5 →
+    * symmetric edges → recursive closure → `comp(id, group_id)`.
+    * Callers prepend `WITH RECURSIVE` and append their select.
+    */
+  private lazy val minhashGroupsSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+      |shl AS (
+      |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+      |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+      |    ELSE [array_to_string(t, ' ')] END AS shs
+      |  FROM toks WHERE t IS NOT NULL),
+      |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
+      |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
+      |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
+      |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
+      |  FROM hv CROSS JOIN cs GROUP BY 1, 2),
+      |bnd AS (SELECT doc_id, CAST(FLOOR(i / 4) AS BIGINT) AS band,
+      |    array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',') AS key
+      |  FROM sig GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+      |cid AS (SELECT DISTINCT id FROM
+      |  (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand)),
+      |shc AS (SELECT doc_id, s FROM sh JOIN cid ON cid.id = sh.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY 1),
+      |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      |  FROM cand c JOIN shc a ON a.doc_id = c.id_a
+      |  JOIN shc b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
+      |dups AS (SELECT m.id_a, m.id_b
+      |  FROM common m JOIN sizes sa ON sa.doc_id = m.id_a
+      |  JOIN sizes sb ON sb.doc_id = m.id_b
+      |  WHERE CAST(m.n_common AS DOUBLE) / (sa.nsh + sb.nsh - m.n_common) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM dups
+      |  UNION ALL SELECT id_b, id_a FROM dups),
+      |reach(id, lbl) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+      |comp AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)""".stripMargin
+
   /** BM25 oracle CTE chain (q119/q153): `tk` (filtered tokens) → `d`
     * (per-doc length + per-term tf) → `st` (corpus stats) → `sc`
     * (per-doc fixed-association score). Returns the CTE list WITHOUT
@@ -1030,41 +1073,7 @@ object Text {
     // identical pair CTE chain and closes components with a recursive
     // transitive-closure CTE — exact group membership, hash-checked.
     Q("q102_dup_groups",
-      s"""WITH RECURSIVE toks AS (
-        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
-        |shl AS (
-        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
-        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
-        |    ELSE [array_to_string(t, ' ')] END AS shs
-        |  FROM toks WHERE t IS NOT NULL),
-        |sh AS (SELECT doc_id, unnest(shs) AS s FROM shl),
-        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
-        |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
-        |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
-        |  FROM hv CROSS JOIN cs GROUP BY 1, 2),
-        |bnd AS (SELECT doc_id, CAST(FLOOR(i / 4) AS BIGINT) AS band,
-        |    array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',') AS key
-        |  FROM sig GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-        |cid AS (SELECT DISTINCT id FROM
-        |  (SELECT id_a AS id FROM cand UNION ALL SELECT id_b FROM cand)),
-        |shc AS (SELECT doc_id, s FROM sh JOIN cid ON cid.id = sh.doc_id),
-        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM shc GROUP BY 1),
-        |common AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_common
-        |  FROM cand c JOIN shc a ON a.doc_id = c.id_a
-        |  JOIN shc b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2),
-        |dups AS (SELECT m.id_a, m.id_b
-        |  FROM common m JOIN sizes sa ON sa.doc_id = m.id_a
-        |  JOIN sizes sb ON sb.doc_id = m.id_b
-        |  WHERE CAST(m.n_common AS DOUBLE) / (sa.nsh + sb.nsh - m.n_common) >= 0.5),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM dups
-        |  UNION ALL SELECT id_b, id_a FROM dups),
-        |reach(id, lbl) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+      s"""WITH RECURSIVE $minhashGroupsSql
         |SELECT group_id, id AS doc_id,
         |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
         |FROM comp ORDER BY group_id, doc_id""".stripMargin) { (s, dir) =>
@@ -2233,5 +2242,52 @@ object Text {
             .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
         .filter(col("fused_rank") <= 20)
         .orderBy("fused_rank")
+    },
+
+    // ---- near-dup keep-best: fuzzy-dedup's ending (q102 ∘ q38) ----
+    // q112 keeps the best doc per EXACT-duplicate group; this is the
+    // same policy over NEAR-dup components — the step a real curation
+    // pipeline runs after LSH grouping: within each transitive MinHash
+    // component, keep the argmax-quality member (tie → smaller id).
+    // Everything shuffled is (group_id, doc_id, quality); the oracle
+    // replays the full grouping chain (minhashGroupsSql, q102's CTEs
+    // verbatim) plus q38's quality expression and the same keeper
+    // window — certifying the composition end-to-end.
+    Q("q154_neardup_keep_best",
+      s"""WITH RECURSIVE $minhashGroupsSql,
+        |q AS (SELECT doc_id,
+        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+        |    + least(CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+        |        THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |               x -> list_contains($stopsSql, x))) AS DOUBLE)
+        |             / len(string_split_regex(trim(lower(text)), '\\s+'))
+        |        ELSE 0.0 END * 5.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+        |        THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+        |        ELSE 0.0 END) * 4.0) * 0.3 AS quality
+        |  FROM documents),
+        |m AS (SELECT comp.group_id, comp.id AS doc_id, q.quality
+        |  FROM comp JOIN q ON q.doc_id = comp.id)
+        |SELECT group_id, doc_id, quality,
+        |  first_value(doc_id) OVER (PARTITION BY group_id
+        |    ORDER BY quality DESC, doc_id) AS keep_id,
+        |  doc_id = first_value(doc_id) OVER (PARTITION BY group_id
+        |    ORDER BY quality DESC, doc_id) AS kept
+        |FROM m ORDER BY group_id, doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val groups = Dedup.dupGroups(pairs)
+        .select(col("group_id"), col("id").as("doc_id"))
+      val quality = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text"), stops).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group_id").orderBy(col("quality").desc, col("doc_id"))
+      groups.join(quality, "doc_id")
+        .withColumn("keep_id", first(col("doc_id")).over(w))
+        .withColumn("kept", col("doc_id") === col("keep_id"))
+        .select("group_id", "doc_id", "quality", "keep_id", "kept")
+        .orderBy("group_id", "doc_id")
     })
 }
