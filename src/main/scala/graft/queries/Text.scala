@@ -2278,10 +2278,15 @@ object Text {
       val pairs = Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
         nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
         .select("id_a", "id_b")
-      val groups = Dedup.dupGroups(pairs)
-        .select(col("group_id"), col("id").as("doc_id"))
-      val quality = docs.select(col("doc_id"),
-        TextOps.qualityScore(col("text"), stops).as("quality"))
+      val groups = graft.ops.Pin.pin(Dedup.dupGroups(pairs)
+        .select(col("group_id"), col("id").as("doc_id")))
+      // score ONLY group members: the member-id set is bounded by the
+      // dup-group population (tiny next to the corpus), so a broadcast
+      // semi-join prunes the quality scan instead of scoring every doc
+      val quality = docs
+        .join(broadcast(groups.select("doc_id")), Seq("doc_id"), "leftsemi")
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text"), stops).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("group_id").orderBy(col("quality").desc, col("doc_id"))
       groups.join(quality, "doc_id")
