@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All registered queries, in registration order. */
   def registry: Seq[Q] =
-    queries_relational ++ queries_series ++ queries_text ++ queries_ml
+    queries_relational ++ queries_series ++ queries_text ++ queries_ml ++
+      graft.queries.Capstones.all
 
   private def queries_relational = graft.queries.Relational.all
   private def queries_series     = graft.queries.Series.all

@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** End-to-end lifecycle capstones (SURVEY.md §3.1/§3.2): each registers a
+  * reference pipeline as ONE composed DAG — fixture synthesis from the
+  * testdata parquet, the full [[graft.pipelines.Pipelines]] composition,
+  * and a single DuckDB oracle replaying every stage — so the oracle hash
+  * certifies the stage CONTRACTS compose, not just that each stage passes
+  * in isolation (the q148 tokenize→pack→shard pattern applied to the
+  * reference's own flagship pipelines).
+  *
+  * Every stage of each pipeline is also individually oracle-checked
+  * (weather: q97/q99/q12/q13/q05/q23/q09/q07; balance:
+  * q11/q92/q06/q58/q152); these entries pin the composition.
+  */
+object Capstones {
+
+  private val iso = "yyyy-MM-dd"
+
+  val all: Seq[Q] = Seq(
+
+    // ---- §3.2 weather-pipeline capstone (reference ETL.py:317-330) ----
+    // One DAG: GHCN .dly fixed-width scan → GeoJSON polygon + US-prefix
+    // station filter → broadcast semi-join → FLAG drop → year range →
+    // melt VALUE1..31 → pivot ELEMENT (deterministic first) → sentinel→
+    // null → all-null row/column prune → per-station limit-7 ffill/bfill
+    // → calendar-valid DATE synthesis → broadcast location join.
+    //
+    // Fixture (deterministic, from events/q97+q98+q99 layouts): per
+    // (user, year, month) one .dly line per element — CNT = daily event
+    // count, VMX = floor(max(value)) but only on days with ≥2 events
+    // (else the -9999 sentinel, so the limit-7 fill stage has real work);
+    // stations get dyadic lat/lon off the polygon's boundary grid and a
+    // US/CA ID prefix split (uid % 5 == 0 → CA, filtered out). The
+    // oracle replays the whole composition from the events parquet —
+    // fixture values are integers (counts / floored maxima) carried as
+    // doubles, so every stage is bit-exact cross-engine.
+    //
+    // Determinism of the data-dependent column prune: CNT is non-null on
+    // every event day and VMX has ≥1 non-null day per SF (verified
+    // 42/160/1483 at sf0.001/0.01/0.1), so dropAllNull always keeps both
+    // element columns and the oracle's static schema is safe.
+    Q("q155_weather_capstone",
+      """WITH dc AS (
+        |  SELECT user_id AS uid, year(CAST(ts AS DATE)) AS y,
+        |    month(CAST(ts AS DATE)) AS m, day(CAST(ts AS DATE)) AS dd,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt,
+        |    CASE WHEN COUNT(*) >= 2 THEN CAST(FLOOR(MAX(value)) AS DOUBLE) END AS vmx
+        |  FROM events WHERE user_id < 400 GROUP BY 1, 2, 3, 4),
+        |st AS (SELECT DISTINCT uid FROM dc
+        |  WHERE uid % 5 <> 0 AND (uid % 64) BETWEEN 8 AND 24
+        |    AND ((uid * 7) % 64) BETWEEN 8 AND 24),
+        |f AS (SELECT dc.*,
+        |    COALESCE(
+        |      last_value(vmx IGNORE NULLS) OVER (PARTITION BY uid ORDER BY y, m, dd
+        |        ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+        |      first_value(vmx IGNORE NULLS) OVER (PARTITION BY uid ORDER BY y, m, dd
+        |        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING)) AS vmx_f
+        |  FROM dc JOIN st USING (uid)
+        |  WHERE y BETWEEN 2020 AND 2030)
+        |SELECT 'US' || lpad(CAST(uid AS VARCHAR), 9, '0') AS ID,
+        |  STRFTIME(make_date(y, m, dd), '%Y-%m-%d') AS date,
+        |  'MI STATION' || lpad(CAST(uid AS VARCHAR), 3, '0') AS city,
+        |  CAST((uid * 7) % 64 AS DOUBLE) / 8 - 4 AS latitude,
+        |  CAST(uid % 64 AS DOUBLE) / 8 - 4 AS longitude,
+        |  CAST(uid AS DOUBLE) AS elev,
+        |  cnt AS CNT, vmx_f AS VMX
+        |FROM f ORDER BY ID, date""".stripMargin) { (s, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q155")
+      val day = eventDay
+      val dc = events(s, dir).filter(col("user_id") < 400)
+        .groupBy(col("user_id"), year(day).as("y"), month(day).as("m"),
+          dayofmonth(day).as("dd"))
+        .agg(count(lit(1)).as("c"), floor(max(col("value"))).cast("long").as("vmx"))
+        .collect()
+      def sid(uid: Long): String =
+        (if (uid % 5 == 0) "CA" else "US") + f"$uid%09d"
+      // .dly: ID[11] YEAR[4] MONTH[2] ELEMENT[4] + 31×(VALUE%5d + 3 blank flags)
+      val dlyLines = dc.groupBy(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+        .toSeq.sortBy(_._1)
+        .flatMap { case ((uid, y, m), rows) =>
+          val cnt = Array.fill(31)(-9999L)
+          val vmx = Array.fill(31)(-9999L)
+          rows.foreach { r =>
+            val d = r.getInt(3) - 1
+            cnt(d) = r.getLong(4)
+            if (r.getLong(4) >= 2) vmx(d) = r.getLong(5)
+          }
+          def line(elem: String, v: Array[Long]) =
+            sid(uid) + f"$y%04d" + f"$m%02d" + elem +
+              v.map(x => f"$x%5d" + "   ").mkString
+          Seq(line("CNT ", cnt), line("VMX ", vmx))
+        }
+      java.nio.file.Files.writeString(tmp.resolve("daily.dly"),
+        dlyLines.mkString("\n") + "\n")
+      // stations: GHCN layout — ID[1-11] lat[13-20] long[22-30] elev[32-37]
+      // state[39-40] name[42-71]; dyadic eighth-grid coords (exact doubles
+      // both as %.3f strings and as k/8-4 arithmetic in either engine)
+      val uids = dc.map(_.getLong(0)).distinct.sorted
+      val stLines = uids.map { uid =>
+        val lon = (uid % 64).toDouble / 8 - 4
+        val lat = ((uid * 7) % 64).toDouble / 8 - 4
+        sid(uid) + " " + f"$lat%8.3f" + " " + f"$lon%9.3f" + " " +
+          f"${uid.toDouble}%6.1f" + " " + "MI" + " " + f"${f"STATION$uid%03d"}%-30s"
+      }
+      java.nio.file.Files.writeString(tmp.resolve("stations.txt"),
+        stLines.mkString("\n") + "\n")
+      // polygon: q99's axis-aligned square with bounds at ∓49/16, ∓15/16 —
+      // off the stations' eighth grid, so containment is boundary-free
+      java.nio.file.Files.writeString(tmp.resolve("square.geojson"),
+        """{"type":"Feature","geometry":{"type":"Polygon",
+          |"coordinates":[[[-3.0625,-3.0625],[-0.9375,-3.0625],[-0.9375,-0.9375],[-3.0625,-0.9375],[-3.0625,-3.0625]]]}}""".stripMargin)
+      val dly = graft.sources.FixedWidth.readDly(s, tmp.resolve("daily.dly").toString)
+      val stations = graft.sources.FixedWidth.readStations(s,
+        tmp.resolve("stations.txt").toString)
+      val ring = graft.geo.Geo.readPolygonRing(tmp.resolve("square.geojson").toString)
+      graft.pipelines.Pipelines.weatherReport(dly, stations, ring,
+          startYear = 2020, endYear = 2030, fillLimit = 7)
+        .select(col("ID"), date_format(col("DATE"), iso).as("date"), col("city"),
+          col("latitude"), col("longitude"), col("elev"), col("CNT"), col("VMX"))
+        .orderBy("ID", "date")
+    },
+
+    // ---- §3.1 balance-pipeline capstone (reference ETL.py:79-95) ----
+    // One DAG over three ragged EIA-shaped sheets derived from orders:
+    // per-sheet MIDW/MISO filter + Adjusted-not-Imputed name projection →
+    // schema-aligning union (sheets differ in measure order; sheet 2 adds
+    // a mostly-null Adjusted Solar) → snake_case rename → timestamp cast
+    // → coverage prune (solar at structural 1/3 < 0.8 is dropped; demand
+    // 0.857 / net-gen + interchange 0.909 survive — exact ratios verified
+    // at every SF) → minNonNulls row prune (rows with ≥2 null measures
+    // drop: 33/338/3385 rows at sf0.001/0.01/0.1) → global backward fill
+    // over the unique hourly timestamps (Fills.globalFill's two-wave
+    // scan). Measures carry o_totalprice through exact double arithmetic
+    // (×2, −1000), so the oracle replay is bit-exact.
+    Q("q156_balance_capstone",
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p,
+        |    STRFTIME(o_orderdate, '%Y-%m-%d') AS data_date,
+        |    CAST(k % 24 + 1 AS BIGINT) AS hour_number,
+        |    TIMESTAMP '2020-01-01 00:00:00' + INTERVAL (k) HOUR AS lt
+        |  FROM orders WHERE k % 17 <> 0 AND k % 13 <> 0),
+        |m AS (SELECT k, data_date, hour_number, lt,
+        |    CASE WHEN k % 7 <> 0 THEN p END AS adjusted_demand,
+        |    CASE WHEN k % 11 <> 0 THEN p * 2 END AS adjusted_net_generation,
+        |    CASE WHEN k % 11 <> 1 THEN p - 1000 END AS adjusted_interchange
+        |  FROM base),
+        |kept AS (SELECT * FROM m
+        |  WHERE (CASE WHEN adjusted_demand IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN adjusted_net_generation IS NULL THEN 1 ELSE 0 END
+        |       + CASE WHEN adjusted_interchange IS NULL THEN 1 ELSE 0 END) <= 1)
+        |SELECT 'MISO' AS balancing_authority, data_date, hour_number,
+        |  STRFTIME(lt, '%Y-%m-%d %H:%M:%S') AS local_time_end_hour,
+        |  'MIDW' AS region,
+        |  first_value(adjusted_demand IGNORE NULLS) OVER wb AS adjusted_demand,
+        |  first_value(adjusted_net_generation IGNORE NULLS) OVER wb
+        |    AS adjusted_net_generation,
+        |  first_value(adjusted_interchange IGNORE NULLS) OVER wb
+        |    AS adjusted_interchange
+        |FROM kept
+        |WINDOW wb AS (ORDER BY lt ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |ORDER BY local_time_end_hour""".stripMargin) { (s, dir) =>
+      val o = orders(s, dir)
+      val k = col("o_orderkey")
+      // 2020-01-01T00:00:00Z epoch + k hours: unique per row (orderkeys
+      // unique), so the global backward fill's ordering is total
+      val lt = date_format(
+        timestamp_seconds(lit(1577836800L) + k * 3600), "yyyy-MM-dd HH:mm:ss")
+      val ba = when(k % 17 === 0, lit("OTHER")).otherwise(lit("MISO"))
+      val region = when(k % 13 === 0, lit("WEST")).otherwise(lit("MIDW"))
+      val dd = date_format(col("o_orderdate"), iso)
+      val hour = (k % 24 + 1).cast("long")
+      val demand = when(k % 7 =!= 0, col("o_totalprice"))
+      val netgen = when(k % 11 =!= 0, col("o_totalprice") * 2)
+      val interch = when(k % 11 =!= 1, col("o_totalprice") - 1000)
+      val imputed = col("o_totalprice")
+      def ids = Seq(ba.as("Balancing Authority"), dd.as("Data Date"),
+        hour.as("Hour Number"), lt.as("Local Time at End of Hour"),
+        region.as("Region"))
+      def base(i: Int) = o.filter(k % 3 === i)
+      // ragged sheets: same first-4 + Region contract, measure columns in
+      // sheet-specific order, an Imputed decoy in all, Solar only in #2
+      val sheet0 = base(0).select(ids ++ Seq(
+        demand.as("Adjusted Demand (MW)"),
+        netgen.as("Adjusted Net Generation (MW)"),
+        imputed.as("Imputed Demand (MW)"),
+        interch.as("Adjusted Interchange (MW)")): _*)
+      val sheet1 = base(1).select(ids ++ Seq(
+        netgen.as("Adjusted Net Generation (MW)"),
+        interch.as("Adjusted Interchange (MW)"),
+        demand.as("Adjusted Demand (MW)"),
+        imputed.as("Imputed Demand (MW)")): _*)
+      val sheet2 = base(2).select(ids ++ Seq(
+        demand.as("Adjusted Demand (MW)"),
+        (col("o_totalprice") / 10).as("Adjusted Solar (MW)"),
+        netgen.as("Adjusted Net Generation (MW)"),
+        interch.as("Adjusted Interchange (MW)"),
+        imputed.as("Imputed Demand (MW)")): _*)
+      graft.pipelines.Pipelines.balanceSheet(Seq(sheet0, sheet1, sheet2))
+        .select(col("balancing_authority"), col("data_date"), col("hour_number"),
+          date_format(col("local_time_end_hour"), "yyyy-MM-dd HH:mm:ss")
+            .as("local_time_end_hour"),
+          col("region"), col("adjusted_demand"), col("adjusted_net_generation"),
+          col("adjusted_interchange"))
+        .orderBy("local_time_end_hour")
+    }
+  )
+}
