@@ -437,25 +437,54 @@ object Ml {
         .orderBy("group")
     },
 
-    // ---- ARIMAX order sensitivity grid (M22) ----
-    Q.noOracle("q83_sensitivity") { (s, dir) =>
+    // ---- ARIMAX order sensitivity grid (M22), golden-oracle pinned ----
+    // The full 12-cell (p,d,q) cube around (2,0,0) on the pinned
+    // 360-point series: blockedFolds arithmetic + bit-deterministic
+    // ARIMAX refits per cell, so the whole grid hash-checks against
+    // recorded goldens that golden_check.py revalidates independently
+    // (numpy ridge solve + fold replay per cell). The concurrent
+    // Par.map job-tree execution shape is unchanged from the former
+    // SF-dependent registration; HarnessSpec keeps the real-data path.
+    Q("q83_sensitivity",
+      s"""SELECT p, d, q, CAST(mk AS DOUBLE)/1e9 AS mae_mean,
+        |  CAST(sk AS DOUBLE)/1e9 AS mae_std
+        |FROM (VALUES ${Golden.sensRows}) t(p, d, q, mk, sk)
+        |ORDER BY p, d, q""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = Series.dailySeries(s, dir).drop("n_events")
+      val y = graft.ts.Pinned.arimaxSeries
+      val daily = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
       graft.ml.Harness.sensitivityGrid(daily, "day", "val", Nil,
-        center = (2, 0, 0), delta = 1, nSplits = 2, valSize = 0.25)
-        .toDF("p", "d", "q", "mae_mean", "mae_std").orderBy("p", "d", "q")
+          center = (2, 0, 0), delta = 1, nSplits = 2, valSize = 0.25)
+        .toDF("p", "d", "q", "mae_mean", "mae_std")
+        .select(col("p"), col("d"), col("q"),
+          snap9(col("mae_mean")).as("mae_mean"),
+          snap9(col("mae_std")).as("mae_std"))
+        .orderBy("p", "d", "q")
     },
 
-    // ---- learning curve over growing prefixes (M23 + W11) ----
-    Q.noOracle("q84_learning_curve") { (s, dir) =>
+    // ---- learning curve over growing prefixes (M23 + W11), golden ----
+    // Same conversion as q83: prefix extraction (Splits.prefix) + blocked
+    // CV + ARIMAX(2,0,0) per fraction on the pinned series — recorded
+    // goldens, independently replayed by golden_check.py. Fractions are
+    // dyadic doubles, so frac also round-trips through the 1e-9 grid.
+    Q("q84_learning_curve",
+      s"""SELECT CAST(fk AS DOUBLE)/1e9 AS frac, CAST(mk AS DOUBLE)/1e9 AS mae_mean,
+        |  CAST(sk AS DOUBLE)/1e9 AS mae_std
+        |FROM (VALUES ${Golden.lcRows}) t(fk, mk, sk)
+        |ORDER BY frac""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val daily = Series.dailySeries(s, dir).drop("n_events")
+      val y = graft.ts.Pinned.arimaxSeries
+      val daily = y.zipWithIndex.map { case (v, i) => (i, v) }.toSeq.toDF("day", "val")
       graft.ml.Harness.learningCurve(daily, "day", "val", Nil,
-        fracs = Seq(0.5, 0.75, 1.0), nSplits = 2, valSize = 0.25) {
+          fracs = Seq(0.5, 0.75, 1.0), nSplits = 2, valSize = 0.25) {
         (train, steps, exogVal) =>
           Arimax.fit(train, "day", "val", Nil, p = 2, d = 0, q = 0)
             .forecast(steps, exogVal)
-      }.toDF("frac", "mae_mean", "mae_std").orderBy("frac")
+      }.toDF("frac", "mae_mean", "mae_std")
+        .select(snap9(col("frac")).as("frac"),
+          snap9(col("mae_mean")).as("mae_mean"),
+          snap9(col("mae_std")).as("mae_std"))
+        .orderBy("frac")
     },
 
     // ---- factor analysis + varimax (M4), golden-oracle pinned ----

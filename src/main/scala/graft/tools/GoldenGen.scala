@@ -94,6 +94,18 @@ object GoldenGen {
     println("-- q106 (series, cluster, dk):")
     println(q106.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, " +
       s"${kd(r.getDouble(2))})").mkString(", "))
+
+    val q83 = graft.SparkEntry.queries("q83_sensitivity")(spark, dir)
+      .orderBy("p", "d", "q").collect()
+    println("-- q83 (p, d, q, mk, sk):")
+    println(q83.map(r => s"(${r.getInt(0)}, ${r.getInt(1)}, ${r.getInt(2)}, " +
+      s"${kd(r.getDouble(3))}, ${kd(r.getDouble(4))})").mkString(", "))
+
+    val q84 = graft.SparkEntry.queries("q84_learning_curve")(spark, dir)
+      .orderBy("frac").collect()
+    println("-- q84 (fk, mk, sk):")
+    println(q84.map(r => s"(${kd(r.getDouble(0))}, ${kd(r.getDouble(1))}, " +
+      s"${kd(r.getDouble(2))})").mkString(", "))
     spark.stop()
   }
 }
