@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, ExprId, SparkPartitionID}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Suite-wide enforcement of the SCALE.md window invariant: no registered
+  * query may plan an UNPARTITIONED window over a fact-table-sized input.
+  * An empty `partitionSpec` funnels the whole dataset through one task —
+  * acceptable only when the window's input is already reduced to a
+  * calendar-bounded (or otherwise provably small) frame.
+  *
+  * Mechanical classification, per unpartitioned logical Window node:
+  *   - its subtree contains an Aggregate → the window sits on a
+  *     post-aggregation frame (daily/monthly series, merged sketch rows,
+  *     grid cells) whose size is bounded by group cardinality, not fact
+  *     rows — allowed;
+  *   - its subtree is driver-built (LocalRelation — the pinned fixtures
+  *     and harness outputs) — allowed;
+  *   - its subtree contains a `spark_partition_id()`-partitioned window
+  *     (TopK.topKPerKey's stage-1 local prune): the global stage-2 rank
+  *     then sees ≤ k×partitions rows, never the fact table — allowed;
+  *   - anything else reads raw fact tables → must appear in the explicit
+  *     whitelist below with a justification, or this spec fails.
+  *
+  * The whitelist is intentionally exact (set equality is NOT required,
+  * but membership is): a new query that plans a global window on a scan
+  * fails here before it ships.
+  */
+class WindowInvariantSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries allowed to keep a scan-fed unpartitioned window, each with
+    * the reason reviewed in VERDICT/SCALE terms.
+    */
+  private val whitelist: Map[String, String] = Map.empty
+
+  private def subtreeIsReduced(w: LWindow, spidIds: Set[ExprId]): Boolean = {
+    // the analyzer projects spark_partition_id() out as `_w0 = SPID()`
+    // below the window, so partitionSpec carries an AttributeReference —
+    // resolve it against the aliases collected from the whole plan
+    def localPrune(p: LogicalPlan): Boolean = p match {
+      case inner: LWindow => inner.partitionSpec.exists {
+        case ar: AttributeReference => spidIds.contains(ar.exprId)
+        case e => e.exists(_.isInstanceOf[SparkPartitionID])
+      }
+      case _ => false
+    }
+    def reduced(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate             => true
+      case _: LocalRelation         => true
+      case x if localPrune(x)       => true
+      case other                    => other.children.exists(reduced)
+    }
+    reduced(w.child)
+  }
+
+  test("no registered query plans an unpartitioned window on unreduced input") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val analyzed =
+        try q.impl(spark, dir).queryExecution.analyzed
+        catch { case e: Throwable =>
+          fail(s"${q.name}: impl failed during planning at $dir: $e")
+        }
+      val spidIds: Set[ExprId] = analyzed.flatMap {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.collect {
+            case a: Alias if a.child.isInstanceOf[SparkPartitionID] => a.exprId
+          }
+        case _ => Nil
+      }.toSet
+      val globals = analyzed.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      val bad = globals.filterNot(subtreeIsReduced(_, spidIds))
+      if (bad.nonEmpty && !whitelist.contains(q.name))
+        Some(q.name -> bad.size)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows on unreduced input (add to whitelist only " +
+        s"with a reviewed justification): ${offenders.mkString(", ")}")
+  }
+
+  test("the classifier flags a global window on a raw scan (self-test)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    val bad = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(W.orderBy("event_id")))
+    val flagged = bad.queryExecution.analyzed.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.filterNot(subtreeIsReduced(_, Set.empty))
+    assert(flagged.nonEmpty, "the sweep would miss a real global-window regression")
+
+    // …and does NOT flag the two-stage top-k's bounded global stage
+    val ok = graft.ops.TopK.topKPerKey(Tables.events(spark, dir), Seq.empty,
+      Seq(col("value").desc, col("event_id").asc), 5)
+    val an = ok.queryExecution.analyzed
+    val spidIds: Set[ExprId] = an.flatMap {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.collect {
+          case a: Alias if a.child.isInstanceOf[SparkPartitionID] => a.exprId
+        }
+      case _ => Nil
+    }.toSet
+    val okFlagged = an.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }.filterNot(subtreeIsReduced(_, spidIds))
+    assert(okFlagged.isEmpty, "two-stage top-k misclassified as a violation")
+  }
+}
