@@ -123,6 +123,13 @@ def main():
     for m in sorted(missing):
         print(f"FAIL {m}: oracle declared but no spark output")
         n_fail += 1
+    # an oracle-less query that errored AND whose __verify_error marker
+    # write also failed produces no result dir — surface it from
+    # errors.json so the failure is never silent
+    ghost = set(verify_errors) - {p.name for p in result_dirs}
+    for g in sorted(ghost):
+        print(f"ERR  {g}: {verify_errors[g]} (no result dir written)")
+        n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

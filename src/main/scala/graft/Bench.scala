@@ -105,7 +105,13 @@ object Bench {
     // granularity loses nothing real and keeps the line short.
     def fmtQ(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", v)
-    val qs = results.map(r => fmtQ(r._2)).mkString("[", ",", "]")
+    // a BENCH_ONLY-filtered run breaks the positional index↔registry
+    // mapping, so emit the old name-keyed object format there (the char
+    // budget only binds on the unfiltered full run the driver records)
+    val qs =
+      if (only.isDefined)
+        results.map(r => "\"" + r._1 + "\":" + fmtQ(r._2)).mkString("{", ",", "}")
+      else results.map(r => fmtQ(r._2)).mkString("[", ",", "]")
     val errs = results.filter(_._3 > 0).map { case (n, _, e) =>
       "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")

@@ -144,6 +144,10 @@ object Splits {
         lit(fractions.last._1): org.apache.spark.sql.Column) {
       case (((name, _), c), acc) => when(u < lit(c), lit(name)).otherwise(acc)
     }
-    df.withColumn("u_unit", u).withColumn("split", assign)
+    // a NULL id hashes to NULL u: surface it as a NULL split rather than
+    // silently landing in the last fraction (every `u < c` is null, so
+    // the bare otherwise(...) chain would label it fractions.last)
+    df.withColumn("u_unit", u)
+      .withColumn("split", when(u.isNotNull, assign))
   }
 }

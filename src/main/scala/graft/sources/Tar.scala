@@ -64,6 +64,8 @@ object Tar {
   def write(entries: Iterator[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     entries.foreach { case (name, payload) =>
+      require(out.size().toLong + BLOCK + payload.length + 2L * BLOCK <= Int.MaxValue,
+        s"tar shard would exceed 2 GiB appending '$name' — lower rowsPerShard")
       out.write(header(name, payload.length.toLong))
       out.write(payload)
       val rem = (BLOCK - payload.length % BLOCK) % BLOCK
@@ -92,8 +94,13 @@ object Tar {
       val name = new String(bytes, p, nameEnd - p, StandardCharsets.UTF_8)
       val sizeStr = new String(bytes, p + 124, 12, StandardCharsets.UTF_8)
         .takeWhile(c => c >= '0' && c <= '7')
+      require(sizeStr.nonEmpty,
+        s"corrupt tar header at offset $pos: non-octal size field for '$name'")
       val size = java.lang.Long.parseLong(sizeStr, 8)
       val dataOff = pos + BLOCK
+      require(dataOff + size <= bytes.length,
+        s"corrupt/truncated tar member '$name' at offset $pos: " +
+          s"size=$size runs past shard end ${bytes.length}")
       val payload = java.util.Arrays.copyOfRange(
         bytes, dataOff.toInt, (dataOff + size).toInt)
       out += Entry(name, dataOff, size, payload)

@@ -133,9 +133,12 @@ object TextOps {
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
     val meanLen = meanTokenLen(t)
-    val nHash = (length(t) - length(expr(s"replace($textCol, '#', '')"))).cast("long")
+    // regexp_replace keeps this pure-Column (no name splicing, so odd
+    // column names never break); left-to-right non-overlapping matching
+    // makes it count-equivalent to a literal replace for both patterns
+    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
     val nEllip = ((length(t) -
-      length(expr(s"replace($textCol, '...', '')"))) / 3).cast("long")
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
     val symbolRatio = (nHash + nEllip).cast("double") / nWords.cast("double")
     val lines = split(t, "\n")
     val nLines = size(lines).cast("long")

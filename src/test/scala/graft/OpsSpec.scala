@@ -140,6 +140,11 @@ class OpsSpec extends AnyFunSuite {
     val c = Splits.hashSplit(df, "id", "#other", fr)
       .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(c !== a)
+    // a NULL id surfaces as a NULL split, never pollutes the last split
+    val withNull = Seq[java.lang.Long](1L, null).toDF("id")
+    val nd = Splits.hashSplit(withNull, "id", "#s", fr).collect()
+      .map(r => Option(r.get(0)) -> Option(r.getString(2))).toMap
+    assert(nd(None) === None && nd(Some(1L)).isDefined)
   }
 
   test("unionAligned pads missing columns with nulls (T2: ETL.py:38-54)") {

@@ -75,4 +75,17 @@ class TarSpec extends AnyFunSuite {
     val extended = tar ++ Array.fill[Byte](512)(42)
     assert(Tar.parse(extended).map(_.name) === Seq("one.txt"))
   }
+
+  test("parser rejects truncated and size-corrupt shards with a clear error") {
+    val tar = Tar.write(Iterator(("one.txt", Array.fill[Byte](700)(7))))
+    // truncation inside the payload: a clean require, not an index error
+    val truncated = java.util.Arrays.copyOfRange(tar, 0, 512 + 100)
+    val e1 = intercept[IllegalArgumentException](Tar.parse(truncated))
+    assert(e1.getMessage.contains("runs past shard end"))
+    // corrupt the octal size field to blanks
+    val corrupt = tar.clone()
+    (124 until 136).foreach(i => corrupt(i) = ' '.toByte)
+    val e2 = intercept[IllegalArgumentException](Tar.parse(corrupt))
+    assert(e2.getMessage.contains("non-octal size"))
+  }
 }
