@@ -146,6 +146,35 @@ class SourcesGeoSpec extends AnyFunSuite {
       .contains("synthetic://y/inline.csv"))
   }
 
+  test("downloadToStaging drives a REAL http:// URL end-to-end (S1, loopback)") {
+    // In-process loopback server (com.sun.net.httpserver, JDK built-in):
+    // the DEFAULT URL-stream transport fetches over actual HTTP — socket,
+    // status line, headers, chunked body — with zero egress. This is the
+    // exact ingress path of the reference's EIA fetch (ETL.py:56-63).
+    val csv = "city,kwh\nDetroit,12\nLansing,7\nFlint,3\n"
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    try {
+      server.createContext("/exports/eia_http.csv",
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val body = csv.getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "text/csv")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          try ex.getResponseBody.write(body) finally ex.close()
+        })
+      server.start()
+      val port = server.getAddress.getPort
+      val staging = Files.createTempDirectory("graft_staging_http").toString
+      val staged = Csv.downloadToStaging(
+        Seq(s"http://127.0.0.1:$port/exports/eia_http.csv"), staging)
+      assert(staged === Seq(s"$staging/0000-eia_http.csv"))
+      assert(Files.readString(java.nio.file.Paths.get(staged.head)) === csv)
+      val df = Csv.scan(spark, staged.head).orderBy("city")
+      assert(df.collect().map(r => (r.getString(0), r.getInt(1))).toSeq ===
+        Seq(("Detroit", 12), ("Flint", 3), ("Lansing", 7)))
+    } finally server.stop(0)
+  }
+
   test("CSV sink round-trip (K1) and per-file sink layout (K2)") {
     val df = Seq((1, "a", 1.5), (2, "b", 2.5)).toDF("id", "s", "v")
     val out = Files.createTempDirectory("graft_sink").toString + "/out"
