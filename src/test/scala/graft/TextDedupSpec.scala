@@ -71,6 +71,36 @@ class TextDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("dupGroups: driver and distributed paths agree exactly at the threshold boundary") {
+    // nPairs == driverThreshold takes the driver union-find (<=), and
+    // driverThreshold = nPairs - 1 flips the SAME input to distributed
+    // label propagation — the two paths must produce identical groups on
+    // every shape: a pure chain (worst diameter), a pure clique (worst
+    // redundancy), and seeded mixed graphs.
+    // maxIter = 80 lets min-label propagation close the diameter-64
+    // chain; production long-diameter graphs take dupGroupsAltStar
+    // (O(log n) rounds) — equality, not round count, is under test here
+    def groupsOf(pairs: org.apache.spark.sql.DataFrame, threshold: Long) =
+      Dedup.dupGroups(pairs, maxIter = 80, driverThreshold = threshold).collect()
+        .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val chain = (0L until 64L).map(i => (i + 1, i))
+    val clique = (for (a <- 0 until 12; b <- a + 1 until 12) yield
+      (a.toLong, b.toLong)).take(64)
+    val mixed = Seq(42, 77).map { seed =>
+      val rnd = new scala.util.Random(seed)
+      (0 until 64).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40) + 40L))
+    }
+    for ((edges, tag) <- (Seq(chain -> "chain", clique -> "clique") ++
+           mixed.zipWithIndex.map { case (e, i) => e -> s"mixed$i" })) {
+      val pairs = edges.toDF("id_a", "id_b")
+      val n = pairs.count()
+      val atBoundary = groupsOf(pairs, n)      // driver path (nPairs <= T)
+      val overBoundary = groupsOf(pairs, n - 1) // distributed path
+      assert(atBoundary === overBoundary,
+        s"$tag: paths disagree across the driverThreshold boundary at n=$n")
+    }
+  }
+
   test("dupGroupsAltStar agrees with union-find; chains close in O(log n) rounds") {
     def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
       val parent = scala.collection.mutable.Map[Long, Long]()
