@@ -487,6 +487,40 @@ object Ml {
         .orderBy("frac")
     },
 
+    // ---- reference evaluation protocol parity (ARIMA_params.json:1) ----
+    // The reference's published best-model evaluation, shape-for-shape:
+    // ARIMA order (3,1,4) WITH exogenous regressors, scored by
+    // BlockingTimeSeriesSplit(n_splits=5, val_size=0.2)
+    // (`evaluation.ipynb#25`, `ARIMA_params.json`), reporting per-fold
+    // MAE plus the (mean, std) pair the reference records. Run on the
+    // pinned exog-leaning fixture — the published 8,982±1,079 MWh values
+    // are data-dependent and not asserted; what this entry pins is that
+    // the engine executes the exact protocol (order, exog plumbing, fold
+    // arithmetic, summary) bit-reproducibly, hash-checked against
+    // goldens that golden_check.py replays independently in numpy.
+    Q("q157_reference_protocol",
+      s"""SELECT fold, CAST(mk AS DOUBLE)/1e9 AS mae,
+        |  CAST(mm AS DOUBLE)/1e9 AS mean_mae, CAST(sk AS DOUBLE)/1e9 AS std_mae
+        |FROM (VALUES ${Golden.refProtoRows}) t(fold, mk, mm, sk)
+        |ORDER BY fold""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ex = graft.ts.Pinned.exogSeries
+      val y = graft.ts.Pinned.arimaxSeries.zip(ex).map { case (v, x) => v + 2 * x }
+      val daily = y.indices.map(i => (i, y(i), ex(i))).toDF("day", "val", "x1")
+      val maes = CvObjective.blockedCvMae(daily, "day", "val", Seq("x1"), 5, 0.2) {
+        (train, steps, exogVal) =>
+          Arimax.fit(train, "day", "val", Seq("x1"), p = 3, d = 1, q = 4)
+            .forecast(steps, exogVal)
+      }
+      val (mean, std) = CvObjective.summary(maes)
+      maes.zipWithIndex.map { case (m, f) => (f, m, mean, std) }
+        .toDF("fold", "mae", "mean_mae", "std_mae")
+        .select(col("fold"), snap9(col("mae")).as("mae"),
+          snap9(col("mean_mae")).as("mean_mae"),
+          snap9(col("std_mae")).as("std_mae"))
+        .orderBy("fold")
+    },
+
     // ---- factor analysis + varimax (M4), golden-oracle pinned ----
     // Principal-axis FA + varimax on the exactly-computed correlation of
     // the pinned planted-factor matrix — the same fitCorr core the

@@ -106,6 +106,12 @@ object GoldenGen {
     println("-- q84 (fk, mk, sk):")
     println(q84.map(r => s"(${kd(r.getDouble(0))}, ${kd(r.getDouble(1))}, " +
       s"${kd(r.getDouble(2))})").mkString(", "))
+
+    val q157 = graft.SparkEntry.queries("q157_reference_protocol")(spark, dir)
+      .orderBy("fold").collect()
+    println("-- q157 (fold, mk, mm, sk):")
+    println(q157.map(r => s"(${r.getInt(0)}, ${kd(r.getDouble(1))}, " +
+      s"${kd(r.getDouble(2))}, ${kd(r.getDouble(3))})").mkString(", "))
     spark.stop()
   }
 }
