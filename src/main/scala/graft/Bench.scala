@@ -60,7 +60,7 @@ object Bench {
     // an ERROR, never as a timing. Round 7 recorded 22 broken queries'
     // time-to-exception (~0.1 s each) as if they ran, silently deflating
     // the suite total by ~25 s — errors must be visible, not fast.
-    val results = selected.map { q =>
+    val results: Seq[(String, Seq[Double], Int)] = selected.map { q =>
       var errReps = 0
       val times = (1 to reps).flatMap { _ =>
         // Isolate reps/queries from each other's leftovers before
@@ -88,8 +88,8 @@ object Bench {
           None
         }
       }
-      (q.name, if (times.nonEmpty) median(times) else -1.0, errReps)
-    }
+      (q.name, times, errReps)
+    }.map { case (n, ts, e) => (n, ts: Seq[Double], e) }
     // The driver captures a bounded 2000-char tail of the output, so the
     // line must stay well inside it (rounds 2 and 3 overflowed and
     // recorded parsed=null). Per-query times are a positional ARRAY in
@@ -105,17 +105,34 @@ object Bench {
     // granularity loses nothing real and keeps the line short.
     def fmtQ(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", v)
+    def med(r: (String, Seq[Double], Int)): Double =
+      if (r._2.nonEmpty) median(r._2) else -1.0
     // a BENCH_ONLY-filtered run breaks the positional index↔registry
     // mapping, so emit the old name-keyed object format there (the char
     // budget only binds on the unfiltered full run the driver records)
     val qs =
       if (only.isDefined)
-        results.map(r => "\"" + r._1 + "\":" + fmtQ(r._2)).mkString("{", ",", "}")
-      else results.map(r => fmtQ(r._2)).mkString("[", ",", "]")
+        results.map(r => "\"" + r._1 + "\":" + fmtQ(med(r))).mkString("{", ",", "}")
+      else results.map(r => fmtQ(med(r))).mkString("[", ",", "]")
     val errs = results.filter(_._3 > 0).map { case (n, _, e) =>
       "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = results.map(med).filter(_ >= 0).sum
+    // Full per-query dispersion goes to a FILE (the stdout line is
+    // capture-bounded): one JSON object per query with min/median/max
+    // over successful reps, so docs can cite run-to-run spread from the
+    // artifact instead of session memory (VERDICT r8: BASELINE.md's
+    // q131 "4.6-7.8 s" claim contradicted the recorded 12.07 s — range
+    // claims must come from a recorded artifact).
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+    val detail = results.map { case (n, ts, e) =>
+      val s = ts.sorted
+      val (mn, md, mx) =
+        if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.head, median(s), s.last)
+      s"""{"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e}"""
+    }.mkString("[\n", ",\n", "\n]")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+      s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"queries":$detail}\n""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
