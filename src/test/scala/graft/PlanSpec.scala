@@ -230,4 +230,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!"Exchange hashpartitioning[^\\n]*text#".r.findFirstIn(p).isDefined,
       s"document text crosses a shuffle in:\n$p")
   }
+
+  test("weather capstone broadcasts stations twice, never sort-merges (q155)") {
+    val p = plan("q155_weather_capstone")
+    // both station joins (polygon semi-filter, location attach) ride
+    // broadcasts — the .dly fact side must never co-shuffle with the
+    // tiny station dim
+    assert("BroadcastHashJoin".r.findAllMatchIn(p).size >= 2,
+      s"station joins stopped broadcasting in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a station join shuffled both sides:\n$p")
+  }
+
+  test("balance capstone plans zero window operators (q156)") {
+    val p = plan("q156_balance_capstone")
+    // the global backward fill is globalFill's two-wave mapPartitions
+    // protocol; the only exchanges are range partitions (its ordering +
+    // the final ORDER BY). Any Window here means the fill regressed to
+    // the single-partition form
+    assert(!p.contains("Window"), s"window crept into the balance capstone:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"unexpected hash exchange in:\n$p")
+  }
 }
