@@ -49,9 +49,8 @@ object Ml {
     // sums, driver-side solve, sequential forecast recursion), so on the
     // pinned 360-point series it hash-checks against recorded goldens —
     // the same scheme as q61/q62. Real-data ARIMAX stays exercised by
-    // q83/q84 (rows-only, SF-dependent by design — COVERAGE.md tail
-    // table) and the planted-recovery MlSpec fixtures; q82's ablation
-    // core is on the pinned fixture like this query.
+    // the planted-recovery MlSpec fixtures and HarnessSpec; since round
+    // 9 the harness queries q83/q84 are pinned goldens like this one.
     Q("q49_arimax_forecast",
       s"""SELECT step, CAST(pk AS DOUBLE)/1e9 AS pred
         |FROM (VALUES ${Golden.arimaxRows}) t(step, pk)
@@ -413,8 +412,8 @@ object Ml {
     // ---- ablation study over exog feature groups (M21, golden oracle) ----
     // Same pinned fixture as q81 (target leans on x1 by construction, so
     // dropping it must cost MAE) — the whole harness loop is ARIMAX
-    // decimal-exact math, hash-checked against recorded goldens. The
-    // heavier real-data harness rows stay q83/q84.
+    // decimal-exact math, hash-checked against recorded goldens (q83/q84
+    // joined this golden family in round 9).
     Q("q82_ablation",
       s"""SELECT grp AS "group", CAST(mk AS DOUBLE)/1e9 AS mae_mean,
         |  CAST(sk AS DOUBLE)/1e9 AS mae_std
