@@ -60,13 +60,6 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** Large Mersenne prime for universal hashing; h is a 32-bit murmur so
-    * a*h+b stays well inside Long.
-    */
-  private val P = 2305843009213693951L // 2^61 - 1
-
-  private def affine(h: Column, a: Long, b: Long): Column =
-    pmod(lit(a) * h + lit(b), lit(P))
 
   /** Word n-gram shingles of the canonical text (distinct strings).
     * Readable form — for the hot minhash/Jaccard path use
@@ -129,29 +122,65 @@ object Dedup {
         .otherwise(array(xxhash64(concat_ws(" ", TextOps.tokens(text))))))
   }
 
+  /** Seeded per-family xor constants (md5-derived, driver-side) for the
+    * production MinHash family: family i maps a 64-bit shingle hash h to
+    * h XOR c_i — a bijective permutation of the full hash space, the
+    * same construction as the md5 oracle family ([[minhashTableMd5]]).
+    *
+    * This REPLACED the original affine family `(a·h + b) mod (2^61−1)`
+    * in round 9: with h folded to 31 bits, a·h + b < 2^62 wraps the
+    * 2^61−1 modulus at most once — and for a < 2^30 (half the seeds)
+    * NEVER — so those "permutations" were monotone in h and every
+    * component picked the same global min-shingle. Signature components
+    * were massively correlated: measured est-sim on J≈0.88/0.83 pairs
+    * came out 1.0/0.125 instead of ≈J, wrecking the LSH S-curve (recall
+    * of true near-dups that differ in the min shingle, false banding
+    * collisions for docs sharing it). A modular-affine family is only
+    * sound when the modulus sits just above the hash range (e.g.
+    * 2^31−1 over 31-bit h); the xor family avoids the pitfall entirely
+    * and keeps every min replayable by any engine with xor.
+    */
+  private def xorConsts(numHashes: Int, seed: Long): IndexedSeq[Long] =
+    (0 until numHashes).map(i => md5Const64(s"graft-minhash-xx/$seed#$i"))
+
   /** (idCol, sig: array<long> of length numHashes) — the MinHash signature
-    * of each document's shingle set. Seeded affine permutations over a
-    * 32-bit murmur shingle hash; one explode + one groupBy (shuffles only
-    * (id, 8-byte hash) pairs).
+    * of each document's shingle set. Seeded xor permutations of the
+    * 64-bit xxhash64 shingle hash (see [[xorConsts]]); one explode + one
+    * groupBy (shuffles only (id, 8-byte hash) pairs, map-side combined).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         numHashes: Int = 64, shingleSize: Int = 3,
                         seed: Long = 42L): DataFrame = {
-    val rnd = new scala.util.Random(seed)
-    // a, b < 2^31 so a * murmur32(h) stays inside Long before the mod.
-    val params = Seq.fill(numHashes)(
-      (rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
-    // codegen'd shingle rows (see [[shingleRows]]), then fold the shingle
-    // hash to 31 bits so a*h+b stays inside Long (ANSI-safe) before the mod
+    val consts = xorConsts(numHashes, seed)
     val exploded = shingleRows(df, idCol, textCol, shingleSize)
-      .select(col("id").as(idCol),
-        xxhash64(col("s")).bitwiseAND(lit(0x7FFFFFFFL)).as("h"))
-    val aggs = params.zipWithIndex.map { case ((a, b), i) =>
-      min(affine(col("h"), a, b)).as(s"s$i")
+      .select(col("id").as(idCol), xxhash64(col("s")).as("h"))
+    val aggs = consts.zipWithIndex.map { case (c, i) =>
+      min(col("h").bitwiseXOR(lit(c))).as(s"s$i")
     }
     exploded.groupBy(col(idCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** The [[minhashSignatures]] signature as ONE pure column expression —
+    * no explode, no shuffle: shingle strings → 64-bit hashes → one
+    * `array_min` per xor family. Value-identical to the aggregated form
+    * (same shingle set, same [[xorConsts]]), proven by spec. This is
+    * the streaming-safe shape: a projection runs in any micro-batch with
+    * no stateful aggregation, so online dedup can attach signatures at
+    * ingestion. Cost is numHashes passes over the doc's shingle array
+    * inside one projection — the batch path amortizes that via
+    * explode+groupBy; per-doc columnar work is the right trade wherever
+    * a shuffle is unavailable (streams) or unwanted (scan-side tagging).
+    */
+  def minhashSignatureExpr(text: Column, numHashes: Int = 64,
+                           shingleSize: Int = 3, seed: Long = 42L): Column = {
+    val consts = xorConsts(numHashes, seed)
+    val hs = transform(shingles(coalesce(text, lit("")), shingleSize),
+      s => xxhash64(s))
+    array(consts.map { c =>
+      array_min(transform(hs, h => h.bitwiseXOR(lit(c))))
+    }: _*)
   }
 
   /** Candidate near-duplicate pairs via LSH banding: split the signature

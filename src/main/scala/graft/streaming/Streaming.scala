@@ -56,6 +56,106 @@ object Streaming {
   /** Keyed record for streaming dedup. */
   final case class Doc(fp: String, id: Long, text: String)
 
+  /** Document with a precomputed MinHash signature (one row per doc;
+    * attach signatures at ingestion with
+    * [[graft.dedup.Dedup.minhashSignatureExpr]] — a pure projection, so
+    * it runs on the stream with no stateful aggregation).
+    */
+  final case class SigDoc(id: Long, sig: Seq[Long])
+  /** One doc occurrence in one LSH band bucket. */
+  final case class BandedDoc(bucket: Long, id: Long, sig: Seq[Long])
+  /** Per-bucket state: the first-arrived (minimum-id) member. */
+  final case class BucketRep(id: Long, sig: Seq[Long])
+  /** Per-(doc, bucket) verdict: `dup` = the bucket's representative has
+    * estimated similarity ≥ τ with this doc.
+    */
+  final case class NearDupVote(id: Long, bucket: Long, dup: Boolean)
+
+  /** Pack (band, 32-bit bucket hash) into one long key — same bucketing
+    * as the batch `minhashCandidates` banding, collision-free across
+    * bands by construction.
+    */
+  private def bandBuckets(bands: Int, r: Int) =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => b.cast("long") * lit(4294967296L) +
+        (hash(concat_ws(",", slice(col("sig"), b * r + 1, lit(r)))).cast("long") +
+          lit(2147483648L)))
+
+  /** Online LSH near-dup detection over an unbounded corpus — the
+    * streaming twin of the batch MinHash+LSH dedup. Each doc's signature
+    * is split into `bands` band buckets; per bucket, keyed state holds
+    * the FIRST-arrived member's signature as the bucket representative,
+    * and every later arrival gets a vote: dup iff the fraction of equal
+    * signature components vs the rep is ≥ `tau`. Votes resolve to a
+    * drop decision with [[resolveVotes]] (stateless any-vote reduce —
+    * run it in the sink / next stage; a doc is dropped iff ANY of its
+    * buckets votes dup, the standard online-LSH ingestion-dedup shape).
+    *
+    * Arrival contract: ids are the ingestion sequence — non-decreasing
+    * across micro-batches (within a batch any order; the handler sorts
+    * its group). Under that contract the emitted votes are EXACTLY
+    * [[nearDupVotesBatch]]'s on the same rows, whatever the batch
+    * boundaries — StreamingSpec pins stream ≡ batch equality.
+    *
+    * Scale: state is one signature per non-empty bucket, sharded by the
+    * bucket key (the same 8-byte-key sharding as batch LSH — text never
+    * enters the shuffle); a hot boilerplate bucket costs one rep
+    * comparison per arrival, never a quadratic bucket join.
+    */
+  def nearDupVotes(docs: Dataset[SigDoc], bands: Int, numHashes: Int,
+                   tau: Double): Dataset[NearDupVote] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val banded = docs.toDF()
+      .select(col("id"), col("sig"), explode(bandBuckets(bands, r)).as("bucket"))
+      .select(col("bucket"), col("id"), col("sig")).as[BandedDoc]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketRep, NearDupVote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, rows: Iterator[BandedDoc], state: GroupState[BucketRep]) =>
+          val sorted = rows.toArray.sortBy(_.id)
+          var rep = state.getOption
+          val out = sorted.map { d =>
+            rep match {
+              case Some(rp) =>
+                val eq = rp.sig.iterator.zip(d.sig.iterator).count(t => t._1 == t._2)
+                NearDupVote(d.id, bucket, eq.toDouble / numHashes >= tau)
+              case None =>
+                rep = Some(BucketRep(d.id, d.sig))
+                NearDupVote(d.id, bucket, dup = false)
+            }
+          }
+          rep.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  /** Batch twin of [[nearDupVotes]]: bucket representative = the
+    * minimum-id member (one map-side-combined `min_by` aggregate per
+    * bucket, broadcast-joined back), vote = est-sim vs rep ≥ τ. Same
+    * bucket keys, same comparison — the contract both sides share.
+    */
+  def nearDupVotesBatch(docs: DataFrame, bands: Int, numHashes: Int,
+                        tau: Double): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val banded = docs
+      .select(col("id"), col("sig"), explode(bandBuckets(bands, r)).as("bucket"))
+    val reps = banded.groupBy("bucket")
+      .agg(min_by(struct(col("id"), col("sig")), col("id")).as("rep"))
+    val eq = size(filter(zip_with(col("sig"), col("rep.sig"),
+      (x, y) => x === y), b => b))
+    banded.join(reps, "bucket")
+      .select(col("id"), col("bucket"),
+        (col("id") =!= col("rep.id") &&
+          eq.cast("double") / lit(numHashes.toDouble) >= lit(tau)).as("dup"))
+  }
+
+  /** Stateless vote resolution: a doc drops iff any bucket voted dup. */
+  def resolveVotes(votes: DataFrame): DataFrame =
+    votes.groupBy("id").agg(max(col("dup")).as("dropped"))
+
   /** Emit only the FIRST document seen per fingerprint; subsequent
     * duplicates are swallowed. Append-mode compatible (state = one
     * boolean per key, no timeout — bound it with a TTL timeout in

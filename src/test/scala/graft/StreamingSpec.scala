@@ -200,6 +200,74 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming online LSH near-dup votes equal the batch twin; dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val D = graft.dedup.Dedup
+    // corpus: 3 templates, each with 2 near-copies (1-2 word mutations),
+    // plus 3 unrelated docs — ids are the ingestion sequence
+    // single-word mutation: Jaccard vs the template stays ~0.8, far
+    // above τ with 64-hash estimate noise (~±0.06)
+    def mutate(s: String, k: Int) =
+      s.split(" ").zipWithIndex.map { case (w, i) =>
+        if (i == k) w + "x" else w }.mkString(" ")
+    val templates = Seq(
+      "the quick brown fox jumps over the lazy dog near the quiet river bank today",
+      "large scale data processing engines shuffle partition and aggregate rows efficiently",
+      "energy consumption forecasting blends weather features with demand history signals")
+      .map(t => t + " " + t) // long enough for stable 3-gram shingles
+    val distinctDocs = Seq(
+      "completely unrelated text about gardening tulips and spring rain",
+      "another standalone document describing sailing knots and tides",
+      "a third singleton covering orchestra rehearsal schedules in may")
+    val corpus: Seq[(Long, String)] =
+      (templates.zipWithIndex.flatMap { case (t, i) =>
+        Seq(t, mutate(t, 1), mutate(t, 2)).zipWithIndex.map { case (s, j) =>
+          (i.toLong * 3 + j, s) }
+      } ++ distinctDocs.zipWithIndex.map { case (s, i) => (9L + i, s) })
+        .sortBy(_._1)
+    val (bands, numHashes, tau) = (16, 64, 0.5)
+
+    // the pure-expression signature must equal the aggregated batch path
+    val docsDf = corpus.toDF("id", "text")
+    val viaExpr = docsDf.select(col("id"),
+      D.minhashSignatureExpr(col("text")).as("sig"))
+    val viaAgg = D.minhashSignatures(docsDf, "id", "text")
+    val eMap = viaExpr.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val aMap = viaAgg.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(eMap === aMap, "minhashSignatureExpr diverged from minhashSignatures")
+
+    // batch votes on the full corpus
+    def votesMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("bucket")) -> r.getAs[Boolean]("dup"))
+      .toMap
+    val batchVotes = votesMap(
+      Streaming.nearDupVotesBatch(viaExpr, bands, numHashes, tau))
+
+    // streaming: same rows over three uneven micro-batches, ascending ids
+    val sigDocs = corpus.map { case (id, _) => Streaming.SigDoc(id, eMap(id)) }
+    val input = MemoryStream[Streaming.SigDoc]
+    val q = Streaming.nearDupVotes(input.toDS(), bands, numHashes, tau)
+      .writeStream.format("memory").queryName("neardup_votes")
+      .outputMode("append").start()
+    try {
+      input.addData(sigDocs.take(4))
+      q.processAllAvailable()
+      input.addData(sigDocs.slice(4, 5))
+      q.processAllAvailable()
+      input.addData(sigDocs.drop(5))
+      q.processAllAvailable()
+      val streamVotes = votesMap(spark.table("neardup_votes"))
+      assert(streamVotes === batchVotes,
+        "stream votes diverged from the batch twin")
+      // resolution: every near-copy drops, every template and singleton survives
+      val dropped = Streaming.resolveVotes(spark.table("neardup_votes"))
+        .collect().filter(_.getAs[Boolean]("dropped")).map(_.getAs[Long]("id")).toSet
+      assert(dropped === Set(1L, 2L, 4L, 5L, 7L, 8L),
+        s"expected exactly the near-copies to drop, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming HLL registers over a live feed equal the batch registers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -318,6 +318,43 @@ class TextDedupSpec extends AnyFunSuite {
       s"expected pinned RDD scans in:\n$plan")
   }
 
+  test("minhash est-sim is an unbiased Jaccard estimator, not min-shingle-correlated") {
+    // Statistical regression guard for the round-9 family fix: the old
+    // affine family ((a·h+b) mod 2^61−1 over 31-bit h) almost never
+    // wrapped the modulus, so ~half its "permutations" were monotone in
+    // h and every component picked the SAME min shingle — measured
+    // est-sim on J≈0.85 pairs came out 1.0 or 0.125. A sound family's
+    // per-component match probability is J, so over 128 components the
+    // estimate must sit within ~4σ ≈ 4·sqrt(J(1−J)/128) of true J.
+    import graft.dedup.Dedup
+    val rnd = new scala.util.Random(5)
+    def doc(n: Int) = (0 until n).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val pairs = (0 until 6).map { _ =>
+      val a = doc(150).split(" ")
+      // overwrite a random 10-35% span with fresh words
+      val k = 15 + rnd.nextInt(38)
+      val start = rnd.nextInt(a.length - k)
+      val b = a.zipWithIndex.map { case (w, i) =>
+        if (i >= start && i < start + k) s"m${rnd.nextInt(5000)}" else w }
+      (a.mkString(" "), b.mkString(" "))
+    }
+    val df = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i.toLong * 2, a), (i.toLong * 2 + 1, b)) }.toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(df, "doc_id", "text", numHashes = 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val shs = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.indices.foreach { i =>
+      val (x, y) = (i.toLong * 2, i.toLong * 2 + 1)
+      val j = (shs(x) & shs(y)).size.toDouble / (shs(x) | shs(y)).size
+      val est = sigs(x).zip(sigs(y)).count(t => t._1 == t._2) / 128.0
+      val tol = 4 * math.sqrt(j * (1 - j) / 128.0)
+      assert(math.abs(est - j) <= tol,
+        s"pair $i: est-sim $est vs true Jaccard $j (tolerance $tol) — " +
+          "the signature family is correlated again")
+    }
+  }
+
   test("minhash signatures are deterministic and length numHashes") {
     val docs = (0L to 4L).map(i => (i, mkDoc(i.toInt, 50))).toDF("doc_id", "text")
     val a = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
