@@ -119,16 +119,19 @@ def main():
         else:
             n_pass += 1
             print(f"PASS {name} ({len(spark_df)} rows)")
-    missing = set(oracle_sql) - {p.name for p in result_dirs}
-    for m in sorted(missing):
-        print(f"FAIL {m}: oracle declared but no spark output")
-        n_fail += 1
-    # an oracle-less query that errored AND whose __verify_error marker
-    # write also failed produces no result dir — surface it from
-    # errors.json so the failure is never silent
-    ghost = set(verify_errors) - {p.name for p in result_dirs}
+    # a query that errored AND whose __verify_error marker write also
+    # failed produces no result dir — surface it from errors.json (with
+    # the error detail) so the failure is never silent; queries covered
+    # here are excluded from the plain 'missing' report below so a
+    # single broken query is counted once
+    dir_names = {p.name for p in result_dirs}
+    ghost = set(verify_errors) - dir_names
     for g in sorted(ghost):
         print(f"ERR  {g}: {verify_errors[g]} (no result dir written)")
+        n_fail += 1
+    missing = set(oracle_sql) - dir_names - ghost
+    for m in sorted(missing):
+        print(f"FAIL {m}: oracle declared but no spark output")
         n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)

@@ -89,7 +89,7 @@ object Bench {
         }
       }
       (q.name, times, errReps)
-    }.map { case (n, ts, e) => (n, ts: Seq[Double], e) }
+    }
     // The driver captures a bounded 2000-char tail of the output, so the
     // line must stay well inside it (rounds 2 and 3 overflowed and
     // recorded parsed=null). Per-query times are a positional ARRAY in
@@ -124,15 +124,19 @@ object Bench {
     // artifact instead of session memory (VERDICT r8: BASELINE.md's
     // q131 "4.6-7.8 s" claim contradicted the recorded 12.07 s — range
     // claims must come from a recorded artifact).
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-    val detail = results.map { case (n, ts, e) =>
-      val s = ts.sorted
-      val (mn, md, mx) =
-        if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.head, median(s), s.last)
-      s"""{"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e}"""
-    }.mkString("[\n", ",\n", "\n]")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-      s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"queries":$detail}\n""")
+    // Never from a BENCH_ONLY-filtered iteration run, which would
+    // silently clobber the committed full-suite artifact with a subset.
+    if (only.isEmpty) {
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      val detail = results.map { case (n, ts, e) =>
+        val s = ts.sorted
+        val (mn, md, mx) =
+          if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.head, median(s), s.last)
+        s"""{"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e}"""
+      }.mkString("[\n", ",\n", "\n]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"queries":$detail}\n""")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

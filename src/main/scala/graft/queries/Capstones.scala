@@ -69,6 +69,11 @@ object Capstones {
         |  cnt AS CNT, vmx_f AS VMX
         |FROM f ORDER BY ID, date""".stripMargin) { (s, dir) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_q155")
+      // plan sweeps and bench reps re-invoke this impl; register the
+      // fixture files for JVM-exit cleanup so /tmp doesn't accumulate
+      tmp.toFile.deleteOnExit()
+      Seq("daily.dly", "stations.txt", "square.geojson")
+        .foreach(f => tmp.resolve(f).toFile.deleteOnExit())
       val day = eventDay
       val dc = events(s, dir).filter(col("user_id") < 400)
         .groupBy(col("user_id"), year(day).as("y"), month(day).as("m"),

@@ -64,7 +64,8 @@ object Tar {
   def write(entries: Iterator[(String, Array[Byte])]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     entries.foreach { case (name, payload) =>
-      require(out.size().toLong + BLOCK + payload.length + 2L * BLOCK <= Int.MaxValue,
+      require(out.size().toLong + BLOCK + pad512(payload.length.toLong) +
+          2L * BLOCK <= Int.MaxValue,
         s"tar shard would exceed 2 GiB appending '$name' — lower rowsPerShard")
       out.write(header(name, payload.length.toLong))
       out.write(payload)

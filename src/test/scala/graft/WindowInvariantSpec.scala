@@ -34,7 +34,12 @@ class WindowInvariantSpec extends AnyFunSuite {
   /** Queries allowed to keep a scan-fed unpartitioned window, each with
     * the reason reviewed in VERDICT/SCALE terms.
     */
-  private val whitelist: Map[String, String] = Map.empty
+  private val whitelist: Map[String, String] = Map(
+    "q153_rrf_fusion" ->
+      ("the fusion rank window's input is the full-outer join of two " +
+        "two-stage-top-k outputs (<=50 rows each) re-keyed on unique doc " +
+        "ids — <=100 rows by construction; the classifier cannot prove " +
+        "uniqueness of the re-attach join key mechanically"))
 
   private def subtreeIsReduced(w: LWindow, spidIds: Set[ExprId]): Boolean = {
     // the analyzer projects spark_partition_id() out as `_w0 = SPID()`
@@ -47,11 +52,16 @@ class WindowInvariantSpec extends AnyFunSuite {
       }
       case _ => false
     }
+    // forall, not exists: a join/union of a fact scan with a reduced
+    // branch (broadcast agg, driver lookup) is still fact-sized — an
+    // any-descendant existence check would classify exactly that shape
+    // as safe. A leaf that is not a LocalRelation is a scan → unreduced.
     def reduced(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate             => true
-      case _: LocalRelation         => true
-      case x if localPrune(x)       => true
-      case other                    => other.children.exists(reduced)
+      case _: Aggregate               => true
+      case _: LocalRelation           => true
+      case x if localPrune(x)         => true
+      case leaf if leaf.children.isEmpty => false
+      case other                      => other.children.forall(reduced)
     }
     reduced(w.child)
   }
