@@ -40,15 +40,34 @@ object Text {
                            out: String): String =
     OracleSql.md5Hash64Sql(keys, hexExpr, from, out)
 
-  /** MinHash→LSH→verify→transitive-closure oracle CTE chain
-    * (q102/q154): shingles → md5-64 hashes → 16-hash signatures → 4
-    * banded keys → candidate pairs → exact-Jaccard verify at 0.5 →
-    * symmetric edges → recursive closure → `comp(id, group_id)`.
-    * Callers prepend `WITH RECURSIVE` and append their select.
+  /** [[graft.text.TextOps.qualityScore]] replay (q154/q158): the
+    * length/stopword/symbol-ratio blend as one scalar expression over a
+    * `text` column — every term is a fixed association of correctly-
+    * rounded double ops over engine-identical integers, so the score
+    * (and any threshold on it) is bit-exact cross-engine.
     */
-  private lazy val minhashGroupsSql: String =
+  private lazy val qualitySql: String =
+    s"""least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+      |    + least(CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
+      |        THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |               x -> list_contains($stopsSql, x))) AS DOUBLE)
+      |             / len(string_split_regex(trim(lower(text)), '\\s+'))
+      |        ELSE 0.0 END * 5.0, 1.0) * 0.3
+      |    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
+      |        THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+      |        ELSE 0.0 END) * 4.0) * 0.3""".stripMargin
+
+  /** MinHash→LSH→verify→transitive-closure oracle CTE chain
+    * (q102/q154/q158): shingles → md5-64 hashes → 16-hash signatures →
+    * 4 banded keys → candidate pairs → exact-Jaccard verify at 0.5 →
+    * symmetric edges → recursive closure → `comp(id, group_id)`.
+    * `from` is the source relation (a table or an upstream CTE with
+    * doc_id + text). Callers prepend `WITH RECURSIVE` and append their
+    * select.
+    */
+  private def minhashGroupsSql(from: String = "documents"): String =
     s"""toks AS (
-      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+      |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM $from),
       |shl AS (
       |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
       |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
@@ -1073,7 +1092,7 @@ object Text {
     // identical pair CTE chain and closes components with a recursive
     // transitive-closure CTE — exact group membership, hash-checked.
     Q("q102_dup_groups",
-      s"""WITH RECURSIVE $minhashGroupsSql
+      s"""WITH RECURSIVE ${minhashGroupsSql()}
         |SELECT group_id, id AS doc_id,
         |  CAST(COUNT(*) OVER (PARTITION BY group_id) AS BIGINT) AS n_members
         |FROM comp ORDER BY group_id, doc_id""".stripMargin) { (s, dir) =>
@@ -2254,17 +2273,8 @@ object Text {
     // verbatim) plus q38's quality expression and the same keeper
     // window — certifying the composition end-to-end.
     Q("q154_neardup_keep_best",
-      s"""WITH RECURSIVE $minhashGroupsSql,
-        |q AS (SELECT doc_id,
-        |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
-        |    + least(CASE WHEN len(string_split_regex(trim(lower(text)), '\\s+')) > 0
-        |        THEN CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-        |               x -> list_contains($stopsSql, x))) AS DOUBLE)
-        |             / len(string_split_regex(trim(lower(text)), '\\s+'))
-        |        ELSE 0.0 END * 5.0, 1.0) * 0.3
-        |    + greatest(0.0, 1.0 - (CASE WHEN length(text) > 0
-        |        THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
-        |        ELSE 0.0 END) * 4.0) * 0.3 AS quality
+      s"""WITH RECURSIVE ${minhashGroupsSql()},
+        |q AS (SELECT doc_id, $qualitySql AS quality
         |  FROM documents),
         |m AS (SELECT comp.group_id, comp.id AS doc_id, q.quality
         |  FROM comp JOIN q ON q.doc_id = comp.id)
@@ -2294,5 +2304,86 @@ object Text {
         .withColumn("kept", col("doc_id") === col("keep_id"))
         .select("group_id", "doc_id", "quality", "keep_id", "kept")
         .orderBy("group_id", "doc_id")
+    },
+
+    // ---- LLM-curation capstone: the full curation composition (§LLM) ----
+    // One DAG through the training-data lifecycle the individual queries
+    // certify stage-by-stage: quality gate (q38/q154's score at θ=0.45)
+    // → exact dedup (q39's min-id-per-md5 keep rule) → near-dup
+    // keep-best over LSH components of the SURVIVORS (q154's chain on
+    // the filtered corpus) → deterministic hash split (q150) → per-split
+    // corpus summary. The oracle replays every stage in one recursive
+    // WITH over the shared fragments (qualitySql, minhashGroupsSql
+    // parameterized onto the survivor CTE, the q150 split thresholds) —
+    // a hash match certifies the stage CONTRACTS compose (gate feeds
+    // dedup feeds grouping feeds split), the q148/q155/q156 capstone
+    // pattern applied to this engine's own curation flow.
+    //
+    // Scale shape: gate + fingerprint are scan projections; exact dedup
+    // shuffles 16-byte fps; the LSH chain runs on gated survivors only;
+    // keep-best losers are a bounded broadcast anti-join; the split is a
+    // pure projection; the summary is one map-side-combined aggregate.
+    Q("q158_curation_capstone",
+      s"""WITH RECURSIVE
+        |sq AS (SELECT doc_id, text, $qualitySql AS quality FROM documents),
+        |gate AS (SELECT * FROM sq WHERE quality >= CAST(0.45 AS DOUBLE)),
+        |fpd AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+        |    ORDER BY doc_id) AS rn FROM gate),
+        |corpus AS (SELECT doc_id, text, quality FROM fpd WHERE rn = 1),
+        |${minhashGroupsSql("corpus")},
+        |mem AS (SELECT c.group_id, c.id AS doc_id, corpus.quality
+        |  FROM comp c JOIN corpus ON corpus.doc_id = c.id),
+        |keepers AS (SELECT doc_id,
+        |    first_value(doc_id) OVER (PARTITION BY group_id
+        |      ORDER BY quality DESC, doc_id) AS keep_id
+        |  FROM mem),
+        |curated AS (SELECT co.* FROM corpus co
+        |  WHERE co.doc_id NOT IN
+        |    (SELECT doc_id FROM keepers WHERE doc_id <> keep_id)),
+        |shv AS (SELECT * FROM ${OracleSql.md5Hash64Sql("doc_id",
+             "md5(CAST(doc_id AS VARCHAR) || '#split')", "curated", "h")}),
+        |u AS (SELECT doc_id,
+        |    (CAST(h AS DOUBLE) + CAST(9223372036854775808.0 AS DOUBLE))
+        |      / CAST(18446744073709551616.0 AS DOUBLE) AS u_unit
+        |  FROM shv),
+        |spl AS (SELECT cu.doc_id, cu.text,
+        |    CASE WHEN u_unit < CAST(0.8 AS DOUBLE) THEN 'train'
+        |         WHEN u_unit < CAST(0.9000000000000001 AS DOUBLE) THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM curated cu JOIN u USING (doc_id))
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT)
+        |    AS sum_tokens,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_fp,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM spl GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val scored = documents(s, dir).select(col("doc_id"), col("text"),
+        TextOps.qualityScore(col("text"), stops).as("quality"))
+      val gated = scored.filter(col("quality") >= 0.45)
+      val exact = gated
+        .withColumn("__rn", row_number().over(
+          w.partitionBy(md5(col("text"))).orderBy("doc_id")))
+        .filter(col("__rn") === 1).drop("__rn")
+      val pairs = Dedup.minhashNearDupsMd5(exact.select("doc_id", "text"),
+          "doc_id", "text", nHashes = 16, bands = 4, shingleSize = 3,
+          threshold = 0.5)
+        .select("id_a", "id_b")
+      val groups = graft.ops.Pin.pin(Dedup.dupGroups(pairs)
+        .select(col("group_id"), col("id").as("doc_id")))
+      val wg = w.partitionBy("group_id").orderBy(col("quality").desc, col("doc_id"))
+      val losers = groups.join(exact.select("doc_id", "quality"), "doc_id")
+        .withColumn("keep_id", first(col("doc_id")).over(wg))
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select("doc_id")
+      val curated = exact.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      graft.ops.Splits.hashSplit(curated.select("doc_id", "text"),
+          "doc_id", "#split", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("sum_tokens"),
+          countDistinct(md5(col("text"))).as("n_fp"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("split")
     })
 }
