@@ -48,15 +48,20 @@ object Geo {
     inside
   }
 
-  /** Column predicate over lon/lat columns; the ring travels in the UDF
-    * closure (broadcast with the task binary — a 25-vertex polygon is
-    * bytes, not data).
+  /** Column predicate over lon/lat columns — since round 9 a native
+    * codegen'd expression ([[graft.functions.PointInPolygon]]): the ring
+    * rides the plan as two double-array reference objects (a 25-vertex
+    * polygon is bytes, not data) and the predicate stays inside
+    * WholeStageCodegen (the SURVEY §4.3 upgrade of the former ScalaUDF,
+    * which broke the scan stage with per-row boxing). Null coordinates
+    * yield null — same filter behavior as the UDF's false.
     */
   def inPolygon(lonCol: Column, latCol: Column, ring: Ring): Column = {
-    val f = udf((lon: java.lang.Double, lat: java.lang.Double) =>
-      if (lon == null || lat == null) false
-      else pointInPolygon(lon, lat, ring))
-    f(lonCol, latCol)
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(graft.functions.PointInPolygon(
+      Bridge.expression(lonCol.cast("double")),
+      Bridge.expression(latCol.cast("double")),
+      ring.map(_._1), ring.map(_._2)))
   }
 
   /** Semi-join form (`stations.filter(inPolygon(...))`, `ETL.py:154`). */

@@ -239,6 +239,40 @@ class SourcesGeoSpec extends AnyFunSuite {
     assert(!Geo.pointInPolygon(4.0, 3.0, cShape), "notch point must be outside")
   }
 
+  test("native point_in_polygon expression ≡ driver ray-cast; no UDF in the plan") {
+    import org.apache.spark.sql.functions.col
+    val square: Geo.Ring = Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
+    val cShape: Geo.Ring = Array((0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (2.0, 2.0),
+      (2.0, 4.0), (6.0, 4.0), (6.0, 6.0), (0.0, 6.0))
+    // grid including vertices, edges, the notch, and far-outside points
+    val pts = (for (xi <- -2 to 14; yi <- -2 to 14)
+      yield (xi * 0.5, yi * 0.5)).toSeq
+    for (ring <- Seq(square, cShape)) {
+      val df = pts.toDF("lon", "lat")
+        .withColumn("in", Geo.inPolygon(col("lon"), col("lat"), ring))
+      // WholeStageCodegen path ≡ driver-side reference implementation
+      df.collect().foreach { r =>
+        val want = Geo.pointInPolygon(r.getDouble(0), r.getDouble(1), ring)
+        assert(r.getBoolean(2) === want, s"(${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+      // interpreted (non-codegen) eval path agrees too
+      val e = graft.functions.PointInPolygon(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0),
+        org.apache.spark.sql.catalyst.expressions.Literal(3.0),
+        ring.map(_._1), ring.map(_._2))
+      assert(e.eval(null) === Geo.pointInPolygon(1.0, 3.0, ring))
+      // the predicate must be a native expression, not a ScalaUDF stage-break
+      val plan = df.filter(col("in")).queryExecution.executedPlan.toString
+      assert(!plan.contains("UDF"), s"ScalaUDF crept back into:\n$plan")
+    }
+    // null coordinates: null out (filter-equivalent to the old UDF's false)
+    val withNull = Seq[(java.lang.Double, java.lang.Double)]((2.0, 2.0), (null, 2.0))
+      .toDF("lon", "lat")
+    val kept = withNull
+      .filter(Geo.inPolygon(col("lon"), col("lat"), square)).collect()
+    assert(kept.length === 1 && kept(0).getDouble(0) === 2.0)
+  }
+
   test("polygon filter over a stations frame + GeoJSON ring read (S7)") {
     val square: Geo.Ring = Array((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))
     val stations = Seq(
