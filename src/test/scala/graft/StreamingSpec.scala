@@ -268,6 +268,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("online near-dup state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // identical signatures → est-sim 1.0: doc 2 must be voted dup by the
+    // RECOVERED bucket state after the query restarts from checkpoint
+    val sig = (1L to 64L).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val input = MemoryStream[Streaming.SigDoc]
+    // the memory sink is not fault-tolerant (no checkpoint recovery);
+    // foreachBatch is the recoverable sink shape a deployment uses
+    val votes = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Boolean)]()
+    def start() = Streaming.nearDupVotes(input.toDS(), bands = 16,
+        numHashes = 64, tau = 0.5)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.NearDupVote],
+                       _: Long) =>
+        batch.collect().foreach(v => votes.add(v.id -> v.dup))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(Streaming.SigDoc(1L, sig))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData(Streaming.SigDoc(2L, sig))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val vs = votes.asScala.toSeq
+      // doc 1 seeded every bucket pre-restart (all votes false); doc 2's
+      // votes must all be dup=true via the recovered state
+      assert(vs.count(_._1 == 2L) === 16)
+      assert(vs.filter(_._1 == 2L).forall(_._2),
+        "bucket rep state was lost across the checkpointed restart")
+      assert(vs.filter(_._1 == 1L).forall(!_._2))
+    } finally q2.stop()
+  }
+
   test("streaming HLL registers over a live feed equal the batch registers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
