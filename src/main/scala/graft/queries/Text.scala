@@ -2385,5 +2385,140 @@ object Text {
           countDistinct(md5(col("text"))).as("n_fp"),
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("split")
+    },
+
+    // ---- CDC latest-wins corpus merge (ops/Merge) ----
+    // A maintained corpus is the fold of a change log: re-crawled pages
+    // arrive as higher-version updates, takedowns as delete tombstones,
+    // re-publications as updates after a delete. The fixture builds a
+    // 4-wave log from `documents` (v1 base insert for every doc, v2
+    // re-extraction for doc_id%7, v3 tombstone for doc_id%13, v4
+    // re-publication for doc_id%26 — so delete-then-reinsert is
+    // exercised on real rows) and folds it with [[graft.ops.Merge
+    // .latestWins]]: ONE map-side-combined max(struct) shuffle on
+    // doc_id, no window, no sort of the change groups. The oracle
+    // replays the identical log with a row_number keeper — two
+    // different keep algorithms, same answer.
+    Q("q159_corpus_merge",
+      """WITH chg AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS version, 'U' AS op,
+        |    md5(text) AS fp, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS BIGINT), 'U', md5(text || '#rev2'), lang
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS BIGINT), 'D', NULL, NULL
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(4 AS BIGINT), 'U', md5(text || '#rev4'), lang
+        |  FROM documents WHERE doc_id % 26 = 0),
+        |w AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY version DESC) AS rn FROM chg)
+        |SELECT doc_id, version, fp, lang FROM w
+        |WHERE rn = 1 AND op <> 'D' ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      def wave(ver: Long, op: String, fpCol: org.apache.spark.sql.Column,
+               langCol: org.apache.spark.sql.Column) =
+        docs.select(col("doc_id"), lit(ver).as("version"), lit(op).as("op"),
+          fpCol.as("fp"), langCol.as("lang"))
+      val chg = wave(1L, "U", md5(col("text")), col("lang"))
+        .unionByName(wave(2L, "U", md5(concat(col("text"), lit("#rev2"))), col("lang"))
+          .filter(col("doc_id") % 7 === 0))
+        .unionByName(wave(3L, "D", lit(null).cast("string"), lit(null).cast("string"))
+          .filter(col("doc_id") % 13 === 0))
+        .unionByName(wave(4L, "U", md5(concat(col("text"), lit("#rev4"))), col("lang"))
+          .filter(col("doc_id") % 26 === 0))
+      graft.ops.Merge.latestWins(chg, "doc_id", "version", "op")
+        .select("doc_id", "version", "fp", "lang")
+        .orderBy("doc_id")
+    },
+
+    // ---- takedown propagation through near-dup components ----
+    // Compliance removal for a training corpus: a takedown notice names
+    // documents, but near-verbatim copies of them must go too. Seeds =
+    // doc_id%97 (the notice list); removal = the seeds plus every member
+    // of any transitive MinHash/LSH component (q102's machinery) that
+    // contains a seed. The complement policy to q154's keep-best: there
+    // the group elects a survivor, here a poisoned group drains.
+    //
+    // Scale shape: the LSH chain is q102's (fingerprints and band keys
+    // shuffle, text never does); the notice list and the poisoned-group
+    // set are both tiny → broadcast semi/anti joins, zero extra
+    // shuffles beyond the grouping itself.
+    Q("q160_takedown_propagation",
+      s"""WITH RECURSIVE ${minhashGroupsSql()},
+        |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
+        |hitg AS (SELECT DISTINCT c.group_id FROM comp c
+        |  JOIN seeds sd ON sd.doc_id = c.id),
+        |prop AS (SELECT c.id AS doc_id FROM comp c JOIN hitg USING (group_id)),
+        |rem AS (
+        |  SELECT doc_id, 'direct' AS reason FROM seeds
+        |  UNION ALL
+        |  SELECT doc_id, 'propagated' FROM prop
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM seeds))
+        |SELECT doc_id, reason FROM rem ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val seeds = docs.filter(col("doc_id") % 97 === 0).select("doc_id")
+      val pairs = Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val groups = graft.ops.Pin.pin(Dedup.dupGroups(pairs)
+        .select(col("group_id"), col("id").as("doc_id")))
+      val hitGroups = groups.join(broadcast(seeds), Seq("doc_id"), "leftsemi")
+        .select("group_id").distinct()
+      val propagated = groups.join(broadcast(hitGroups), Seq("group_id"), "leftsemi")
+        .select("doc_id")
+      propagated.join(broadcast(seeds), Seq("doc_id"), "left_anti")
+        .withColumn("reason", lit("propagated"))
+        .unionByName(seeds.withColumn("reason", lit("direct")))
+        .orderBy("doc_id")
+    },
+
+    // ---- MinHash/LSH parameter planner (the S-curve) ----
+    // Why 16 hashes × 4 bands? The banding collision probability is
+    // p(s) = 1 − (1 − s^r)^b; this query materializes the full curve for
+    // every (b, r) factorization of the engine's 16-hash budget over a
+    // 19-point similarity grid — the planning table an operator reads to
+    // pick the factorization whose threshold (≈ (1/b)^(1/r)) sits at the
+    // dedup target before paying for a corpus-scale run. Tiny by
+    // construction (95 rows), but the arithmetic is engine-grade: both
+    // powers are LEFT-FOLD products (Spark `aggregate` over a sequence;
+    // DuckDB a recursive CTE carrying the running product), so every
+    // IEEE multiply associates identically and the curve hash-matches
+    // bit-for-bit — the q145/q146 fold-replay pattern on closed-form
+    // math instead of a time series.
+    Q("q161_lsh_planner",
+      """WITH RECURSIVE
+        |cfg(b, r) AS (SELECT * FROM (VALUES
+        |  (CAST(1 AS BIGINT), CAST(16 AS BIGINT)), (CAST(2 AS BIGINT), CAST(8 AS BIGINT)),
+        |  (CAST(4 AS BIGINT), CAST(4 AS BIGINT)), (CAST(8 AS BIGINT), CAST(2 AS BIGINT)),
+        |  (CAST(16 AS BIGINT), CAST(1 AS BIGINT))) v(b, r)),
+        |g AS (SELECT CAST(i AS BIGINT) AS i,
+        |    CAST(i AS DOUBLE) / CAST(20.0 AS DOUBLE) AS s
+        |  FROM range(1, 20) t(i)),
+        |pw(i, s, k, val) AS (
+        |  SELECT i, s, CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE) FROM g
+        |  UNION ALL
+        |  SELECT i, s, k + 1, val * s FROM pw WHERE k < 16),
+        |qw(b, r, i, s, onemp, k, val) AS (
+        |  SELECT c.b, c.r, p.i, p.s, CAST(1.0 AS DOUBLE) - p.val,
+        |    CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+        |  FROM cfg c JOIN pw p ON p.k = c.r
+        |  UNION ALL
+        |  SELECT b, r, i, s, onemp, k + 1, val * onemp FROM qw WHERE k < b)
+        |SELECT b, r, i, s, CAST(1.0 AS DOUBLE) - val AS p FROM qw WHERE k = b
+        |ORDER BY b, i""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cfg = Seq((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)).toDF("b", "r")
+      cfg.crossJoin(s.range(1, 20).select(col("id").as("i")))
+        .withColumn("s", col("i").cast("double") / lit(20.0))
+        .withColumn("__pand",
+          aggregate(sequence(lit(1L), col("r")), lit(1.0d), (acc, _) => acc * col("s")))
+        .withColumn("__pnone",
+          aggregate(sequence(lit(1L), col("b")), lit(1.0d),
+            (acc, _) => acc * (lit(1.0d) - col("__pand"))))
+        .select(col("b"), col("r"), col("i"), col("s"),
+          (lit(1.0d) - col("__pnone")).as("p"))
+        .orderBy("b", "i")
     })
 }

@@ -195,4 +195,25 @@ class OpsSpec extends AnyFunSuite {
       .as[Option[Double]].collect()
     assert(got === Seq(Some(2.0), Some(5.0), None))
   }
+
+  test("latestWins: upsert, tombstone, delete-then-reinsert, partition-invariant") {
+    // key 1: plain insert; key 2: insert→update; key 3: insert→delete;
+    // key 4: insert→delete→reinsert; key 5: out-of-order arrival (v3
+    // before v1 in the log — order must not matter)
+    val log = Seq(
+      (1L, 1L, "U", "a1"),
+      (2L, 1L, "U", "b1"), (2L, 2L, "U", "b2"),
+      (3L, 1L, "U", "c1"), (3L, 2L, "D", null),
+      (4L, 1L, "U", "d1"), (4L, 2L, "D", null), (4L, 3L, "U", "d3"),
+      (5L, 3L, "U", "e3"), (5L, 1L, "U", "e1")
+    ).toDF("id", "version", "op", "payload")
+    val want = Set((1L, 1L, "a1"), (2L, 2L, "b2"), (4L, 3L, "d3"), (5L, 3L, "e3"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Merge.latestWins(df, "id", "version", "op")
+        .select("id", "version", "payload")
+        .as[(Long, Long, String)].collect().toSet
+    assert(run(log) === want)
+    assert(run(log.repartition(7)) === want)
+    assert(run(log.orderBy($"version".desc)) === want)
+  }
 }
