@@ -2520,5 +2520,92 @@ object Text {
         .select(col("b"), col("r"), col("i"), col("s"),
           (lit(1.0d) - col("__pnone")).as("p"))
         .orderBy("b", "i")
+    },
+
+    // ---- temperature-based multilingual sampling quotas ----
+    // The multilingual mixing policy (Conneau & Lample 2019 §3.1 /
+    // mT5): sample language g with weight n_g^α / Σ n_g^α so low-
+    // resource languages are upsampled relative to their corpus share.
+    // α is pinned to 1/2 because x^0.5 IS IEEE sqrt — correctly rounded
+    // in every conforming engine — whereas a transcendental pow(n, α)
+    // could differ in the last ulp cross-engine (the BM25/DSIR log
+    // deviation, avoided outright here). The per-group sqrt is snapped
+    // to the 1e-6 grid and summed as exact DECIMAL (the Exact.gsum
+    // protocol: order-invariant, so the denominator is identical under
+    // any partitioning); weight and quota are then one division and one
+    // floor — fixed associations. Feeds `Mixing.interleave` (q118) as
+    // the weight vector. ONE map-side-combined groupBy on lang; the
+    // denominator is a broadcast 1-row aggregate.
+    Q("q162_temperature_mix",
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |sq AS (SELECT lang, n_docs,
+        |    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * CAST(1000000.0 AS DOUBLE), 0)
+        |      AS DECIMAL(38,0)) AS sqb FROM c),
+        |d AS (SELECT CAST(SUM(sqb) AS DOUBLE) AS denom FROM sq)
+        |SELECT lang, n_docs, CAST(sqb AS DOUBLE) / denom AS w,
+        |  CAST(FLOOR((CAST(sqb AS DOUBLE) / denom) * CAST(100000.0 AS DOUBLE))
+        |    AS BIGINT) AS quota
+        |FROM sq CROSS JOIN d ORDER BY lang""".stripMargin) { (s, dir) =>
+      val counts = documents(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+      val sq = counts.withColumn("sqb",
+        round(sqrt(col("n_docs").cast("double")) * lit(1000000.0d), 0)
+          .cast("decimal(38,0)"))
+      val denom = sq.agg(sum(col("sqb")).cast("double").as("denom"))
+      sq.crossJoin(broadcast(denom))
+        .withColumn("w", col("sqb").cast("double") / col("denom"))
+        .withColumn("quota",
+          floor(col("w") * lit(100000.0d)).cast("long"))
+        .select("lang", "n_docs", "w", "quota")
+        .orderBy("lang")
+    },
+
+    // ---- deterministic token masking (MLM corruption) ----
+    // BERT/T5-style preprocessing: mask ~15% of token positions. The
+    // mask decision is md5Hash64(doc_id#mask#pos) mapped to [0,1) (the
+    // q150 split family), NOT an RNG — so the corrupted corpus is a pure
+    // function of the clean corpus (reproducible epochs, resumable jobs,
+    // and the mask pattern survives repartitioning). The whole query is
+    // a SCAN PROJECTION: tokenize, mask, count, and re-join happen in
+    // one `transform` HOF per row — zero shuffles, zero explodes; at
+    // 100 TB the corrupted text is produced at read bandwidth. The
+    // oracle must explode (SQL has no indexed-lambda fold) and regroup
+    // with an ordered string_agg — two algorithms, same rows.
+    Q("q163_deterministic_masking",
+      s"""WITH tk AS (SELECT doc_id,
+        |    string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+        |ex AS (SELECT doc_id, CAST(e['pos'] AS BIGINT) AS pos,
+        |    e['tok'] AS tok, CAST(len(toks) AS BIGINT) AS n
+        |  FROM (SELECT doc_id, toks,
+        |      unnest(list_transform(range(len(toks)),
+        |        j -> {'pos': j, 'tok': toks[j+1]})) AS e FROM tk)),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, pos, tok, n",
+             "md5(CAST(doc_id AS VARCHAR) || '#mask#' || CAST(pos AS VARCHAR))",
+             "ex", "h")}),
+        |m AS (SELECT doc_id, pos, tok, n,
+        |    CASE WHEN (CAST(h AS DOUBLE) + CAST(9223372036854775808.0 AS DOUBLE))
+        |        / CAST(18446744073709551616.0 AS DOUBLE) < CAST(0.15 AS DOUBLE)
+        |      THEN 1 ELSE 0 END AS f
+        |  FROM hv)
+        |SELECT doc_id, MAX(n) AS n_tokens, CAST(SUM(f) AS BIGINT) AS n_masked,
+        |  string_agg(CASE WHEN f = 1 THEN '<mask>' ELSE tok END, ' ' ORDER BY pos)
+        |    AS masked_text
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.Column
+      val toks = split(trim(col("text")), "\\s+")
+      def u(i: Column): Column =
+        (Dedup.md5Hash64(concat(col("doc_id").cast("string"), lit("#mask#"),
+            i.cast("string"))).cast("double") +
+          lit(9.223372036854776e18)) / lit(1.8446744073709552e19)
+      documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(sequence(lit(0L), size(toks).cast("long") - 1),
+          i => u(i) < lit(0.15d))).cast("long").as("n_masked"),
+        array_join(transform(toks,
+          (x, i) => when(u(i.cast("long")) < lit(0.15d), lit("<mask>")).otherwise(x)),
+          " ").as("masked_text"))
+        .orderBy("doc_id")
     })
 }

@@ -251,4 +251,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"unexpected hash exchange in:\n$p")
   }
+
+  test("deterministic masking is a pure scan projection (q163)") {
+    val p = plan("q163_deterministic_masking")
+    // tokenize/mask/count/rejoin all live in per-row HOFs — a hash
+    // exchange means the masking regressed to the oracle's explode+
+    // regroup algorithm (fine for DuckDB, wrong at 100 TB)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"masking stopped being a scan projection:\n$p")
+    assert(!p.contains("Window"), s"window crept into masking:\n$p")
+  }
+
+  test("corpus merge pre-aggregates the change log map-side (q159)") {
+    val p = plan("q159_corpus_merge")
+    // latestWins must plan partial max(struct) before its ONE exchange
+    // and never sort change groups through a window keeper
+    assert(p.contains("partial_max") || p.contains("partial max")
+        || "HashAggregate.*partial".r.findFirstIn(p).isDefined,
+      s"no map-side combine before the merge exchange:\n$p")
+    assert(!p.contains("Window"), s"window keeper crept into latestWins:\n$p")
+  }
 }
