@@ -2607,5 +2607,59 @@ object Text {
           (x, i) => when(u(i.cast("long")) < lit(0.15d), lit("<mask>")).otherwise(x)),
           " ").as("masked_text"))
         .orderBy("doc_id")
+    },
+
+    // ---- SemDeDup: semantic dedup via cluster-scoped cosine groups ----
+    // Abbas et al. 2023 end to end (see [[Similarity.semDeDup]]):
+    // deterministic md5-ordered centroids, exact-decimal argmin
+    // assignment, WITHIN-cell cosine pairs at 0.3, transitive groups,
+    // keep = farthest-from-centroid. The oracle replays every stage —
+    // centroid pick, argmin (tie → smaller cell), pair verify, recursive
+    // closure, keeper window — so the full policy hash-checks, not just
+    // the pair stage (q87's scope). Bounded to vec_id < 600 to keep the
+    // oracle's decimal-dot bill in q87 territory; the Spark path is the
+    // production shape (id-only candidate shuffles, k-row broadcast).
+    Q("q164_semantic_dedup", {
+      def sq(a: String, b: String) =
+        s"""(SELECT SUM(CAST((CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | AS DECIMAL(38,18))) FROM range(64) t(i))""".stripMargin
+          .replaceAll("\n\\s*\\|?", " ")
+      s"""WITH RECURSIVE
+        |e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 600),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("vec_id",
+             "md5('graft-semdedup#' || CAST(vec_id AS VARCHAR))", "e", "h")}),
+        |cent AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, embedding AS cvec FROM (
+        |    SELECT hv.vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM hv) p
+        |  JOIN e ON e.vec_id = p.vec_id WHERE rn <= 8),
+        |ad AS (SELECT e.vec_id, c.cell, ${sq("e.embedding", "c.cvec")} AS d
+        |  FROM e CROSS JOIN cent c),
+        |asn AS (SELECT vec_id, cell, d AS dcent FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+        |    FROM ad) WHERE rn = 1),
+        |nrm AS (SELECT vec_id, SQRT(${dotSql("embedding", "embedding")}) AS nn FROM e),
+        |dups AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM asn a JOIN asn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+        |  JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+        |  WHERE ${dotSql("ea.embedding", "eb.embedding")} / (na.nn * nb.nn)
+        |    >= CAST(0.3 AS DOUBLE)),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM dups
+        |  UNION ALL SELECT id_b, id_a FROM dups),
+        |reach(id, lbl) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT g.dst, r.lbl FROM reach r JOIN edges g ON g.src = r.id),
+        |comp AS (SELECT id, MIN(lbl) AS group_id FROM reach GROUP BY id)
+        |SELECT m.id AS vec_id, CAST(a.cell AS BIGINT) AS cell, m.group_id,
+        |  CAST(FLOOR(a.dcent * 1000000000 + 0.5) AS DOUBLE) / 1000000000.0 AS dcent,
+        |  CASE WHEN row_number() OVER (PARTITION BY m.group_id
+        |      ORDER BY a.dcent DESC, m.id) = 1 THEN 1 ELSE 0 END AS kept
+        |FROM comp m JOIN asn a ON a.vec_id = m.id
+        |ORDER BY m.group_id, vec_id""".stripMargin
+    }) { (s, dir) =>
+      Similarity.semDeDup(embeddings(s, dir).filter(col("vec_id") < 600),
+        "vec_id", "embedding", nCells = 8, threshold = 0.3)
+        .orderBy("group_id", "vec_id")
     })
 }

@@ -520,4 +520,100 @@ object Similarity {
           struct(col("cos"), (-col("eval_id")).as("n"))).as("best_eval_id"),
         max(col("cos")).as("best_cos"))
   }
+
+  // ---------------------------------------------------------------------
+  // SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+  // web-scale through semantic deduplication") — the embedding-space
+  // dedup policy used on LAION/C4-scale corpora: cluster the embedding
+  // space, call two items semantic duplicates when their cosine within a
+  // cluster reaches a threshold, and keep ONE representative per
+  // duplicate group — the member FARTHEST from its cluster centroid
+  // (the paper's "lowest similarity to centroid" keep rule, which
+  // retains the least-prototypical, most informative copy).
+  //
+  // Scale shape: the centroid table is k rows (broadcast); assignment is
+  // one scan with a map-side-combined argmin shuffle carrying (id, cell,
+  // dist) — vectors never cross the wire; candidate pairs are generated
+  // from (id, cell) alone (the cosineNearDups id-only protocol) and the
+  // quadratic is confined WITHIN a cell — the paper's approximation, and
+  // the reason SemDeDup runs where all-pairs cannot. Callers size
+  // `nCells` so cells stay bounded (k ≈ n / targetCellSize); cross-cell
+  // near-dups are out of scope by design (nCells = 1 degenerates to the
+  // exact all-pairs form, the q87 full-coverage pattern).
+  // ---------------------------------------------------------------------
+
+  /** SemDeDup over an embedding frame. Output: one row per member of a
+    * semantic-duplicate group — (id, cell, group_id, dcent, kept) where
+    * `group_id` is the smallest member id of the transitive duplicate
+    * component, `dcent` the exact squared L2 distance to the member's own
+    * centroid (1e-9-grid floor snap of the exact decimal, the q120
+    * readout pattern), and `kept` = 1
+    * for the group's survivor (argmax dcent, ties to the smaller id).
+    *
+    * Determinism: centroids are the `nCells` corpus rows with the
+    * smallest (md5Hash64(salt#id), id) — shuffle- and growth-order
+    * invariant; assignment argmin and the keep rule order on EXACT
+    * decimal distances, so every decision replays bit-identically in any
+    * engine (no IEEE accumulation anywhere in a comparison).
+    */
+  def semDeDup(df: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, threshold: Double,
+               salt: String = "graft-semdedup"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    // centroid pick: bounded top-k by hash order (TakeOrderedAndProject,
+    // never a single-partition global sort); k rows collect to the
+    // driver to get dense cell indices — the pqCodebook pattern.
+    val picked = base
+      .withColumn("__h", graft.dedup.Dedup.md5Hash64(
+        concat(lit(salt + "#"), col("__id").cast("string"))))
+      .orderBy(col("__h"), col("__id")).limit(nCells)
+      .select(col("__id"), col("__v").cast("array<double>").as("__vd"))
+      .collect()
+    val cent = broadcast(picked.zipWithIndex.map { case (r, i) =>
+      (i, r.getSeq[Double](1)) }.toSeq.toDF("cell", "__cvec"))
+    // assignment: k distances per row computed in the scan projection;
+    // the argmin shuffle carries (id, struct(dist, cell)) with map-side
+    // partial min — exact decimal distances make the argmin (and its
+    // tie-break to the smaller cell) engine-replayable.
+    val assigned = base.crossJoin(cent)
+      .withColumn("__d", sqDistExact(col("__v"), col("__cvec")))
+      .groupBy("__id")
+      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"))
+      .select(col("__id"), col("__m.cell").as("cell"), col("__m.d").as("dcent"))
+    // within-cell candidates from (id, cell) alone; vectors re-attach by
+    // id for the double prefilter + exact-decimal verify (the
+    // cosineNearDups protocol — threshold-1e-9 loses no exact survivor).
+    val a = assigned.select(col("__id").as("id_a"), col("cell"))
+    val b = assigned.select(col("__id").as("id_b"), col("cell"))
+    val va = base.select(col("__id").as("id_a"), col("__v").as("va"),
+      normExact(col("__v")).as("na"))
+    val vb = base.select(col("__id").as("id_b"), col("__v").as("vb"),
+      normExact(col("__v")).as("nb"))
+    val dups = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .join(va, "id_a").join(vb, "id_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold - 1e-9)
+      .filter(dotExact(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= threshold)
+      .select("id_a", "id_b")
+    // transitive duplicate groups, then the paper's keep rule: per group
+    // the member with the LARGEST exact distance to its own centroid
+    // survives (ties to the smaller id) — a window over near-dup groups,
+    // bounded by construction like q154's keeper.
+    val members = graft.ops.Pin.pin(graft.dedup.Dedup.dupGroups(dups))
+      .select(col("group_id"), col("id").as("__id"))
+      .join(assigned, "__id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy(col("dcent").desc, col("__id"))
+    members
+      .withColumn("kept",
+        (row_number().over(w) === 1).cast("int"))
+      .select(col("__id").as(idCol), col("cell").cast("long").as("cell"),
+        col("group_id"),
+        snap9Floor(col("dcent")).as("dcent"),
+        col("kept"))
+  }
 }

@@ -262,6 +262,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window crept into masking:\n$p")
   }
 
+  test("semantic dedup broadcasts centroids and confines the quadratic (q164)") {
+    val p = plan("q164_semantic_dedup")
+    // centroids reach every row via broadcast (k rows), never a shuffled
+    // cross product; candidate pairs come from the within-cell equi-join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid table stopped broadcasting in:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"all-pairs cross product crept into semantic dedup:\n$p")
+    // the id filter reaches the parquet scan
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,600)]"),
+      s"vec_id bound not pushed to the scan in:\n$p")
+    // the keeper window is partitioned by group — never a global frame
+    assert(!"Window \\[[^\\n]*windowspecdefinition\\(dcent".r.findFirstIn(p).isDefined,
+      s"unpartitioned keeper window in:\n$p")
+  }
+
   test("corpus merge pre-aggregates the change log map-side (q159)") {
     val p = plan("q159_corpus_merge")
     // latestWins must plan partial max(struct) before its ONE exchange

@@ -699,4 +699,76 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     // cross-check vs exact on a corpus where only the hot key overlaps
     assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count() === 0L)
   }
+
+  // 3 planted duplicate families (tight cones around orthogonal axes)
+  // plus isolated singletons; cosine within a family ≥ ~0.999, across
+  // families ~0 — threshold 0.9 separates them cleanly.
+  private def semFixture = {
+    def v(axis: Int, eps: Float): Seq[Float] = {
+      val a = Array.fill(8)(0.0f); a(axis) = 1.0f; a((axis + 1) % 8) = eps; a.toSeq
+    }
+    (Seq((1L, v(0, 0.00f)), (2L, v(0, 0.01f)), (3L, v(0, 0.02f)),
+      (10L, v(2, 0.00f)), (11L, v(2, 0.01f)),
+      (20L, v(4, 0.00f)), (21L, v(4, 0.015f)), (22L, v(4, 0.03f)),
+      (30L, v(6, 0.0f)), (40L, v(7, 0.0f)))).toDF("vec_id", "embedding")
+  }
+
+  test("semDeDup at nCells=1 equals brute-force cosine components + keep rule") {
+    val df = semFixture
+    val got = Similarity.semDeDup(df, "vec_id", "embedding",
+      nCells = 1, threshold = 0.9).collect()
+    // independent brute-force replay: all-pairs exact cosine, components,
+    // farthest-from-centroid keeper
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val ids = rows.map(_._1)
+    val vecs = rows.toMap
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- ids; j <- ids if i < j if cos(vecs(i), vecs(j)) >= 0.9 - 1e-12) {
+      val (ri, rj) = (find(i), find(j))
+      if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+    }
+    val comps = ids.groupBy(find).filter(_._2.length > 1)
+    val wantMembers = comps.toSeq.flatMap { case (_, ms) =>
+      ms.toSeq.map(m => m -> ms.min) }.toMap
+    assert(got.map(r => r.getLong(0) -> r.getLong(2)).toMap === wantMembers)
+    // exactly one kept per group; the keeper maximizes distance to the
+    // single global centroid (nCells=1 ⇒ same centroid for every member)
+    val keptPerGroup = got.groupBy(_.getLong(2))
+      .map { case (g, rs) => g -> rs.count(_.getInt(4) == 1) }
+    assert(keptPerGroup.values.forall(_ == 1))
+    got.groupBy(_.getLong(2)).foreach { case (_, rs) =>
+      val kept = rs.find(_.getInt(4) == 1).get
+      val maxD = rs.map(_.getDouble(3)).max
+      assert(kept.getDouble(3) == maxD,
+        s"keeper must be farthest from centroid in group ${kept.getLong(2)}")
+    }
+  }
+
+  test("semDeDup is invariant to input partitioning and row order") {
+    val df = semFixture
+    val base = Similarity.semDeDup(df, "vec_id", "embedding",
+      nCells = 3, threshold = 0.9).collect().sortBy(_.getLong(0))
+    val reparted = Similarity.semDeDup(
+      df.repartition(7, col("vec_id")).sortWithinPartitions(col("vec_id").desc),
+      "vec_id", "embedding", nCells = 3, threshold = 0.9)
+      .collect().sortBy(_.getLong(0))
+    assert(base.map(_.toString).toSeq === reparted.map(_.toString).toSeq)
+    assert(base.nonEmpty)
+  }
+
+  test("semDeDup confines pairs to cells: nCells = n separates everything") {
+    // one cell per vector ⇒ every cell is a singleton ⇒ no pairs at all,
+    // regardless of similarity — the within-cell contract, explicitly
+    val df = semFixture
+    val got = Similarity.semDeDup(df, "vec_id", "embedding",
+      nCells = 10, threshold = 0.9)
+    assert(got.count() === 0L)
+  }
 }
