@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ExactDotProduct, Md5Hash64}
+import graft.functions.{ExactDotProduct, Md5Hash64, NfcNormalize}
 
 /** Session extensions registering the engine's native expressions with
   * the SQL function registry, so `spark.sql("SELECT exact_dot(a, b)")`
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "md5hash64(binary)")
         Md5Hash64(children.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc(string)")
+        NfcNormalize(children.head)
       }))
   }
 }

@@ -2661,5 +2661,156 @@ object Text {
       Similarity.semDeDup(embeddings(s, dir).filter(col("vec_id") < 600),
         "vec_id", "embedding", nCells = 8, threshold = 0.3)
         .orderBy("group_id", "vec_id")
+    },
+
+    // ---- Unicode text cleanup (NFC + control strip + ws collapse) ----
+    // [[TextOps.cleanText]] over documents plus planted pages (the q149
+    // fixture-union pattern — synthetic docs are already clean ASCII, so
+    // NFD sequences, control characters, and whitespace runs must be
+    // planted to exercise each branch): NFC composition via the native
+    // codegen'd [[graft.functions.NfcNormalize]] (Spark ships no
+    // normalizer; a Scala UDF would break the scan projection's
+    // whole-stage codegen), control deletion and whitespace collapse as
+    // explicit code-point-range regexes (never `\s` — Java and RE2
+    // disagree on U+000B). Pure scan projection; at 100 TB cleanup runs
+    // at read bandwidth ahead of every fingerprint/tokenize consumer.
+    Q("q165_text_cleanup",
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), E'café then Å nfd'),
+        |    (CAST(-2 AS BIGINT), E'bell\x07and\x1funit\x0eseps'),
+        |    (CAST(-3 AS BIGINT), E'  double   spaces\tand\ttabs\n\nnewlines\x0band vt  '),
+        |    (CAST(-4 AS BIGINT), 'already clean ascii'),
+        |    (CAST(-5 AS BIGINT), E'\x07\x1f'),
+        |    (CAST(-6 AS BIGINT), E' \t ')) v(doc_id, text)),
+        |c AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |      '[ \t\n\r\x0B\f]+', ' ', 'g')) AS cleaned
+        |  FROM src)
+        |SELECT doc_id, cleaned,
+        |  CAST(length(text) AS BIGINT) AS n_before,
+        |  CAST(length(cleaned) AS BIGINT) AS n_after,
+        |  CASE WHEN cleaned <> text THEN 1 ELSE 0 END AS changed
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (-1L, "café then Å nfd"),
+        (-2L, "bellandunitseps"),
+        (-3L, "  double   spaces\tand\ttabs\n\nnewlinesand vt  "),
+        (-4L, "already clean ascii"),
+        (-5L, ""),
+        (-6L, " \t ")).toDF("doc_id", "text")
+      val src = documents(s, dir).select("doc_id", "text").unionByName(planted)
+      src.withColumn("cleaned", TextOps.cleanText(col("text")))
+        .select(col("doc_id"), col("cleaned"),
+          length(col("text")).cast("long").as("n_before"),
+          length(col("cleaned")).cast("long").as("n_after"),
+          when(col("cleaned") =!= col("text"), lit(1)).otherwise(lit(0))
+            .as("changed"))
+        .orderBy("doc_id")
+    },
+
+    // ---- deterministic epoch shuffle (training reading order) ----
+    // [[Mixing.epochShuffle]] for epochs 0 and 1: each epoch's global
+    // order is the rank of md5Hash64(epoch-salted id) — reproducible,
+    // resumable, partition-layout-independent, and re-keyed per epoch so
+    // epochs are independent permutations. Ranks ride the range-
+    // partition+offset zipWithIndex scheme (never a global window); the
+    // oracle replays the identical hash family through one window per
+    // epoch — two algorithms, same total order.
+    Q("q166_epoch_shuffle",
+      s"""WITH h0 AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+           "md5('graft-epoch#0#' || CAST(doc_id AS VARCHAR))", "documents", "h")}),
+        |h1 AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+           "md5('graft-epoch#1#' || CAST(doc_id AS VARCHAR))", "documents", "h")})
+        |SELECT CAST(0 AS BIGINT) AS epoch,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos,
+        |  doc_id FROM h0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT),
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT),
+        |  doc_id FROM h1
+        |ORDER BY epoch, pos""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir).select("doc_id")
+      Seq(0L, 1L).map { e =>
+        graft.text.Mixing.epochShuffle(docs, "doc_id", e)
+          .select(lit(e).as("epoch"), col("pos"), col("doc_id"))
+      }.reduce(_ unionByName _).orderBy("epoch", "pos")
+    },
+
+    // ---- SQ8 scalar quantization of the embedding store ----
+    // [[graft.sim.Quantize]]: per-dimension min/max training (ONE
+    // map-side-combined groupBy to 64 rows — order-invariant aggregates,
+    // no decimal machinery needed), then encode + reconstruct + exact
+    // squared reconstruction error in the scan projection (zero
+    // shuffles; stats ship as broadcast array literals). Output projects
+    // sortable scalars (the q47 convention — the checker cannot order
+    // array cells): first/last code, code sum, snapped exact error.
+    Q("q167_sq8_quantization",
+      """WITH xs AS (SELECT vec_id, i,
+        |    CAST(embedding[i+1] AS DOUBLE) AS xd
+        |  FROM embeddings CROSS JOIN range(64) t(i)),
+        |st AS (SELECT i, MIN(xd) AS mn, MAX(xd) AS mx FROM xs GROUP BY i),
+        |cd AS (SELECT vec_id, i, xd, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE CAST(round((xd - mn) / (mx - mn) * CAST(255.0 AS DOUBLE), 0)
+        |        AS INTEGER) END AS c
+        |  FROM xs JOIN st USING (i)),
+        |er AS (SELECT vec_id,
+        |    MAX(CASE WHEN i = 0 THEN c END) AS c_first,
+        |    MAX(CASE WHEN i = 63 THEN c END) AS c_last,
+        |    CAST(SUM(c) AS BIGINT) AS c_sum,
+        |    SUM(CAST((xd - (mn + CAST(c AS DOUBLE) / CAST(255.0 AS DOUBLE) * (mx - mn)))
+        |      * (xd - (mn + CAST(c AS DOUBLE) / CAST(255.0 AS DOUBLE) * (mx - mn)))
+        |      AS DECIMAL(38,18))) AS errd
+        |  FROM cd GROUP BY vec_id)
+        |SELECT vec_id, c_first, c_last, c_sum,
+        |  CAST(FLOOR(errd * 1000000000 + 0.5) AS DOUBLE) / 1000000000.0 AS err
+        |FROM er ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val stats = graft.sim.Quantize.sq8Train(emb, "embedding")
+      graft.sim.Quantize.sq8(emb, "embedding", stats)
+        .select(col("vec_id"),
+          element_at(col("codes"), 1).as("c_first"),
+          element_at(col("codes"), 64).as("c_last"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c.cast("long"))
+            .as("c_sum"),
+          Similarity.snap9Floor(col("err")).as("err"))
+        .orderBy("vec_id")
+    },
+
+    // ---- RAG chunking: overlapping token windows with stable ids ----
+    // [[TextOps.chunkWindows]] at 64-token windows, 16-token overlap
+    // (stride 48): the retrieval-index splitter. The whole derivation is
+    // a scan-projection HOF + generator (explode) — zero shuffles; chunk
+    // identity (doc_id, chunk_idx) is a pure function of the text, so
+    // incremental re-indexing of a grown corpus never renumbers chunks.
+    // The oracle replays the identical window arithmetic through
+    // DuckDB's list slicing.
+    Q("q168_rag_chunking",
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sz AS (SELECT doc_id, t, len(t) AS n FROM tk),
+        |ct AS (SELECT doc_id, t, n,
+        |    CASE WHEN n <= 64 THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(FLOOR(CAST(n - 64 + 47 AS DOUBLE) / CAST(48.0 AS DOUBLE))
+        |        AS BIGINT) + 1 END AS nch
+        |  FROM sz),
+        |ex AS (SELECT doc_id, t, n, CAST(unnest(range(nch)) AS BIGINT) AS k FROM ct)
+        |SELECT doc_id, k AS chunk_idx,
+        |  array_to_string(t[CAST(k*48+1 AS BIGINT) : CAST(k*48+64 AS BIGINT)], ' ')
+        |    AS chunk,
+        |  CAST(least(64, n - k*48) AS BIGINT) AS n_chunk_tokens
+        |FROM ex ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.chunkWindows(col("text"), 64, 16)).as("c"))
+        .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+          col("c.chunk").as("chunk"),
+          col("c.n_tokens").as("n_chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx")
     })
 }

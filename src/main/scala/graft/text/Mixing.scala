@@ -52,4 +52,27 @@ object Mixing {
       Seq(col("mix_key"), col(groupCol), col(idCol)), "mix_pos")
     mixed
   }
+
+  /** Deterministic epoch shuffle — the global reading order for one
+    * training epoch. Position = rank of md5Hash64(salt#epoch#id) (ties
+    * to the smaller id): a pure function of (corpus, epoch), so the
+    * order is reproducible across reruns, resumable mid-epoch, and
+    * independent of input partitioning — the properties an RNG-based
+    * shuffle loses the moment the cluster layout changes. Different
+    * epochs give independent permutations (the hash re-keys per epoch).
+    *
+    * Scale shape: ranks come from [[Splits.withGlobalRowNumberCols]]
+    * (range partition on the hash + per-partition offsets — the
+    * zipWithIndex scheme), never a single-partition window; the sort
+    * key is 8 bytes regardless of row width. Output adds a 0-based
+    * `pos` column.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Long,
+                   salt: String = "graft-epoch"): DataFrame = {
+    val keyed = df.withColumn("__h",
+      md5Hash64(concat(lit(s"$salt#$epoch#"), col(idCol).cast("string"))))
+    val (ranked, _) = Splits.withGlobalRowNumberCols(keyed,
+      Seq(col("__h"), col(idCol)), "__rn")
+    ranked.withColumn("pos", col("__rn") - 1).drop("__h", "__rn")
+  }
 }

@@ -13,6 +13,28 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Unicode NFC normalization (native codegen'd expression
+    * [[graft.functions.NfcNormalize]]; DuckDB twin: `nfc_normalize`).
+    */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** Standard crawl-text cleanup, one scan-projection expression:
+    * NFC-compose (byte-different/codepoint-equal text must fingerprint
+    * identically downstream), delete non-whitespace control characters,
+    * collapse every whitespace run — space, tab, newline, CR, VT, FF —
+    * to a single space, and trim. Regex classes are spelled as explicit
+    * code-point ranges, never `\s`: Java and RE2 disagree on whether
+    * `\s` contains U+000B, and the oracle replay (q165) must apply the
+    * byte-identical character sets.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfc(text), "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\r\\x0B\\f]+", " "))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
@@ -28,6 +50,38 @@ object TextOps {
         transform(sequence(lit(1), size(t) - (n - 1)),
           i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array(array_join(t, " ")))
+  }
+
+  /** Overlapping token-window chunks — the RAG/embedding-indexing
+    * splitter: windows of `chunkTokens` whitespace tokens advancing by
+    * `chunkTokens − overlap`, the final window clamped to the document
+    * end, every document yielding at least one chunk. Returns an array
+    * of structs (idx, chunk, n_tokens); chunk identity is the stable
+    * (doc id, idx) pair — a pure function of the text, so re-chunking a
+    * grown corpus never renumbers existing chunks.
+    *
+    * One scan-projection HOF per row (no explode-then-group round
+    * trip); the chunk count uses FLOOR over an exact small-integer
+    * double division so both engines derive the identical window set.
+    * Case is preserved (chunks feed retrieval display and embedding
+    * models, unlike the lowercased [[tokens]] used for matching).
+    */
+  def chunkWindows(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    val t = split(trim(text), "\\s+")
+    val n = size(t)
+    val nch = when(n <= chunkTokens, lit(1L)).otherwise(
+      floor((n - lit(chunkTokens) + lit(stride - 1)).cast("double")
+        / lit(stride.toDouble)).cast("long") + lit(1L))
+    transform(sequence(lit(0L), nch - 1),
+      k => struct(
+        k.as("idx"),
+        array_join(slice(t, (k * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk"),
+        least(lit(chunkTokens), n - (k * stride).cast("int")).cast("long")
+          .as("n_tokens")))
   }
 
   /** BPE-ish subword count: alpha runs count ~1 token per 4 chars

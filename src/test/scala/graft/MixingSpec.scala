@@ -56,4 +56,27 @@ class MixingSpec extends AnyFunSuite {
     val plan = m.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"expected no WindowExec, got:\n$plan")
   }
+
+  test("epochShuffle: dense permutation, epoch-independent, layout-proof") {
+    val d = docs(120).select("id")
+    val e0 = Mixing.epochShuffle(d, "id", 0L).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).sortBy(_._1)
+    // positions are exactly 0..n-1 and every id appears once
+    assert(e0.map(_._1).toSeq === (0L until 120L))
+    assert(e0.map(_._2).distinct.length === 120)
+    // a different epoch is a different permutation of the same ids
+    val e1 = Mixing.epochShuffle(d, "id", 1L).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).sortBy(_._1)
+    assert(e1.map(_._2).sorted.toSeq === e0.map(_._2).sorted.toSeq)
+    assert(e1.map(_._2).toSeq !== e0.map(_._2).toSeq)
+    // the order is a function of (corpus, epoch), not of the layout
+    val relaid = Mixing.epochShuffle(
+      d.repartition(7).sortWithinPartitions(col("id").desc), "id", 0L)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).sortBy(_._1)
+    assert(relaid.toSeq === e0.toSeq)
+    // no window operator anywhere in the plan
+    val plan = Mixing.epochShuffle(d, "id", 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no WindowExec, got:\n$plan")
+  }
 }

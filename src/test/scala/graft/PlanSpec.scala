@@ -278,6 +278,15 @@ class PlanSpec extends AnyFunSuite {
       s"unpartitioned keeper window in:\n$p")
   }
 
+  test("RAG chunking is a pure scan projection + generator (q168)") {
+    val p = plan("q168_rag_chunking")
+    // windows derive per row (HOF + explode); a hash exchange means the
+    // chunker regressed to an explode+regroup algorithm
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking stopped being a scan projection:\n$p")
+    assert(!p.contains("Window"), s"window crept into chunking:\n$p")
+  }
+
   test("corpus merge pre-aggregates the change log map-side (q159)") {
     val p = plan("q159_corpus_merge")
     // latestWins must plan partial max(struct) before its ONE exchange

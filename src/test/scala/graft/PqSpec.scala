@@ -100,4 +100,48 @@ class PqSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     assert(a === b)
   }
+
+  test("SQ8: codes bounded, error within the grid bound, grid points exact") {
+    import graft.sim.Quantize
+    val df = corpus(50)
+    val stats = Quantize.sq8Train(df, "embedding")
+    assert(stats.length === dim)
+    assert(stats.forall { case (mn, mx) => mn <= mx })
+    val enc = Quantize.sq8(df, "embedding", stats).collect()
+    val codes = enc.map(_.getSeq[Int](2))
+    assert(codes.forall(cs => cs.length == dim && cs.forall(c => c >= 0 && c <= 255)))
+    // per-dim quantization error ≤ half a grid step (+ float read-off
+    // slack) ⇒ total squared error bounded by Σ (step_i/2 + eps)^2
+    val bound = stats.map { case (mn, mx) =>
+      val half = (mx - mn) / 255.0 / 2.0 + 1e-6; half * half }.sum
+    val errs = enc.map(_.getDecimal(3).doubleValue())
+    assert(errs.forall(e => e >= 0.0 && e <= bound),
+      s"max err ${errs.max} exceeded grid bound $bound")
+    // vectors sitting exactly on the reconstruction grid encode losslessly
+    val grid = (0L until 4L).map { i =>
+      (i, Array.tabulate(dim) { d =>
+        val (mn, mx) = stats(d)
+        (mn + (i * 85) / 255.0 * (mx - mn)).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    // re-train on the grid corpus itself so min/max hit the grid ends
+    val gStats = Quantize.sq8Train(grid, "embedding")
+    val gErr = Quantize.sq8(grid, "embedding", gStats).collect()
+      .map(_.getDecimal(3).doubleValue())
+    assert(gErr.forall(_ <= 1e-10), s"grid corpus must round-trip, got ${gErr.max}")
+  }
+
+  test("SQ8 training and codes are partition-invariant") {
+    import graft.sim.Quantize
+    val df = corpus(60)
+    val s1 = Quantize.sq8Train(df.repartition(1), "embedding")
+    val s7 = Quantize.sq8Train(
+      df.repartition(7).sortWithinPartitions(col("vec_id").desc), "embedding")
+    assert(s1.toSeq === s7.toSeq)
+    val e1 = Quantize.sq8(df.repartition(1), "embedding", s1)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](2)))
+    val e7 = Quantize.sq8(df.repartition(7), "embedding", s7)
+      .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getSeq[Int](2)))
+    assert(e1.toSeq === e7.toSeq)
+  }
 }

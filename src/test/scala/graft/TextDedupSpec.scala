@@ -615,6 +615,41 @@ class ExactDotSpec extends org.scalatest.funsuite.AnyFunSuite {
       .head().getLong(0)
     assert(viaSql === viaColumn)
   }
+
+  test("nfc matches java.text.Normalizer, codegen and interpreted") {
+    import spark.implicits._
+    val cases = Seq(
+      "café",          // e + combining acute → é
+      "Ångström", // ring + diaeresis
+      "already composed é Å",
+      "plain ascii", "", "Á̧")
+    val df = cases.toDF("s")
+      .withColumn("n", graft.text.TextOps.nfc(col("s")))
+    val want = cases.map(s =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    assert(df.select("n").collect().map(_.getString(0)).toSeq === want)
+    // interpreted path (no codegen) must agree
+    val interp = cases.map(s => graft.functions.NfcNormalize.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString)
+    assert(interp === want)
+    // SQL registration
+    assert(spark.sql("SELECT nfc('café')").head().getString(0)
+      === "café")
+  }
+
+  test("cleanText is idempotent and normalizes ws/control/NFD exactly once") {
+    import spark.implicits._
+    val dirty = Seq(
+      "  ab  c\td\n\nef  ",
+      "café   x",
+      "", " \t ", "clean").toDF("s")
+    val once = dirty.select(graft.text.TextOps.cleanText(col("s")).as("c"))
+    val twice = once.select(graft.text.TextOps.cleanText(col("c")).as("c"))
+    assert(once.collect().map(_.getString(0)).toSeq ===
+      twice.collect().map(_.getString(0)).toSeq)
+    assert(once.collect().map(_.getString(0)).toSeq ===
+      Seq("ab c d e f", "café x", "", "", "clean"))
+  }
 }
 
 /** IVF ANN and salted-join correctness. */
@@ -698,6 +733,36 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Dedup.prefixJaccardPairs(docs, "doc_id", "text", 3, 0.5).count() === 0L)
     // cross-check vs exact on a corpus where only the hot key overlaps
     assert(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5).count() === 0L)
+  }
+
+  test("chunkWindows: hand-computed windows, overlap, clamped tail, degenerate doc") {
+    import spark.implicits._
+    // 10 tokens, window 4, overlap 2 (stride 2): starts 0,2,4,6 →
+    // nch = floor((10-4+1)/2)+1 = 4 — the tail window [6..9] is full;
+    // with 11 tokens a 5th clamped window [8..10] appears
+    val doc10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val doc11 = (1 to 11).map(i => s"w$i").mkString(" ")
+    val out = Seq((10L, doc10), (11L, doc11), (12L, "a b"), (13L, "solo"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        explode(TextOps.chunkWindows(col("text"), 4, 2)).as("c"))
+      .select(col("doc_id"), col("c.idx"), col("c.chunk"), col("c.n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val by = out.groupBy(_._1)
+    assert(by(10L).sortBy(_._2).map(_._3).toSeq === Seq(
+      "w1 w2 w3 w4", "w3 w4 w5 w6", "w5 w6 w7 w8", "w7 w8 w9 w10"))
+    assert(by(11L).sortBy(_._2).map(t => (t._3, t._4)).toSeq === Seq(
+      ("w1 w2 w3 w4", 4L), ("w3 w4 w5 w6", 4L), ("w5 w6 w7 w8", 4L),
+      ("w7 w8 w9 w10", 4L), ("w9 w10 w11", 3L)))
+    // shorter than one window: exactly one chunk, the whole doc
+    assert(by(12L).toSeq === Seq((12L, 0L, "a b", 2L)))
+    assert(by(13L).toSeq === Seq((13L, 0L, "solo", 1L)))
+    // coverage: consecutive windows overlap by exactly `overlap` tokens
+    val c10 = by(10L).sortBy(_._2).map(_._3.split(" ").toSeq).toSeq
+    c10.sliding(2).foreach { w =>
+      assert(w(0).takeRight(2) === w(1).take(2),
+        "adjacent chunks must overlap by 2")
+    }
   }
 
   // 3 planted duplicate families (tight cones around orthogonal axes)
