@@ -60,6 +60,44 @@ object Splits {
     (spark.createDataFrame(rowRdd, outSchema), n)
   }
 
+  /** The zipWithIndex scheme generalized from ranks to SUMS: adds an
+    * EXCLUSIVE global prefix sum `out` of long column `valueCol` over
+    * the given ordering (row's value excluded — its value starts at
+    * `out`), plus returns the grand total from the same pass. Same
+    * two-wave shape as [[withGlobalRowNumberCols]]: range partition +
+    * in-partition sort materialized once, per-partition subtotals (≤
+    * `parts` longs) to the driver, offsets broadcast back into a narrow
+    * `mapPartitions` — never a single-partition running-sum window.
+    * This is the global-offset primitive behind concat-and-cut example
+    * packing (q169) and any byte/token-offset layout job.
+    */
+  def withGlobalPrefixSumCols(df: DataFrame,
+                              sortCols: Seq[org.apache.spark.sql.Column],
+                              valueCol: String, out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val vIdx = df.schema.fieldIndex(valueCol)
+    require(df.schema(vIdx).dataType == LongType,
+      s"$valueCol must be LONG, got ${df.schema(vIdx).dataType.simpleString}")
+    val rdd = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .rdd
+    val subtotals = rdd.mapPartitions(it => {
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator(s)
+    }, preservesPartitioning = true).collect()
+    val total = subtotals.sum
+    val offsets = subtotals.scanLeft(0L)(_ + _)
+    val outSchema = df.schema.add(out, LongType, nullable = false)
+    val rowRdd = rdd.mapPartitionsWithIndex { case (pid, rows) =>
+      var acc = offsets(pid)
+      rows.map { r =>
+        val start = acc; acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    (spark.createDataFrame(rowRdd, outSchema), total)
+  }
+
   /** Adds `fold` (0-based) and `is_val` over the given ordering.
     * Block f covers 0-based row numbers in [floor(f*n/k), floor((f+1)*n/k));
     * the last ceil(valSize * blockLen) rows of each block are val. Fold

@@ -2812,5 +2812,148 @@ object Text {
           col("c.chunk").as("chunk"),
           col("c.n_tokens").as("n_chunk_tokens"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- concat-and-cut example layout (GPT pretraining packing) ----
+    // [[Packing.concatOffsets]]: the corpus as ONE virtual token stream
+    // in epoch-0 hash order (docs separated by an EOD token), cut into
+    // fixed 128-token examples — documents straddle example boundaries,
+    // nothing wasted but the ragged tail. Output is the doc→example
+    // index map a data loader needs: exclusive global token offset plus
+    // first/last/count of the full examples each doc touches. Offsets
+    // ride the prefix-sum generalization of the zipWithIndex scheme
+    // (Splits.withGlobalPrefixSumCols — subtotal offsets, never a
+    // single-partition running-sum window); the oracle replays them as
+    // exactly that window — two algorithms, same layout.
+    Q("q169_concat_cut_layout",
+      s"""WITH hv AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+           "md5('graft-epoch#0#' || CAST(doc_id AS VARCHAR))", "documents", "h")}),
+        |c AS (SELECT d.doc_id, h,
+        |    CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) + 1 AS BIGINT)
+        |      AS cost
+        |  FROM documents d JOIN hv USING (doc_id)),
+        |o AS (SELECT doc_id, cost,
+        |    CAST(COALESCE(SUM(cost) OVER (ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM c),
+        |t AS (SELECT CAST(CAST(SUM(cost) AS BIGINT) // 128 AS BIGINT) AS nex FROM c)
+        |SELECT doc_id, cost, start_off,
+        |  CAST(start_off + cost AS BIGINT) AS end_off,
+        |  CAST(FLOOR(CAST(start_off AS DOUBLE) / 128.0) AS BIGINT) AS first_example,
+        |  CAST(FLOOR(CAST(start_off + cost - 1 AS DOUBLE) / 128.0) AS BIGINT)
+        |    AS last_example,
+        |  GREATEST(CAST(0 AS BIGINT),
+        |    LEAST(CAST(FLOOR(CAST(start_off + cost - 1 AS DOUBLE) / 128.0) AS BIGINT),
+        |          nex - 1)
+        |    - CAST(FLOOR(CAST(start_off AS DOUBLE) / 128.0) AS BIGINT) + 1)
+        |    AS n_full_examples
+        |FROM o CROSS JOIN t ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir).select(col("doc_id"),
+        (TextOps.tokenCount(col("text")) + 1).as("cost"))
+      val (off, total) = Packing.concatOffsets(docs, "doc_id", "cost", epoch = 0L)
+      val nEx = total / 128
+      off.withColumn("end_off", col("start_off") + col("cost"))
+        .withColumn("first_example",
+          floor(col("start_off").cast("double") / lit(128.0)).cast("long"))
+        .withColumn("last_example",
+          floor((col("end_off") - 1).cast("double") / lit(128.0)).cast("long"))
+        .withColumn("n_full_examples",
+          greatest(lit(0L),
+            least(col("last_example"), lit(nEx - 1)) - col("first_example") + 1))
+        .select("doc_id", "cost", "start_off", "end_off",
+          "first_example", "last_example", "n_full_examples")
+        .orderBy("doc_id")
+    },
+
+    // ---- LSH empirical recall audit (planner's measured complement) ----
+    // q161 predicts the banding S-curve; this measures it on the actual
+    // corpus: exact-Jaccard pairs at 0.5 (q77's all-pairs baseline) vs
+    // the banded MinHash pipeline's verified pairs (q80's DAG, 16
+    // hashes × 4 bands) — the audit a deployment runs on a sample
+    // before trusting LSH parameters at corpus scale. The verify stage
+    // culls every false positive, so LSH pairs ⊆ exact pairs and recall
+    // is one exact rational division. One row: n_exact, n_lsh,
+    // n_missed, recall.
+    Q("q170_lsh_recall_audit",
+      s"""WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |commonx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ex AS (SELECT id_a, id_b FROM commonx
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
+        |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
+        |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
+        |  FROM hv CROSS JOIN cs GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(FLOOR(i / 4) AS BIGINT) AS band,
+        |    array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',') AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ls AS (SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN ex e ON e.id_a = c.id_a AND e.id_b = c.id_b)
+        |SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM ls) AS BIGINT) AS n_lsh,
+        |  CAST((SELECT COUNT(*) FROM ex) - (SELECT COUNT(*) FROM ls) AS BIGINT)
+        |    AS n_missed,
+        |  CAST((SELECT COUNT(*) FROM ls) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM ex) AS recall""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val exact = graft.ops.Pin.pin(
+        Dedup.jaccardPairs(docs, "doc_id", "text", shingleSize = 3,
+          threshold = 0.5).select("id_a", "id_b"))
+      val lsh = Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      exact.withColumn("ex", lit(1))
+        .join(lsh.withColumn("ls", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("ex")).as("n_exact"),
+          count(col("ls")).as("n_lsh"),
+          count(when(col("ex").isNotNull && col("ls").isNull, 1)).as("n_missed"))
+        .withColumn("recall", col("n_lsh").cast("double") / col("n_exact"))
+    },
+
+    // ---- shard-balance audit (HRW routing load skew) ----
+    // The check a deployment runs before committing to a shard count:
+    // route every doc through q138's rendezvous assignment (8 shards),
+    // aggregate per-shard doc and token load, and report each shard's
+    // load_ratio = tokens × nShards / total (1.0 = perfectly even).
+    // One map-side-combined groupBy to nShards rows + a broadcast 1-row
+    // total — the audit costs one scan regardless of corpus size.
+    Q("q171_shard_balance",
+      s"""WITH w AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+        |      AS n_tokens FROM documents),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, n_tokens, r",
+             "md5(CAST(doc_id AS VARCHAR) || '#shard' || CAST(r AS VARCHAR))",
+             "(SELECT doc_id, n_tokens, i AS r FROM w, range(8) t(i))", "h")}),
+        |a AS (SELECT doc_id, n_tokens, CAST(arg_max(r, h) AS BIGINT) AS shard
+        |  FROM hv GROUP BY doc_id, n_tokens),
+        |g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM a GROUP BY shard),
+        |t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM g)
+        |SELECT shard, n_docs, n_tokens,
+        |  CAST(n_tokens * 8 AS DOUBLE) / CAST(tot AS DOUBLE) AS load_ratio
+        |FROM g CROSS JOIN t ORDER BY shard""".stripMargin) { (s, dir) =>
+      val w = documents(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        graft.ops.Shard.rendezvous(col("doc_id"), 8).as("shard"))
+      val g = w.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      val t = g.agg(sum(col("n_tokens")).as("tot"))
+      g.crossJoin(broadcast(t))
+        .withColumn("load_ratio",
+          (col("n_tokens") * 8).cast("double") / col("tot").cast("double"))
+        .select("shard", "n_docs", "n_tokens", "load_ratio")
+        .orderBy("shard")
     })
 }

@@ -174,4 +174,40 @@ object Streaming {
           }
       }
   }
+
+  /** One CDC change-log entry (the [[graft.ops.Merge.latestWins]] row
+    * shape over a document corpus: key, total-ordering version, op with
+    * 'D' tombstones, payload).
+    */
+  final case class Change(key: Long, version: Long, op: String,
+                          fp: Option[String], lang: Option[String])
+
+  /** Streaming twin of [[graft.ops.Merge.latestWins]]: fold an
+    * unbounded change log into per-key latest-winner state with
+    * `mapGroupsWithState`, emitting each key's CURRENT winner whenever
+    * a micro-batch touches it (Update mode — the natural sink is an
+    * upsert store). Tombstone winners are emitted too, op intact, so a
+    * downstream materializer can delete the row — swallowing them here
+    * would leave stale documents live at the sink.
+    *
+    * Contract matches the batch operator: `version` must totally order
+    * each key's changes (on a version tie the batch struct fallback and
+    * stream arrival order may disagree — guarantee distinct versions).
+    * Late/out-of-order changes are handled by construction: a
+    * lower-version arrival after a higher-version one updates nothing.
+    * State is one Change per live key, hash-partitioned by key — the
+    * same sharding a batch latestWins shuffle uses; checkpointed state
+    * survives restarts like the online near-dup state.
+    */
+  def latestWinsStream(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    changes.groupByKey(_.key)
+      .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+          val best = (state.getOption.iterator ++ rows)
+            .maxBy(_.version)
+          state.update(best)
+          best
+      }
+  }
 }

@@ -75,4 +75,31 @@ object Packing {
     packed.withColumn("fill_ratio",
       sum(col("n_tokens")).over(w).cast("double") / lit(maxLen.toDouble))
   }
+
+  /** Concat-and-cut layout — the OTHER standard packing scheme (the
+    * GPT-pretraining shape): the whole corpus is one virtual token
+    * stream in a deterministic epoch order ([[Mixing.epochShuffle]]'s
+    * hash family), documents separated by an end-of-document token, and
+    * training examples are fixed-length cuts of that stream. Unlike
+    * [[packSequences]] (greedy first-fit, no doc ever crosses a
+    * sequence boundary), here documents straddle example boundaries and
+    * nothing is wasted but the final ragged tail.
+    *
+    * Returns (frame + `start_off` column, total stream length): each
+    * document's exclusive global token offset — the doc→example index
+    * map a data loader needs is plain arithmetic on `start_off`.
+    * Offsets come from [[graft.ops.Splits.withGlobalPrefixSumCols]]
+    * (range partition + subtotal offsets — never a single-partition
+    * running-sum window). `costCol` must already include the separator
+    * (+1 per doc).
+    */
+  def concatOffsets(docs: DataFrame, idCol: String, costCol: String,
+                    epoch: Long, salt: String = "graft-epoch"): (DataFrame, Long) = {
+    val keyed = docs.withColumn("__h",
+      graft.dedup.Dedup.md5Hash64(
+        concat(lit(s"$salt#$epoch#"), col(idCol).cast("string"))))
+    val (off, total) = graft.ops.Splits.withGlobalPrefixSumCols(keyed,
+      Seq(col("__h"), col(idCol)), costCol, "start_off")
+    (off.drop("__h"), total)
+  }
 }

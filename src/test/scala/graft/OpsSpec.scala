@@ -216,4 +216,28 @@ class OpsSpec extends AnyFunSuite {
     assert(run(log.repartition(7)) === want)
     assert(run(log.orderBy($"version".desc)) === want)
   }
+
+  test("withGlobalPrefixSumCols: exclusive offsets = sequential fold, any layout") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, ((i * 37) % 11 + 1).toLong))
+      .toDF("id", "v")
+    for (laid <- Seq(df, df.repartition(7),
+        df.repartition(3).sortWithinPartitions($"id".desc))) {
+      val (out, total) = Splits.withGlobalPrefixSumCols(
+        laid, Seq(col("id")), "v", "off")
+      val rows = out.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var acc = 0L
+      rows.foreach { case (id, v, off) =>
+        assert(off === acc, s"offset of id=$id"); acc += v
+      }
+      assert(total === acc)
+    }
+    // zero-value rows take the current offset without advancing it
+    val z = Seq((1L, 0L), (2L, 5L), (3L, 0L), (4L, 2L)).toDF("id", "v")
+    val (zo, zt) = Splits.withGlobalPrefixSumCols(z, Seq(col("id")), "v", "off")
+    assert(zo.orderBy("id").collect().map(_.getLong(2)).toSeq
+      === Seq(0L, 0L, 5L, 5L))
+    assert(zt === 7L)
+  }
 }

@@ -332,4 +332,52 @@ class StreamingSpec extends AnyFunSuite {
       assert(m(spark.table("hll_stream")) === m(regs(rows.toDF("g", "key"))))
     } finally q.stop()
   }
+
+  test("streaming latest-wins fold equals the batch merge, out-of-order included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.Change
+    // 4 keys through upsert / delete / delete-then-reinsert / stale-late
+    // arrival; versions distinct per key (the latestWins contract)
+    val log = Seq(
+      Change(1L, 1L, "U", Some("a1"), Some("en")),
+      Change(1L, 2L, "U", Some("a2"), Some("en")),   // upsert wins
+      Change(2L, 1L, "U", Some("b1"), Some("de")),
+      Change(2L, 2L, "D", None, None),               // tombstone wins
+      Change(3L, 1L, "U", Some("c1"), Some("fr")),
+      Change(3L, 2L, "D", None, None),
+      Change(3L, 3L, "U", Some("c3"), Some("fr")),   // re-publication
+      Change(4L, 2L, "U", Some("d2"), Some("es")),
+      Change(4L, 1L, "U", Some("d1"), Some("es")))   // late arrival loses
+    val input = MemoryStream[Change]
+    val q = graft.streaming.Streaming.latestWinsStream(input.toDS())
+      .writeStream.format("memory").queryName("lw_stream")
+      .outputMode("update").start()
+    try {
+      // uneven micro-batches; key 4's stale v1 arrives AFTER v2
+      input.addData(log.take(3))
+      q.processAllAvailable()
+      input.addData(log.slice(3, 7))
+      q.processAllAvailable()
+      input.addData(log.drop(7))
+      q.processAllAvailable()
+      // the sink accumulates one emission per touched key per batch; the
+      // key's final state is its highest-version emission
+      val streamed = spark.table("lw_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)), Option(r.getString(4))))
+        .groupBy(_._1).map { case (_, rs) => rs.maxBy(_._2) }.toSet
+      val batch = graft.ops.Merge.latestWins(
+        log.toDF("key", "version", "op", "fp", "lang"),
+        "key", "version", "op").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3)), Option(r.getString(4)))).toSet
+      // live view = stream winners minus tombstones — must equal batch
+      assert(streamed.filter(_._3 != "D") === batch)
+      // tombstoned key 2 IS emitted (op intact) so sinks can delete it
+      assert(streamed.exists(c => c._1 == 2L && c._3 == "D"))
+      // stale late arrival never overwrote key 4
+      assert(streamed.find(_._1 == 4L).get._4 === Some("d2"))
+    } finally q.stop()
+  }
 }
