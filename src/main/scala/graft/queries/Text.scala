@@ -2955,5 +2955,101 @@ object Text {
           (col("n_tokens") * 8).cast("double") / col("tot").cast("double"))
         .select("shard", "n_docs", "n_tokens", "load_ratio")
         .orderBy("shard")
+    },
+
+    // ---- tokenizer fertility per language ----
+    // The multilingual-tokenizer health metric (fertility = subword
+    // tokens per word; chars per token alongside): a vocabulary trained
+    // mostly on one language over-fragments the others, and this table
+    // is how that is detected before training. Rides the q116/q147 BPE
+    // machinery (merges learned once on the distinct-word frame, counts
+    // via the broadcast vocab join) aggregated per `lang`; both ratios
+    // are single double divisions of exact integer sums, zero-guarded.
+    Q("q172_tokenizer_fertility",
+      s"""WITH ${OracleSql.bpePerDocSql(6)},
+        |chr AS (SELECT doc_id, CAST(SUM(length(word)) AS BIGINT) AS n_chars
+        |  FROM occf GROUP BY 1),
+        |l AS (SELECT d.lang, d.doc_id,
+        |    COALESCE(per.n_words, 0) AS w, COALESCE(per.n_bpe_tokens, 0) AS b,
+        |    COALESCE(chr.n_chars, 0) AS c
+        |  FROM documents d LEFT JOIN per USING (doc_id)
+        |  LEFT JOIN chr USING (doc_id))
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(w) AS BIGINT) AS n_words,
+        |  CAST(SUM(b) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(SUM(c) AS BIGINT) AS n_chars,
+        |  CASE WHEN SUM(w) = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST(SUM(b) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) END AS fertility,
+        |  CASE WHEN SUM(b) = 0 THEN CAST(0.0 AS DOUBLE)
+        |    ELSE CAST(SUM(c) AS DOUBLE) / CAST(SUM(b) AS DOUBLE) END
+        |    AS chars_per_token
+        |FROM l GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val vocab = graft.ops.Pin.pin(graft.text.Bpe.wordCounts(docs, "text"))
+      val merges = graft.text.Bpe.learnMerges(vocab, "word", "cnt", 6)
+      val seg = graft.text.Bpe.segment(vocab.select(col("word")), "word", merges)
+        .select(col("word"), size(col("tokens")).cast("long").as("n_toks"))
+      val occ = docs.select(col("doc_id"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$"))
+      val per = occ.join(broadcast(seg), "word")
+        .groupBy("doc_id").agg(count(lit(1)).as("w"),
+          sum(col("n_toks")).as("b"),
+          sum(length(col("word")).cast("long")).as("c"))
+      docs.select(col("doc_id"), col("lang")).join(per, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("w"), lit(0L))).as("n_words"),
+          sum(coalesce(col("b"), lit(0L))).as("n_bpe_tokens"),
+          sum(coalesce(col("c"), lit(0L))).as("n_chars"))
+        .withColumn("fertility",
+          when(col("n_words") === 0, lit(0.0)).otherwise(
+            col("n_bpe_tokens").cast("double") / col("n_words").cast("double")))
+        .withColumn("chars_per_token",
+          when(col("n_bpe_tokens") === 0, lit(0.0)).otherwise(
+            col("n_chars").cast("double") / col("n_bpe_tokens").cast("double")))
+        .orderBy("lang")
+    },
+
+    // ---- dedup savings accounting per source ----
+    // "How many tokens does exact dedup actually save, and from where"
+    // — the per-source report that justifies a dedup pass before anyone
+    // pays for it at corpus scale. q39's canonical fingerprint + min-id
+    // keeper; kept tokens attribute to the KEEPER's source (a dup group
+    // may span sources). Fingerprints shuffle (16 bytes), text never
+    // does; the keeper window partitions on fp (dup groups are bounded).
+    Q("q173_dedup_savings",
+      """WITH c AS (SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM c)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+        |  CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+        |    AS n_kept_tokens,
+        |  CAST(1.0 AS DOUBLE)
+        |    - CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(n_tokens) AS DOUBLE) AS dup_token_ratio
+        |FROM k GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val c = documents(s, dir).select(col("doc_id"), col("source"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      c.withColumn("rn", row_number().over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept_docs"),
+          sum(when(col("rn") === 1, col("n_tokens")).otherwise(0L))
+            .as("n_kept_tokens"))
+        .withColumn("dup_token_ratio",
+          lit(1.0) - col("n_kept_tokens").cast("double")
+            / col("n_tokens").cast("double"))
+        .orderBy("source")
     })
 }
