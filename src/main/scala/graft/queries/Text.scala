@@ -2686,8 +2686,8 @@ object Text {
         |    (CAST(-5 AS BIGINT), E'\x07\x1f'),
         |    (CAST(-6 AS BIGINT), E' \t ')) v(doc_id, text)),
         |c AS (SELECT doc_id, text,
-        |    trim(regexp_replace(regexp_replace(nfc_normalize(text),
-        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g'),
+        |    trim(regexp_replace(nfc_normalize(regexp_replace(text,
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')),
         |      '[ \t\n\r\x0B\f]+', ' ', 'g')) AS cleaned
         |  FROM src)
         |SELECT doc_id, cleaned,
@@ -3051,5 +3051,77 @@ object Text {
           lit(1.0) - col("n_kept_tokens").cast("double")
             / col("n_tokens").cast("double"))
         .orderBy("source")
+    },
+
+    // ---- cross-document boilerplate line removal ----
+    // The C4/RefinedWeb line-level rule the doc-level filters (q111
+    // per-doc line rules, q121 n-gram spans) don't cover: a LINE that
+    // recurs across ≥3 distinct documents of the same source is site
+    // furniture (cookie banners, nav bars) and is stripped from every
+    // document. Synthetic docs are single-line, so multi-line pages
+    // with planted furniture are unioned in (the q149/q165 pattern);
+    // the sub-threshold pair proves the boundary.
+    //
+    // Scale shape: lines explode to (doc, source, pos, 16-byte lfp);
+    // the recurrence count is a map-side-combined groupBy on
+    // (source, lfp); the rewrite regroups kept lines per doc — the one
+    // unavoidable text shuffle, same as removeDupSpans documents.
+    Q("q174_boilerplate_lines",
+      """WITH src AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-1 AS BIGINT), 'planted', E'accept cookies to continue\nstory one body\nsite nav home about'),
+        |    (CAST(-2 AS BIGINT), 'planted', E'accept cookies to continue\nstory two body\nsite nav home about'),
+        |    (CAST(-3 AS BIGINT), 'planted', E'accept cookies to continue\nstory three body'),
+        |    (CAST(-4 AS BIGINT), 'planted', E'story four body\nsite nav home about'),
+        |    (CAST(-5 AS BIGINT), 'planted', E'rare pair line\nstory five body'),
+        |    (CAST(-6 AS BIGINT), 'planted', E'rare pair line\nstory six body'))
+        |    v(doc_id, source, text)),
+        |ln AS (SELECT doc_id, source, CAST(e['pos'] AS BIGINT) AS pos,
+        |    e['line'] AS line
+        |  FROM (SELECT doc_id, source,
+        |      unnest(list_transform(range(len(l)),
+        |        j -> {'pos': j, 'line': l[j+1]})) AS e
+        |    FROM (SELECT doc_id, source, string_split(text, chr(10)) AS l
+        |      FROM src))),
+        |fp AS (SELECT *, md5(trim(line)) AS lfp FROM ln),
+        |cnt AS (SELECT source, lfp, COUNT(DISTINCT doc_id) AS nd
+        |  FROM fp GROUP BY 1, 2),
+        |fl AS (SELECT fp.*, cnt.nd >= 3 AS boiler
+        |  FROM fp JOIN cnt USING (source, lfp))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  md5(COALESCE(string_agg(CASE WHEN NOT boiler THEN line END,
+        |    chr(10) ORDER BY pos), '')) AS cleaned_fp
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (-1L, "planted", "accept cookies to continue\nstory one body\nsite nav home about"),
+        (-2L, "planted", "accept cookies to continue\nstory two body\nsite nav home about"),
+        (-3L, "planted", "accept cookies to continue\nstory three body"),
+        (-4L, "planted", "story four body\nsite nav home about"),
+        (-5L, "planted", "rare pair line\nstory five body"),
+        (-6L, "planted", "rare pair line\nstory six body"))
+        .toDF("doc_id", "source", "text")
+      val src = documents(s, dir).select("doc_id", "source", "text")
+        .unionByName(planted)
+      val lines = src.select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("lfp", md5(trim(col("line"))))
+      val cnt = lines.groupBy("source", "lfp")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      lines.join(cnt, Seq("source", "lfp"))
+        .withColumn("boiler", col("nd") >= 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(!col("boiler"), struct(col("pos"), col("line"))))),
+              x => x.getField("line")),
+            "\n")).as("cleaned_fp"))
+        .orderBy("doc_id")
     })
 }

@@ -22,17 +22,24 @@ object TextOps {
         org.apache.spark.sql.graft.Bridge.expression(text)))
 
   /** Standard crawl-text cleanup, one scan-projection expression:
-    * NFC-compose (byte-different/codepoint-equal text must fingerprint
-    * identically downstream), delete non-whitespace control characters,
-    * collapse every whitespace run — space, tab, newline, CR, VT, FF —
-    * to a single space, and trim. Regex classes are spelled as explicit
-    * code-point ranges, never `\s`: Java and RE2 disagree on whether
-    * `\s` contains U+000B, and the oracle replay (q165) must apply the
-    * byte-identical character sets.
+    * delete non-whitespace control characters, NFC-compose
+    * (byte-different/codepoint-equal text must fingerprint identically
+    * downstream), collapse every whitespace run — space, tab, newline,
+    * CR, VT, FF — to a single space, and trim. Control-strip runs
+    * BEFORE NFC on purpose: deleting a control byte between a base
+    * letter and a combining mark creates new composable adjacency
+    * ("e·BEL·U+0301" → "e·U+0301"), which only a subsequent NFC pass
+    * composes — the reverse order leaves non-normalized output
+    * (PropertySpec pins output NFC-ness on random junk). The later
+    * whitespace collapse cannot un-normalize: it only substitutes
+    * runs with a single space, and spaces never compose. Regex classes
+    * are spelled as explicit code-point ranges, never `\s`: Java and
+    * RE2 disagree on whether `\s` contains U+000B, and the oracle
+    * replay (q165) must apply the byte-identical character sets.
     */
   def cleanText(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(nfc(text), "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      nfc(regexp_replace(text, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")),
       "[ \\t\\n\\r\\x0B\\f]+", " "))
 
   /** Whitespace token count. */

@@ -191,4 +191,60 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("cleanText: idempotent, no control chars, ws-collapsed — random strings") {
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '\t', '\n', '\r', '', '\f'),
+      1 -> Gen.oneOf('', '', '', ''),
+      1 -> Gen.oneOf('é', 'e', '́', 'Å', 'A', '̊'))
+    val strGen = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    for (s <- 1 to 20) {
+      val raw = sample(strGen, s)
+      val df = Seq(Tuple1(raw)).toDF("t")
+      val once = df.select(graft.text.TextOps.cleanText(col("t")).as("c"))
+        .head().getString(0)
+      val twice = df.select(graft.text.TextOps.cleanText(
+        graft.text.TextOps.cleanText(col("t"))).as("c")).head().getString(0)
+      assert(once === twice, s"not idempotent on ${raw.map(_.toInt)}")
+      assert(!once.exists(c => c < ' ' || c == ''),
+        s"control char survived in ${once.map(_.toInt)}")
+      assert(!once.contains("  "), s"double space survived: '$once'")
+      assert(once == once.trim, s"untrimmed: '$once'")
+      assert(java.text.Normalizer.isNormalized(once,
+        java.text.Normalizer.Form.NFC), s"not NFC: ${once.map(_.toInt)}")
+    }
+  }
+
+  test("chunkWindows: full coverage and exact reconstruction — random docs") {
+    val docGen = Gen.choose(1, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 999).map(i => s"t$i")).map(_.mkString(" ")))
+    for (s <- 1 to 15) {
+      val doc = sample(docGen, s)
+      val toks = doc.split(" ").toSeq
+      val (size, overlap) = (1 + s % 3 match {
+        case 1 => (8, 3); case 2 => (16, 0); case _ => (5, 4)
+      })
+      val chunks = Seq(Tuple1(doc)).toDF("t")
+        .select(explode(graft.text.TextOps.chunkWindows(col("t"), size, overlap)).as("c"))
+        .select("c.idx", "c.chunk", "c.n_tokens").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+      val stride = size - overlap
+      // every window k covers tokens [k*stride, k*stride+size) clamped;
+      // reconstructing from the windows yields the original token stream
+      chunks.foreach { case (k, chunk, n) =>
+        val want = toks.slice((k * stride).toInt, (k * stride).toInt + size)
+        assert(chunk === want.mkString(" "), s"window $k mismatch")
+        assert(n === want.length.toLong)
+      }
+      // coverage: the last window must reach the final token
+      val (lastK, _, lastN) = chunks.last
+      assert(lastK * stride + lastN >= toks.length.toLong,
+        s"tail token uncovered: doc=${toks.length} size=$size ov=$overlap")
+      // no fully-redundant window: each window past the first adds ≥1 new token
+      assert(chunks.forall { case (k, _, n) => k == 0L || n > overlap || k * stride + n >= toks.length },
+        "window adds no new tokens")
+    }
+  }
 }
