@@ -3123,5 +3123,75 @@ object Text {
               x => x.getField("line")),
             "\n")).as("cleaned_fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- term-association table (lift over co-occurrence) ----
+    // The classic association-mining readout, transcendental-free: for
+    // the top-200-df vocabulary, lift(a,b) = n_ab·N / (df_a·df_b) — the
+    // exact-rational core of PMI (PMI = log2(lift); the log is
+    // monotone, so rankings are PMI rankings, and the published-form
+    // deviation is the same one BM25/DSIR document). Top-3 co-terms per
+    // term by lift.
+    //
+    // Scale shape: vocabulary is a bounded two-stage top-k broadcast;
+    // pairs generate WITHIN a doc from the per-doc sorted term set (the
+    // q131 co-occurrence explode — one exchange, quadratic only on the
+    // bounded in-doc vocab intersection); counts are map-side-combined;
+    // the rank window partitions per term.
+    Q("q175_term_lift",
+      """WITH tk AS (SELECT doc_id,
+        |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS term
+        |  FROM documents),
+        |tkf AS (SELECT doc_id, term FROM tk WHERE regexp_matches(term, '^[a-z]+$')),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tkf GROUP BY 1),
+        |voc AS (SELECT term, df FROM (SELECT *,
+        |    ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn FROM dfreq)
+        |  WHERE rn <= 200),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |tv AS (SELECT doc_id, term FROM tkf JOIN voc USING (term)),
+        |pr AS (SELECT a.term AS src, b.term AS dst
+        |  FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.term < b.term),
+        |pc AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |lf AS (SELECT pc.src, pc.dst, pc.n_ab,
+        |    CAST(pc.n_ab * nn.nd AS DOUBLE)
+        |      / CAST(va.df * vb.df AS DOUBLE) AS lift
+        |  FROM pc CROSS JOIN nn
+        |  JOIN voc va ON va.term = pc.src JOIN voc vb ON vb.term = pc.dst),
+        |sym AS (SELECT src AS term, dst AS co_term, n_ab, lift FROM lf
+        |  UNION ALL SELECT dst, src, n_ab, lift FROM lf)
+        |SELECT term, CAST(rnk AS BIGINT) AS rnk, co_term, n_ab, lift FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+        |      ORDER BY lift DESC, co_term) AS rnk FROM sym)
+        |WHERE rnk <= 3 ORDER BY term, rnk""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+          explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+        .filter(col("term").rlike("^[a-z]+$"))
+      val dfreq = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      val vocab = broadcast(
+        dfreq.orderBy(col("df").desc, col("term")).limit(200))
+      val tv = toks.join(vocab.select("term"), "term")
+      val nDocs = docs.count()
+      val pc = graft.graph.Graph.coOccurrencePairs(
+          tv.select("doc_id", "term"), "doc_id", "term",
+          distinctPairs = false)
+        .groupBy("src", "dst").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 3)
+      val lf = pc
+        .join(broadcast(vocab.select(col("term").as("src"), col("df").as("df_a"))), "src")
+        .join(broadcast(vocab.select(col("term").as("dst"), col("df").as("df_b"))), "dst")
+        .withColumn("lift", (col("n_ab") * nDocs).cast("double")
+          / (col("df_a") * col("df_b")).cast("double"))
+      val sym = lf.select(col("src").as("term"), col("dst").as("co_term"),
+          col("n_ab"), col("lift"))
+        .unionByName(lf.select(col("dst").as("term"), col("src").as("co_term"),
+          col("n_ab"), col("lift")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy(col("lift").desc, col("co_term"))
+      sym.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("term", "rnk", "co_term", "n_ab", "lift")
+        .orderBy("term", "rnk")
     })
 }

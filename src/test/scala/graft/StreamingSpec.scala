@@ -380,4 +380,37 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.find(_._1 == 4L).get._4 === Some("d2"))
     } finally q.stop()
   }
+
+  test("latest-wins state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.Change
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lw_ckpt").toString
+    val input = MemoryStream[Change]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Change]()
+    def start() = graft.streaming.Streaming.latestWinsStream(input.toDS())
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Change], _: Long) =>
+        batch.collect().foreach(out.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+    val q1 = start()
+    try {
+      input.addData(Change(1L, 5L, "U", Some("v5"), Some("en")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // a STALE version arriving after restart must lose against the
+    // RECOVERED v5 state — losing it would mean state died with the query
+    val q2 = start()
+    try {
+      input.addData(Change(1L, 3L, "U", Some("v3"), Some("en")))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val emissions = out.asScala.toSeq.filter(_.key == 1L)
+      assert(emissions.nonEmpty)
+      assert(emissions.forall(_.fp === Some("v5")),
+        s"stale v3 overwrote recovered state: $emissions")
+    } finally q2.stop()
+  }
 }
