@@ -578,6 +578,160 @@ object Series {
           ff, Seq("v_bfill"), Seq(col("event_id")), backward = true)
         .select("event_id", "v_ffill", "v_bfill")
         .orderBy("event_id")
+    },
+
+    // ---- sequential funnel (view → click → purchase) ----
+    // The product-analytics staple the engine lacked: per user, the
+    // FIRST view, the first click strictly after it, the first purchase
+    // strictly after that — stage timestamps chain, so a click before
+    // the first view never counts. Each stage is one filtered
+    // aggregate + an equi-join on user_id (hash-partitioned — no
+    // windows, no per-user event collection); the 4-row summary joins
+    // itself for stage-over-stage conversion. Timestamp comparisons run
+    // on the normalized ns longs (Spark) and raw timestamps (DuckDB) —
+    // order-isomorphic, and no ts is ever output (the Tables contract).
+    // Synthetic users perform every type repeatedly and all fully
+    // convert, so planted drop-off users (the q149/q165 pattern)
+    // exercise the chain: a click BEFORE the first view must not count
+    // (-11), a purchase between view and click must not count (-12),
+    // only the in-order chain reaches stage 3 (-13), a lone purchase
+    // reaches no stage (-14).
+    Q("q176_funnel",
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(-11 AS BIGINT), TIMESTAMP '2024-01-05 10:00:00', 'click'),
+        |    (CAST(-11 AS BIGINT), TIMESTAMP '2024-01-05 11:00:00', 'view'),
+        |    (CAST(-12 AS BIGINT), TIMESTAMP '2024-01-05 10:00:00', 'view'),
+        |    (CAST(-12 AS BIGINT), TIMESTAMP '2024-01-05 11:00:00', 'purchase'),
+        |    (CAST(-12 AS BIGINT), TIMESTAMP '2024-01-05 12:00:00', 'click'),
+        |    (CAST(-13 AS BIGINT), TIMESTAMP '2024-01-05 10:00:00', 'view'),
+        |    (CAST(-13 AS BIGINT), TIMESTAMP '2024-01-05 11:00:00', 'click'),
+        |    (CAST(-13 AS BIGINT), TIMESTAMP '2024-01-05 12:00:00', 'purchase'),
+        |    (CAST(-14 AS BIGINT), TIMESTAMP '2024-01-05 10:00:00', 'purchase'))
+        |    v(user_id, ts, event_type)),
+        |a AS (SELECT user_id, MIN(ts) AS ta FROM e
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |b AS (SELECT e.user_id, MIN(e.ts) AS tb FROM e JOIN a USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS tc FROM e JOIN b USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY 1),
+        |s AS (SELECT 0 AS stage, 'all_users' AS name,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM e
+        |  UNION ALL SELECT 1, 'view', CAST(COUNT(*) AS BIGINT) FROM a
+        |  UNION ALL SELECT 2, 'view>click', CAST(COUNT(*) AS BIGINT) FROM b
+        |  UNION ALL SELECT 3, 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM c)
+        |SELECT CAST(s.stage AS BIGINT) AS stage, s.name, s.n_users,
+        |  CASE WHEN p.n_users IS NULL THEN CAST(1.0 AS DOUBLE)
+        |       WHEN p.n_users = 0 THEN CAST(0.0 AS DOUBLE)
+        |       ELSE CAST(s.n_users AS DOUBLE) / CAST(p.n_users AS DOUBLE) END
+        |    AS conversion
+        |FROM s LEFT JOIN s p ON p.stage = s.stage - 1
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (-11L, 1704448800000000000L, "click"),
+        (-11L, 1704452400000000000L, "view"),
+        (-12L, 1704448800000000000L, "view"),
+        (-12L, 1704452400000000000L, "purchase"),
+        (-12L, 1704456000000000000L, "click"),
+        (-13L, 1704448800000000000L, "view"),
+        (-13L, 1704452400000000000L, "click"),
+        (-13L, 1704456000000000000L, "purchase"),
+        (-14L, 1704448800000000000L, "purchase"))
+        .toDF("user_id", "ts", "event_type")
+      val e = events(s, dir).select("user_id", "ts", "event_type")
+        .unionByName(planted)
+      val a = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("ta"))
+      val b = e.filter(col("event_type") === "click").join(a, "user_id")
+        .filter(col("ts") > col("ta"))
+        .groupBy("user_id").agg(min(col("ts")).as("tb"))
+      val c = e.filter(col("event_type") === "purchase").join(b, "user_id")
+        .filter(col("ts") > col("tb"))
+        .groupBy("user_id").agg(min(col("ts")).as("tc"))
+      val stages =
+        e.agg(countDistinct(col("user_id")).as("n_users"))
+          .select(lit(0L).as("stage"), lit("all_users").as("name"), col("n_users"))
+        .unionByName(a.agg(count(lit(1)).as("n_users"))
+          .select(lit(1L).as("stage"), lit("view").as("name"), col("n_users")))
+        .unionByName(b.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("stage"), lit("view>click").as("name"), col("n_users")))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("stage"), lit("view>click>purchase").as("name"),
+            col("n_users")))
+      val prev = stages.select((col("stage") + 1).as("stage"),
+        col("n_users").as("prev_users"))
+      stages.join(broadcast(prev), Seq("stage"), "left")
+        .withColumn("conversion",
+          when(col("prev_users").isNull, lit(1.0))
+            .when(col("prev_users") === 0, lit(0.0))
+            .otherwise(col("n_users").cast("double")
+              / col("prev_users").cast("double")))
+        .select("stage", "name", "n_users", "conversion")
+        .orderBy("stage")
+    },
+
+    // ---- retention cohort table ----
+    // The second analytics staple: users cohorted by first-event month,
+    // tracked by distinct activity in each subsequent month; retention
+    // = active / cohort size. Cohort assignment is one min-aggregate
+    // per user; activity is a distinct (user, month) frame; both joins
+    // hash-partition on user_id and the final grid is
+    // |cohorts|×|offsets| rows — the whole table is two
+    // map-side-combined aggregates regardless of event volume.
+    Q("q177_retention_cohorts",
+      """WITH ev AS (SELECT user_id, ts FROM events
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(-21 AS BIGINT), TIMESTAMP '2024-01-05 10:00:00'),
+        |    (CAST(-21 AS BIGINT), TIMESTAMP '2024-02-15 12:00:00'),
+        |    (CAST(-21 AS BIGINT), TIMESTAMP '2024-03-10 09:30:00'),
+        |    (CAST(-22 AS BIGINT), TIMESTAMP '2024-02-15 12:00:00'),
+        |    (CAST(-22 AS BIGINT), TIMESTAMP '2024-03-10 09:30:00'),
+        |    (CAST(-23 AS BIGINT), TIMESTAMP '2024-01-05 10:00:00'),
+        |    (CAST(-23 AS BIGINT), TIMESTAMP '2024-03-10 09:30:00'))
+        |    v(user_id, ts)),
+        |fm AS (SELECT user_id,
+        |    DATE_TRUNC('month', MIN(CAST(ts AS DATE))) AS cohort FROM ev
+        |  GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id,
+        |    DATE_TRUNC('month', CAST(ts AS DATE)) AS mth FROM ev),
+        |j AS (SELECT act.user_id, fm.cohort,
+        |    CAST(date_diff('month', fm.cohort, act.mth) AS BIGINT) AS offset_m
+        |  FROM act JOIN fm USING (user_id)),
+        |g AS (SELECT cohort, offset_m,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM j GROUP BY 1, 2),
+        |cs AS (SELECT cohort, n_users AS cohort_size FROM g WHERE offset_m = 0)
+        |SELECT STRFTIME(g.cohort, '%Y-%m-%d') AS cohort, g.offset_m, g.n_users,
+        |  CAST(g.n_users AS DOUBLE) / CAST(cs.cohort_size AS DOUBLE) AS retention
+        |FROM g JOIN cs USING (cohort)
+        |ORDER BY cohort, offset_m""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // planted multi-month users (the q176 fixture pattern): -21 fully
+      // retained Jan→Mar, -22 a Feb cohort, -23 skips Feb (offsets 0, 2)
+      val plantedR = Seq(
+        (-21L, 1704448800000000000L), (-21L, 1707998400000000000L),
+        (-21L, 1710063000000000000L),
+        (-22L, 1707998400000000000L), (-22L, 1710063000000000000L),
+        (-23L, 1704448800000000000L), (-23L, 1710063000000000000L))
+        .toDF("user_id", "ts")
+      val ev = events(s, dir).select("user_id", "ts").unionByName(plantedR)
+      val fm = ev.groupBy("user_id")
+        .agg(trunc(min(eventDay), "month").as("cohort"))
+      val act = ev.select(col("user_id"), trunc(eventDay, "month").as("mth"))
+        .distinct()
+      val g = act.join(fm, "user_id")
+        .withColumn("offset_m",
+          months_between(col("mth"), col("cohort")).cast("long"))
+        .groupBy("cohort", "offset_m")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      val cs = g.filter(col("offset_m") === 0)
+        .select(col("cohort"), col("n_users").as("cohort_size"))
+      g.join(broadcast(cs), Seq("cohort"))
+        .select(date_format(col("cohort"), iso).as("cohort"),
+          col("offset_m"), col("n_users"),
+          (col("n_users").cast("double") / col("cohort_size").cast("double"))
+            .as("retention"))
+        .orderBy("cohort", "offset_m")
     }
   )
 }
