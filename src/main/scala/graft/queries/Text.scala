@@ -3193,5 +3193,114 @@ object Text {
         .filter(col("rnk") <= 3)
         .select("term", "rnk", "co_term", "n_ab", "lift")
         .orderBy("term", "rnk")
+    },
+
+    // ---- corpus release diff (version-over-version accounting) ----
+    // The release-engineering readout for a maintained corpus: given
+    // snapshot v1 and snapshot v2, classify every doc id as added /
+    // removed / changed / unchanged by canonical fingerprint and
+    // report per-source counts — what a data team reviews before
+    // blessing a crawl refresh (q126 classifies an incoming batch
+    // against a corpus; this diffs two full versions, including
+    // content CHANGES, which batch classification cannot see). The two
+    // versions derive deterministically from `documents`: v2 drops
+    // doc_id%5=0, rewrites %7 (rev2 text), and adds fresh ids. One
+    // full-outer join on doc_id shuffling (id, fp, source) — 16-byte
+    // fingerprints, text never moves.
+    Q("q178_corpus_diff",
+      """WITH v1 AS (SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |v2 AS (SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(
+        |      CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END)),
+        |      '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id % 3 <> 1
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, md5(CAST(doc_id AS VARCHAR) || '#new')
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |    COALESCE(v2.source, v1.source) AS source,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.fp <> v2.fp THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1, 2 ORDER BY source, status""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val v1 = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("source"),
+          TextOps.fingerprint(col("text")).as("fp"))
+      val v2 = docs.filter(col("doc_id") % 3 =!= 1)
+        .select(col("doc_id"), col("source"),
+          TextOps.fingerprint(
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text"))).as("fp"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("source"),
+            md5(concat(col("doc_id").cast("string"), lit("#new"))).as("fp")))
+      v1.select(col("doc_id"), col("source").as("s1"), col("fp").as("fp1"))
+        .join(v2.select(col("doc_id"), col("source").as("s2"),
+          col("fp").as("fp2")), Seq("doc_id"), "full_outer")
+        .select(
+          coalesce(col("s2"), col("s1")).as("source"),
+          when(col("fp1").isNull, lit("added"))
+            .when(col("fp2").isNull, lit("removed"))
+            .when(col("fp1") =!= col("fp2"), lit("changed"))
+            .otherwise(lit("unchanged")).as("status"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    },
+
+    // ---- quota-enforced temperature sample (q162 materialized) ----
+    // q162 computes the α=0.5 per-language quotas; this DRAWS them: per
+    // language, the quota_g docs with the smallest salted hash rank — a
+    // deterministic, growth-stable sample manifest (adding docs only
+    // appends to the hash order's tail candidates; re-runs are
+    // byte-identical). The per-lang rank window is bounded by the
+    // quota constant (Spark plans it as a WindowGroupLimit — only the
+    // top `quota` rows per lang survive the rank), and the quota table
+    // is a broadcast |langs|-row frame. Total draw here = 100 docs.
+    Q("q179_quota_sample",
+      s"""WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang),
+        |sq AS (SELECT lang, n_docs,
+        |    CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * CAST(1000000.0 AS DOUBLE), 0)
+        |      AS DECIMAL(38,0)) AS sqb FROM c),
+        |d AS (SELECT CAST(SUM(sqb) AS DOUBLE) AS denom FROM sq),
+        |qt AS (SELECT lang,
+        |    CAST(FLOOR((CAST(sqb AS DOUBLE) / denom) * CAST(100.0 AS DOUBLE))
+        |      AS BIGINT) AS quota
+        |  FROM sq CROSS JOIN d),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, lang",
+             "md5('graft-sample#' || CAST(doc_id AS VARCHAR))", "documents", "h")}),
+        |r AS (SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+        |  FROM hv)
+        |SELECT r.lang, CAST(r.rnk AS BIGINT) AS rnk, r.doc_id, qt.quota
+        |FROM r JOIN qt USING (lang) WHERE r.rnk <= qt.quota
+        |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+      val docs = documents(s, dir)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val sq = counts.withColumn("sqb",
+        round(sqrt(col("n_docs").cast("double")) * lit(1000000.0d), 0)
+          .cast("decimal(38,0)"))
+      val denom = sq.agg(sum(col("sqb")).cast("double").as("denom"))
+      val quota = sq.crossJoin(broadcast(denom))
+        .select(col("lang"),
+          floor(col("sqb").cast("double") / col("denom") * lit(100.0d))
+            .cast("long").as("quota"))
+      val ranked = docs.select(col("lang"), col("doc_id"),
+        Dedup.md5Hash64(concat(lit("graft-sample#"),
+          col("doc_id").cast("string"))).as("__h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("__h"), col("doc_id"))
+      ranked.withColumn("rnk", row_number().over(w).cast("long"))
+        .join(broadcast(quota), "lang")
+        .filter(col("rnk") <= col("quota"))
+        .select("lang", "rnk", "doc_id", "quota")
+        .orderBy("lang", "rnk")
     })
 }
