@@ -3302,5 +3302,57 @@ object Text {
         .filter(col("rnk") <= col("quota"))
         .select("lang", "rnk", "doc_id", "quota")
         .orderBy("lang", "rnk")
+    },
+
+    // ---- split-leakage audit (near-dups across the eval boundary) ----
+    // The eval-integrity check q150's hash split makes possible but
+    // does not itself perform: a near-duplicate PAIR straddling
+    // train/test means the eval set leaks training content — the
+    // within-corpus complement of decontamination (q107 checks against
+    // an external eval set). Pairs come from the oracle-replayable
+    // banded-MinHash pipeline (q80's DAG); each verified pair is
+    // labeled same_split / cross_split by the q150 assignment, and the
+    // summary reports the leak count by split-pair. The audit adds two
+    // scan projections and one broadcast-able id join on top of the
+    // dedup run a pipeline already pays for.
+    Q("q180_split_leakage",
+      s"""WITH RECURSIVE ${minhashGroupsSql()},
+        |hv2 AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+             "md5(CAST(doc_id AS VARCHAR) || '#split')", "documents", "h")}),
+        |sp AS (SELECT doc_id,
+        |    CASE WHEN (CAST(h AS DOUBLE) + CAST(9223372036854775808.0 AS DOUBLE))
+        |        / CAST(18446744073709551616.0 AS DOUBLE) < CAST(0.8 AS DOUBLE)
+        |      THEN 'train'
+        |      WHEN (CAST(h AS DOUBLE) + CAST(9223372036854775808.0 AS DOUBLE))
+        |        / CAST(18446744073709551616.0 AS DOUBLE)
+        |        < CAST(0.9000000000000001 AS DOUBLE) THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM hv2),
+        |lab AS (SELECT d.id_a, d.id_b, sa.split AS split_a, sb.split AS split_b
+        |  FROM dups d JOIN sp sa ON sa.doc_id = d.id_a
+        |  JOIN sp sb ON sb.doc_id = d.id_b)
+        |SELECT LEAST(split_a, split_b) AS split_lo,
+        |  GREATEST(split_a, split_b) AS split_hi,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT) AS leak
+        |FROM lab GROUP BY 1, 2, 4 ORDER BY split_lo, split_hi""".stripMargin) {
+      (s, dir) =>
+      val docs = documents(s, dir)
+      val pairs = Dedup.minhashNearDupsMd5(docs, "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val sp = graft.ops.Splits.hashSplit(docs.select("doc_id"), "doc_id",
+        "#split", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+      pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .select(least(col("split_a"), col("split_b")).as("split_lo"),
+          greatest(col("split_a"), col("split_b")).as("split_hi"),
+          when(col("split_a") =!= col("split_b"), 1L).otherwise(0L).as("leak"))
+        .groupBy("split_lo", "split_hi", "leak")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select("split_lo", "split_hi", "n_pairs", "leak")
+        .orderBy("split_lo", "split_hi")
     })
 }
