@@ -304,6 +304,30 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT join — the dup relation symmetric Jaccard
+    * structurally misses: a short document swallowed whole by a longer
+    * one (a quoted article inside a commentary page, an abstract inside
+    * its paper) has jaccard ≈ |small|/|large| — arbitrarily low — while
+    * containment = n_common / min(n_a, n_b) is 1.0. The standard metric
+    * for "one side is (nearly) a subset of the other" (Broder's
+    * containment, the relation behind news-wire dedup).
+    *
+    * Same shingle equi-join machinery as [[jaccardPairs]] (reused at
+    * threshold 0 — containment > 0 already requires a shared shingle, so
+    * the candidate set is identical); only the final metric differs.
+    * Output adds `containment`; pairs keep the id_a < id_b convention —
+    * direction recovers from the sizes (the smaller set is the contained
+    * one).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleSize: Int = 3,
+                       threshold: Double = 0.8): DataFrame =
+    jaccardPairs(df, idCol, textCol, shingleSize, threshold = 0.0)
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
+
   /** EXACT Jaccard similarity join at scale: same output contract as
     * [[jaccardPairs]] (all pairs with n-gram-set jaccard >= threshold),
     * but candidate generation uses PREFIX FILTERING (the AllPairs family,

@@ -3354,5 +3354,49 @@ object Text {
         .agg(count(lit(1)).as("n_pairs"))
         .select("split_lo", "split_hi", "n_pairs", "leak")
         .orderBy("split_lo", "split_hi")
+    },
+
+    // ---- asymmetric containment join (subset near-dups) ----
+    // [[Dedup.containmentPairs]]: a short doc swallowed by a longer one
+    // has arbitrarily LOW jaccard but containment 1.0 — the planted
+    // pair (-31 ⊂ -30) has jaccard 3/8 (invisible to every symmetric
+    // query at 0.5) and containment 1.0. Same shingle equi-join
+    // machinery as q77, different final metric; at scale the prefix-
+    // filtered path (q128) applies the same way with the containment
+    // bound t·min instead of the jaccard bound.
+    Q("q181_containment_pairs",
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-30 AS BIGINT),
+        |     'alpha beta gamma delta epsilon zeta eta theta iota kappa'),
+        |    (CAST(-31 AS BIGINT), 'alpha beta gamma delta epsilon'))
+        |    v(doc_id, text)),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM src),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sa.nsh AS BIGINT) AS n_a, CAST(sb.nsh AS BIGINT) AS n_b,
+        |  CAST(n_common AS DOUBLE) / LEAST(sa.nsh, sb.nsh) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / LEAST(sa.nsh, sb.nsh) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (-30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (-31L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+      Dedup.containmentPairs(
+          documents(s, dir).select("doc_id", "text").unionByName(planted),
+          "doc_id", "text", shingleSize = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b")
     })
 }

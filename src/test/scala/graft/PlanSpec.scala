@@ -287,6 +287,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window crept into chunking:\n$p")
   }
 
+  test("funnel plans as chained aggregates — no windows, no event collection (q176)") {
+    val p = plan("q176_funnel")
+    assert(!p.contains("Window"), s"window crept into the funnel:\n$p")
+    assert(!p.contains("collect_list") && !p.contains("CollectList"),
+      s"per-user event collection crept into the funnel:\n$p")
+  }
+
   test("corpus merge pre-aggregates the change log map-side (q159)") {
     val p = plan("q159_corpus_merge")
     // latestWins must plan partial max(struct) before its ONE exchange

@@ -765,6 +765,24 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("containmentPairs: subset docs score 1.0 where jaccard stays low") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),     // 8 shingles
+      (2L, "a b c d e"),               // 3 shingles, all inside doc 1
+      (3L, "x y z w v"),               // disjoint
+      (4L, "a b c d e f g h i j"))     // exact dup of 1
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5))).toSet
+    // (1,2): containment 3/3 = 1.0 but jaccard 3/8 — found here, invisible
+    // to jaccardPairs at 0.5; (1,4): both metrics 1.0; nothing touches 3
+    assert(got === Set((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0)))
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), "symmetric jaccard must miss the subset pair")
+    assert(jac.contains((1L, 4L)))
+  }
+
   // 3 planted duplicate families (tight cones around orthogonal axes)
   // plus isolated singletons; cosine within a family ≥ ~0.999, across
   // families ~0 — threshold 0.9 separates them cleanly.
