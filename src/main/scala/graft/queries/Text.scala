@@ -3398,5 +3398,54 @@ object Text {
           documents(s, dir).select("doc_id", "text").unionByName(planted),
           "doc_id", "text", shingleSize = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")
+    },
+
+    // ---- HTML→text extraction ([[TextOps.htmlToText]] + cleanup) ----
+    // The crawl-processing front door: script/style elements drop WITH
+    // their contents (tag-stripping alone would leak code into prose),
+    // remaining tags become spaces (block boundaries must not glue
+    // words), common entities decode with &amp; LAST (decoding it first
+    // re-interprets pre-escaped text — the planted '&amp;lt;' must
+    // surface as literal '&lt;'), then cleanText normalizes whitespace.
+    // Pure scan projection; planted pages exercise every branch
+    // (synthetic docs carry no markup). Element regexes are two chained
+    // patterns, never one with a \1 backreference — RE2 has none.
+    Q("q182_html_extract",
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(-41 AS BIGINT), '<html><head><style>p{color:red}</style><script type="text/javascript">var x = 1 < 2;</script></head><body><p>Hello &amp; welcome</p><p>it&#39;s 5 &lt; 10 &amp;lt; still</p></body></html>'),
+        |    (CAST(-42 AS BIGINT), 'plain text no markup'),
+        |    (CAST(-43 AS BIGINT), '<div>a</div><div>b</div>&nbsp;&quot;q&quot;'))
+        |    v(doc_id, text)),
+        |x AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(text,
+        |        '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
+        |        '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&nbsp;', ' '), '&amp;', '&') AS plain
+        |  FROM src),
+        |c AS (SELECT doc_id,
+        |    trim(regexp_replace(nfc_normalize(regexp_replace(plain,
+        |      '[\x00-\x08\x0E-\x1F\x7F]', '', 'g')),
+        |      '[ \t\n\r\x0B\f]+', ' ', 'g')) AS plain
+        |  FROM x)
+        |SELECT doc_id, plain, CAST(length(plain) AS BIGINT) AS n_chars
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val planted = Seq(
+        (-41L, "<html><head><style>p{color:red}</style><script type=\"text/javascript\">var x = 1 < 2;</script></head><body><p>Hello &amp; welcome</p><p>it&#39;s 5 &lt; 10 &amp;lt; still</p></body></html>"),
+        (-42L, "plain text no markup"),
+        (-43L, "<div>a</div><div>b</div>&nbsp;&quot;q&quot;"))
+        .toDF("doc_id", "text")
+      documents(s, dir).select("doc_id", "text").unionByName(planted)
+        .select(col("doc_id"),
+          TextOps.cleanText(TextOps.htmlToText(col("text"))).as("plain"))
+        .select(col("doc_id"), col("plain"),
+          length(col("plain")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     })
 }

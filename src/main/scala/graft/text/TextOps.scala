@@ -59,6 +59,37 @@ object TextOps {
       .otherwise(array(array_join(t, " ")))
   }
 
+  /** HTML-to-text extraction, the crawl-processing front door: drop
+    * `<script>`/`<style>` elements WITH their contents (their text is
+    * code, not prose — tag-stripping alone would leak it), replace
+    * every remaining tag with a space (block boundaries must not glue
+    * words: `<p>a</p><p>b</p>` → "a b"), then decode the five XML
+    * entities plus `&nbsp;` and the apostrophe's numeric form
+    * `&#39;` (a full entity decoder is a lookup table, not a
+    * transform; rare entities survive as literal text and wash out in
+    * tokenization). `&amp;` decodes LAST — decoding it first would re-interpret
+    * "&amp;lt;" as "&lt;" and corrupt pre-escaped text (the classic
+    * double-decode bug). Chain with [[cleanText]] for whitespace/NFC
+    * normalization; everything here is regexp/replace chains — pure
+    * scan projection, byte-identical in any engine with RE2/Java-
+    * compatible classes.
+    */
+  def htmlToText(html: Column): Column = {
+    // two separate element regexes, NOT one with a \1 backreference:
+    // RE2 (the oracle's engine) has no backreferences, and the oracle
+    // must run the byte-identical patterns
+    val noScript = regexp_replace(html,
+      "(?is)<script[^>]*>.*?</script\\s*>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style\\s*>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    Seq(
+      ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
+      ("&nbsp;", " "), ("&amp;", "&")).foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+  }
+
   /** Overlapping token-window chunks — the RAG/embedding-indexing
     * splitter: windows of `chunkTokens` whitespace tokens advancing by
     * `chunkTokens − overlap`, the final window clamped to the document

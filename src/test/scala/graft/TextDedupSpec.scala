@@ -765,6 +765,22 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("htmlToText: script/style drop with contents, entities, decode-last &amp;") {
+    val cases = Seq(
+      "<p>a</p><p>b</p>" -> "a b",
+      "<script>ignore me <b>fully</b></script>kept" -> "kept",
+      "<STYLE media=x>p{}</STYLE>kept" -> "kept",
+      "x &amp;lt; y" -> "x &lt; y",          // pre-escaped survives one decode
+      "5 &lt; 10 &amp; 2 &gt; 1" -> "5 < 10 & 2 > 1",
+      "it&#39;s &quot;q&quot;&nbsp;!" -> "it's \"q\" !",
+      "no markup" -> "no markup")
+    val got = cases.map(_._1).toDF("t")
+      .select(graft.text.TextOps.cleanText(
+        graft.text.TextOps.htmlToText(col("t"))).as("p"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("containmentPairs: subset docs score 1.0 where jaccard stays low") {
     val docs = Seq(
       (1L, "a b c d e f g h i j"),     // 8 shingles
