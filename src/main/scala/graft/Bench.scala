@@ -7,6 +7,114 @@ import org.apache.spark.sql.SparkSession
   * drop sorts, under-measuring projection-heavy queries.
   */
 object Bench {
+  /** Pinned 100-query core (the suite's first 100 registration-order
+    * names as of round 9): `core100` sums THESE queries' medians only,
+    * so rounds compare like-for-like as the registry grows — the
+    * headline total moves with every added query, this metric moves
+    * only with the engine. Membership is frozen by name; never extend
+    * it (define core200 if a bigger pinned set is ever wanted).
+    */
+  val CoreQueries: Set[String] = Set(
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_isin",
+    "q04_contains",
+    "q05_null_sentinel",
+    "q06_coverage_stats",
+    "q07_join_broadcast",
+    "q08_semi_join",
+    "q09_anti_join",
+    "q11_union_align",
+    "q12_unpivot",
+    "q13_pivot_first",
+    "q14_distinct",
+    "q15_stats",
+    "q16_quantile",
+    "q18_dates",
+    "q19_strings",
+    "q20_case_when",
+    "q21_round_cast",
+    "q22_window_topk",
+    "q32_rowwise_mean",
+    "q58_dropna_rows",
+    "q59_to_date_format",
+    "q73_range_join",
+    "q93_csv_roundtrip",
+    "q94_perfile_sink_glob",
+    "q122_jsonl_roundtrip",
+    "q95_skip_preamble",
+    "q96_csv_parse_dates",
+    "q97_fixed_width_dly",
+    "q98_fixed_width_stations",
+    "q99_geo_filter",
+    "q92_projection_ops",
+    "q89_salted_join",
+    "q74_rollup",
+    "q75_transpose",
+    "q76_drop_allnull_cols",
+    "q60_argmin",
+    "q131_coorder_pagerank",
+    "q139_triangle_count",
+    "q132_bloom_semi_join",
+    "q133_zorder_codes",
+    "q143_json_extract",
+    "q142_sample_quantiles",
+    "q23_ffill_limit",
+    "q24_month_ffill",
+    "q25_lags_diff",
+    "q26_sliding_mean",
+    "q144_rolling_anomaly",
+    "q145_holt_forecast",
+    "q146_cusum_alarms",
+    "q27_blocked_cv",
+    "q28_split",
+    "q29_seasonal",
+    "q33_forecast_metrics",
+    "q34_resample_minmax",
+    "q35_monthend_mean",
+    "q30_disaggregate",
+    "q51_seasonal_by_series",
+    "q64_sequences",
+    "q65_positional_join",
+    "q71_asof_join",
+    "q72_sessionize",
+    "q127_salted_join",
+    "q152_global_fill",
+    "q176_funnel",
+    "q177_retention_cohorts",
+    "q36_doc_stats",
+    "q37_lang_id",
+    "q38_quality_score",
+    "q39_exact_dedup",
+    "q40_lang_token_totals",
+    "q41_cosine_topk",
+    "q42_embedding_norms",
+    "q43_simhash",
+    "q77_jaccard_pairs",
+    "q79_minhash_sigs",
+    "q80_lsh_neardups",
+    "q44_minhash_neardup_stats",
+    "q86_simhash_neardups",
+    "q45_ann_topk",
+    "q69_top_terms",
+    "q66_ivf_ann",
+    "q78_ivf_full_probe",
+    "q85_lsh_full_coverage",
+    "q67_cosine_neardup_stats",
+    "q87_cosine_neardup_full",
+    "q46_multimodal_meta",
+    "q47_multimodal_features",
+    "q90_frame_sample",
+    "q91_resize_blobs",
+    "q113_image_codec",
+    "q114_audio_codec",
+    "q115_video_demux",
+    "q116_bpe_merges",
+    "q147_bpe_tokenize",
+    "q117_dsir_selection",
+    "q118_data_mixing",
+    "q119_bm25_search",
+    "q120_pq_ann")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -118,6 +226,11 @@ object Bench {
       "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")
     val total = results.map(med).filter(_ >= 0).sum
+    // suite-growth-stable metric: sum of medians over the pinned
+    // CoreQueries only (meaningful on the unfiltered full run; a
+    // BENCH_ONLY iteration sums whatever core members it ran)
+    val coreTotal = results.filter(r => CoreQueries(r._1))
+      .map(med).filter(_ >= 0).sum
     // Full per-query dispersion goes to a FILE (the stdout line is
     // capture-bounded): one JSON object per query with min/median/max
     // over successful reps, so docs can cite run-to-run spread from the
@@ -128,16 +241,19 @@ object Bench {
     // silently clobber the committed full-suite artifact with a subset.
     if (only.isEmpty) {
       val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
-      val detail = results.map { case (n, ts, e) =>
+      // "idx" = registry position, so positional BENCH_r*.json arrays
+      // are mechanically joinable to names across rounds even after
+      // registrations shift (VERDICT r9 next-round item 8)
+      val detail = results.zipWithIndex.map { case ((n, ts, e), i) =>
         val s = ts.sorted
         val (mn, md, mx) =
           if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.head, median(s), s.last)
-        s"""{"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e}"""
+        s"""{"idx":$i,"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e}"""
       }.mkString("[\n", ",\n", "\n]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"queries":$detail}\n""")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":${fmt(coreTotal)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

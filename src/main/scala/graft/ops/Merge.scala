@@ -27,10 +27,16 @@ import org.apache.spark.sql.functions._
   * re-join winners to payloads (the q112/q154 keep-best pattern).
   *
   * Determinism: `versionCol` must totally order each key's changes
-  * (CDC log offsets, monotonic snapshot ids). Ties on version fall
-  * through to the remaining struct fields in column order — callers
-  * wanting strict semantics should guarantee distinct versions per key;
-  * [[latestWins]] does not try to resolve concurrent writes.
+  * (CDC log offsets, monotonic snapshot ids). Ties on version order
+  * next by `opCol` (binary string order, so an upsert 'U'/'I' always
+  * beats a same-version delete 'D' — a tombstone never silently wins a
+  * concurrent-write race), then by the remaining struct fields in
+  * column order. The streaming twin
+  * [[graft.streaming.Streaming.latestWinsStream]] applies the SAME
+  * (version, op) rule; only the residual payload tie (same key, same
+  * version, same op) is engine-specific (struct order here, arrival
+  * order there) — callers wanting strict semantics should guarantee
+  * distinct versions per key.
   */
 object Merge {
 
@@ -44,9 +50,11 @@ object Merge {
     require(changes.columns.contains(versionCol) && changes.columns.contains(opCol),
       s"changes must carry $versionCol and $opCol")
     val payload = changes.columns.filterNot(_ == key).toSeq
-    // version leads the struct so ordering is version-major; remaining
-    // payload fields only break (discouraged) version ties.
-    val winner = max(struct((versionCol +: payload.filterNot(_ == versionCol)).map(col): _*))
+    // version leads the struct, op second (explicit 'U' > 'D' tie rule
+    // shared with the streaming twin); remaining payload fields only
+    // break the (discouraged) same-version-same-op residual.
+    val winner = max(struct((versionCol +: opCol +: payload
+      .filterNot(c => c == versionCol || c == opCol)).map(col): _*))
     changes.groupBy(col(key))
       .agg(winner.as("__w"))
       .select(col(key) +: payload.map(c => col(s"__w.`$c`").as(c)): _*)

@@ -474,6 +474,53 @@ object Relational {
         .orderBy("n_nationkey")
     },
 
+    // ---- HTTP CSV fetch -> staging -> scan (S1, oracle) ----
+    // The one §2 source without a driver-checked row until now: serve
+    // the nation table as CSV from an in-process loopback HTTP server
+    // (JDK com.sun.net.httpserver — a REAL http:// URL through the
+    // DEFAULT transport, no injection), fetch it with
+    // [[graft.sources.Csv.downloadToStaging]], scan the staged file
+    // with the parquet schema, and join region. The oracle reads the
+    // parquet directly, so a hash match proves the fetch+stage+scan
+    // path is value-faithful end to end. Download is driver-side by
+    // design (source acquisition is O(#files) staging I/O); the served
+    // bytes derive from the same parquet the oracle reads, and the
+    // server stops before the DataFrame is returned — the scan reads
+    // the staged local file, not the socket.
+    Q("q184_http_csv_fetch",
+      """SELECT n.n_nationkey, n.n_name, n.n_regionkey, r.r_name
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |ORDER BY n.n_nationkey""".stripMargin) { (s, dir) =>
+      val rows = nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy("n_nationkey").collect()
+      val csv = "n_nationkey,n_name,n_regionkey\n" + rows.map(r =>
+        s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}").mkString("\n") + "\n"
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val staged = try {
+        server.createContext("/exports/nation.csv",
+          (ex: com.sun.net.httpserver.HttpExchange) => {
+            val body = csv.getBytes("UTF-8")
+            ex.getResponseHeaders.add("Content-Type", "text/csv")
+            ex.sendResponseHeaders(200, body.length.toLong)
+            try ex.getResponseBody.write(body) finally ex.close()
+          })
+        server.start()
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft_q184_staging").toString
+        graft.sources.Csv.downloadToStaging(
+          Seq(s"http://127.0.0.1:${server.getAddress.getPort}/exports/nation.csv"),
+          staging)
+      } finally server.stop(0)
+      val back = graft.sources.Csv.scan(s, staged.head,
+        Some(nation(s, dir).schema))
+      back.join(region(s, dir), back("n_regionkey") === col("r_regionkey"))
+        .select(back("n_nationkey"), back("n_name"), back("n_regionkey"),
+          col("r_name"))
+        .orderBy("n_nationkey")
+    },
+
     // ---- per-file partitioned sink -> partition-discovery scan (K2 + S8) ----
     // Dynamic-partition CSV write keyed on the region, then a directory
     // read that recovers the partition column from the layout; the oracle

@@ -3408,8 +3408,11 @@ object Text {
     // re-interprets pre-escaped text — the planted '&amp;lt;' must
     // surface as literal '&lt;'), then cleanText normalizes whitespace.
     // Pure scan projection; planted pages exercise every branch
-    // (synthetic docs carry no markup). Element regexes are two chained
-    // patterns, never one with a \1 backreference — RE2 has none.
+    // (synthetic docs carry no markup), including a truncated page with
+    // an UNCLOSED <script> (its JS body must drop, not leak — the
+    // fallback-to-end-of-input pass) and a <scripty> generic tag that
+    // the anchored name must NOT treat as script. Element regexes are
+    // chained patterns, never one with a \1 backreference — RE2 has none.
     Q("q182_html_extract",
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
@@ -3417,13 +3420,17 @@ object Text {
         |  SELECT * FROM (VALUES
         |    (CAST(-41 AS BIGINT), '<html><head><style>p{color:red}</style><script type="text/javascript">var x = 1 < 2;</script></head><body><p>Hello &amp; welcome</p><p>it&#39;s 5 &lt; 10 &amp;lt; still</p></body></html>'),
         |    (CAST(-42 AS BIGINT), 'plain text no markup'),
-        |    (CAST(-43 AS BIGINT), '<div>a</div><div>b</div>&nbsp;&quot;q&quot;'))
+        |    (CAST(-43 AS BIGINT), '<div>a</div><div>b</div>&nbsp;&quot;q&quot;'),
+        |    (CAST(-44 AS BIGINT), '<p>kept prose</p><script src="a.js">var leak = 1;'),
+        |    (CAST(-45 AS BIGINT), '<scripty>generic tag text</scripty> tail'))
         |    v(doc_id, text)),
         |x AS (SELECT doc_id,
         |    replace(replace(replace(replace(replace(replace(
-        |      regexp_replace(regexp_replace(regexp_replace(text,
-        |        '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g'),
-        |        '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g'),
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |        '(?is)<script(?:\s[^>]*)?>.*?</script\s*>', ' ', 'g'),
+        |        '(?is)<script(?:\s[^>]*)?>.*', ' ', 'g'),
+        |        '(?is)<style(?:\s[^>]*)?>.*?</style\s*>', ' ', 'g'),
+        |        '(?is)<style(?:\s[^>]*)?>.*', ' ', 'g'),
         |        '<[^>]*>', ' ', 'g'),
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
         |      '&nbsp;', ' '), '&amp;', '&') AS plain
@@ -3439,7 +3446,9 @@ object Text {
       val planted = Seq(
         (-41L, "<html><head><style>p{color:red}</style><script type=\"text/javascript\">var x = 1 < 2;</script></head><body><p>Hello &amp; welcome</p><p>it&#39;s 5 &lt; 10 &amp;lt; still</p></body></html>"),
         (-42L, "plain text no markup"),
-        (-43L, "<div>a</div><div>b</div>&nbsp;&quot;q&quot;"))
+        (-43L, "<div>a</div><div>b</div>&nbsp;&quot;q&quot;"),
+        (-44L, "<p>kept prose</p><script src=\"a.js\">var leak = 1;"),
+        (-45L, "<scripty>generic tag text</scripty> tail"))
         .toDF("doc_id", "text")
       documents(s, dir).select("doc_id", "text").unionByName(planted)
         .select(col("doc_id"),
@@ -3447,5 +3456,232 @@ object Text {
         .select(col("doc_id"), col("plain"),
           length(col("plain")).cast("long").as("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- sampled LSH recall audit (the corpus-scale form of q170) ----
+    // q170 runs the exact all-pairs Jaccard chain over the WHOLE corpus
+    // — fine as an audit at sf0.1, quadratic death at 100 TB. The form a
+    // deployment actually runs is this one: a salted-md5 p-sample of the
+    // corpus (the q150 hashSplit unit-interval hash, so the sample is
+    // stable under reruns/growth and replayable by any md5-capable
+    // engine), the exact chain and the banded-MinHash chain over the
+    // SAMPLE only, recall as one exact rational. Sampling pairs by
+    // sampling docs keeps both endpoints in-sample with probability p²
+    // — the standard unbiased near-dup-rate estimator (each retained
+    // pair is an i.i.d. Bernoulli(p²) draw of a corpus pair) — and the
+    // quadratic side drops by p² while the LSH side stays the
+    // production plan shape.
+    Q("q183_lsh_recall_sampled",
+      s"""WITH smp AS (SELECT * FROM ${md5Hash64Sql("doc_id, text",
+             "md5(CAST(doc_id AS VARCHAR) || '#lshaudit')", "documents", "sh64")}),
+        |sdocs AS (SELECT doc_id, text FROM smp
+        |  WHERE (CAST(sh64 AS DOUBLE) + 9.223372036854776e18)
+        |    / 1.8446744073709552e19 < 0.3),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM sdocs),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |commonx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ex AS (SELECT id_a, id_b FROM commonx
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(s)", "sh", "h")}),
+        |cs AS (SELECT * FROM ${md5Hash64Sql("i", "md5('graft-minhash#' || i)", "range(16) t(i)", "c")}),
+        |sig AS (SELECT doc_id, i, MIN(xor(h, c)) AS minhash
+        |  FROM hv CROSS JOIN cs GROUP BY 1, 2),
+        |bnd AS (SELECT doc_id, CAST(FLOOR(i / 4) AS BIGINT) AS band,
+        |    array_to_string(list(CAST(minhash AS VARCHAR) ORDER BY i), ',') AS key
+        |  FROM sig GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |ls AS (SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN ex e ON e.id_a = c.id_a AND e.id_b = c.id_b)
+        |SELECT CAST((SELECT COUNT(*) FROM sdocs) AS BIGINT) AS n_sampled,
+        |  CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_exact,
+        |  CAST((SELECT COUNT(*) FROM ls) AS BIGINT) AS n_lsh,
+        |  CAST((SELECT COUNT(*) FROM ex) - (SELECT COUNT(*) FROM ls) AS BIGINT)
+        |    AS n_missed,
+        |  CAST((SELECT COUNT(*) FROM ls) AS DOUBLE)
+        |    / (SELECT COUNT(*) FROM ex) AS recall""".stripMargin) { (s, dir) =>
+      val u = (Dedup.md5Hash64(concat(col("doc_id").cast("string"),
+          lit("#lshaudit"))).cast("double") + lit(9.223372036854776e18)) /
+        lit(1.8446744073709552e19)
+      val sdocs = documents(s, dir).filter(u < 0.3)
+      val exact = graft.ops.Pin.pin(
+        Dedup.jaccardPairs(sdocs, "doc_id", "text", shingleSize = 3,
+          threshold = 0.5).select("id_a", "id_b"))
+      val lsh = Dedup.minhashNearDupsMd5(sdocs, "doc_id", "text",
+        nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
+        .select("id_a", "id_b")
+      val nSampled = sdocs.agg(count(lit(1)).as("n_sampled"))
+      exact.withColumn("ex", lit(1))
+        .join(lsh.withColumn("ls", lit(1)), Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("ex")).as("n_exact"),
+          count(col("ls")).as("n_lsh"),
+          count(when(col("ex").isNotNull && col("ls").isNull, 1)).as("n_missed"))
+        .crossJoin(broadcast(nSampled))
+        .withColumn("recall", col("n_lsh").cast("double") / col("n_exact"))
+        .select("n_sampled", "n_exact", "n_lsh", "n_missed", "recall")
+    },
+
+    // ---- sign-LSH recall@k audit (quantified approximation quality) ----
+    // q45 is rows-only by design (its random-hyperplane double dots are
+    // engine hashing); q85 proves full-coverage equivalence. This query
+    // QUANTIFIES the approximate configuration: production bucketing
+    // params (bits = 6, tables = 4 — q45's), per-query recall@5 of the
+    // LSH candidates' top-k against the brute-force exact top-k, as an
+    // exact rational table. Oracle-checkable because the audit bucketing
+    // uses [[Similarity.lshBucket]]'s exactPlaneDots variant: per-term
+    // DECIMAL capture makes each sign bit order-free, and the seeded
+    // hyperplanes are driver constants embedded in the oracle as a
+    // (t, b, d, p) VALUES table — sign flips vs the double-fold hot path
+    // need |dot| < ~1e-13, so these recall numbers are representative.
+    Q("q185_lsh_recall_at_k", {
+      val planeRows = (0 until 4).flatMap { t =>
+        val ps = graft.sim.Similarity.planes(64, 6, t, 42L)
+        (0 until 6).flatMap(b => (0 until 64).map(d => s"($t,$b,$d,${ps(b)(d)})"))
+      }.mkString(", ")
+      s"""WITH pl AS (SELECT * FROM (VALUES $planeRows) v(t, b, d, p)),
+        |ev AS (SELECT vec_id, CAST(i AS INTEGER) AS d,
+        |    CAST(embedding[i+1] AS DOUBLE) AS v
+        |  FROM embeddings, range(64) rng(i)),
+        |sb AS (SELECT e.vec_id, p.t, p.b,
+        |    SUM(CAST(e.v * p.p AS DECIMAL(38,18))) AS dp
+        |  FROM ev e JOIN pl p ON p.d = e.d GROUP BY 1, 2, 3),
+        |bk AS (SELECT vec_id, t,
+        |    CAST(SUM(CASE WHEN dp >= 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS bkt
+        |  FROM sb GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bk q JOIN bk c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |    ${dotSql("qv", "cv")}
+        |    / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |  FROM cand JOIN qe USING (query_id) JOIN ce USING (neighbor_id)),
+        |ann AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |exsc AS (SELECT qe.query_id, ce.neighbor_id,
+        |    ${dotSql("qv", "cv")}
+        |    / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |  FROM qe CROSS JOIN ce WHERE neighbor_id <> query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM exsc) WHERE rn <= 5),
+        |hits AS (SELECT a.query_id, COUNT(*) AS n_ann, COUNT(e.neighbor_id) AS n_hit
+        |  FROM ann a LEFT JOIN ex e
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / 5 AS recall
+        |FROM qe q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.signLshTopK(emb, q, "vec_id", "embedding",
+          k = 5, dim = 64, bits = 6, tables = 4,
+          maxBucketSize = Int.MaxValue, exactPlaneDots = true)
+        .select("query_id", "neighbor_id")
+      val ex = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val perQ = ann.join(ex, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ann"), count(col("hit")).as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(perQ, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall"))
+        .orderBy("query_id")
+    },
+
+    // ---- IVF recall@k audit (pinned quantizer, oracle-replayable) ----
+    // The IVF twin of q185: q66 is rows-only (MLlib-trained centroids are
+    // engine state), q78 proves full-probe equivalence; this audit
+    // quantifies the APPROXIMATE probe setting with the quantizer pinned
+    // — centroids are the 8 corpus vectors with smallest (md5(id), id)
+    // (the pqCodebook sampling rule), assignment and probe order use the
+    // exact-DECIMAL squared distance with ties to the lower cell index —
+    // so cells, candidates, and recall@5 at nProbe = 2 are engine-exact
+    // and the oracle replays the whole structure. Lloyd polish improves
+    // recall, not mechanics; the audit pins mechanics.
+    Q("q186_ivf_recall_at_k", {
+      def sq(a: String, b: String) =
+        s"""(SELECT SUM(CAST((CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | AS DECIMAL(38,18))) FROM range(64) rng(i))""".stripMargin
+          .replaceAll("\n\\s*\\|?", " ")
+      s"""WITH cent AS (SELECT CAST(rn - 1 AS INTEGER) AS cell, embedding AS cvec FROM (
+        |    SELECT vec_id, embedding,
+        |      row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        |    FROM embeddings) WHERE rn <= 8),
+        |ad AS (SELECT e.vec_id, c.cell, ${sq("e.embedding", "c.cvec")} AS d
+        |  FROM embeddings e CROSS JOIN cent c),
+        |asg AS (SELECT vec_id AS neighbor_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad)
+        |  WHERE rn = 1),
+        |qp AS (SELECT vec_id AS query_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn FROM ad
+        |    WHERE vec_id < 10) WHERE rn <= 2),
+        |cand AS (SELECT query_id, neighbor_id FROM qp JOIN asg USING (cell)
+        |  WHERE neighbor_id <> query_id),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |    ${dotSql("qv", "cv")}
+        |    / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |  FROM cand JOIN qe USING (query_id) JOIN ce USING (neighbor_id)),
+        |ann AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 5),
+        |exsc AS (SELECT qe.query_id, ce.neighbor_id,
+        |    ${dotSql("qv", "cv")}
+        |    / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |  FROM qe CROSS JOIN ce WHERE neighbor_id <> query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM exsc) WHERE rn <= 5),
+        |hits AS (SELECT a.query_id, COUNT(*) AS n_ann, COUNT(e.neighbor_id) AS n_hit
+        |  FROM ann a LEFT JOIN ex e
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / 5 AS recall
+        |FROM qe q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.ivfTopKPinned(emb, q, "vec_id", "embedding",
+          k = 5, nCells = 8, nProbe = 2)
+        .select("query_id", "neighbor_id")
+      val ex = Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val perQ = ann.join(ex, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ann"), count(col("hit")).as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(perQ, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall"))
+        .orderBy("query_id")
     })
 }

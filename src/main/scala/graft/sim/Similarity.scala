@@ -137,7 +137,7 @@ object Similarity {
     * table, components derived from a splitmix-style integer mix —
     * deterministic, no RNG state to ship.
     */
-  private def planes(dim: Int, bits: Int, table: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def planes(dim: Int, bits: Int, table: Int, seed: Long): Array[Array[Double]] = {
     def mix(z0: Long): Double = {
       var z = z0 + 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -155,7 +155,8 @@ object Similarity {
     * per-component form (bits×dim inline terms) exceeds Janino's 64 KB
     * generated-method limit at real dims and forces interpreted eval.
     */
-  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int, seed: Long): Column = {
+  def lshBucket(vec: Column, dim: Int, bits: Int, table: Int, seed: Long,
+                exactPlaneDots: Boolean = false): Column = {
     // bits = 0 degenerates to one global bucket: every pair becomes a
     // candidate, making signLshTopK ≡ exact search — the oracle-checkable
     // full-coverage configuration (mirrors IVF's nProbe = nCells).
@@ -163,8 +164,13 @@ object Similarity {
     val ps = planes(dim, bits, table, seed)
     (0 until bits).map { b =>
       // native double dot against the literal plane — the HOF fold here
-      // was interpreted per element × bits × tables per row
-      val d = dot(vec, lit(ps(b)))
+      // was interpreted per element × bits × tables per row. The exact
+      // variant captures each term in DECIMAL (order-free), making the
+      // sign bit engine-replayable for the q185 recall audit; sign
+      // differences vs the double fold need |dot| < ~1e-13 — audit
+      // recall numbers are therefore representative of the hot path.
+      val d = if (exactPlaneDots) dotExact(vec, lit(ps(b)))
+              else dot(vec, lit(ps(b)))
       when(d >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_.bitwiseOR(_))
   }
@@ -189,13 +195,15 @@ object Similarity {
   def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, dim: Int, bits: Int = 12,
                   tables: Int = 4, seed: Long = 42L,
-                  maxBucketSize: Int = 10000): DataFrame = {
+                  maxBucketSize: Int = 10000,
+                  exactPlaneDots: Boolean = false): DataFrame = {
     // candidate generation carries IDS ONLY: buckets, the equi-join, and
     // the distinct shuffle 8-byte keys; vectors re-attach by id after —
     // shuffling vectors with every candidate pair is the scale killer.
     def bucketed(df: DataFrame, id: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("t"), lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
+        struct(lit(t).as("t"),
+          lshBucket(col(vecCol), dim, bits, t, seed, exactPlaneDots).as("b"))): _*)
       df.select(col(idCol).as(id), explode(buckets).as("tb"))
         .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
     }
@@ -295,6 +303,47 @@ object Similarity {
       .select("query_id", "__cell")
     // candidate join carries ids + the integer cell only; scoring is the
     // shared double-prefilter + bounded exact re-rank
+    val cands = c.join(q, Seq("__cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** IVF with a PINNED deterministic coarse quantizer — the q186
+    * recall-audit twin of [[ivfTopK]]: centroids are the `nCells` corpus
+    * vectors with the smallest (md5(id), id) (the [[pqCodebook]]
+    * sampling rule — deterministic, shuffle-invariant, replayable by any
+    * md5-capable engine), cell assignment and probe ordering use the
+    * exact-DECIMAL squared distance (order-free sums, ties to the lower
+    * cell index), so the whole cell structure — and therefore the
+    * audit's recall numbers — is engine-exact and oracle-checkable.
+    * Same DAG shape as ivfTopK otherwise: broadcast centroid literals,
+    * integer-cell candidate join, bounded exact re-rank. Lloyd-trained
+    * centroids improve recall, not mechanics; the audit needs the
+    * mechanics pinned.
+    */
+  def ivfTopKPinned(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nCells: Int = 8,
+                    nProbe: Int = 2): DataFrame = {
+    val centers: Array[(Int, Array[Double])] = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__h", md5(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(nCells)                       // bounded: nCells rows
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    def cellDists(v: Column) = array(centers.map { case (i, cen) =>
+      struct(sqDistExact(v, lit(cen)).as("d"), lit(i).as("c"))
+    }: _*)
+    // one cell per corpus row: lexicographic struct min = (dist, cell)
+    // argmin — the explicit ties-to-lower-index rule
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      array_min(cellDists(col(vecCol))).getField("c").as("__cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+        explode(transform(
+          slice(array_sort(cellDists(col(vecCol))), 1, nProbe),
+          x => x.getField("c"))).as("__cell"))
+      .select("query_id", "__cell")
     val cands = c.join(q, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")

@@ -191,23 +191,121 @@ object Streaming {
     * would leave stale documents live at the sink.
     *
     * Contract matches the batch operator: `version` must totally order
-    * each key's changes (on a version tie the batch struct fallback and
-    * stream arrival order may disagree — guarantee distinct versions).
-    * Late/out-of-order changes are handled by construction: a
-    * lower-version arrival after a higher-version one updates nothing.
-    * State is one Change per live key, hash-partitioned by key — the
+    * each key's changes; a version tie orders next by `op` (binary
+    * string order — the same explicit 'U' > 'D' rule as the batch
+    * `max(struct(version, op, …))`, so a same-version upsert beats a
+    * tombstone in BOTH engines). Only the residual tie (same key,
+    * version AND op) is engine-specific: batch falls to payload struct
+    * order, this stream keeps the first arrival — guarantee distinct
+    * versions for strict semantics. Late/out-of-order changes are
+    * handled by construction: a lower-(version, op) arrival after a
+    * higher one updates nothing.
+    *
+    * State contract: one Change per key, hash-partitioned by key — the
     * same sharding a batch latestWins shuffle uses; checkpointed state
-    * survives restarts like the online near-dup state.
+    * survives restarts like the online near-dup state. By default state
+    * is retained FOREVER, including tombstoned keys: a 'D' winner must
+    * stay resident to beat stale lower-version late arrivals, so under
+    * a delete-heavy change log state grows with the number of
+    * ever-seen keys, not live ones. When the deployment can bound late
+    * arrival (a CDC log with ordered delivery, a crawl with a known
+    * re-fetch horizon), pass `tombstoneTtl` (e.g. "24 hours"): a key
+    * whose CURRENT winner is a delete expires `tombstoneTtl` of
+    * processing time after its last update and its state is freed — a
+    * late pre-delete change arriving after that resurrects the row
+    * (the documented trade-off of bounding state). Live (non-delete)
+    * winners never expire. When a TTL is set, ALWAYS pair the query
+    * with a real trigger interval (e.g.
+    * `Trigger.ProcessingTime("1 minute")`): ProcessingTimeTimeout makes
+    * the engine schedule micro-batches even with no incoming data —
+    * that is how timeouts fire — and the default 0 ms trigger
+    * busy-loops empty checkpointing batches.
     */
-  def latestWinsStream(changes: Dataset[Change]): Dataset[Change] = {
+  def latestWinsStream(changes: Dataset[Change],
+                       tombstoneTtl: Option[String] = None,
+                       deleteOp: String = "D"): Dataset[Change] = {
     import changes.sparkSession.implicits._
+    val timeoutConf =
+      if (tombstoneTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     changes.groupByKey(_.key)
-      .mapGroupsWithState[Change, Change](GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState[Change, Change](
+        OutputMode.Update(), timeoutConf) {
         (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
-          val best = (state.getOption.iterator ++ rows)
-            .maxBy(_.version)
-          state.update(best)
-          best
+          if (state.hasTimedOut) {
+            // only tombstone winners ever arm the timeout: free the slot
+            state.remove()
+            Iterator.empty
+          } else {
+            val best = (state.getOption.iterator ++ rows)
+              .maxBy(c => (c.version, c.op))
+            state.update(best)
+            tombstoneTtl.foreach { ttl =>
+              if (best.op == deleteOp) state.setTimeoutDuration(ttl)
+            }
+            Iterator.single(best)
+          }
+      }
+  }
+
+  /** Input record for [[incrementalDedupStream]]: a fingerprinted
+    * document, either a corpus seed row (`fromCorpus = true` — the
+    * existing-fp table replayed once at stream start) or an arriving
+    * batch document to classify.
+    */
+  final case class IncDoc(fp: String, docId: Long, fromCorpus: Boolean)
+
+  /** Classification emitted per arriving (non-corpus) document. */
+  final case class IncStatus(docId: Long, fp: String, status: String)
+
+  /** Per-fingerprint classifier state: corpus membership + the first
+    * batch doc that claimed this fp (its id, for the dup-batch rule).
+    */
+  final case class FpState(inCorpus: Boolean, firstBatch: Option[Long])
+
+  /** Streaming twin of [[graft.dedup.Dedup.incrementalDedup]] (q126):
+    * classify an unbounded document stream against a corpus — per
+    * arriving doc, `dup_corpus` (fp already in the corpus),
+    * `dup_batch` (an earlier stream doc claimed the fp), or `new` —
+    * with one small `FpState` per distinct fingerprint
+    * (`flatMapGroupsWithState`, Append mode). The corpus fp set is
+    * replayed into the same stream as `fromCorpus` rows (typically one
+    * seed micro-batch); corpus rows update state and emit nothing.
+    *
+    * Parity with the batch operator: within one invocation, rows apply
+    * corpus-first then ascending docId — so when a fingerprint's batch
+    * members share a micro-batch, the smallest id wins `new` exactly
+    * like the batch window tie-break. Across micro-batches the
+    * first-arriving claimant wins (a stream cannot see the future);
+    * feed id-ordered micro-batches for bit-parity with batch. State is
+    * one fp → (bool, long) entry, hash-partitioned by fp — the same
+    * 16-byte-key sharding as the batch distinct/window shuffles, text
+    * never enters state.
+    */
+  def incrementalDedupStream(docs: Dataset[IncDoc]): Dataset[IncStatus] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[FpState, IncStatus](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[IncDoc], state: GroupState[FpState]) =>
+          var st = state.getOption.getOrElse(FpState(false, None))
+          val out = Vector.newBuilder[IncStatus]
+          // corpus rows first, then batch rows in id order (parity with
+          // the batch operator's smallest-id-wins window)
+          rows.toSeq.sortBy(r => (!r.fromCorpus, r.docId)).foreach { r =>
+            if (r.fromCorpus) st = st.copy(inCorpus = true)
+            else {
+              val status =
+                if (st.inCorpus) "dup_corpus"
+                else if (st.firstBatch.isDefined) "dup_batch"
+                else "new"
+              if (!st.inCorpus && st.firstBatch.isEmpty)
+                st = st.copy(firstBatch = Some(r.docId))
+              out += IncStatus(r.docId, fp, status)
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 }

@@ -73,16 +73,29 @@ object TextOps {
     * normalization; everything here is regexp/replace chains — pure
     * scan projection, byte-identical in any engine with RE2/Java-
     * compatible classes.
+    *
+    * Truncated crawls routinely cut a page mid-script, leaving an
+    * unclosed `<script>`: the paired pass can't match it, and the
+    * generic tag pass would strip just the open tag and leak the JS
+    * body into prose. A fallback pass therefore drops any remaining
+    * unclosed script/style element to end-of-input ((?s)'.*' — no '$',
+    * whose before-final-newline semantics differ between Java and RE2).
+    * Tag names are anchored with '(?:\s[^>]*)?>' so `<scripty>` /
+    * `<styled>` are generic tags, not script/style.
     */
   def htmlToText(html: Column): Column = {
     // two separate element regexes, NOT one with a \1 backreference:
     // RE2 (the oracle's engine) has no backreferences, and the oracle
     // must run the byte-identical patterns
     val noScript = regexp_replace(html,
-      "(?is)<script[^>]*>.*?</script\\s*>", " ")
-    val noStyle = regexp_replace(noScript,
-      "(?is)<style[^>]*>.*?</style\\s*>", " ")
-    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+      "(?is)<script(?:\\s[^>]*)?>.*?</script\\s*>", " ")
+    val noScriptTail = regexp_replace(noScript,
+      "(?is)<script(?:\\s[^>]*)?>.*", " ")
+    val noStyle = regexp_replace(noScriptTail,
+      "(?is)<style(?:\\s[^>]*)?>.*?</style\\s*>", " ")
+    val noStyleTail = regexp_replace(noStyle,
+      "(?is)<style(?:\\s[^>]*)?>.*", " ")
+    val noTags = regexp_replace(noStyleTail, "<[^>]*>", " ")
     Seq(
       ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""), ("&#39;", "'"),
       ("&nbsp;", " "), ("&amp;", "&")).foldLeft(noTags) {

@@ -1,0 +1,149 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (NOT a registered query): empirically validates
+  * SCALE.md's 100×-survival claims for the three heaviest operator
+  * families by driving them at two self-generated corpus sizes and
+  * recording wall time and shuffle volume. Testdata is read-only and
+  * capped at sf0.1, so inputs are synthesized here — deterministic
+  * hash-derived columns over `spark.range` (no RNG state, no driver
+  * materialization), with planted near-dup structure so the dedup chain
+  * does real verification work.
+  *
+  * Run:  sbt "runMain graft.tools.ScaleStress 5000"    (sf0.1-ish)
+  *       sbt "runMain graft.tools.ScaleStress 50000"   (10×)
+  * Emits one JSON line per family:
+  *   {"family":…,"n_docs":…,"wall_sec":…,"shuffle_read_mb":…,
+  *    "shuffle_write_mb":…,"result_rows":…}
+  * The interesting read is the RATIO between sizes: a linear-shape
+  * family shows ~10× wall/shuffle at 10× rows; a quadratic one shows
+  * ~100× — the measured complement to SCALE.md's per-family reasoning.
+  *
+  * Sizing: edges = 8 × docs (PageRank at constant average degree 8);
+  * series = docs / 16 of length 24 (DTW k-means is O(k·len²·series) per
+  * iteration — series count is the scaling axis).
+  */
+object ScaleStress {
+
+  /** Synthetic documents: ~60 tokens over a 5000-word vocabulary; ids
+    * with id%5 ∈ {0,1} form planted near-dup pairs sharing 58/60 tokens
+    * (Jaccard ≈ 0.93 — well above the 0.5 verify threshold), everything
+    * else draws from a per-doc token stream. All columns are pure
+    * hash projections of `id` — distributed, deterministic, no skew.
+    */
+  def documents(spark: SparkSession, n: Long): DataFrame = {
+    val fam = when(col("id") % 5 <= 1,
+      (col("id") / 5).cast("long") + lit(1000000000L)).otherwise(col("id"))
+    val toks = transform(sequence(lit(0), lit(59)),
+      i => concat(lit("w"), pmod(xxhash64(fam, i), lit(5000)).cast("string")))
+    // the second member of each pair perturbs two tokens so verify sees
+    // a real (non-identical) near-dup, not an exact dup
+    val perturbed = concat(
+      array(concat(lit("u"), col("id").cast("string")),
+        concat(lit("v"), col("id").cast("string"))),
+      slice(toks, 3, 58))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(when(col("id") % 5 === 1, perturbed).otherwise(toks), " ")
+        .as("text"),
+      (pmod(xxhash64(col("id"), lit(7L)), lit(1000)).cast("double") / 1000.0)
+        .as("score"))
+  }
+
+  /** Synthetic edge list at average degree `deg` over n/`deg` nodes —
+    * hash-uniform endpoints (no hubs; the hub path is pageRank's
+    * documented adjacencyForm=false fallback).
+    */
+  def edges(spark: SparkSession, nEdges: Long, nNodes: Long): DataFrame =
+    spark.range(nEdges).select(
+      pmod(xxhash64(col("id"), lit(1L)), lit(nNodes)).as("src"),
+      pmod(xxhash64(col("id"), lit(2L)), lit(nNodes)).as("dst"))
+
+  /** Synthetic equal-length series with 4 planted cluster shapes (phase
+    * offset by id%4) plus hash noise — DTW k-means does real work.
+    */
+  def series(spark: SparkSession, n: Long, len: Int): DataFrame =
+    spark.range(n).select(
+      col("id").cast("string").as("sid"),
+      transform(sequence(lit(0), lit(len - 1)), i =>
+        sin((i.cast("double") + (col("id") % 4).cast("double") * 6.0) / 3.0)
+          + pmod(xxhash64(col("id"), i), lit(100)).cast("double") / 500.0)
+        .as("vec"))
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 5000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", v)
+    def run(family: String)(body: => Long): Unit = {
+      // settle async listener traffic from the previous family
+      Thread.sleep(1500)
+      read.set(0L); write.set(0L)
+      val t0 = System.nanoTime()
+      val rows = body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let task-end events drain before reading
+      println(s"""{"family":"$family","n_docs":$nDocs,"wall_sec":${fmt(wall)},""" +
+        s""""shuffle_read_mb":${fmt(read.get / 1e6)},""" +
+        s""""shuffle_write_mb":${fmt(write.get / 1e6)},"result_rows":$rows}""")
+    }
+
+    // 1. MinHash near-dup → connected components → keep-best (the q154
+    //    family: production xxhash64 hashing, banded LSH, verify, then
+    //    group resolution and best-doc semi-join)
+    run("neardup_components_keepbest") {
+      val docs = documents(spark, nDocs)
+      val pairs = graft.dedup.Dedup.minhashNearDups(
+        docs, "doc_id", "text", threshold = 0.5,
+        numHashes = 16, bands = 4, shingleSize = 3)
+        .select(col("id_a"), col("id_b"))
+      val groups = graft.dedup.Dedup.dupGroups(pairs)
+      // keep the smallest id of each component; singletons (no pair)
+      // pass through untouched — an anti-join on the losers only
+      val losers = groups.filter(col("id") =!= col("group_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(losers, Seq("doc_id"), "left_anti").count()
+    }
+
+    // 2. Adjacency-form PageRank, 3 iterations, broadcast ranks (q131's
+    //    plan) over an 8-average-degree hash graph
+    run("pagerank_adjacency") {
+      val e = edges(spark, nDocs * 8, math.max(nDocs, 8L))
+      graft.graph.Graph.pageRank(e, iters = 3).count()
+    }
+
+    // 3. DTW k-means (k=4, 5 Lloyd iterations) over nDocs/16 series of
+    //    length 24 — the fused mapPartitions assignment path (q53)
+    run("dtw_kmeans") {
+      val s = series(spark, math.max(nDocs / 16, 64L), 24)
+      graft.ml.Clustering.dtwKMeans(s, "sid", "vec", k = 4, maxIter = 5)
+        .assignments.count()
+    }
+
+    spark.stop()
+  }
+}

@@ -413,4 +413,137 @@ class StreamingSpec extends AnyFunSuite {
         s"stale v3 overwrote recovered state: $emissions")
     } finally q2.stop()
   }
+
+  test("tombstone TTL frees delete state; a later pre-delete arrival resurrects") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.Change
+    val input = MemoryStream[Change]
+    // a REAL trigger interval is load-bearing: ProcessingTimeTimeout
+    // schedules micro-batches even with no data (that's how timeouts
+    // fire), and the default 0 ms trigger busy-loops thousands of empty
+    // checkpointing batches — pair a TTL with a trigger in deployments
+    // too (see the operator scaladoc). For the same reason this test
+    // POLLS the sink instead of processAllAvailable(): with
+    // timeout-scheduled batches arriving forever, "all available" never
+    // settles and that call does not return.
+    val q = graft.streaming.Streaming
+      .latestWinsStream(input.toDS(), tombstoneTtl = Some("300 milliseconds"))
+      .writeStream.format("memory").queryName("lw_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .outputMode("update").start()
+    def emitted(): Seq[(Long, Long, String)] = spark.table("lw_ttl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    def eventually(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 30000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(cond, s"timed out waiting for: $what (sink: ${emitted()})")
+    }
+    try {
+      input.addData(Change(1L, 9L, "D", None, None))
+      eventually("tombstone v9 emitted")(emitted().contains((1L, 9L, "D")))
+      // let several trigger intervals pass: the armed timeout fires in a
+      // no-data batch and the tombstone state is freed silently
+      Thread.sleep(2000)
+      // the documented trade-off: with state gone, a stale pre-delete
+      // version resurrects the row (against live v9 state it would lose)
+      input.addData(Change(1L, 3L, "U", Some("stale"), Some("en")))
+      eventually("stale v3 resurrects after state expiry")(
+        emitted().contains((1L, 3L, "U")))
+      // and a live (non-delete) winner never expires: long after the TTL
+      // horizon, key 2's recorded v1 still beats a stale v0 arrival
+      input.addData(Change(2L, 1L, "U", Some("x"), Some("en")))
+      eventually("key 2 v1 emitted")(emitted().contains((2L, 1L, "U")))
+      Thread.sleep(2000)
+      input.addData(Change(2L, 0L, "U", Some("older"), Some("en")))
+      // the losing arrival still triggers an emission of the key's
+      // CURRENT winner (v1) in its batch — observe it, then confirm v0
+      // never won
+      eventually("key 2 re-emits winner v1")(
+        emitted().count(e => e._1 == 2L && e._2 == 1L) >= 2)
+      assert(!emitted().contains((2L, 0L, "U")),
+        s"stale v0 overwrote unexpired live state: ${emitted()}")
+    } finally q.stop()
+  }
+
+  /** Fingerprint helper shared by the incremental-dedup stream tests:
+    * the SAME canonicalization the batch operator applies.
+    */
+  private def fpOf(texts: Seq[String]): Map[String, String] = {
+    import spark.implicits._
+    texts.distinct.toDF("text")
+      .select(col("text"), graft.text.TextOps.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("streaming incremental dedup matches the batch classifier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.IncDoc
+    val corpus = Seq((1L, "alpha corpus page"), (2L, "beta corpus page"))
+    val batch = Seq((10L, "alpha corpus page"),   // dup_corpus
+      (12L, "gamma fresh page"),                  // new
+      (15L, "gamma fresh page"),                  // dup_batch (later id)
+      (18L, "delta fresh page"))                  // new
+    val fps = fpOf((corpus ++ batch).map(_._2))
+    val input = MemoryStream[IncDoc]
+    val q = graft.streaming.Streaming.incrementalDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("inc_dedup")
+      .outputMode("append").start()
+    try {
+      // seed micro-batch: the corpus fp set; then the arrivals split
+      // across TWO micro-batches so the gamma dup spans state
+      input.addData(corpus.map { case (id, t) => IncDoc(fps(t), id, true) })
+      q.processAllAvailable()
+      input.addData(batch.take(2).map { case (id, t) => IncDoc(fps(t), id, false) })
+      q.processAllAvailable()
+      input.addData(batch.drop(2).map { case (id, t) => IncDoc(fps(t), id, false) })
+      q.processAllAvailable()
+      val streamed = spark.table("inc_dedup").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      val expected = graft.dedup.Dedup.incrementalDedup(
+        batch.toDF("doc_id", "text"), corpus.toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(streamed === expected)
+      // corpus seed rows classify nothing — exactly |batch| emissions
+      assert(streamed.size === batch.size)
+    } finally q.stop()
+  }
+
+  test("incremental-dedup state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streaming.{IncDoc, IncStatus}
+    val fps = fpOf(Seq("alpha corpus page", "gamma fresh page"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_inc_ckpt").toString
+    val input = MemoryStream[IncDoc]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[IncStatus]()
+    def start() = graft.streaming.Streaming.incrementalDedupStream(input.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[IncStatus], _: Long) =>
+        b.collect().foreach(out.add)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    val q1 = start()
+    try {
+      input.addData(IncDoc(fps("alpha corpus page"), 1L, true))
+      input.addData(IncDoc(fps("gamma fresh page"), 12L, false))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // after restart: the recovered state must remember BOTH the corpus
+    // fp (alpha → dup_corpus) and the batch claimant (gamma → dup_batch)
+    val q2 = start()
+    try {
+      input.addData(
+        IncDoc(fps("alpha corpus page"), 20L, false),
+        IncDoc(fps("gamma fresh page"), 25L, false))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val late = out.asScala.filter(s => s.docId >= 20L).map(s => s.docId -> s.status).toMap
+      assert(late === Map(20L -> "dup_corpus", 25L -> "dup_batch"),
+        s"state lost across restart: $late")
+    } finally q2.stop()
+  }
 }

@@ -773,7 +773,12 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
       "x &amp;lt; y" -> "x &lt; y",          // pre-escaped survives one decode
       "5 &lt; 10 &amp; 2 &gt; 1" -> "5 < 10 & 2 > 1",
       "it&#39;s &quot;q&quot;&nbsp;!" -> "it's \"q\" !",
-      "no markup" -> "no markup")
+      "no markup" -> "no markup",
+      // truncated crawl: unclosed script drops to end-of-input, not leak
+      "kept<script src=x>var leak=1; <b>y" -> "kept",
+      "kept<style>p{}" -> "kept",
+      // anchored tag name: <scripty> is a generic tag, not a script
+      "<scripty>shown</scripty> tail" -> "shown tail")
     val got = cases.map(_._1).toDF("t")
       .select(graft.text.TextOps.cleanText(
         graft.text.TextOps.htmlToText(col("t"))).as("p"))
