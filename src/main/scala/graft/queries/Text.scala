@@ -3683,5 +3683,119 @@ object Text {
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           (coalesce(col("n_hit"), lit(0L)).cast("double") / 5).as("recall"))
         .orderBy("query_id")
+    },
+
+    // ---- PQ recall@k audit (completes the ANN audit triple) ----
+    // q185 audits sign-LSH, q186 audits IVF; this audits q120's product
+    // quantization: recall@10 of the ADC ranking against the exact
+    // squared-L2 top-10 (PQ approximates L2, so L2 — not cosine — is
+    // the fair reference). The whole PQ side is q120's already
+    // oracle-replayable machinery (md5-ordered pinned codebooks, exact-
+    // DECIMAL encode argmins and ADC sums); the exact side is the
+    // brute-force decimal L2 rank over the broadcast query frame.
+    // The number this table reports is exactly what m=8 subspaces ×
+    // 16 codes buys at corpus scale — run it on a sample before
+    // committing codebook parameters.
+    Q("q187_pq_recall_at_k", {
+      def sq(a: String, b: String, d: Int) =
+        s"""(SELECT SUM(CAST((CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))
+           | AS DECIMAL(38,18))) FROM range($d) rng(i))""".stripMargin
+          .replaceAll("\n\\s*\\|?", " ")
+      s"""WITH hv AS (SELECT * FROM ${md5Hash64Sql("vec_id",
+             "md5(CAST(vec_id AS VARCHAR))", "embeddings", "h")}),
+        |samp AS (SELECT vec_id, CAST(rn - 1 AS INTEGER) AS code FROM (
+        |    SELECT vec_id, row_number() OVER (ORDER BY h, vec_id) AS rn FROM hv)
+        |  WHERE rn <= 16),
+        |js AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS j),
+        |cb AS (SELECT j, code,
+        |    list_transform(range(8), i -> e.embedding[j*8 + i + 1]) AS cvec
+        |  FROM samp JOIN embeddings e USING (vec_id) CROSS JOIN js),
+        |subs AS (SELECT vec_id, j,
+        |    list_transform(range(8), i -> embedding[j*8 + i + 1]) AS sub
+        |  FROM embeddings CROSS JOIN js),
+        |ed AS (SELECT s.vec_id, s.j, cb.code, ${sq("s.sub", "cb.cvec", 8)} AS dist
+        |  FROM subs s JOIN cb ON s.j = cb.j),
+        |codes AS (SELECT vec_id AS neighbor_id, j, code FROM (
+        |    SELECT vec_id, j, code,
+        |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, code) AS rn
+        |    FROM ed) WHERE rn = 1),
+        |qs AS (SELECT vec_id AS query_id, j,
+        |    list_transform(range(8), i -> embedding[j*8 + i + 1]) AS qsub
+        |  FROM embeddings CROSS JOIN js WHERE vec_id < 10),
+        |td AS (SELECT query_id, q.j, cb.code, ${sq("q.qsub", "cb.cvec", 8)} AS d
+        |  FROM qs q JOIN cb ON q.j = cb.j),
+        |adc AS (SELECT query_id, neighbor_id, SUM(d) AS adc
+        |  FROM codes c JOIN td ON td.j = c.j AND td.code = c.code
+        |  WHERE neighbor_id <> query_id GROUP BY 1, 2),
+        |ann AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rn
+        |    FROM adc) WHERE rn <= 10),
+        |qe AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |ce AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |exd AS (SELECT query_id, neighbor_id, ${sq("qv", "cv", 64)} AS d
+        |  FROM qe CROSS JOIN ce WHERE neighbor_id <> query_id),
+        |ex AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rn
+        |    FROM exd) WHERE rn <= 10),
+        |hits AS (SELECT a.query_id, COUNT(*) AS n_ann, COUNT(e.neighbor_id) AS n_hit
+        |  FROM ann a LEFT JOIN ex e
+        |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(n_ann, 0) AS BIGINT) AS n_ann,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  CAST(COALESCE(n_hit, 0) AS DOUBLE) / 10 AS recall
+        |FROM qe q LEFT JOIN hits USING (query_id) ORDER BY query_id""".stripMargin
+    }) { (s, dir) =>
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.pqTopK(emb, q, "vec_id", "embedding",
+          m = 8, k = 16, dim = 64, topK = 10)
+        .select("query_id", "neighbor_id")
+      val qf = q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("d").asc, col("neighbor_id"))
+      val ex = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(qf))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("d", Similarity.sqDistExact(col("qv"), col("cv")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      val perQ = ann.join(ex, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_ann"), count(col("hit")).as("n_hit"))
+      q.select(col("vec_id").as("query_id"))
+        .join(perQ, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_ann"), lit(0L)).as("n_ann"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / 10).as("recall"))
+        .orderBy("query_id")
+    },
+
+    // ---- key-skew report + salt plan ([[graft.ops.Skew.keySkewReport]]) ----
+    // The measurement half of the salting decision the engine's salted
+    // joins (q89/q127) presuppose: per-key counts of a prospective
+    // shuffle key, share of table, hot_ratio vs the mean key (1.0 =
+    // even; 50x pins one task at 50x the median), and the integer salt
+    // factor that key needs to hit targetPerTask rows per subtask
+    // (cold keys plan salts = 1 — no salting). One map-side-combined
+    // groupBy + a broadcast 1-row total + the two-stage bounded top-k;
+    // the audit costs the join's key shuffle minus its payload.
+    Q("q188_key_skew_report",
+      """WITH c AS (SELECT source AS key, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank FROM c)
+        |SELECT CAST(rank AS BIGINT) AS rank, key, CAST(n AS BIGINT) AS n,
+        |  CAST(n AS DOUBLE) / total AS share,
+        |  CAST(n AS DOUBLE) / (CAST(total AS DOUBLE) / n_keys) AS hot_ratio,
+        |  CAST((n + 49) // 50 AS BIGINT) AS salts
+        |FROM r CROSS JOIN t WHERE rank <= 8 ORDER BY rank""".stripMargin) { (s, dir) =>
+      graft.ops.Skew.keySkewReport(documents(s, dir), "source",
+          targetPerTask = 50L, topK = 8)
+        .orderBy("rank")
     })
 }

@@ -61,6 +61,9 @@ class JoinInvariantSpec extends AnyFunSuite {
     "q186_ivf_recall_at_k" ->
       ("same as q185: the exact reference pairing against the broadcast " +
         "≤ 10-row literal-filtered query frame"),
+    "q187_pq_recall_at_k" ->
+      ("same as q185/q186: the exact-L2 reference pairing against the " +
+        "broadcast ≤ 10-row literal-filtered query frame"),
     "q123_semantic_decon" ->
       ("the build side is the pinned stratified EVAL sample (2 vectors " +
         "per label, ≤ 2×|labels| rows by the rn ≤ 2 window); Pin " +

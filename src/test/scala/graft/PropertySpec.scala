@@ -247,4 +247,29 @@ class PropertySpec extends AnyFunSuite {
         "window adds no new tokens")
     }
   }
+
+  test("lshBucket: exact-decimal and double-fold buckets agree on random vectors") {
+    // the q185 audit buckets with exactPlaneDots = true so DuckDB can
+    // replay the sign bits order-free; its recall numbers claim to be
+    // representative of the double-fold hot path because a sign flip
+    // needs |plane·v| < ~1e-13. Check the claim: on seeded random
+    // vectors the two bucketings must be IDENTICAL (any mismatch here
+    // means the audit measures a different structure than production).
+    val vecGen = Gen.listOfN(64, Gen.choose(-1.0, 1.0).map(v => math.rint(v * 1e6) / 1e6))
+    val vecs = (1 to 200).map(s => sample(vecGen, s.toLong).map(_.toFloat).toArray)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "vec")
+    val both = (0 until 4).foldLeft(df) { (d, t) =>
+      d.withColumn(s"bd_$t",
+          graft.sim.Similarity.lshBucket(col("vec"), 64, 6, t, 42L))
+        .withColumn(s"be_$t",
+          graft.sim.Similarity.lshBucket(col("vec"), 64, 6, t, 42L,
+            exactPlaneDots = true))
+    }
+    val mismatches = both.filter(
+      (0 until 4).map(t => col(s"bd_$t") =!= col(s"be_$t")).reduce(_ || _))
+      .count()
+    assert(mismatches === 0L,
+      "exact-decimal audit bucketing diverged from the double-fold hot path")
+  }
 }

@@ -687,6 +687,21 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(plain === salted)
   }
 
+  test("keySkewReport: counts, shares, hot ratio and salt plan on a skewed key") {
+    // a: 120 rows, b: 30, c: 10 → total 160 over 3 keys (mean 53.33)
+    val df = (Seq.fill(120)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c"))
+      .toDF("k").repartition(7) // report must be partitioning-invariant
+    val r = graft.ops.Skew.keySkewReport(df, "k", targetPerTask = 50, topK = 2)
+      .orderBy("rank").collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getDouble(3),
+        x.getDouble(4), x.getLong(5)))
+    assert(r.length === 2, "topK bounds the report")
+    // hot key: 75% share, 2.25x the mean, needs ceil(120/50) = 3 salts
+    assert(r(0) === ((1L, "a", 120L, 0.75, 2.25, 3L)))
+    // warm key fits one task: salts = 1 (no salting)
+    assert(r(1) === ((2L, "b", 30L, 0.1875, 0.5625, 1L)))
+  }
+
   test("prefixJaccardPairs = jaccardPairs exactly, incl. boilerplate-heavy corpus") {
     // Fixture engineered so the prefix filter MUST prune: "copyright
     // footer boilerplate trailer" shingles appear in every doc (highest
