@@ -3797,5 +3797,77 @@ object Text {
       graft.ops.Skew.keySkewReport(documents(s, dir), "source",
           targetPerTask = 50L, topK = 8)
         .orderBy("rank")
+    },
+
+    // ---- vocabulary coverage curve ([[TextOps.vocabCoverage]]) ----
+    // The tokenizer-sizing table: per candidate vocab size, the fraction
+    // of token OCCURRENCES the top-N words cover and the OOV rate — the
+    // curve that sizes a word vocabulary (or q116's BPE backbone)
+    // empirically. One map-side-combined word count, the two-stage
+    // bounded top-k (the vocabulary frame is billions of rows at corpus
+    // scale — never a global window), per-size sums vs a broadcast
+    // sizes list. Exact integer counts; the ratios are single divisions.
+    Q("q189_vocab_coverage",
+      """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, COUNT(*) AS n FROM w GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct FROM c),
+        |r AS (SELECT w, n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank FROM c),
+        |s AS (SELECT CAST(unnest([64, 128, 256, 512, 1024, 2048]) AS INTEGER)
+        |    AS vocab_size),
+        |g AS (SELECT vocab_size, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(n) AS BIGINT) AS covered_occurrences
+        |  FROM r JOIN s ON r.rank <= s.vocab_size GROUP BY 1)
+        |SELECT vocab_size, n_words, covered_occurrences,
+        |  total AS total_occurrences, n_distinct AS n_distinct_words,
+        |  CAST(covered_occurrences AS DOUBLE) / total AS coverage,
+        |  CAST(total - covered_occurrences AS DOUBLE) / total AS oov_rate
+        |FROM g CROSS JOIN t ORDER BY vocab_size""".stripMargin) { (s, dir) =>
+      TextOps.vocabCoverage(documents(s, dir), "text",
+          Seq(64, 128, 256, 512, 1024, 2048))
+        .orderBy("vocab_size")
+    },
+
+    // ---- padding-efficiency audit ([[Packing.paddingEfficiency]]) ----
+    // The batch-shaping decision table: slot-tokens each construction
+    // strategy spends at maxLen = 128 — naive pad-to-max, bucketed
+    // final-chunk padding ([32, 64, 96]), and q169's concat-and-cut
+    // packing — as exact integer accounting over one scan aggregate.
+    // The difference between row 1 and row 3's efficiency is the
+    // compute a training run wastes on pad tokens by not packing.
+    Q("q190_padding_efficiency",
+      """WITH d AS (SELECT CAST(len(string_split_regex(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS l FROM documents),
+        |per AS (SELECT l, (l + 127) // 128 AS chunks,
+        |    l - ((l + 127) // 128 - 1) * 128 AS last_len FROM d),
+        |slot AS (SELECT l, chunks,
+        |    CASE WHEN last_len <= 32 THEN 32 WHEN last_len <= 64 THEN 64
+        |      WHEN last_len <= 96 THEN 96 ELSE 128 END AS last_slot
+        |  FROM per),
+        |a AS (SELECT CAST(SUM(chunks) AS BIGINT) AS n_seq,
+        |    CAST(SUM(l) AS BIGINT) AS useful,
+        |    CAST(SUM(CASE WHEN l = 0 THEN 0
+        |      ELSE (chunks - 1) * 128 + last_slot END) AS BIGINT)
+        |      AS bucketed_slots
+        |  FROM slot),
+        |rows3 AS (
+        |  SELECT '1_pad_to_max' AS strategy, n_seq AS n_sequences,
+        |    n_seq * 128 AS slot_tokens, useful AS useful_tokens FROM a
+        |  UNION ALL
+        |  SELECT '2_bucketed', n_seq, bucketed_slots, useful FROM a
+        |  UNION ALL
+        |  SELECT '3_packed', (useful + 127) // 128,
+        |    ((useful + 127) // 128) * 128, useful FROM a)
+        |SELECT strategy, CAST(n_sequences AS BIGINT) AS n_sequences,
+        |  CAST(slot_tokens AS BIGINT) AS slot_tokens,
+        |  CAST(useful_tokens AS BIGINT) AS useful_tokens,
+        |  CAST(slot_tokens - useful_tokens AS BIGINT) AS padding_tokens,
+        |  CAST(useful_tokens AS DOUBLE) / slot_tokens AS efficiency
+        |FROM rows3 ORDER BY strategy""".stripMargin) { (s, dir) =>
+      graft.text.Packing.paddingEfficiency(
+          documents(s, dir).select(TextOps.tokenCount(col("text")).as("n_tok")),
+          "n_tok", maxLen = 128, buckets = Seq(32, 64, 96))
+        .orderBy("strategy")
     })
 }

@@ -102,4 +102,60 @@ object Packing {
       Seq(col("__h"), col(idCol)), costCol, "start_off")
     (off.drop("__h"), total)
   }
+
+  /** Padding-efficiency audit — the batch-shaping decision table: how
+    * many slot-tokens each sequence-construction strategy spends to
+    * carry the corpus's useful tokens at a fixed `maxLen`, as one row
+    * per strategy (n_sequences, slot/useful/padding tokens,
+    * efficiency = useful/slots):
+    *
+    *  - `pad_to_max`: every document splits into ceil(len/maxLen)
+    *    sequences, each padded to maxLen — the naive collator.
+    *  - `bucketed`: full chunks cost maxLen; the final chunk pads only
+    *    to the smallest bucket that fits it (`buckets` ascending, maxLen
+    *    implied as the ceiling) — the bucketed-batching compromise.
+    *  - `packed`: documents concatenate into ceil(total/maxLen) blocks
+    *    (q169's concat-and-cut layout) — padding only in the last block.
+    *
+    * Everything is exact integer arithmetic over one scan aggregate
+    * (chunk counts and bucket slots are per-row projections; no shuffle
+    * beyond the 1-row aggregate), so the table replays in any engine.
+    * Zero-token documents contribute zero chunks in every strategy.
+    */
+  def paddingEfficiency(docs: DataFrame, tokensCol: String, maxLen: Int,
+                        buckets: Seq[Int]): DataFrame = {
+    require(maxLen >= 1, "maxLen >= 1")
+    require(buckets.forall(b => b >= 1 && b <= maxLen), "buckets within (0, maxLen]")
+    val l = col(tokensCol).cast("long")
+    val chunks = expr(s"(CAST($tokensCol AS BIGINT) + ${maxLen - 1}) div $maxLen")
+    val lastLen = l - (chunks - lit(1L)) * maxLen
+    val lastSlot = buckets.sorted.foldRight(lit(maxLen.toLong): org.apache.spark.sql.Column)(
+      (b, acc) => when(lastLen <= b, lit(b.toLong)).otherwise(acc))
+    // the whole bucketed term gates on l > 0: a zero-token doc has
+    // chunks = 0, and an unguarded (chunks-1)·maxLen would contribute
+    // NEGATIVE slots
+    val agg = docs.agg(
+      sum(chunks).as("n_seq"),
+      sum(l).as("useful"),
+      sum(when(l > 0, (chunks - lit(1L)) * maxLen + lastSlot).otherwise(lit(0L)))
+        .as("bucketed_slots"))
+    val strategies = agg.select(explode(array(
+      struct(lit("1_pad_to_max").as("strategy"),
+        col("n_seq").as("n_sequences"),
+        (col("n_seq") * maxLen).as("slot_tokens"),
+        col("useful").as("useful_tokens")),
+      struct(lit("2_bucketed").as("strategy"),
+        col("n_seq").as("n_sequences"),
+        col("bucketed_slots").as("slot_tokens"),
+        col("useful").as("useful_tokens")),
+      struct(lit("3_packed").as("strategy"),
+        expr(s"(useful + ${maxLen - 1}) div $maxLen").as("n_sequences"),
+        (expr(s"(useful + ${maxLen - 1}) div $maxLen") * maxLen).as("slot_tokens"),
+        col("useful").as("useful_tokens")))).as("s"))
+      .select("s.strategy", "s.n_sequences", "s.slot_tokens", "s.useful_tokens")
+    strategies
+      .withColumn("padding_tokens", col("slot_tokens") - col("useful_tokens"))
+      .withColumn("efficiency",
+        col("useful_tokens").cast("double") / col("slot_tokens"))
+  }
 }

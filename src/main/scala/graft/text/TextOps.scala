@@ -506,4 +506,43 @@ object TextOps {
       max(col("__chars")).as("max_chars"))
     base.cube(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Vocabulary coverage curve — the tokenizer-sizing table: for each
+    * candidate vocabulary size, the fraction of corpus token
+    * OCCURRENCES covered by the top-`size` words (rank = count desc,
+    * word asc) and the resulting OOV rate. A word-level tokenizer (or
+    * the word backbone of a BPE vocabulary, q116) is sized by reading
+    * this curve, not by guessing.
+    *
+    * Scale shape: one map-side-combined word count (the q116 wordCounts
+    * shuffle), then the top-max(sizes) words via the TWO-STAGE bounded
+    * top-k — never a global window over the vocabulary frame, which is
+    * billions of rows at corpus scale — and per-size sums over that
+    * bounded frame against a broadcast sizes list. Counts are exact
+    * integers; coverage/oov are single correctly-rounded divisions, so
+    * the whole curve replays in any engine.
+    */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    sizes: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), "need positive sizes")
+    import df.sparkSession.implicits._
+    val counts = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    val totals = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_distinct"))
+    val top = graft.ops.TopK.topKPerKey(counts, Seq.empty,
+      Seq(col("n").desc, col("w").asc), sizes.max, rankCol = "rank")
+    val sz = sizes.sorted.toDF("vocab_size")
+    top.crossJoin(broadcast(sz))
+      .filter(col("rank") <= col("vocab_size"))
+      .groupBy("vocab_size")
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("covered_occurrences"))
+      .crossJoin(broadcast(totals))
+      .select(col("vocab_size"), col("n_words"), col("covered_occurrences"),
+        col("total").as("total_occurrences"),
+        col("n_distinct").as("n_distinct_words"),
+        (col("covered_occurrences").cast("double") / col("total")).as("coverage"),
+        ((col("total") - col("covered_occurrences")).cast("double") / col("total"))
+          .as("oov_rate"))
+  }
 }

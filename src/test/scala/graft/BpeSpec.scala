@@ -70,4 +70,18 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.learnMerges(wc, "word", "cnt", 5) ===
       Bpe.learnMerges(wc, "word", "cnt", 5, driverThreshold = 0L))
   }
+
+  test("vocabCoverage: hand-computed curve, rank ties by word") {
+    // occurrences: a:4 b:3 c:1 d:1 → total 9, distinct 4; tie c<d by word
+    val docs = Seq("a a a b b c", "a b d").toDF("text")
+    val got = graft.text.TextOps.vocabCoverage(docs, "text", Seq(1, 2, 3, 4))
+      .orderBy("vocab_size").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got === Array(
+      (1, 1L, 4L, 9L, 4L, 4.0 / 9),
+      (2, 2L, 7L, 9L, 4L, 7.0 / 9),
+      (3, 3L, 8L, 9L, 4L, 8.0 / 9),   // c (not d) is rank 3
+      (4, 4L, 9L, 9L, 4L, 1.0)))
+  }
 }

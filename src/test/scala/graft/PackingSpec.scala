@@ -88,4 +88,23 @@ class PackingSpec extends AnyFunSuite {
     assert(perFile.forall(_.getLong(1) <= 16L),
       s"shard over bound: ${perFile.map(_.getLong(1)).max}")
   }
+
+  test("paddingEfficiency: hand-computed three-strategy accounting") {
+    // lens 5, 100, 130, 0 at maxLen 64, buckets [16, 32]:
+    //   chunks 1 + 2 + 3 + 0 = 6, useful = 235
+    //   pad_to_max: 6 × 64 = 384 slots
+    //   bucketed last chunks: 5→16, 36→64 (over both buckets), 2→16, 0→0
+    //     slots = 16 + (64+64) + (2·64+16) + 0 = 288
+    //   packed: ceil(235/64) = 4 sequences → 256 slots
+    val df = Seq(5L, 100L, 130L, 0L).toDF("n_tok")
+    val got = Packing.paddingEfficiency(df, "n_tok", maxLen = 64,
+        buckets = Seq(16, 32))
+      .orderBy("strategy").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got === Array(
+      ("1_pad_to_max", 6L, 384L, 235L, 149L),
+      ("2_bucketed", 6L, 288L, 235L, 53L),
+      ("3_packed", 4L, 256L, 235L, 21L)))
+  }
 }
