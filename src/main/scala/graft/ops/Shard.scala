@@ -22,4 +22,49 @@ object Shard {
       struct(Dedup.md5Hash64(concat(key, lit(s"#shard$i"))).as("h"),
         lit(i.toLong).as("i"))): _*)).getField("i")
   }
+
+  /** Per-shard reproducibility manifest — the record a data release
+    * ships next to its shards so a REBUILT corpus can be proven
+    * identical shard-by-shard without re-reading either copy's bytes:
+    * per [[rendezvous]] shard, document and token counts, the distinct
+    * canonical-fingerprint count, an ORDER-FREE content checksum (the
+    * exact decimal sum of each doc's 64-bit fingerprint hash, wrapped
+    * to two's-complement int64), and the min/max fingerprints.
+    *
+    * The checksum is commutative and associative, which is the whole
+    * point: it is invariant under partitioning and row order (a sorted
+    * string_agg-of-fps would need a per-shard global sort), and it
+    * maintains INCREMENTALLY — an appended doc adds its hash, a
+    * takedown subtracts it — so the manifest of corpus v2 derives from
+    * v1's manifest plus the change log, never a rescan (the q135
+    * sketch-merge law, applied to integrity). The decimal(38,0)
+    * accumulator is exact to ~10³⁸, i.e. ~10¹⁹ documents per shard,
+    * before the final mod-2⁶⁴ wrap; every stage is engine-replayable.
+    */
+  def shardManifest(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, nShards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val two64 = java.math.BigDecimal.valueOf(2).pow(64)
+    val two63 = java.math.BigDecimal.valueOf(2).pow(63)
+    val fp = graft.text.TextOps.fingerprint(col(textCol))
+    val base = df.select(
+      rendezvous(col(idCol).cast("string"), nShards).as("shard"),
+      fp.as("fp"),
+      graft.text.TextOps.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("fph",
+        Dedup.md5Hash64(col("fp"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val s = base.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      countDistinct(col("fp")).as("n_distinct_fp"),
+      sum(col("fph")).as("__sum"),
+      min(col("fp")).as("min_fp"),
+      max(col("fp")).as("max_fp"))
+    val m = pmod(col("__sum"), lit(two64))
+    s.withColumn("fp_checksum",
+        when(m >= lit(two63), m - lit(two64)).otherwise(m).cast("long"))
+      .select("shard", "n_docs", "n_tokens", "n_distinct_fp",
+        "fp_checksum", "min_fp", "max_fp")
+  }
 }

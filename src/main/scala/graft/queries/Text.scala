@@ -3869,5 +3869,46 @@ object Text {
           documents(s, dir).select(TextOps.tokenCount(col("text")).as("n_tok")),
           "n_tok", maxLen = 128, buckets = Seq(32, 64, 96))
         .orderBy("strategy")
+    },
+
+    // ---- shard reproducibility manifest ([[graft.ops.Shard.shardManifest]]) ----
+    // The integrity record a data release ships: per rendezvous shard
+    // (q138 routing), doc/token/distinct-fp counts, min/max fingerprints
+    // and an ORDER-FREE content checksum (exact decimal sum of 64-bit
+    // fingerprint hashes, wrapped to int64) — partitioning- and
+    // row-order-invariant, and incrementally maintainable (append adds,
+    // takedown subtracts — the q135 merge law applied to integrity), so
+    // a rebuilt corpus is proven identical shard-by-shard without
+    // re-reading either copy.
+    Q("q191_shard_manifest",
+      s"""WITH w AS (SELECT doc_id,
+        |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+        |      AS n_tok FROM documents),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id, r",
+             "md5(CAST(doc_id AS VARCHAR) || '#shard' || CAST(r AS VARCHAR))",
+             "(SELECT doc_id, i AS r FROM w, range(8) t(i))", "h")}),
+        |a AS (SELECT doc_id, CAST(arg_max(r, h) AS BIGINT) AS shard
+        |  FROM hv GROUP BY doc_id),
+        |fhv AS (SELECT * FROM ${md5Hash64Sql("doc_id", "md5(fp)", "w", "fh")}),
+        |j AS (SELECT a.shard, w.fp, w.n_tok, f.fh
+        |  FROM w JOIN a USING (doc_id) JOIN fhv f USING (doc_id)),
+        |g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+        |    SUM(CAST(fh AS HUGEINT)) AS s,
+        |    MIN(fp) AS min_fp, MAX(fp) AS max_fp
+        |  FROM j GROUP BY shard),
+        |m AS (SELECT *,
+        |    ((s % 18446744073709551616::HUGEINT) + 18446744073709551616::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS mm FROM g)
+        |SELECT shard, n_docs, n_tokens, n_distinct_fp,
+        |  CAST(CASE WHEN mm >= 9223372036854775808::HUGEINT
+        |    THEN mm - 18446744073709551616::HUGEINT ELSE mm END AS BIGINT)
+        |    AS fp_checksum,
+        |  min_fp, max_fp
+        |FROM m ORDER BY shard""".stripMargin) { (s, dir) =>
+      graft.ops.Shard.shardManifest(documents(s, dir), "doc_id", "text", 8)
+        .orderBy("shard")
     })
 }

@@ -40,4 +40,34 @@ class ShardSpec extends AnyFunSuite {
       .groupBy("s").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again === counts)
   }
+
+  test("shardManifest: checksum is order-free and maintains incrementally") {
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Shard.shardManifest(df, "doc_id", "text", 4).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(4))).toMap
+    val v1 = (1L to 60L).map(i => (i, s"base document number $i with words"))
+    val add = (61L to 75L).map(i => (i, s"appended crawl doc $i"))
+    val m1 = manifest(docs(v1))
+    val mAdd = manifest(docs(add))
+    val mAll = manifest(docs(v1 ++ add))
+    // partitioning/row-order invariance: shuffled input, same manifest
+    assert(manifest(docs(scala.util.Random.shuffle(v1 ++ add)).repartition(7))
+      === mAll)
+    // merge law: v2 checksum = v1 checksum + appended checksum per shard
+    // (Java long addition wraps mod 2^64 exactly like the operator)
+    (0L until 4L).foreach { s =>
+      val (n1, c1) = m1.getOrElse(s, (0L, 0L))
+      val (na, ca) = mAdd.getOrElse(s, (0L, 0L))
+      val (nAll, cAll) = mAll.getOrElse(s, (0L, 0L))
+      assert(nAll === n1 + na, s"shard $s doc count not additive")
+      assert(cAll === c1 + ca, s"shard $s checksum not additive")
+    }
+    // takedown: removing the appended docs subtracts their contribution
+    (0L until 4L).foreach { s =>
+      val (_, cAll) = mAll.getOrElse(s, (0L, 0L))
+      val (_, ca) = mAdd.getOrElse(s, (0L, 0L))
+      assert(m1.getOrElse(s, (0L, 0L))._2 === cAll - ca)
+    }
+  }
 }
