@@ -3910,5 +3910,109 @@ object Text {
         |FROM m ORDER BY shard""".stripMargin) { (s, dir) =>
       graft.ops.Shard.shardManifest(documents(s, dir), "doc_id", "text", 8)
         .orderBy("shard")
+    },
+
+    // ---- quality-threshold sweep (curation tuning curve) ----
+    // q70 applies ONE quality threshold; this is the table that picks
+    // it: per candidate threshold, docs and tokens kept and their
+    // shares. ONE pass — a single aggregate computes the conditional
+    // counts for every threshold (map-side combined), then the 5-row
+    // result explodes into the curve; no per-threshold rescan, no row
+    // multiplication through the scan. The q score is the engine's
+    // bit-exact-replayable blend, so >= comparisons agree cross-engine.
+    Q("q192_quality_threshold_sweep",
+      s"""WITH q AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+        |      AS n_tok,
+        |    ($qualitySql) AS qs FROM documents),
+        |th AS (SELECT CAST(unnest([0.3, 0.4, 0.5, 0.6, 0.7]) AS DOUBLE)
+        |    AS threshold),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM q),
+        |k AS (SELECT threshold,
+        |    CAST(COUNT(*) FILTER (WHERE qs >= threshold) AS BIGINT) AS kept_docs,
+        |    CAST(COALESCE(SUM(n_tok) FILTER (WHERE qs >= threshold), 0) AS BIGINT)
+        |      AS kept_tokens
+        |  FROM q CROSS JOIN th GROUP BY threshold)
+        |SELECT threshold, kept_docs, kept_tokens, n_docs, n_tokens,
+        |  CAST(kept_docs AS DOUBLE) / n_docs AS doc_share,
+        |  CAST(kept_tokens AS DOUBLE) / n_tokens AS token_share
+        |FROM k CROSS JOIN tot ORDER BY threshold""".stripMargin) { (s, dir) =>
+      val thresholds = Seq(0.3, 0.4, 0.5, 0.6, 0.7)
+      val q = documents(s, dir).select(
+        TextOps.tokenCount(col("text")).as("n_tok"),
+        TextOps.qualityScore(col("text"), stops).as("qs"))
+      val aggCols =
+        Seq(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens")) ++
+          thresholds.zipWithIndex.flatMap { case (t, i) => Seq(
+            count(when(col("qs") >= t, 1)).as(s"kd_$i"),
+            coalesce(sum(when(col("qs") >= t, col("n_tok"))), lit(0L))
+              .as(s"kt_$i")) }
+      val one = q.agg(aggCols.head, aggCols.tail: _*)
+      one.select(explode(array(thresholds.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("threshold"), col(s"kd_$i").as("kept_docs"),
+            col(s"kt_$i").as("kept_tokens"), col("n_docs"), col("n_tokens"))
+        }: _*)).as("r"))
+        .select("r.threshold", "r.kept_docs", "r.kept_tokens",
+          "r.n_docs", "r.n_tokens")
+        .withColumn("doc_share", col("kept_docs").cast("double") / col("n_docs"))
+        .withColumn("token_share",
+          col("kept_tokens").cast("double") / col("n_tokens"))
+        .orderBy("threshold")
+    },
+
+    // ---- sampled pair-similarity histogram (dedup threshold tuning) ----
+    // The q192 companion on the dedup side: the distribution of exact
+    // Jaccard over document pairs sharing >= 1 shingle, in 10 bins —
+    // the curve that justifies a near-dup threshold before committing
+    // the corpus to it. Runs on q183's salted-md5 sample (distinct
+    // salt), so the quadratic exact side scales by p² and each sampled
+    // pair is an unbiased Bernoulli(p²) draw of a corpus pair; empty
+    // bins surface as zero rows via the bounded bin frame.
+    Q("q193_similarity_histogram",
+      s"""WITH smp AS (SELECT * FROM ${md5Hash64Sql("doc_id, text",
+             "md5(CAST(doc_id AS VARCHAR) || '#simhist')", "documents", "sh64")}),
+        |sdocs AS (SELECT doc_id, text FROM smp
+        |  WHERE (CAST(sh64 AS DOUBLE) + 9.223372036854776e18)
+        |    / 1.8446744073709552e19 < 0.3),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM sdocs),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |commonx AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pj AS (SELECT CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) AS j
+        |  FROM commonx
+        |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b),
+        |binned AS (SELECT CAST(LEAST(FLOOR(j * 10), 9) AS BIGINT) AS bin,
+        |    COUNT(*) AS n_pairs, MIN(j) AS min_j, MAX(j) AS max_j
+        |  FROM pj GROUP BY 1)
+        |SELECT CAST(b.bin AS BIGINT) AS bin,
+        |  CAST(b.bin AS DOUBLE) / 10 AS j_lo,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs, min_j, max_j
+        |FROM range(10) b(bin) LEFT JOIN binned USING (bin)
+        |ORDER BY bin""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val u = (Dedup.md5Hash64(concat(col("doc_id").cast("string"),
+          lit("#simhist"))).cast("double") + lit(9.223372036854776e18)) /
+        lit(1.8446744073709552e19)
+      val sdocs = documents(s, dir).filter(u < 0.3)
+      val binned = Dedup.jaccardPairs(sdocs, "doc_id", "text",
+          shingleSize = 3, threshold = 0.0)
+        .withColumn("bin",
+          least(floor(col("jaccard") * 10), lit(9.0)).cast("long"))
+        .groupBy("bin").agg(count(lit(1)).as("n_pairs"),
+          min(col("jaccard")).as("min_j"), max(col("jaccard")).as("max_j"))
+      (0L until 10L).toDF("bin")
+        .join(binned, Seq("bin"), "left")
+        .select(col("bin"), (col("bin").cast("double") / 10).as("j_lo"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          col("min_j"), col("max_j"))
+        .orderBy("bin")
     })
 }
