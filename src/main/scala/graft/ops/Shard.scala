@@ -44,27 +44,66 @@ object Shard {
   def shardManifest(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, nShards: Int)
       : org.apache.spark.sql.DataFrame = {
-    val two64 = java.math.BigDecimal.valueOf(2).pow(64)
-    val two63 = java.math.BigDecimal.valueOf(2).pow(63)
-    val fp = graft.text.TextOps.fingerprint(col(textCol))
-    val base = df.select(
-      rendezvous(col(idCol).cast("string"), nShards).as("shard"),
-      fp.as("fp"),
-      graft.text.TextOps.tokenCount(col(textCol)).as("n_tok"))
-      .withColumn("fph",
-        Dedup.md5Hash64(col("fp"))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
-    val s = base.groupBy("shard").agg(
+    val s = manifestBase(df, idCol, textCol, nShards).groupBy("shard").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("n_tokens"),
       countDistinct(col("fp")).as("n_distinct_fp"),
       sum(col("fph")).as("__sum"),
       min(col("fp")).as("min_fp"),
       max(col("fp")).as("max_fp"))
+    wrapChecksum(s)
+      .select("shard", "n_docs", "n_tokens", "n_distinct_fp",
+        "fp_checksum", "min_fp", "max_fp")
+  }
+
+  /** Streaming twin of [[shardManifest]] — the "maintains incrementally"
+    * claim made executable: the SAME shard/fingerprint projection over
+    * an unbounded document stream with a streaming groupBy, emitting
+    * each shard's CURRENT manifest whenever a micro-batch touches it
+    * (Update mode — the natural sink is an upsert store). Identical to
+    * the batch manifest over the same rows, MINUS `n_distinct_fp`
+    * (exact distinct is unbounded per-key state on a stream; pair with
+    * the q141 HLL aggregate when an estimate suffices). State per shard
+    * is five scalars — O(nShards) total regardless of corpus size.
+    */
+  def shardManifestStream(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                          textCol: String, nShards: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val s = manifestBase(docs, idCol, textCol, nShards).groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(col("fph")).as("__sum"),
+      min(col("fp")).as("min_fp"),
+      max(col("fp")).as("max_fp"))
+    wrapChecksum(s)
+      .select("shard", "n_docs", "n_tokens", "fp_checksum", "min_fp", "max_fp")
+  }
+
+  /** Shared scan projection: shard id, canonical fingerprint, token
+    * count, and the fingerprint's 64-bit hash widened to DECIMAL(38,0)
+    * (exact to ~10¹⁹ docs/shard before the mod-2⁶⁴ wrap).
+    */
+  private def manifestBase(df: org.apache.spark.sql.DataFrame, idCol: String,
+                           textCol: String, nShards: Int)
+      : org.apache.spark.sql.DataFrame =
+    df.select(
+      rendezvous(col(idCol).cast("string"), nShards).as("shard"),
+      graft.text.TextOps.fingerprint(col(textCol)).as("fp"),
+      graft.text.TextOps.tokenCount(col(textCol)).as("n_tok"))
+      .withColumn("fph",
+        Dedup.md5Hash64(col("fp"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+
+  /** Wrap the exact decimal `__sum` to a two's-complement int64
+    * `fp_checksum` (mod 2⁶⁴), dropping the intermediate column.
+    */
+  private def wrapChecksum(s: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val two64 = java.math.BigDecimal.valueOf(2).pow(64)
+    val two63 = java.math.BigDecimal.valueOf(2).pow(63)
     val m = pmod(col("__sum"), lit(two64))
     s.withColumn("fp_checksum",
         when(m >= lit(two63), m - lit(two64)).otherwise(m).cast("long"))
-      .select("shard", "n_docs", "n_tokens", "n_distinct_fp",
-        "fp_checksum", "min_fp", "max_fp")
+      .drop("__sum")
   }
 }

@@ -546,4 +546,38 @@ class StreamingSpec extends AnyFunSuite {
         s"state lost across restart: $late")
     } finally q2.stop()
   }
+
+  test("streaming shard manifest equals the batch manifest (incremental integrity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wave1 = (1L to 40L).map(i => (i, s"first crawl wave doc $i"))
+    val wave2 = (41L to 60L).map(i => (i, s"second wave appended doc $i"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.ops.Shard.shardManifestStream(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", 4)
+      .writeStream.format("memory").queryName("manifest_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(wave1)
+      q.processAllAvailable()
+      input.addData(wave2)
+      q.processAllAvailable()
+      // latest emission per shard = the maintained manifest; must equal
+      // the batch manifest over everything seen (minus n_distinct_fp,
+      // which the stream twin documents away)
+      val streamed = spark.table("manifest_stream")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard")
+            .orderBy(col("n_docs").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSet
+      val batch = graft.ops.Shard.shardManifest(
+          (wave1 ++ wave2).toDF("doc_id", "text"), "doc_id", "text", 4)
+        .select("shard", "n_docs", "n_tokens", "fp_checksum", "min_fp", "max_fp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
 }
