@@ -144,6 +144,16 @@ object ScaleStress {
         .assignments.count()
     }
 
+    // 4. Prefix-filtered exact Jaccard (q128 — the AllPairs/PPJoin scale
+    //    path that replaces the quadratic all-pairs baseline): the
+    //    corpus-wide EXACT similarity join whose cost must track the
+    //    matching-pair mass, not the pair square
+    run("prefix_jaccard") {
+      graft.dedup.Dedup.prefixJaccardPairs(
+        documents(spark, nDocs), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5).count()
+    }
+
     spark.stop()
   }
 }
