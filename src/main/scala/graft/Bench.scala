@@ -164,12 +164,35 @@ object Bench {
       if (s.length % 2 == 1) s(s.length / 2)
       else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
     }
+    // Ambient-load markers (VERDICT r10 item 3): round 10's driver bench
+    // ran 205.6 s against a same-HEAD quiet-box 162.7 s, and attributing
+    // the 26% gap to box load took a name-aligned per-query diff. Record
+    // /proc/loadavg + MemAvailable around every rep so the artifact
+    // itself carries the evidence: a loaded box shows up as load1 >> 32
+    // alongside uniformly inflated cheap queries.
+    def loadAvg1: Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def memAvailMb: Long =
+      try {
+        val line = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/meminfo")).stream()
+          .filter(_.startsWith("MemAvailable:")).findFirst().orElse("")
+        line.split("\\s+") match {
+          case a if a.length >= 2 => a(1).toLong / 1024L
+          case _                  => -1L
+        }
+      } catch { case _: Throwable => -1L }
     // Per-query: median over successful reps; a rep that throws counts as
     // an ERROR, never as a timing. Round 7 recorded 22 broken queries'
     // time-to-exception (~0.1 s each) as if they ran, silently deflating
     // the suite total by ~25 s — errors must be visible, not fast.
-    val results: Seq[(String, Seq[Double], Int)] = selected.map { q =>
+    // Alongside timings, capture (load1, memMB) before each rep plus once
+    // after the last — reps+1 ambience snapshots per query in the detail.
+    val results: Seq[(String, Seq[Double], Int, Seq[(Double, Long)])] = selected.map { q =>
       var errReps = 0
+      val ambience = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       val times = (1 to reps).flatMap { _ =>
         // Isolate reps/queries from each other's leftovers before
         // starting the clock. Round 3 showed a uniform +0.5-1.2s drift
@@ -186,6 +209,7 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         spark.catalog.clearCache()
         System.gc()
+        ambience += ((loadAvg1, memAvailMb))
         val t0 = System.nanoTime()
         try {
           q.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -196,7 +220,8 @@ object Bench {
           None
         }
       }
-      (q.name, times, errReps)
+      ambience += ((loadAvg1, memAvailMb))
+      (q.name, times, errReps, ambience.toSeq)
     }
     // The driver captures a bounded 2000-char tail of the output, so the
     // line must stay well inside it (rounds 2 and 3 overflowed and
@@ -213,7 +238,7 @@ object Bench {
     // granularity loses nothing real and keeps the line short.
     def fmtQ(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", v)
-    def med(r: (String, Seq[Double], Int)): Double =
+    def med(r: (String, Seq[Double], Int, Seq[(Double, Long)])): Double =
       if (r._2.nonEmpty) median(r._2) else -1.0
     // a BENCH_ONLY-filtered run breaks the positional index↔registry
     // mapping, so emit the old name-keyed object format there (the char
@@ -222,15 +247,19 @@ object Bench {
       if (only.isDefined)
         results.map(r => "\"" + r._1 + "\":" + fmtQ(med(r))).mkString("{", ",", "}")
       else results.map(r => fmtQ(med(r))).mkString("[", ",", "]")
-    val errs = results.filter(_._3 > 0).map { case (n, _, e) =>
+    val errs = results.filter(_._3 > 0).map { case (n, _, e, _) =>
       "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")
     val total = results.map(med).filter(_ >= 0).sum
     // suite-growth-stable metric: sum of medians over the pinned
-    // CoreQueries only (meaningful on the unfiltered full run; a
-    // BENCH_ONLY iteration sums whatever core members it ran)
+    // CoreQueries only. Meaningful ONLY on the unfiltered full run: a
+    // BENCH_ONLY iteration sums whichever core members it happened to
+    // run, which is indistinguishable in the output from the real
+    // metric — so emit null there instead of a bogus partial sum
+    // (ADVICE r10).
     val coreTotal = results.filter(r => CoreQueries(r._1))
       .map(med).filter(_ >= 0).sum
+    val coreField = if (only.isDefined) "null" else fmt(coreTotal)
     // Full per-query dispersion goes to a FILE (the stdout line is
     // capture-bounded): one JSON object per query with min/median/max
     // over successful reps, so docs can cite run-to-run spread from the
@@ -244,16 +273,28 @@ object Bench {
       // "idx" = registry position, so positional BENCH_r*.json arrays
       // are mechanically joinable to names across rounds even after
       // registrations shift (VERDICT r9 next-round item 8)
-      val detail = results.zipWithIndex.map { case ((n, ts, e), i) =>
+      val detail = results.zipWithIndex.map { case ((n, ts, e, amb), i) =>
         val s = ts.sorted
         val (mn, md, mx) =
           if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.head, median(s), s.last)
-        s"""{"idx":$i,"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e}"""
+        // ambience: (load1, memAvailMB) captured before each rep and once
+        // after the last — reps+1 snapshots bracketing every timed region
+        val load = amb.map(a => fmtQ(a._1)).mkString("[", ",", "]")
+        val mem = amb.map(_._2).mkString("[", ",", "]")
+        s"""{"idx":$i,"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e,"load1":$load,"mem_avail_mb":$mem}"""
       }.mkString("[\n", ",\n", "\n]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
         s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"queries":$detail}\n""")
+      // index↔name registry map as a machine-readable artifact (VERDICT
+      // r10 item 7): BENCH_r*.json's positional "queries" array joins to
+      // names through this file instead of a hand-run `runMain QOrder`.
+      val qorderPath = sys.env.getOrElse("SPARK_GRAFT_QORDER", "QORDER.json")
+      val qorder = SparkEntry.registry.map(_.name).zipWithIndex
+        .map { case (n, i) => s"""{"idx":$i,"name":"$n"}""" }
+        .mkString("[\n", ",\n", "\n]\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":${fmt(coreTotal)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -24,6 +24,19 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(short.distinct.size == short.size, "short qNN keys must stay unique")
   }
 
+  test("CoreQueries stays a frozen 100-name subset of the registry") {
+    // core100 is only round-over-round comparable if membership never
+    // drifts: a renamed/deleted registered query would silently drop out
+    // of the sum and fake an engine speedup (queries HAVE been removed
+    // before — the q10/q17/q31 gaps). Enforce both halves mechanically.
+    assert(Bench.CoreQueries.size == 100,
+      s"core100 must stay exactly 100 names, got ${Bench.CoreQueries.size}")
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val missing = Bench.CoreQueries -- registered
+    assert(missing.isEmpty,
+      s"core100 members missing from the registry: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
   test("entry (flagship disaggregation) returns rows on sf0.001") {
     val df = SparkEntry.entry(spark)
     assert(df.count() > 0)
