@@ -35,6 +35,22 @@ import graft.ops.Pin
   */
 object Graph {
 
+  /** Auto-gate threshold for broadcasting per-node frames (ranks,
+    * degrees, triangle counts): one (id, numeric) row per node is
+    * ~16–24 B serialized, so 10^7 nodes ≈ 200 MB — comfortably inside
+    * executor memory on the cluster shapes this engine targets, and two
+    * orders of magnitude under the point where a forced broadcast OOMs.
+    * Beyond it the joins degrade to sort-merge instead of failing —
+    * same threshold-guard pattern as `Dedup.dupGroups`.
+    */
+  val BroadcastNodeLimit: Long = 10000000L
+
+  /** Auto-gate threshold for broadcasting the oriented adjacency frame
+    * of [[triangleCounts]] (≈8 bytes per edge of array payload →
+    * ~0.8 GB at the limit).
+    */
+  val BroadcastEdgeLimit: Long = 100000000L
+
   /** Symmetric co-occurrence edges (src, dst): distinct item pairs that
     * share a group, both directions, self-pairs excluded.
     *
@@ -98,27 +114,37 @@ object Graph {
     * formulation was measured 4× slower here on a dense co-occurrence
     * graph (36M wedge rows vs 1.2M per-edge intersections at sf0.1).
     *
-    * Scale shape: degrees broadcast onto the edge stream (`broadcastDeg`
-    * like [[pageRank]]'s rank frame — one (id, long) row per node); the
+    * Scale shape: degrees broadcast onto the edge stream (like
+    * [[pageRank]]'s rank frame — one (id, long) row per node); the
     * oriented adjacency frame is one O(√m)-long array per node (≈8m
-    * bytes total), broadcast while `broadcastAdj` holds (up to ~10^8
-    * edges), making the whole triangle pass a single scan over the
-    * pinned edge stream with two broadcast probes and zero wedge
-    * shuffles. Beyond that, set `broadcastAdj = false`: the two
-    * adjacency attachments become u- then v-keyed shuffle joins of the
-    * edge stream — the standard giant-graph trade. Only ids and bounded
-    * arrays cross exchanges; triangle corners collapse to per-node
-    * counts in ONE pass (explode of the 3-corner array — a unionAll of
-    * three selects would replay the whole triangle join per corner).
+    * bytes total). Both broadcasts are AUTO-GATED on measured counts
+    * (the frames are pinned, so the counts are cheap re-scans, not
+    * recomputations): degrees broadcast while nodes ≤
+    * `broadcastNodeLimit`, adjacency while edges ≤ `broadcastEdgeLimit`
+    * (~10^8 — ≈0.8 GB of arrays). Under the gates the whole triangle
+    * pass is a single scan over the pinned edge stream with two
+    * broadcast probes and zero wedge shuffles; beyond them the
+    * attachments degrade to u- then v-keyed shuffle joins — the
+    * standard giant-graph trade, now taken automatically instead of by
+    * a caller flag (`broadcastDeg`/`broadcastAdj` = Some(…) force a
+    * path for tests). Only ids and bounded arrays cross exchanges;
+    * triangle corners collapse to per-node counts in ONE pass (explode
+    * of the 3-corner array — a unionAll of three selects would replay
+    * the whole triangle join per corner).
     */
-  def triangleCounts(edges: DataFrame, broadcastDeg: Boolean = true,
-                     broadcastAdj: Boolean = true): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+                     broadcastDeg: Option[Boolean] = None,
+                     broadcastAdj: Option[Boolean] = None,
+                     broadcastNodeLimit: Long = BroadcastNodeLimit,
+                     broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
     val und = Pin.pin(edges.filter(col("src") < col("dst"))
       .select(col("src"), col("dst")).distinct())
     val deg = Pin.pin(und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg")))
-    val d = if (broadcastDeg) broadcast(deg) else deg
+    val bDeg = broadcastDeg.getOrElse(deg.count() <= broadcastNodeLimit)
+    val bAdj = broadcastAdj.getOrElse(und.count() <= broadcastEdgeLimit)
+    val d = if (bDeg) broadcast(deg) else deg
     // orientation key (deg, id) — struct comparison keeps ids generic
     // (numeric or string), and ids are unique so the key never ties
     val withRanks = und
@@ -135,7 +161,7 @@ object Graph {
     // below yields each closing corner exactly once
     val adj = Pin.pin(oriented.groupBy("u")
       .agg(collect_list(col("v")).as("ns")))
-    val a = if (broadcastAdj) broadcast(adj) else adj
+    val a = if (bAdj) broadcast(adj) else adj
     // each triangle (a<b<c by rank) closes at edge (a,b) only: w ∈
     // N⁺(u) ∩ N⁺(v) means u→w and v→w, and no other triangle edge can
     // see the third corner in BOTH out-lists
@@ -150,7 +176,7 @@ object Graph {
     // one (id, long) row per triangle-bearing node — same size regime
     // as the degree frame, so it broadcasts under the same flag and the
     // readout join needs no exchange
-    val perNode = if (broadcastDeg) broadcast(perNode0) else perNode0
+    val perNode = if (bDeg) broadcast(perNode0) else perNode0
     deg.join(perNode, Seq("id"), "left")
       .select(col("id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
@@ -166,12 +192,16 @@ object Graph {
     * src ∪ dst; a node with no in-edges keeps the teleport rank (1-d),
     * a node with no out-edges contributes nothing.
     *
-    * `broadcastRanks` (default true): the rank frame is one (id, double)
-    * row per node — it broadcasts comfortably up to ~10^8 nodes, making
-    * each iteration a broadcast hash join with NO sort and leaving the
-    * groupBy(dst) exchange as the only per-iteration shuffle. Set false
-    * for web-scale node sets: the join falls back to sort-merge (a
-    * per-iteration sort — the standard giant-graph trade).
+    * `broadcastRanks` (default None = auto): the rank frame is one
+    * (id, double) row per node — while the MEASURED node count (the
+    * node frame is pinned, so the count is a cheap re-scan) stays ≤
+    * `broadcastNodeLimit`, each iteration is a broadcast hash join with
+    * NO sort, leaving the groupBy(dst) exchange as the only
+    * per-iteration shuffle. Beyond the limit the auto-gate drops the
+    * hint and the join falls back to sort-merge (a per-iteration sort —
+    * the standard giant-graph trade, taken automatically: a forced hint
+    * on a billion-node rank vector would OOM the build side instead of
+    * degrading). Some(true)/Some(false) force a path for tests.
     *
     * `adjacencyForm` (default true): edge state is pinned as one
     * (src, adj: array<dst>, outdeg) row per SOURCE — built in a single
@@ -190,8 +220,9 @@ object Graph {
     * results (GraphSpec pins both paths to the same fixture ranks).
     */
   def pageRank(edges: DataFrame, damping: Double = 0.85, iters: Int = 3,
-               broadcastRanks: Boolean = true,
-               adjacencyForm: Boolean = true): DataFrame = {
+               broadcastRanks: Option[Boolean] = None,
+               adjacencyForm: Boolean = true,
+               broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     if (adjacencyForm) {
       val adj = Pin.pin(edges.select(col("src"), col("dst"))
         .groupBy("src").agg(collect_set(col("dst")).as("adj"))
@@ -201,9 +232,10 @@ object Graph {
       val nodes = Pin.pin(
         adj.select(col("src").as("id"))
           .unionAll(adj.select(explode(col("adj")).as("id"))).distinct())
+      val bcast = broadcastRanks.getOrElse(nodes.count() <= broadcastNodeLimit)
       var rank = nodes.withColumn("rank", lit(1.0))
       for (_ <- 1 to iters) {
-        val r = if (broadcastRanks) broadcast(rank) else rank
+        val r = if (bcast) broadcast(rank) else rank
         val inbound = adj.join(r, col("src") === col("id"))
           .select(explode(col("adj")).as("dst"),
             (col("rank") / col("outdeg")).as("x"))
@@ -231,9 +263,10 @@ object Graph {
       val nodes = Pin.pin(
         e.select(col("src").as("id"))
           .unionAll(e.select(col("dst").as("id"))).distinct())
+      val bcast = broadcastRanks.getOrElse(nodes.count() <= broadcastNodeLimit)
       var rank = nodes.withColumn("rank", lit(1.0))
       for (_ <- 1 to iters) {
-        val r = if (broadcastRanks) broadcast(rank) else rank
+        val r = if (bcast) broadcast(rank) else rank
         val inbound = e.join(r, col("src") === col("id"))
           .select(col("dst"), (col("rank") / col("outdeg")).as("x"))
           .groupBy("dst").agg(gsum10(col("x")).as("s"))

@@ -853,7 +853,8 @@ object Text {
     // The actual 100 TB tokenization stage: merges learned once
     // (vocabulary-sized, q116's protocol), the segmentation computed
     // per DISTINCT word (vocabulary-sized again), and the corpus only
-    // ever streams through a broadcast word→token-count join — the
+    // ever streams through an AQE-sized word→token-count join (the
+    // distinct-word set is data-dependent — no forced hint) — the
     // quadratic-ish merge machinery never touches the occurrence
     // stream. Oracle replays the full learn chain (q116's generated
     // CTEs, carrying the word through the replaces) plus the same
@@ -872,7 +873,7 @@ object Text {
       val occ = docs.select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
-      val per = occ.join(broadcast(seg), "word")
+      val per = occ.join(seg, "word")
         .groupBy("doc_id").agg(count(lit(1)).as("n_words"),
           sum(col("n_toks")).as("n_bpe_tokens"))
       docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
@@ -1863,15 +1864,15 @@ object Text {
       val occ = graft.ops.Pin.pin(docs
         .select(col("doc_id"), explode(TextOps.wordNgrams(col("text"), 2)).as("bg")))
       // hash once per DISTINCT gram, both for the cells (weighted by
-      // occurrence count) and for the estimates, which then broadcast
-      // back onto the occurrence stream — vocabulary-sized hashing, not
-      // corpus-sized
+      // occurrence count) and for the estimates, which then join back
+      // onto the occurrence stream (AQE-sized — the distinct-gram set
+      // is data-dependent) — vocabulary-sized hashing, not corpus-sized
       val gcounts = graft.ops.Pin.pin(occ.groupBy("bg").agg(count(lit(1)).as("n")))
       val cells = Sketch.cmsCellsArray(gcounts, "bg", depth = 4, width = 4096,
         weightCol = Some("n"))
       val est = gcounts.select(col("bg"),
         Sketch.cmsEstimate(col("bg"), cells, depth = 4, width = 4096).as("est"))
-      val perDoc = occ.join(broadcast(est), "bg")
+      val perDoc = occ.join(est, "bg")
         .groupBy("doc_id").agg(count(lit(1)).as("n_grams"),
           count(when(col("est") < 20L, lit(1))).as("n_rare"))
       docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
@@ -1993,7 +1994,7 @@ object Text {
     // ---- composed capstone: BPE-tokenize → pack → shard-route ----
     // The last unchained segment of the training-data path as ONE
     // oracle-checked DAG: merges learned from the corpus (q116
-    // protocol), per-doc BPE token totals via the broadcast vocab join
+    // protocol), per-doc BPE token totals via the AQE-sized vocab join
     // (q147), greedy first-fit packing of those totals into 512-token
     // sequences in 8 md5-ordered buckets (q110), and a rendezvous-
     // hashed shard id per packed sequence (q138) — the assignment
@@ -2003,7 +2004,7 @@ object Text {
     // just the stages in isolation.
     //
     // Scale shape is inherited per stage and nothing new crosses a
-    // shuffle: the corpus streams once through the broadcast seg join,
+    // shuffle: the corpus streams once through the AQE-sized seg join,
     // packing exchanges only (doc_id, count, bucket), and the shard id
     // is a scan projection over the packed frame.
     Q("q148_tokenize_pack_shard",
@@ -2046,7 +2047,7 @@ object Text {
           explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
       val counts = docs.select(col("doc_id"))
-        .join(occ.join(broadcast(seg), "word")
+        .join(occ.join(seg, "word")
           .groupBy("doc_id").agg(sum(col("n_toks")).as("n_bpe")),
           Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
@@ -2290,11 +2291,13 @@ object Text {
         .select("id_a", "id_b")
       val groups = graft.ops.Pin.pin(Dedup.dupGroups(pairs)
         .select(col("group_id"), col("id").as("doc_id")))
-      // score ONLY group members: the member-id set is bounded by the
-      // dup-group population (tiny next to the corpus), so a broadcast
-      // semi-join prunes the quality scan instead of scoring every doc
+      // score ONLY group members: a semi-join prunes the quality scan
+      // instead of scoring every doc. No broadcast hint — the dup-group
+      // population is data-dependent (20–50% of docs on a raw web
+      // crawl), so AQE must stay free to pick shuffle-vs-broadcast from
+      // the runtime size instead of being forced into an OOM build side.
       val quality = docs
-        .join(broadcast(groups.select("doc_id")), Seq("doc_id"), "leftsemi")
+        .join(groups.select("doc_id"), Seq("doc_id"), "leftsemi")
         .select(col("doc_id"),
           TextOps.qualityScore(col("text"), stops).as("quality"))
       val w = org.apache.spark.sql.expressions.Window
@@ -2321,7 +2324,7 @@ object Text {
     //
     // Scale shape: gate + fingerprint are scan projections; exact dedup
     // shuffles 16-byte fps; the LSH chain runs on gated survivors only;
-    // keep-best losers are a bounded broadcast anti-join; the split is a
+    // keep-best losers are an AQE-sized anti-join; the split is a
     // pure projection; the summary is one map-side-combined aggregate.
     Q("q158_curation_capstone",
       s"""WITH RECURSIVE
@@ -2376,7 +2379,10 @@ object Text {
         .withColumn("keep_id", first(col("doc_id")).over(wg))
         .filter(col("doc_id") =!= col("keep_id"))
         .select("doc_id")
-      val curated = exact.join(broadcast(losers), Seq("doc_id"), "left_anti")
+      // no broadcast hint on `losers`: its size is the near-dup loser
+      // population — data-dependent, unbounded on a crawl-shaped corpus;
+      // AQE picks broadcast-vs-shuffle from the actual runtime size
+      val curated = exact.join(losers, Seq("doc_id"), "left_anti")
       graft.ops.Splits.hashSplit(curated.select("doc_id", "text"),
           "doc_id", "#split", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("split")
@@ -2443,8 +2449,8 @@ object Text {
     //
     // Scale shape: the LSH chain is q102's (fingerprints and band keys
     // shuffle, text never does); the notice list and the poisoned-group
-    // set are both tiny → broadcast semi/anti joins, zero extra
-    // shuffles beyond the grouping itself.
+    // set join as AQE-sized semi/anti joins — small in practice, but
+    // data-dependent, so no forced broadcast hints.
     Q("q160_takedown_propagation",
       s"""WITH RECURSIVE ${minhashGroupsSql()},
         |seeds AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 0),
@@ -2464,11 +2470,14 @@ object Text {
         .select("id_a", "id_b")
       val groups = graft.ops.Pin.pin(Dedup.dupGroups(pairs)
         .select(col("group_id"), col("id").as("doc_id")))
-      val hitGroups = groups.join(broadcast(seeds), Seq("doc_id"), "leftsemi")
+      // no broadcast hints: the notice list and the poisoned-group set
+      // are both data-dependent (seeds scale with the corpus, hit groups
+      // with dup density) — AQE sizes the joins at runtime
+      val hitGroups = groups.join(seeds, Seq("doc_id"), "leftsemi")
         .select("group_id").distinct()
-      val propagated = groups.join(broadcast(hitGroups), Seq("group_id"), "leftsemi")
+      val propagated = groups.join(hitGroups, Seq("group_id"), "leftsemi")
         .select("doc_id")
-      propagated.join(broadcast(seeds), Seq("doc_id"), "left_anti")
+      propagated.join(seeds, Seq("doc_id"), "left_anti")
         .withColumn("reason", lit("propagated"))
         .unionByName(seeds.withColumn("reason", lit("direct")))
         .orderBy("doc_id")
@@ -2992,7 +3001,7 @@ object Text {
       val occ = docs.select(col("doc_id"),
           explode(split(lower(col("text")), "\\s+")).as("word"))
         .filter(col("word").rlike("^[a-z]+$"))
-      val per = occ.join(broadcast(seg), "word")
+      val per = occ.join(seg, "word")
         .groupBy("doc_id").agg(count(lit(1)).as("w"),
           sum(col("n_toks")).as("b"),
           sum(length(col("word")).cast("long")).as("c"))

@@ -84,4 +84,42 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(adjForm === rowForm)
   }
+
+  test("pageRank broadcast auto-gate: forced, suppressed, and gated-off paths agree") {
+    // VERDICT r11 item 2: broadcastRanks must not force a broadcast of
+    // an unbounded rank vector. The auto-gate counts the pinned node
+    // frame; broadcastNodeLimit = 0 proves the gated-OFF path (shuffle
+    // join) produces bit-identical ranks to the forced-broadcast path —
+    // the exact-decimal gsum makes the comparison exact, not approximate.
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 400).map(_ => (s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    def ranks(br: Option[Boolean], limit: Long) =
+      Graph.pageRank(edges, 0.85, 3, broadcastRanks = br,
+          broadcastNodeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val forced = ranks(Some(true), Graph.BroadcastNodeLimit)
+    val suppressed = ranks(Some(false), Graph.BroadcastNodeLimit)
+    val gatedOff = ranks(None, 0L)    // 40 nodes > 0 → auto picks shuffle
+    val gatedOn = ranks(None, Graph.BroadcastNodeLimit)
+    assert(suppressed === forced)
+    assert(gatedOff === forced)
+    assert(gatedOn === forced)
+  }
+
+  test("triangleCounts broadcast auto-gate: both paths agree") {
+    val pairs = Seq(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),("a","e"))
+      .toDF("src","dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val bcast = asMap(Graph.triangleCounts(pairs,
+      broadcastDeg = Some(true), broadcastAdj = Some(true)))
+    val shuffled = asMap(Graph.triangleCounts(pairs,
+      broadcastDeg = Some(false), broadcastAdj = Some(false)))
+    val gatedOff = asMap(Graph.triangleCounts(pairs,
+      broadcastNodeLimit = 0L, broadcastEdgeLimit = 0L))
+    assert(shuffled === bcast)
+    assert(gatedOff === bcast)
+  }
 }

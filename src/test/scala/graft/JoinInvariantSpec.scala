@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Generate, GlobalLimit, LocalLimit, LocalRelation, LogicalPlan, Range => LRange, ResolvedHint}
 import org.apache.spark.sql.execution.{GenerateExec, GlobalLimitExec, LocalLimitExec, LocalTableScanExec, RangeExec, SparkPlan}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
@@ -124,9 +125,143 @@ class JoinInvariantSpec extends AnyFunSuite {
         s"a reviewed justification): ${offenders.mkString(", ")}")
   }
 
+  // ---- forced-broadcast invariant (VERDICT r11 item 2) ----
+  // A `broadcast()` hint removes AQE's freedom to fall back to a shuffle
+  // join when the build side turns out big at runtime — acceptable only
+  // when the hinted frame is provably bounded BY CONSTRUCTION (a limit,
+  // a grouping-less aggregate, a driver-built local relation), never on
+  // a data-dependent set (dup-group ids, seed lists, near-dup losers):
+  // those scale with the corpus and a forced hint turns "degrades to a
+  // shuffle" into "OOMs the build side".
+
+  /** name → reviewed justification for a broadcast hint whose subtree the
+    * classifier cannot prove bounded but which IS bounded by an external
+    * contract (a fixed dimension table, a bounded query/eval set).
+    */
+  private val broadcastWhitelist: Map[String, String] = Map(
+    "q07_join_broadcast" ->
+      ("the hinted frames are the TPC-H nation (25 rows) and region " +
+        "(5 rows) dimension tables — fixed-size by schema contract, the " +
+        "canonical broadcast-dimension shape"),
+    "q139_triangle_count" ->
+      ("Graph.triangleCounts auto-gates both hints on MEASURED counts " +
+        "(deg ≤ BroadcastNodeLimit, edges ≤ BroadcastEdgeLimit) before " +
+        "hinting — the hint only exists when the runtime count proved " +
+        "the bound; above the gate the joins degrade to shuffles"),
+    "q177_retention_cohorts" ->
+      ("the hinted cohort-size frame is one row per cohort MONTH — " +
+        "bounded by the data's calendar span, not its row count"),
+    "q179_quota_sample" ->
+      ("the hinted quota frame is one row per language label — bounded " +
+        "by the language-ID label domain (~hundreds), not corpus size"),
+    "q117_dsir_selection" ->
+      ("the hinted DSIR profile is grouped by pmod(hash, buckets) — " +
+        "≤ `buckets` (1024) rows by construction of the modulus"),
+    "q130_cms_heavy_hitters" ->
+      ("the hinted CMS counter table is grouped by (row, pmod(hash, " +
+        "width)) — ≤ depth×width (4×1024) cells by construction however " +
+        "big the input stream"),
+    "q107_decontaminate" ->
+      ("the hinted frame is the distinct n-gram set of the BENCHMARK " +
+        "side — eval suites are bounded external inputs by contract " +
+        "(the corpus side streams)"),
+    "q123_semantic_decon" ->
+      ("the hinted build side is the pinned stratified eval sample " +
+        "(rn ≤ 2 per label) — same bounded-eval-set contract the BNLJ " +
+        "whitelist entry reviews"),
+    "q41_cosine_topk" ->
+      ("the hinted frame is the ≤ 20-row query set (vec_id < 20 " +
+        "literal filter) — bounded external query input by contract"),
+    "q45_ann_topk" ->
+      ("same bounded query-set contract as q41 (literal-filtered " +
+        "≤ 20-row query frame)"),
+    "q66_ivf_ann" ->
+      ("same bounded query-set contract as q41"),
+    "q78_ivf_full_probe" ->
+      ("same bounded query-set contract as q41"),
+    "q85_lsh_full_coverage" ->
+      ("same bounded query-set contract as q41"),
+    "q120_pq_ann" ->
+      ("same bounded query-set contract as q41 (plus the PQ codebook, " +
+        "k×m centroid rows by construction)"),
+    "q153_rrf_fusion" ->
+      ("the hinted sides are two two-stage top-k outputs (≤ 50 rows — " +
+        "the bound WindowInvariantSpec reviews for this query)"),
+    "q185_lsh_recall_at_k" ->
+      ("recall audit: hinted frames are the ≤ 10-row query set and the " +
+        "exact-reference top-k derived from it — both query-set-bounded"),
+    "q186_ivf_recall_at_k" ->
+      ("same query-set-bounded audit frames as q185"),
+    "q187_pq_recall_at_k" ->
+      ("same query-set-bounded audit frames as q185"),
+    "q155_weather_capstone" ->
+      ("the hinted frames are the station inventory (fixed reference " +
+        "dimension input, ~100k rows worldwide by contract) and the " +
+        "12-row monthly target frame"))
+
+  /** Logical-plan twin of [[bounded]]: hints are only visible on the
+    * analyzed plan (the optimizer folds ResolvedHint into JoinHint), so
+    * the forced-broadcast sweep classifies logical subtrees.
+    */
+  private def boundedLogical(p: LogicalPlan): Boolean = p match {
+    case _: LocalRelation => true
+    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: GlobalLimit => true
+    case _: LocalLimit => true
+    case _: LRange => true
+    case _: Generate => false
+    case leaf if leaf.children.isEmpty => false
+    case other => other.children.forall(boundedLogical)
+  }
+
+  private def forcedBroadcasts(plan: LogicalPlan): Seq[String] = plan.collect {
+    case h: ResolvedHint
+        if h.hints.strategy.contains(BROADCAST) && !boundedLogical(h.child) =>
+      s"forced broadcast hint on unbounded subtree (${h.child.nodeName})"
+  }
+
+  test("no registered query forces a broadcast hint on an unbounded side") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan =
+        try q.impl(spark, dir).queryExecution.analyzed
+        catch { case e: Throwable =>
+          fail(s"${q.name}: impl failed during analysis at $dir: $e")
+        }
+      val bad = forcedBroadcasts(plan)
+      if (bad.nonEmpty && !broadcastWhitelist.contains(q.name))
+        Some(s"${q.name}: ${bad.mkString("; ")}")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"forced broadcast hints on data-dependent sides (drop the hint and " +
+        s"let AQE size the join, or whitelist with a reviewed bound): " +
+        s"${offenders.mkString(", ")}")
+  }
+
+  test("the forced-broadcast classifier flags a hinted scan (self-test)") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, dir)
+    val bad = ev.join(broadcast(ev.select(col("event_id").as("e2"))),
+      col("event_id") === col("e2"))
+    assert(forcedBroadcasts(bad.queryExecution.analyzed).nonEmpty,
+      "the sweep would miss a forced broadcast of a raw scan")
+    // …but blesses the 1-row-aggregate and limit shapes
+    val tot = ev.agg(sum(col("value")).as("tot"))
+    assert(forcedBroadcasts(
+      ev.crossJoin(broadcast(tot)).queryExecution.analyzed).isEmpty,
+      "1-row aggregate hint misclassified")
+    val top = ev.orderBy(col("value").desc).limit(10)
+      .select(col("event_id").as("e2"))
+    assert(forcedBroadcasts(
+      ev.join(broadcast(top), col("event_id") === col("e2"))
+        .queryExecution.analyzed).isEmpty,
+      "limit-bounded hint misclassified")
+  }
+
   test("whitelist carries no stale entries") {
     val names = SparkEntry.registry.map(_.name).toSet
-    val stale = whitelist.keys.filterNot(names.contains)
+    val stale = (whitelist.keys ++ broadcastWhitelist.keys)
+      .filterNot(names.contains)
     assert(stale.isEmpty, s"whitelisted queries no longer registered: $stale")
   }
 
