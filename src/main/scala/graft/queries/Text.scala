@@ -590,7 +590,8 @@ object Text {
         |  SUM(feat) AS f_sum
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
-      Multimodal.extractFeatures(blobs, "doc_id", "blob", featureDim = 16)
+      Multimodal.extractFeatures(blobs, "doc_id", "blob", featureDim = 16,
+          decode = Multimodal.fakeDecode)
         .select(col("doc_id"),
           size(col("features")).as("dim"),
           element_at(col("features"), 1).cast("double").as("f_first"),
@@ -601,7 +602,7 @@ object Text {
     },
 
     // ---- multimodal frame sampling (mapPartitions demux path, oracle) ----
-    // sampleFrames' stub demux slices the blob into fixed 32-byte frames
+    // the fixedFrames contract-checker slices the blob into 32-byte frames
     // and keeps every 2nd one; frames surface as hex strings (this
     // DuckDB's md5/substring are VARCHAR-only, but hex(blob) slicing is
     // byte-exact), so the whole explode/slice plumbing hash-checks.
@@ -615,7 +616,8 @@ object Text {
         |SELECT doc_id, frame_idx, frame_hex FROM f
         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
       val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
-      Multimodal.sampleFrames(blobs, "doc_id", "blob", frameSize = 32, stride = 2)
+      Multimodal.sampleFrames(blobs, "doc_id", "blob", stride = 2,
+          demux = Multimodal.fixedFrames(32))
         .select(col("doc_id"), col("frame_idx"), hex(col("frame")).as("frame_hex"))
         .orderBy("doc_id", "frame_idx")
     },
@@ -640,7 +642,8 @@ object Text {
         |  string_agg(lpad(hex(v), 2, '0'), '' ORDER BY pos) AS resized_hex
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val blobs = Multimodal.withBlob(documents(s, dir), "text", "blob")
-      Multimodal.resizeBlobs(blobs, "doc_id", "blob", 16, 16)
+      Multimodal.resizeBlobs(blobs, "doc_id", "blob", 16, 16,
+          resample = Multimodal.fakeResize)
         .select(col("doc_id"), hex(col("resized")).as("resized_hex"))
         .orderBy("doc_id")
     },
@@ -3537,6 +3540,51 @@ object Text {
         .crossJoin(broadcast(nSampled))
         .withColumn("recall", col("n_lsh").cast("double") / col("n_exact"))
         .select("n_sampled", "n_exact", "n_lsh", "n_missed", "recall")
+    },
+
+    // ---- sampled exact Jaccard pairs (the corpus-scale form of q77) ----
+    // q77 runs the exact shingle-equi-join all-pairs chain over the
+    // WHOLE corpus — the oracle-grade baseline, quadratic death at
+    // 100 TB. The deployable estimator is this one: the q183 salted-md5
+    // Bernoulli doc-sample (p = 0.3, its own salt so the two audits
+    // draw independent samples), then the identical exact chain over
+    // the sample only. Sampling docs samples pairs at p² — each
+    // surviving pair is an i.i.d. Bernoulli(p²) draw of a corpus pair,
+    // so pair-population statistics (near-dup rate, jaccard histogram)
+    // scale by 1/p² unbiasedly — while the quadratic shingle join
+    // shrinks by p² and every row that DOES survive carries the exact
+    // q77 columns, bit-identical to what the full run would emit for
+    // that pair. The full-corpus form stays registered as the audit
+    // baseline; this is the shape a 100 TB run schedules.
+    Q("q194_jaccard_pairs_sampled",
+      s"""WITH smp AS (SELECT * FROM ${md5Hash64Sql("doc_id, text",
+             "md5(CAST(doc_id AS VARCHAR) || '#jacsample')", "documents", "sh64")}),
+        |sdocs AS (SELECT doc_id, text FROM smp
+        |  WHERE (CAST(sh64 AS DOUBLE) + 9.223372036854776e18)
+        |    / 1.8446744073709552e19 < 0.3),
+        |toks AS (
+        |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t FROM sdocs),
+        |shl AS (
+        |  SELECT doc_id, CASE WHEN len(t) >= 3 THEN
+        |      list_distinct(list_transform(range(1, len(t)-1), i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks WHERE t IS NOT NULL),
+        |sh AS (SELECT DISTINCT doc_id, unnest(shs) AS s FROM shl),
+        |sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+        |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+        |  CAST(sa.nsh AS BIGINT) AS n_a, CAST(sb.nsh AS BIGINT) AS n_b,
+        |  CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val u = (Dedup.md5Hash64(concat(col("doc_id").cast("string"),
+          lit("#jacsample"))).cast("double") + lit(9.223372036854776e18)) /
+        lit(1.8446744073709552e19)
+      Dedup.jaccardPairs(documents(s, dir).filter(u < 0.3), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
     },
 
     // ---- sign-LSH recall@k audit (quantified approximation quality) ----
