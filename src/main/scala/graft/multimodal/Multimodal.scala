@@ -8,19 +8,22 @@ import org.apache.spark.sql.types._
   * travel as opaque `binary` columns next to typed metadata; decode /
   * feature-extraction runs batch-wise over partitions.
   *
-  * The codec is PLUGGABLE: the default is a deterministic fake
-  * (`fakeDecode`/`fakeResize`) so the Spark-side contract (schema,
-  * partitioning, batch shape, null handling) stays oracle-checkable;
-  * [[ImageIo]] provides a REAL pure-JVM image codec (javax.imageio —
-  * PNG/BMP/GIF/JPEG/TIFF, headless, no native libs) and [[AudioIo]] a
-  * REAL pure-JVM audio codec (javax.sound.sampled — WAV/AU/AIFF) behind
-  * the same batch APIs, and [[VideoIo]] a REAL RIFF/AVI demuxer (own
-  * chunk walker from the published layout; Motion-PNG frames decode via
-  * [[ImageIo]]) — all three oracle-checked on planted fixtures
-  * (q113/q114/q115). Only compressed video *codecs* (H.264 etc.) are
-  * absent from the JDK; `sampleFrames`' fake remains the pluggable
-  * default for those, and a production deployment plugs a JNI/library
-  * call in without touching any plan shape.
+  * The codec is PLUGGABLE, and the REAL codecs are the defaults:
+  * [[ImageIo]] (javax.imageio — PNG/BMP/GIF/JPEG/TIFF, headless, no
+  * native libs) backs `extractFeatures`/`resizeBlobs`, [[VideoIo]] (a
+  * RIFF/AVI chunk walker from the published layout; Motion-PNG frames
+  * decode via [[ImageIo]]) backs `sampleFrames`, and [[AudioIo]]
+  * (javax.sound.sampled — WAV/AU/AIFF) the audio stats — all three
+  * oracle-checked on planted fixtures (q113/q114/q115). The
+  * deterministic fakes (`fakeDecode`/`fakeResize`/`fixedFrames`) remain
+  * as explicitly named CONTRACT-CHECKERS: SQL-replayable codecs whose
+  * md5/XOR/slice math a DuckDB oracle reproduces bit-for-bit, so the
+  * distributed plumbing (schema, partitioning, batch shape, null
+  * handling) hash-checks independently of any real media bytes
+  * (q47/q90/q91 pass them explicitly). Only compressed video *codecs*
+  * (H.264 etc.) are absent from the JDK; a production deployment plugs
+  * a JNI/library call into the same slots without touching any plan
+  * shape.
   *
   * Scale notes: blobs never enter a shuffle key; feature extraction is
   * `mapPartitions` (one codec init per partition, not per row); metadata
@@ -68,18 +71,15 @@ object Multimodal {
     mmConsts.computeIfAbsent(j,
       k => graft.dedup.Dedup.md5Const64(s"graft-mm#$k")).longValue
 
-  /** STUB decode: where a real pipeline would run the image/audio codec.
-    * Deterministic: derives a fixed-length feature vector from one md5 of
-    * the blob — feature j is the low 9 bits of `md5₆₄(blob) xor c_j`
-    * scaled by 1/256 (a dyadic rational, so the float value is exact and
-    * a DuckDB oracle reproduces it bit-for-bit; see q47). Replace with
-    * the real codec (e.g. via JNI) in production — signature and batch
-    * shape are the contract.
+  /** Contract-checker decode (the real default is [[ImageIo.features]]).
+    * Deterministic and SQL-replayable: derives a fixed-length feature
+    * vector from one md5 of the blob — feature j is the low 9 bits of
+    * `md5₆₄(blob) xor c_j` scaled by 1/256 (a dyadic rational, so the
+    * float value is exact and a DuckDB oracle reproduces it bit-for-bit;
+    * q47 passes it explicitly), letting the mapPartitions plumbing
+    * hash-check on arbitrary bytes where a real codec would return null.
     */
   def fakeDecode(blob: Array[Byte], featureDim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic fake below keeps the
-    // distributed plumbing testable (and oracle-checkable) in this
-    // container.
     val d = java.security.MessageDigest.getInstance("MD5").digest(blob)
     val h = java.nio.ByteBuffer.wrap(d, 0, 8).getLong
     Array.tabulate(featureDim) { j =>
@@ -87,13 +87,14 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real pipeline decodes, resamples to (w, h), and
-    * re-encodes; the deterministic fake folds the blob into a w*h-byte
-    * "thumbnail" so size/idempotence contracts are testable. Runs in the
-    * same per-partition batch shape as [[extractFeatures]].
+  /** Contract-checker resize (the real default is [[ImageIo.resize]]:
+    * decode, nearest-neighbor resample to (w, h), PNG re-encode). The
+    * deterministic fake folds the blob into a w*h-byte "thumbnail" by
+    * XOR at i % (w*h) — order-independent, so a DuckDB oracle replays it
+    * as a bit_xor group-by (q91 passes it explicitly) and the
+    * size/idempotence contracts stay testable on arbitrary bytes.
     */
   def fakeResize(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // ??? <- real image codec goes here
     val out = new Array[Byte](w * h)
     var i = 0
     while (i < blob.length) {
@@ -103,14 +104,33 @@ object Multimodal {
     out
   }
 
-  /** STUB frame sampling: a real pipeline decodes a video container and
-    * keeps every `stride`-th frame; the fake treats the blob as fixed
-    * `frameSize`-byte frames. Output rows: (id, frame_idx, frame blob) —
-    * one input row explodes to its sampled frames, metadata stays
-    * columnar.
+  /** The real default demux for [[sampleFrames]]: [[VideoIo.demux]]'s
+    * RIFF/AVI chunk walk — an undecodable blob yields zero frames (the
+    * null-row contract of the other batch APIs, specialized to explode
+    * shape: no rows rather than a null cell).
+    */
+  def aviFrames(blob: Array[Byte]): IndexedSeq[Array[Byte]] =
+    VideoIo.demux(blob).map(_._2).getOrElse(Vector.empty)
+
+  /** Contract-checker demux: treats the blob as consecutive
+    * `frameSize`-byte frames — SQL-replayable byte slicing (q90 passes
+    * it explicitly), so the explode plumbing hash-checks on arbitrary
+    * bytes.
+    */
+  def fixedFrames(frameSize: Int)(blob: Array[Byte]): IndexedSeq[Array[Byte]] =
+    (0 until blob.length / frameSize).map(f =>
+      java.util.Arrays.copyOfRange(blob, f * frameSize, (f + 1) * frameSize))
+
+  /** Frame sampling: demux each blob and keep every `stride`-th frame.
+    * `demux` is the pluggable codec — [[aviFrames]] (the real RIFF/AVI
+    * walker) by default, [[fixedFrames]] as the oracle-checkable
+    * contract-checker. Output rows: (id, frame_idx, frame blob) — one
+    * input row explodes to its sampled frames (frame_idx is the index
+    * in the ORIGINAL frame sequence), metadata stays columnar.
     */
   def sampleFrames(df: DataFrame, idCol: String, blobCol: String,
-                   frameSize: Int, stride: Int): DataFrame = {
+                   stride: Int,
+                   demux: Array[Byte] => IndexedSeq[Array[Byte]] = aviFrames): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -121,23 +141,20 @@ object Multimodal {
       rows.flatMap { r =>
         val id = r.getLong(0)
         val blob = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val nFrames = blob.length / frameSize
-        // ??? <- real demux/decoder goes here
-        (0 until nFrames by stride).map { f =>
-          Row(id, f, java.util.Arrays.copyOfRange(blob, f * frameSize, (f + 1) * frameSize))
-        }
+        val frames = demux(blob)
+        (0 until frames.length by stride).map(f => Row(id, f, frames(f)))
       }
     }(encoder)
   }
 
   /** Resize over partitions (same batch contract as [[extractFeatures]]).
-    * `resample` is the pluggable codec — the deterministic fake by
-    * default (oracle-checkable, q91), [[ImageIo.resize]] for real image
-    * blobs; a null result marks an undecodable blob.
+    * `resample` is the pluggable codec — [[ImageIo.resize]] (real) by
+    * default, [[fakeResize]] as the oracle-checkable contract-checker
+    * (q91); a null result marks an undecodable blob.
     */
   def resizeBlobs(df: DataFrame, idCol: String, blobCol: String,
                   w: Int, h: Int,
-                  resample: (Array[Byte], Int, Int) => Array[Byte] = fakeResize): DataFrame = {
+                  resample: (Array[Byte], Int, Int) => Array[Byte] = ImageIo.resize): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
@@ -153,13 +170,13 @@ object Multimodal {
 
   /** Batch feature extraction over partitions: one codec per partition,
     * rows streamed through it. Output: (idCol, features array<float>).
-    * `decode` is the pluggable codec — the deterministic fake by default
-    * (oracle-checkable, q47), [[ImageIo.features]] for real image blobs;
-    * a null result marks an undecodable blob.
+    * `decode` is the pluggable codec — [[ImageIo.features]] (real) by
+    * default, [[fakeDecode]] as the oracle-checkable contract-checker
+    * (q47); a null result marks an undecodable blob.
     */
   def extractFeatures(df: DataFrame, idCol: String, blobCol: String,
                       featureDim: Int = 16,
-                      decode: (Array[Byte], Int) => Array[Float] = fakeDecode): DataFrame = {
+                      decode: (Array[Byte], Int) => Array[Float] = ImageIo.features): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),

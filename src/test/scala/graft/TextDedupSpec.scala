@@ -428,16 +428,18 @@ class TextDedupSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir).limit(20)
     val blobs = Multimodal.withBlob(docs, "text", "blob")
-    val resized = Multimodal.resizeBlobs(blobs, "doc_id", "blob", 8, 4)
+    val resized = Multimodal.resizeBlobs(blobs, "doc_id", "blob", 8, 4,
+        resample = Multimodal.fakeResize)
       .orderBy("doc_id").collect()
     assert(resized.forall(_.getAs[Array[Byte]]("resized").length == 32))
     // idempotent under repartitioning
-    val resized2 = Multimodal.resizeBlobs(blobs.repartition(3), "doc_id", "blob", 8, 4)
+    val resized2 = Multimodal.resizeBlobs(blobs.repartition(3), "doc_id", "blob", 8, 4,
+        resample = Multimodal.fakeResize)
       .orderBy("doc_id").collect()
     assert(resized.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq ===
       resized2.map(_.getAs[Array[Byte]]("resized").toSeq).toSeq)
     val frames = Multimodal.sampleFrames(blobs, "doc_id", "blob",
-      frameSize = 16, stride = 2).collect()
+      stride = 2, demux = Multimodal.fixedFrames(16)).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length == 16))
     assert(frames.forall(_.getInt(1) % 2 == 0), "only every stride-th frame kept")
@@ -447,9 +449,11 @@ class TextDedupSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir).limit(50)
     val blobs = Multimodal.withBlob(docs, "text", "blob")
-    val a = Multimodal.extractFeatures(blobs, "doc_id", "blob", 16)
+    val a = Multimodal.extractFeatures(blobs, "doc_id", "blob", 16,
+        decode = Multimodal.fakeDecode)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    val b = Multimodal.extractFeatures(blobs.repartition(5), "doc_id", "blob", 16)
+    val b = Multimodal.extractFeatures(blobs.repartition(5), "doc_id", "blob", 16,
+        decode = Multimodal.fakeDecode)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     assert(a.forall(_._2.length == 16))
     assert(a.map { case (i, v) => (i, v.toSeq) }.toSeq ===
