@@ -73,8 +73,44 @@ object ScaleStress {
           + pmod(xxhash64(col("id"), i), lit(100)).cast("double") / 500.0)
         .as("vec"))
 
+  /** Documents with a planted HOT LSH bucket: ids with id%100 == 0 (1%
+    * of the corpus) are boilerplate — one shared 58-token template plus
+    * two unique tokens per doc (near-identical, not exact dups), so they
+    * collide into the same (band, hash) buckets and the bucket self-join
+    * goes quadratic in the boilerplate population unless capped. The
+    * other 99% are the uniform [[documents]] shape (no planted pairs).
+    */
+  def skewDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val fam = when(col("id") % 100 === 0, lit(-1L)).otherwise(col("id"))
+    val toks = transform(sequence(lit(0), lit(59)),
+      i => concat(lit("w"), pmod(xxhash64(fam, i), lit(5000)).cast("string")))
+    val boiler = concat(
+      array(concat(lit("u"), col("id").cast("string")),
+        concat(lit("v"), col("id").cast("string"))),
+      slice(toks, 3, 58))
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      array_join(when(col("id") % 100 === 0, boiler).otherwise(toks), " ")
+        .as("text"))
+  }
+
+  /** Fact table with a planted hot join key at ×100 the mean: keys are
+    * uniform over `nKeys` for 90% of rows, and the remaining 10% all
+    * carry key 0 — with nKeys = 1000 the mean key holds n/1000 rows and
+    * key 0 holds ~n/10 ≈ 100× the mean (the q188 hot_ratio shape).
+    */
+  def skewFact(spark: SparkSession, n: Long, nKeys: Long): DataFrame =
+    spark.range(n).select(
+      when(pmod(xxhash64(col("id"), lit(3L)), lit(10)) === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id"), lit(4L)), lit(nKeys))).as("key"),
+      col("id").as("v"))
+
   def main(args: Array[String]): Unit = {
     val nDocs = if (args.nonEmpty) args(0).toLong else 5000L
+    // "core" (default) = the round-10 linear-shape families;
+    // "skew"           = the planted-hot-key decade: naive vs mitigated
+    //                    (Dedup.capBuckets / q188-planned Skew.saltedJoin)
+    val mode = if (args.length > 1) args(1) else "core"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -87,6 +123,7 @@ object ScaleStress {
 
     val read = new java.util.concurrent.atomic.AtomicLong
     val write = new java.util.concurrent.atomic.AtomicLong
+    val maxTask = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -94,6 +131,8 @@ object ScaleStress {
           read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
+        if (t.taskInfo != null)
+          maxTask.getAndAccumulate(t.taskInfo.duration, math.max(_, _))
       }
     })
 
@@ -102,14 +141,81 @@ object ScaleStress {
     def run(family: String)(body: => Long): Unit = {
       // settle async listener traffic from the previous family
       Thread.sleep(1500)
-      read.set(0L); write.set(0L)
+      read.set(0L); write.set(0L); maxTask.set(0L)
       val t0 = System.nanoTime()
       val rows = body
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1500) // let task-end events drain before reading
       println(s"""{"family":"$family","n_docs":$nDocs,"wall_sec":${fmt(wall)},""" +
         s""""shuffle_read_mb":${fmt(read.get / 1e6)},""" +
-        s""""shuffle_write_mb":${fmt(write.get / 1e6)},"result_rows":$rows}""")
+        s""""shuffle_write_mb":${fmt(write.get / 1e6)},""" +
+        s""""max_task_ms":${maxTask.get},"result_rows":$rows}""")
+    }
+
+    // ---- planted-hot-key decade (VERDICT r11 top item) ----
+    // The two named 100 TB skew mitigations measured against their naive
+    // twins on the SAME planted skew, at the same sizes:
+    //  * LSH hot bucket: 1% boilerplate docs collide into one
+    //    (band, hash) bucket per band; uncapped, the candidate self-join
+    //    emits ~(n/100)²/2 pairs from that bucket — `Dedup.capBuckets`
+    //    (ops default maxBucketSize = 1000) bounds every bucket's
+    //    contribution. AQE cannot help here: the cost is quadratic
+    //    OUTPUT VOLUME, not task imbalance.
+    //  * join skew: hot key at ×100 the mean; the mitigated path
+    //    literally executes the q188 pipeline — `Skew.keySkewReport`
+    //    plans the salt factor (its cost is charged to the mitigated
+    //    wall), `Skew.saltedJoin` applies it. Broadcast is disabled (a
+    //    1000-row dim would broadcast at any size and hide the skew) and
+    //    AQE is off in BOTH join runs so the delta is attributable to
+    //    the salt alone; in production AQE skew-join is ON and is the
+    //    complementary runtime net.
+    // "skew" runs both families; "skew-lsh"/"skew-join" one each (the
+    // two decades want different sizes: the quadratic naive LSH output
+    // is infeasible at the row counts where join-task skew first bites)
+    if (mode.startsWith("skew")) {
+      def withConf[A](kvs: (String, String)*)(body: => A): A = {
+        val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+        kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try body
+        finally prev.foreach { case (k, vo) =>
+          vo.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      }
+      val noAqe = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      def lsh(cap: Int): Long = {
+        val sigs = graft.dedup.Dedup.minhashSignatures(
+          skewDocuments(spark, nDocs), "doc_id", "text",
+          numHashes = 16, shingleSize = 3)
+        graft.dedup.Dedup.minhashCandidates(sigs, "doc_id",
+          bands = 4, numHashes = 16, maxBucketSize = cap).count()
+      }
+      if (mode != "skew-join") {
+        run("lsh_hot_bucket_naive") { lsh(Int.MaxValue) }
+        run("lsh_hot_bucket_capped") { lsh(1000) }
+      }
+      if (mode == "skew-lsh") { spark.stop(); return }
+
+      val nKeys = 1000L
+      def dim = spark.range(nKeys).select(col("id").as("key"),
+        (col("id") * 7L).as("w"))
+      def joined(f: DataFrame, d: DataFrame): Long =
+        f.join(d, "key").groupBy("key")
+          .agg(sum(col("v") + col("w")).as("s")).count()
+      run("skew_join_naive") {
+        withConf(noAqe: _*) { joined(skewFact(spark, nDocs, nKeys), dim) }
+      }
+      run("skew_join_salted") {
+        withConf(noAqe: _*) {
+          val fact = skewFact(spark, nDocs, nKeys)
+          val salts = graft.ops.Skew.keySkewReport(fact, "key",
+              targetPerTask = math.max(nDocs / nKeys, 1L), topK = 1)
+            .collect()(0).getAs[Long]("salts").toInt
+          val salted = graft.ops.Skew.saltedJoin(fact, dim, "key", salts,
+            saltExpr = Some(col("v")))
+          salted.groupBy("key").agg(sum(col("v") + col("w")).as("s")).count()
+        }
+      }
+      spark.stop(); return
     }
 
     // 1. MinHash near-dup → connected components → keep-best (the q154
