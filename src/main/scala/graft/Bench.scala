@@ -256,7 +256,10 @@ object Bench {
     // BENCH_ONLY iteration sums whichever core members it happened to
     // run, which is indistinguishable in the output from the real
     // metric — so emit null there instead of a bogus partial sum
-    // (ADVICE r10).
+    // (ADVICE r10). Stdout-line schema note for parsers: "core100" is
+    // therefore number-OR-NULL — a number on every unfiltered run (the
+    // only runs the driver records as BENCH_r*.json), the literal null
+    // on BENCH_ONLY-filtered iteration runs (ADVICE r11).
     val coreTotal = results.filter(r => CoreQueries(r._1))
       .map(med).filter(_ >= 0).sum
     val coreField = if (only.isDefined) "null" else fmt(coreTotal)

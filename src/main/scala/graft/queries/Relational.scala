@@ -18,11 +18,12 @@ import graft.ops.Exact.{davg, dsum}
 private object Q184Staging {
   lazy val dir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft_q184_staging")
-    // deleteOnExit runs LIFO, so register the dir first, files as they
-    // appear; the single staged file is registered here by its
-    // deterministic downloadToStaging name.
+    // deleteOnExit runs LIFO, so register the dir FIRST; staged files
+    // register at the q184 call site from downloadToStaging's actual
+    // return values (hard-coding the name here silently desynced if the
+    // naming convention changed — ADVICE r11), which lands their hook
+    // entries after this one, preserving file-before-dir deletion.
     p.toFile.deleteOnExit()
-    p.resolve("0000-nation.csv").toFile.deleteOnExit()
     p.toString
   }
 }
@@ -528,11 +529,16 @@ object Relational {
         // query, and a fresh createTempDirectory each time accumulated
         // never-deleted dirs (ADVICE r10). downloadToStaging's
         // index-prefixed target name is deterministic, so re-invocations
-        // overwrite the same staged file in place.
+        // atomically replace the same staged file in place.
         val staging = Q184Staging.dir
-        graft.sources.Csv.downloadToStaging(
+        val paths = graft.sources.Csv.downloadToStaging(
           Seq(s"http://127.0.0.1:${server.getAddress.getPort}/exports/nation.csv"),
           staging)
+        // register cleanup on the ACTUAL returned paths (DeleteOnExitHook
+        // dedupes repeats; these land after the dir's registration, so
+        // LIFO still deletes file-before-dir)
+        paths.foreach(p => new java.io.File(p).deleteOnExit())
+        paths
       } finally server.stop(0)
       val back = graft.sources.Csv.scan(s, staged.head,
         Some(nation(s, dir).schema))

@@ -73,10 +73,19 @@ object Csv {
       // silently overwrite each other in the staging dir.
       val base = url.split('/').filter(_.nonEmpty).lastOption.getOrElse("download.csv")
       val target = dir.resolve(f"$i%04d-$base")
+      // Download to a unique temp name, then rename into place: a direct
+      // copy with REPLACE_EXISTING is delete-then-write, so a re-download
+      // overlapping a reader (parallel tests, a planning sweep concurrent
+      // with an executing rep) could expose a missing/truncated file.
+      // ATOMIC_MOVE is a POSIX rename — readers see old-complete or
+      // new-complete bytes, never a partial file (ADVICE r11).
+      val tmp = java.nio.file.Files.createTempFile(dir, f".$i%04d-", ".part")
       val in = transport(url)
-      try java.nio.file.Files.copy(in, target,
+      try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       target.toString
     }
   }
