@@ -3587,6 +3587,65 @@ object Text {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- bigram-LM fluency scoring (the CCNet perplexity stage) ----
+    // Wenzek et al. 2020's curation signal: score every doc against a
+    // language model trained on a reference partition. The engine form
+    // ([[graft.text.LangModel]]): add-one bigram LM trained on the
+    // salted-hash 80% split, scored corpus-wide; the perplexity
+    // surrogate is the exact-grid MEAN CONDITIONAL PROBABILITY (the
+    // BM25 rational-idf trade — ln is transcendental, so a hash-compare
+    // contract can't use it; the ordering signal survives). The oracle
+    // replays the whole protocol — split hash, tokenization, bigram
+    // slices, train counts, add-one probabilities as single
+    // correctly-rounded double divisions, 1e12-grid decimal sums —
+    // so the hash match certifies train/score separation, smoothing
+    // arithmetic, and the unseen-bigram accounting end to end.
+    Q("q195_bigram_fluency",
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+        |      t -> regexp_matches(t, '^[a-z]+$$')) AS t
+        |  FROM documents),
+        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+             "md5(CAST(doc_id AS VARCHAR) || '#lm')", "documents", "h")}),
+        |uu AS (SELECT doc_id,
+        |    (CAST(h AS DOUBLE) + 9.223372036854776e18)
+        |      / 1.8446744073709552e19 AS u
+        |  FROM hv),
+        |shl AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |    ELSE []::VARCHAR[] END AS bgs FROM toks),
+        |bgo AS (SELECT doc_id, unnest(bgs) AS bg FROM shl),
+        |tr AS (SELECT b.doc_id, b.bg FROM bgo b JOIN uu USING (doc_id)
+        |  WHERE u < CAST(0.8 AS DOUBLE)),
+        |cuv AS (SELECT bg, COUNT(*) AS c_uv FROM tr GROUP BY 1),
+        |cu AS (SELECT split_part(bg, ' ', 1) AS bg_u, SUM(c_uv) AS c_u
+        |  FROM cuv GROUP BY 1),
+        |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS V FROM tr),
+        |pb AS (SELECT d.bg, cuv.bg IS NULL AS unseen,
+        |    CAST(COALESCE(cuv.c_uv, 0) + 1 AS DOUBLE)
+        |      / CAST(COALESCE(cu.c_u, 0) + vv.V AS DOUBLE) AS p
+        |  FROM (SELECT DISTINCT bg FROM bgo) d
+        |  LEFT JOIN cuv USING (bg)
+        |  LEFT JOIN cu ON cu.bg_u = split_part(d.bg, ' ', 1)
+        |  CROSS JOIN vv),
+        |per AS (SELECT o.doc_id, COUNT(*) AS n,
+        |    COUNT(*) FILTER (WHERE pb.unseen) AS nu,
+        |    SUM(CAST(ROUND(pb.p * 1000000000000.0, 0) AS DECIMAL(38,0))) AS ps
+        |  FROM bgo o JOIN pb USING (bg) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN uu.u < CAST(0.8 AS DOUBLE) THEN 'train' ELSE 'held' END AS split,
+        |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(per.nu, 0) AS BIGINT) AS n_unseen,
+        |  CASE WHEN COALESCE(per.n, 0) > 0
+        |    THEN CAST(per.ps AS DOUBLE) / 1000000000000.0 / CAST(per.n AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS mean_cond_p
+        |FROM documents d JOIN uu USING (doc_id) LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.LangModel.bigramFluency(documents(s, dir), "doc_id", "text",
+          trainFrac = 0.8, salt = "#lm")
+        .orderBy("doc_id")
+    },
+
     // ---- sign-LSH recall@k audit (quantified approximation quality) ----
     // q45 is rows-only by design (its random-hyperplane double dots are
     // engine hashing); q85 proves full-coverage equivalence. This query

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.LangModel
+
+/** Hand-computed add-one bigram-LM fluency (the q195 CCNet stage). */
+class LangModelSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def grid(p: Double): Double = math.round(p * 1.0e12).toDouble
+
+  test("bigram fluency: hand-computed counts, smoothing, unseen, empty doc") {
+    // train = docs 1,2. Bigram occurrences: doc1 "a b","b a","a b";
+    // doc2 "a b","b c"  ->  c(a b)=3, c(b a)=1, c(b c)=1;
+    // contexts c(a)=3, c(b)=2; V = |{b, a, c}| = 3 (train successors).
+    // p(a b)=(3+1)/(3+3)=4/6; p(b a)=p(b c)=2/5; p(b z)=(0+1)/(2+3)=1/5
+    // (unseen). doc4 has one alpha token -> zero bigrams; "Z9" filtered.
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "a b z"), (4L, "x Z9"))
+      .toDF("doc_id", "text")
+    val got = LangModel.bigramFluencyWithTrain(docs, "doc_id", "text",
+        isTrain = col("doc_id") <= 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val pab = grid(4.0 / 6.0); val pba = grid(2.0 / 5.0)
+    val pbc = grid(2.0 / 5.0); val pbz = grid(1.0 / 5.0)
+    assert(got === Array(
+      (1L, 3L, 0L, (pab * 2 + pba) / 1.0e12 / 3.0),
+      (2L, 2L, 0L, (pab + pbc) / 1.0e12 / 2.0),
+      (3L, 2L, 1L, (pab + pbz) / 1.0e12 / 2.0),
+      (4L, 0L, 0L, 0.0)))
+  }
+
+  test("salted wrapper: every doc scored and labeled, invariant under repartition") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val a = LangModel.bigramFluency(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(a.length === docs.count())
+    assert(a.map(_._2).toSet === Set("train", "held"),
+      "both split labels must appear at sf0.001")
+    // held-out docs can carry unseen bigrams; train docs can't (their
+    // own occurrences are in the counts)
+    assert(a.filter(_._2 == "train").forall(_._4 == 0L))
+    val b = LangModel.bigramFluency(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(b === a, "grid sums must make the score partition-invariant")
+  }
+}
