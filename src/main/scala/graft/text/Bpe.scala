@@ -117,10 +117,15 @@ object Bpe {
     var step = 1
     var done = false
     while (step <= nMerges && !done) {
+      // zip_with over slices, not element_at(arr, i) in an index lambda:
+      // a non-lambda subexpression in a HOF body re-evaluates PER
+      // ELEMENT, so the element_at form re-split the seq string
+      // O(len²) times per word (the q195 lesson, LangModel.bigramArr)
       val arr = split(trim(col("seq")), "  ")
       val pairsOf = when(size(arr) >= 2,
-        transform(sequence(lit(0), size(arr) - 2),
-          i => concat(element_at(arr, i + 1), lit("  "), element_at(arr, i + 2))))
+        zip_with(slice(arr, lit(1), size(arr) - 1),
+          slice(arr, lit(2), size(arr) - 1),
+          (a, b) => concat(a, lit("  "), b)))
         .otherwise(array().cast("array<string>"))
       val top = cur.select(explode(pairsOf).as("pair"), col("cnt"))
         .groupBy("pair").agg(sum("cnt").as("c"))

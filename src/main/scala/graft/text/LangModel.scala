@@ -36,16 +36,20 @@ object LangModel {
   private def tokArr(textCol: Column): Column =
     filter(TextOps.tokens(textCol), t => t.rlike("^[a-z]+$"))
 
-  /** "u v" bigram strings of the lowercase alpha tokens, in order, with
-    * occurrence multiplicity (tokens are ^[a-z]+$ so the space join is
-    * unambiguous and contexts recover via substring_index).
+  /** (u, v) bigram structs of the lowercase alpha tokens, in order,
+    * with occurrence multiplicity. zip_with over two slices — NOT an
+    * index-lambda with element_at(t, i): a non-lambda subexpression
+    * inside a higher-order-function body re-evaluates PER ELEMENT, so
+    * the element_at form re-ran the regex token filter O(tokens²) times
+    * per document (measured 11.9 s for q195 at sf0.1; this form runs
+    * the filter O(1) per row and the query in ~1 s).
     */
   private def bigramArr(textCol: Column): Column = {
     val t = tokArr(textCol)
     when(size(t) >= 2,
-      transform(sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-      .otherwise(array().cast("array<string>"))
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("u"), b.as("v"))))
+      .otherwise(array().cast("array<struct<u:string,v:string>>"))
   }
 
   /** Per-document bigram-LM fluency against a model trained on the rows
@@ -61,29 +65,37 @@ object LangModel {
     */
   def bigramFluencyWithTrain(docs: DataFrame, idCol: String, textCol: String,
                              isTrain: Column): DataFrame = {
-    // one (id, bigram) occurrence stream, pinned: train counts, the
-    // distinct-bigram probability table, and the scoring reduce all
-    // read it (re-deriving would re-tokenize the corpus three times)
+    // One (id, bigram) occurrence stream, pinned (train counts and the
+    // scoring reduce both read it — re-deriving would re-tokenize the
+    // corpus twice). Bigram/context/successor travel as 64-BIT
+    // xxhash64 identities, never strings — the [[graft.dedup.Dedup]]
+    // shingle-identity trade (`verifyJaccard`'s "64-bit identities"):
+    // every shuffle and join key is 8 bytes, and the q195 oracle, which
+    // replays the protocol over the TRUE strings, doubles as the
+    // collision detector (a 64-bit collision would shift a count and
+    // fail the hash compare; P ≈ n²/2⁶⁵).
     val occ = graft.ops.Pin.pin(docs
       .select(col(idCol), isTrain.as("__tr"),
-        explode(bigramArr(col(textCol))).as("bg")))
+        explode(bigramArr(col(textCol))).as("b"))
+      .select(col(idCol), col("__tr"),
+        xxhash64(col("b.u"), col("b.v")).as("bh"),
+        xxhash64(col("b.u")).as("uh"),
+        xxhash64(col("b.v")).as("vh")))
     val train = occ.filter(col("__tr"))
-    val cuv = train.groupBy("bg").agg(count(lit(1)).as("c_uv"))
-    val cu = cuv.groupBy(substring_index(col("bg"), " ", 1).as("bg_u"))
-      .agg(sum(col("c_uv")).as("c_u"))
-    val vocab = train.agg(
-      countDistinct(substring_index(col("bg"), " ", -1)).as("V"))
-    // probability per DISTINCT corpus bigram (vocabulary-sized work),
-    // joined back to the occurrence stream AQE-sized — no hints on the
-    // data-dependent frames; the 1-row V aggregate is the only hint
-    val pb = occ.select("bg").distinct()
-      .join(cuv, Seq("bg"), "left")
-      .join(cu, substring_index(col("bg"), " ", 1) === col("bg_u"), "left")
+    // uh is functionally dependent on bh — carrying it through the
+    // count lets the context roll-up reuse the same frame
+    val cuv = train.groupBy("bh", "uh").agg(count(lit(1)).as("c_uv"))
+    val cu = cuv.groupBy("uh").agg(sum(col("c_uv")).as("c_u"))
+    val vocab = train.agg(countDistinct(col("vh")).as("V"))
+    // fold the model straight onto the occurrence stream: two AQE-sized
+    // left joins on 8-byte keys + the 1-row V broadcast (the only hint)
+    val per = occ
+      .join(cuv.select(col("bh"), col("c_uv")), Seq("bh"), "left")
+      .join(cu, Seq("uh"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col("bg"), col("c_uv").isNull.as("unseen"),
+      .select(col(idCol), col("c_uv").isNull.as("unseen"),
         ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("c_u"), lit(0L)) + col("V")).cast("double")).as("p"))
-    val per = occ.join(pb, "bg")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("unseen"), lit(1))).as("n_unseen"),
