@@ -67,10 +67,19 @@ object Dedup {
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = TextOps.tokens(text)
+    // n-fold zip_with over shifted slices, not slice(toks, i, n) in an
+    // index lambda: a non-lambda subexpression in a HOF body
+    // re-evaluates per ELEMENT, so the old form re-ran the tokenizing
+    // split O(tokens) times per doc (the q195 lesson,
+    // LangModel.bigramArr) — quadratic on the streaming
+    // minhashSignatureExpr path that folds over this array numHashes
+    // times. HOF inputs evaluate once per row.
+    val grams = (2 to n)
+      .map(k => slice(toks, lit(k), size(toks) - (n - 1)))
+      .foldLeft(slice(toks, lit(1), size(toks) - (n - 1)))(
+        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
     array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      when(size(toks) >= n, grams)
         .otherwise(array(concat_ws(" ", toks))))
   }
 

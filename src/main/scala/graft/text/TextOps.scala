@@ -52,10 +52,18 @@ object TextOps {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     val t = tokens(text)
+    // n-fold zip_with over shifted slices, NOT an index lambda with
+    // slice(t, i, n): a non-lambda subexpression in a HOF body
+    // re-evaluates per ELEMENT, so the slice form re-ran the
+    // tokenizing split O(tokens) times per doc (the q195 lesson,
+    // LangModel.bigramArr). HOF *inputs* evaluate once per row, so the
+    // slices pay O(n) token-array builds per row instead.
+    val grams = (2 to n)
+      .map(k => slice(t, lit(k), size(t) - (n - 1)))
+      .foldLeft(slice(t, lit(1), size(t) - (n - 1)))(
+        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
     when(text.isNull, array().cast("array<string>"))
-      .when(size(t) >= n,
-        transform(sequence(lit(1), size(t) - (n - 1)),
-          i => array_join(slice(t, i, lit(n)), " ")))
+      .when(size(t) >= n, grams)
       .otherwise(array(array_join(t, " ")))
   }
 
@@ -121,18 +129,25 @@ object TextOps {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got ($chunkTokens, $overlap)")
     val stride = chunkTokens - overlap
-    val t = split(trim(text), "\\s+")
-    val n = size(t)
-    val nch = when(n <= chunkTokens, lit(1L)).otherwise(
-      floor((n - lit(chunkTokens) + lit(stride - 1)).cast("double")
-        / lit(stride.toDouble)).cast("long") + lit(1L))
-    transform(sequence(lit(0L), nch - 1),
-      k => struct(
-        k.as("idx"),
-        array_join(slice(t, (k * stride + 1).cast("int"), lit(chunkTokens)), " ")
-          .as("chunk"),
-        least(lit(chunkTokens), n - (k * stride).cast("int")).cast("long")
-          .as("n_tokens")))
+    // Let-bind the token array once per row by routing it through a
+    // single-element array and an outer transform: lambda VARIABLES are
+    // bound values, so the inner index lambda reads `t` O(1) per chunk —
+    // referencing the split expression directly would re-tokenize the
+    // whole doc per chunk, O(len²/stride) on long documents (the q195
+    // lesson, LangModel.bigramArr).
+    flatten(transform(array(split(trim(text), "\\s+")), t => {
+      val n = size(t)
+      val nch = when(n <= chunkTokens, lit(1L)).otherwise(
+        floor((n - lit(chunkTokens) + lit(stride - 1)).cast("double")
+          / lit(stride.toDouble)).cast("long") + lit(1L))
+      transform(sequence(lit(0L), nch - 1),
+        k => struct(
+          k.as("idx"),
+          array_join(slice(t, (k * stride + 1).cast("int"), lit(chunkTokens)), " ")
+            .as("chunk"),
+          least(lit(chunkTokens), n - (k * stride).cast("int")).cast("long")
+            .as("n_tokens")))
+    }))
   }
 
   /** BPE-ish subword count: alpha runs count ~1 token per 4 chars
