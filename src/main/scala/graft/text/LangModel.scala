@@ -52,6 +52,54 @@ object LangModel {
       .otherwise(array().cast("array<struct<u:string,v:string>>"))
   }
 
+  /** (bh, uh, vh) xxhash64 identity structs of the doc's bigrams —
+    * bigram, context and successor as 8-byte keys (the
+    * [[graft.dedup.Dedup.verifyJaccard]] 64-bit-identity trade; the
+    * q195 oracle replays true strings and doubles as the collision
+    * detector). The hash lambda only touches the bound lambda variable,
+    * so this stays O(bigrams) per row.
+    */
+  def bigramHashArr(textCol: Column): Column =
+    transform(bigramArr(textCol), b => struct(
+      xxhash64(b.getField("u"), b.getField("v")).as("bh"),
+      xxhash64(b.getField("u")).as("uh"),
+      xxhash64(b.getField("v")).as("vh")))
+
+  /** A trained add-one bigram LM as reusable artifacts: per-bigram
+    * counts (bh, c_uv), per-context counts (uh, c_u) — both pinned,
+    * vocabulary-sized — and the successor-vocabulary size. The static
+    * side of [[graft.streaming.Streaming.fluencyStream]]'s
+    * stream-static joins; train it batch-side, score forever.
+    */
+  final case class FluencyModel(cuv: DataFrame, cu: DataFrame, vocabSize: Long)
+
+  /** Train a [[FluencyModel]] from the rows where `isTrain` holds —
+    * the same counts [[bigramFluencyWithTrain]] derives internally
+    * (vocabSize is a 1-row collect, the k-means-centroid artifact
+    * precedent: model fitting is an action).
+    */
+  def trainBigramModel(docs: DataFrame, idCol: String, textCol: String,
+                       isTrain: Column): FluencyModel = {
+    val train = graft.ops.Pin.pin(docs.filter(isTrain)
+      .select(explode(bigramHashArr(col(textCol))).as("b"))
+      .select(col("b.bh").as("bh"), col("b.uh").as("uh"), col("b.vh").as("vh")))
+    val cuv = train.groupBy("bh", "uh").agg(count(lit(1)).as("c_uv"))
+    val cu = cuv.groupBy("uh").agg(sum(col("c_uv")).as("c_u"))
+    val v = train.agg(countDistinct(col("vh"))).collect()(0).getLong(0)
+    FluencyModel(graft.ops.Pin.pin(cuv.select("bh", "c_uv")),
+      graft.ops.Pin.pin(cu), v)
+  }
+
+  /** Grid capture of a probability column — shared by the batch and
+    * streaming scorers so the two paths provably share arithmetic.
+    */
+  private[graft] def gridSum(p: Column): Column =
+    sum(round(p * lit(Grid), 0).cast(DecimalType(38, 0)))
+
+  private[graft] def gridMean(ps: Column, n: Column): Column =
+    when(n > 0, ps.cast("double") / lit(Grid) / n.cast("double"))
+      .otherwise(lit(0.0))
+
   /** Per-document bigram-LM fluency against a model trained on the rows
     * where `isTrain` holds (every doc is scored, train rows too — the
     * CCNet shape trains on the reference partition and scores the whole
@@ -76,11 +124,9 @@ object LangModel {
     // fail the hash compare; P ≈ n²/2⁶⁵).
     val occ = graft.ops.Pin.pin(docs
       .select(col(idCol), isTrain.as("__tr"),
-        explode(bigramArr(col(textCol))).as("b"))
+        explode(bigramHashArr(col(textCol))).as("b"))
       .select(col(idCol), col("__tr"),
-        xxhash64(col("b.u"), col("b.v")).as("bh"),
-        xxhash64(col("b.u")).as("uh"),
-        xxhash64(col("b.v")).as("vh")))
+        col("b.bh").as("bh"), col("b.uh").as("uh"), col("b.vh").as("vh")))
     val train = occ.filter(col("__tr"))
     // uh is functionally dependent on bh — carrying it through the
     // count lets the context roll-up reuse the same frame
@@ -99,16 +145,13 @@ object LangModel {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("unseen"), lit(1))).as("n_unseen"),
-        sum(round(col("p") * lit(Grid), 0).cast(DecimalType(38, 0))).as("__ps"))
+        gridSum(col("p")).as("__ps"))
     docs.select(col(idCol))
       .join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
-        when(col("n_bigrams") > 0,
-          col("__ps").cast("double") / lit(Grid) /
-            col("n_bigrams").cast("double"))
-          .otherwise(lit(0.0)).as("mean_cond_p"))
+        gridMean(col("__ps"), col("n_bigrams")).as("mean_cond_p"))
   }
 
   /** The salted-hash-split form: train on the `trainFrac` partition of

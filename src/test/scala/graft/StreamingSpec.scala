@@ -580,4 +580,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally q.stop()
   }
+
+  test("fluency stream scores against a batch-trained model, row-equal to the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.LangModel
+    // the LangModelSpec fixture: train = docs 1,2; doc 3 carries an
+    // unseen bigram, doc 4 has <2 alpha tokens
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "a b z"), (4L, "x Z9"))
+      .toDF("doc_id", "text")
+    val model = LangModel.trainBigramModel(docs, "doc_id", "text",
+      isTrain = col("doc_id") <= 2)
+    assert(model.vocabSize === 3L) // successors {b, a, c}
+    val batch = LangModel.bigramFluencyWithTrain(docs, "doc_id", "text",
+        isTrain = col("doc_id") <= 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val scored = Streaming.fluencyStream(
+      input.toDF().toDF("ts", "doc_id", "text"),
+      "ts", "doc_id", "text", model)
+    val q = scored.writeStream.format("memory")
+      .queryName("fluency_stream").outputMode("complete").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(
+        (t, 1L, "a b a b"), (t, 2L, "a b c"),
+        (t, 3L, "a b z"), (t, 4L, "x Z9"))
+      q.processAllAvailable()
+      val got = spark.table("fluency_stream").orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(got === batch,
+        "stream scores must be bit-identical to the batch scorer")
+    } finally q.stop()
+  }
 }
