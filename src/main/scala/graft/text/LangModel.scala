@@ -90,6 +90,55 @@ object LangModel {
       graft.ops.Pin.pin(cu), v)
   }
 
+  /** Persist a trained [[FluencyModel]]: the two count frames as
+    * parquet, the vocab size as driver-side JSON (the
+    * [[graft.ml.Artifacts]] K3 contract — parquet for distributed
+    * state, JSON for scalars).
+    */
+  def saveModel(model: FluencyModel, dir: String): Unit = {
+    model.cuv.write.mode("overwrite").parquet(s"$dir/cuv")
+    model.cu.write.mode("overwrite").parquet(s"$dir/cu")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"vocabSize":${model.vocabSize}}""")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                dir: String): FluencyModel = {
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "meta.json")))
+    FluencyModel(spark.read.parquet(s"$dir/cuv"),
+      spark.read.parquet(s"$dir/cu"), meta.get("vocabSize").asLong())
+  }
+
+  /** Score a batch frame against an already-trained (possibly
+    * [[loadModel]]-reloaded) model — the batch twin of
+    * [[graft.streaming.Streaming.fluencyStream]], same columns and
+    * arithmetic as [[bigramFluencyWithTrain]]'s scoring half.
+    */
+  def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
+                     model: FluencyModel): DataFrame = {
+    val per = docs
+      .select(col(idCol), explode(bigramHashArr(col(textCol))).as("b"))
+      .select(col(idCol), col("b.bh").as("bh"), col("b.uh").as("uh"))
+      .join(model.cuv, Seq("bh"), "left")
+      .join(model.cu, Seq("uh"), "left")
+      .select(col(idCol), col("c_uv").isNull.as("unseen"),
+        ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c_u"), lit(0L)) + lit(model.vocabSize))
+            .cast("double")).as("p"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("unseen"), lit(1))).as("n_unseen"),
+        gridSum(col("p")).as("__ps"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+        gridMean(col("__ps"), col("n_bigrams")).as("mean_cond_p"))
+  }
+
   /** Grid capture of a probability column — shared by the batch and
     * streaming scorers so the two paths provably share arithmetic.
     */

@@ -33,6 +33,32 @@ class LangModelSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("model artifact round-trip: save, load, score == in-session scorer") {
+    val docs = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "a b z"), (4L, "x Z9"))
+      .toDF("doc_id", "text")
+    val isTrain = col("doc_id") <= 2
+    val want = LangModel.bigramFluencyWithTrain(docs, "doc_id", "text", isTrain)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    try {
+      LangModel.saveModel(
+        LangModel.trainBigramModel(docs, "doc_id", "text", isTrain), dir)
+      val got = LangModel.scoreWithModel(docs, "doc_id", "text",
+          LangModel.loadModel(spark, dir))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got === want,
+        "a reloaded model must score bit-identically to the training session")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("salted wrapper: every doc scored and labeled, invariant under repartition") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
