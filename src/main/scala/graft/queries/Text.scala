@@ -3623,7 +3623,7 @@ object Text {
         |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS V FROM tr),
         |pb AS (SELECT d.bg, cuv.bg IS NULL AS unseen,
         |    CAST(COALESCE(cuv.c_uv, 0) + 1 AS DOUBLE)
-        |      / CAST(COALESCE(cu.c_u, 0) + vv.V AS DOUBLE) AS p
+        |      / CAST(COALESCE(cu.c_u, 0) + GREATEST(vv.V, 1) AS DOUBLE) AS p
         |  FROM (SELECT DISTINCT bg FROM bgo) d
         |  LEFT JOIN cuv USING (bg)
         |  LEFT JOIN cu ON cu.bg_u = split_part(d.bg, ' ', 1)

@@ -86,7 +86,8 @@ object Streaming {
         (col("bh").isNotNull && col("c_uv").isNull).as("unseen"),
         when(col("bh").isNotNull,
           (coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
-            (coalesce(col("c_u"), lit(0L)) + lit(model.vocabSize))
+            (coalesce(col("c_u"), lit(0L)) +
+              lit(math.max(model.vocabSize, 1L)))
               .cast("double")).as("p"))
       .groupBy(col(tsCol), col(idCol))
       .agg(count(col("p")).as("n_bigrams"),

@@ -125,7 +125,7 @@ object LangModel {
       .join(model.cu, Seq("uh"), "left")
       .select(col(idCol), col("c_uv").isNull.as("unseen"),
         ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("c_u"), lit(0L)) + lit(model.vocabSize))
+          (coalesce(col("c_u"), lit(0L)) + lit(math.max(model.vocabSize, 1L)))
             .cast("double")).as("p"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -188,9 +188,14 @@ object LangModel {
       .join(cuv.select(col("bh"), col("c_uv")), Seq("bh"), "left")
       .join(cu, Seq("uh"), "left")
       .crossJoin(broadcast(vocab))
+      // greatest(V, 1): an EMPTY train partition would otherwise make
+      // every denominator 0 and every p Infinity — the guard pins the
+      // degenerate model to p = 1 per bigram (bounded, defined), and is
+      // an exact no-op whenever any train bigram exists (V >= 1)
       .select(col(idCol), col("c_uv").isNull.as("unseen"),
         ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("c_u"), lit(0L)) + col("V")).cast("double")).as("p"))
+          (coalesce(col("c_u"), lit(0L)) + greatest(col("V"), lit(1L)))
+            .cast("double")).as("p"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         count(when(col("unseen"), lit(1))).as("n_unseen"),

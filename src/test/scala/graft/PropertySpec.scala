@@ -272,4 +272,38 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches === 0L,
       "exact-decimal audit bucketing diverged from the double-fold hot path")
   }
+
+  test("bigram fluency invariants on random corpora (incl. the empty model)") {
+    import graft.text.LangModel
+    for (s <- 1 to 6) {
+      val nDocs = sample(Gen.choose(3, 12), 2000 + s)
+      val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+      val docs = (1 to nDocs).map { i =>
+        val len = sample(Gen.choose(0, 8), 2100 + s * 100 + i)
+        val words = (0 until len).map(j =>
+          vocab(sample(Gen.choose(0, vocab.size - 1), 2200 + s * 1000 + i * 10 + j)))
+        (i.toLong, words.mkString(" "))
+      }.toDF("doc_id", "text")
+      // mod-k train predicate; k = nDocs + 1 on the last seed selects
+      // NOBODY -> the degenerate empty model must stay bounded (p = 1
+      // per bigram via the greatest(V, 1) guard), not go Infinity
+      val k = if (s == 6) nDocs + 1 else sample(Gen.choose(2, 4), 2300 + s)
+      val isTrain = col("doc_id") % k === 0
+      val trainIds = (1 to nDocs).filter(_ % k == 0).map(_.toLong).toSet
+      val got = LangModel.bigramFluencyWithTrain(docs, "doc_id", "text", isTrain)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length === nDocs)
+      for ((id, n, nu, mean) <- got) {
+        assert(nu <= n, s"seed $s doc $id: n_unseen $nu > n_bigrams $n")
+        assert(mean >= 0.0 && mean <= 1.0,
+          s"seed $s doc $id: mean_cond_p $mean out of [0,1]")
+        if (n == 0) assert(mean === 0.0 && nu === 0L)
+        if (trainIds(id)) assert(nu === 0L,
+          s"seed $s train doc $id carries unseen bigrams")
+        if (trainIds.isEmpty && n > 0)
+          assert(nu === n && mean === 1.0,
+            s"seed $s doc $id: empty model must score every bigram 1/(0+1)")
+      }
+    }
+  }
 }
