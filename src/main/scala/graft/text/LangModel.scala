@@ -80,12 +80,16 @@ object LangModel {
     */
   def trainBigramModel(docs: DataFrame, idCol: String, textCol: String,
                        isTrain: Column): FluencyModel = {
-    val train = graft.ops.Pin.pin(docs.filter(isTrain)
+    // one corpus pass: group by (bh, uh, vh) — uh/vh are functionally
+    // dependent on bh, so this is the bh partition — then pin the
+    // vocabulary-sized counts and derive contexts + vocab size from them
+    val cuv = graft.ops.Pin.pin(docs.filter(isTrain)
       .select(explode(bigramHashArr(col(textCol))).as("b"))
-      .select(col("b.bh").as("bh"), col("b.uh").as("uh"), col("b.vh").as("vh")))
-    val cuv = train.groupBy("bh", "uh").agg(count(lit(1)).as("c_uv"))
+      .groupBy(col("b.bh").as("bh"), col("b.uh").as("uh"),
+        col("b.vh").as("vh"))
+      .agg(count(lit(1)).as("c_uv")))
     val cu = cuv.groupBy("uh").agg(sum(col("c_uv")).as("c_u"))
-    val v = train.agg(countDistinct(col("vh"))).collect()(0).getLong(0)
+    val v = cuv.agg(countDistinct(col("vh"))).collect()(0).getLong(0)
     FluencyModel(graft.ops.Pin.pin(cuv.select("bh", "c_uv")),
       graft.ops.Pin.pin(cu), v)
   }
@@ -177,11 +181,16 @@ object LangModel {
       .select(col(idCol), col("__tr"),
         col("b.bh").as("bh"), col("b.uh").as("uh"), col("b.vh").as("vh")))
     val train = occ.filter(col("__tr"))
-    // uh is functionally dependent on bh — carrying it through the
-    // count lets the context roll-up reuse the same frame
-    val cuv = train.groupBy("bh", "uh").agg(count(lit(1)).as("c_uv"))
+    // uh/vh are functionally dependent on bh, so grouping by all three
+    // is the same partition as by bh alone — and carrying them through
+    // ONE pinned count lets the context roll-up AND the vocabulary
+    // count derive from the vocabulary-sized frame instead of each
+    // replaying the corpus-sized aggregation (a .explain audit showed
+    // the unpinned form running the occurrence shuffle three times)
+    val cuv = graft.ops.Pin.pin(
+      train.groupBy("bh", "uh", "vh").agg(count(lit(1)).as("c_uv")))
     val cu = cuv.groupBy("uh").agg(sum(col("c_uv")).as("c_u"))
-    val vocab = train.agg(countDistinct(col("vh")).as("V"))
+    val vocab = cuv.agg(countDistinct(col("vh")).as("V"))
     // fold the model straight onto the occurrence stream: two AQE-sized
     // left joins on 8-byte keys + the 1-row V broadcast (the only hint)
     val per = occ
