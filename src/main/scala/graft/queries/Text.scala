@@ -107,6 +107,44 @@ object Text {
     * (per-doc fixed-association score). Returns the CTE list WITHOUT
     * the `WITH` keyword; callers append their ranking select.
     */
+  /** Shared CTE chain of the bigram-LM fluency protocol (q195/q196):
+    * salted split hash, alpha tokenization, bigram slices, train
+    * counts, add-one probabilities, per-doc grid sums — ends at
+    * `per (doc_id, n, nu, ps)` plus `uu (doc_id, u)` for the split.
+    */
+  private def fluencyPerDocSql: String =
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |      t -> regexp_matches(t, '^[a-z]+$$')) AS t
+      |  FROM documents),
+      |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+           "md5(CAST(doc_id AS VARCHAR) || '#lm')", "documents", "h")}),
+      |uu AS (SELECT doc_id,
+      |    (CAST(h AS DOUBLE) + 9.223372036854776e18)
+      |      / 1.8446744073709552e19 AS u
+      |  FROM hv),
+      |shl AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
+      |      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+      |    ELSE []::VARCHAR[] END AS bgs FROM toks),
+      |bgo AS (SELECT doc_id, unnest(bgs) AS bg FROM shl),
+      |tr AS (SELECT b.doc_id, b.bg FROM bgo b JOIN uu USING (doc_id)
+      |  WHERE u < CAST(0.8 AS DOUBLE)),
+      |cuv AS (SELECT bg, COUNT(*) AS c_uv FROM tr GROUP BY 1),
+      |cu AS (SELECT split_part(bg, ' ', 1) AS bg_u, SUM(c_uv) AS c_u
+      |  FROM cuv GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS V FROM tr),
+      |pb AS (SELECT d.bg, cuv.bg IS NULL AS unseen,
+      |    CAST(COALESCE(cuv.c_uv, 0) + 1 AS DOUBLE)
+      |      / CAST(COALESCE(cu.c_u, 0) + GREATEST(vv.V, 1) AS DOUBLE) AS p
+      |  FROM (SELECT DISTINCT bg FROM bgo) d
+      |  LEFT JOIN cuv USING (bg)
+      |  LEFT JOIN cu ON cu.bg_u = split_part(d.bg, ' ', 1)
+      |  CROSS JOIN vv),
+      |per AS (SELECT o.doc_id, COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE pb.unseen) AS nu,
+      |    SUM(CAST(ROUND(pb.p * 1000000000000.0, 0) AS DECIMAL(38,0))) AS ps
+      |  FROM bgo o JOIN pb USING (bg) GROUP BY 1)""".stripMargin
+
   private def bm25CoreSql(terms: Seq[String]): String = {
     val tfCols = terms.map(t =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n    ")
@@ -3601,37 +3639,7 @@ object Text {
     // so the hash match certifies train/score separation, smoothing
     // arithmetic, and the unseen-bigram accounting end to end.
     Q("q195_bigram_fluency",
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-        |      t -> regexp_matches(t, '^[a-z]+$$')) AS t
-        |  FROM documents),
-        |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id",
-             "md5(CAST(doc_id AS VARCHAR) || '#lm')", "documents", "h")}),
-        |uu AS (SELECT doc_id,
-        |    (CAST(h AS DOUBLE) + 9.223372036854776e18)
-        |      / 1.8446744073709552e19 AS u
-        |  FROM hv),
-        |shl AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
-        |      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
-        |    ELSE []::VARCHAR[] END AS bgs FROM toks),
-        |bgo AS (SELECT doc_id, unnest(bgs) AS bg FROM shl),
-        |tr AS (SELECT b.doc_id, b.bg FROM bgo b JOIN uu USING (doc_id)
-        |  WHERE u < CAST(0.8 AS DOUBLE)),
-        |cuv AS (SELECT bg, COUNT(*) AS c_uv FROM tr GROUP BY 1),
-        |cu AS (SELECT split_part(bg, ' ', 1) AS bg_u, SUM(c_uv) AS c_u
-        |  FROM cuv GROUP BY 1),
-        |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS V FROM tr),
-        |pb AS (SELECT d.bg, cuv.bg IS NULL AS unseen,
-        |    CAST(COALESCE(cuv.c_uv, 0) + 1 AS DOUBLE)
-        |      / CAST(COALESCE(cu.c_u, 0) + GREATEST(vv.V, 1) AS DOUBLE) AS p
-        |  FROM (SELECT DISTINCT bg FROM bgo) d
-        |  LEFT JOIN cuv USING (bg)
-        |  LEFT JOIN cu ON cu.bg_u = split_part(d.bg, ' ', 1)
-        |  CROSS JOIN vv),
-        |per AS (SELECT o.doc_id, COUNT(*) AS n,
-        |    COUNT(*) FILTER (WHERE pb.unseen) AS nu,
-        |    SUM(CAST(ROUND(pb.p * 1000000000000.0, 0) AS DECIMAL(38,0))) AS ps
-        |  FROM bgo o JOIN pb USING (bg) GROUP BY 1)
+      s"""WITH $fluencyPerDocSql
         |SELECT d.doc_id,
         |  CASE WHEN uu.u < CAST(0.8 AS DOUBLE) THEN 'train' ELSE 'held' END AS split,
         |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
@@ -3644,6 +3652,63 @@ object Text {
       graft.text.LangModel.bigramFluency(documents(s, dir), "doc_id", "text",
           trainFrac = 0.8, salt = "#lm")
         .orderBy("doc_id")
+    },
+
+    // ---- CCNet fluency bucketing: head / middle / tail thirds ----
+    // The second half of the CCNet stage: partition the corpus into
+    // three equal-mass buckets by LM score (head = most fluent). CCNet
+    // buckets by perplexity terciles; the engine form ranks by the
+    // exact-grid score and cuts at n/3 and 2n/3 — equal-sized thirds by
+    // construction, ties broken by doc_id, and RANK-based rather than
+    // value-interpolated, so the cut is exact integer arithmetic with
+    // no quantile-interpolation parity risk. The global rank comes from
+    // [[graft.ops.Splits.withGlobalRowNumberCols]] (range partition +
+    // broadcast offsets — never a single-partition window; the oracle
+    // replays it as a plain ROW_NUMBER, two different rank algorithms,
+    // same answer). Scale shape: the fluency chain is q195's; the rank
+    // adds one range shuffle of (doc_id, 3 longs); the report is one
+    // map-side-combined 3-row aggregate.
+    Q("q196_fluency_buckets",
+      s"""WITH $fluencyPerDocSql,
+        |sc AS (SELECT d.doc_id,
+        |    CAST(COALESCE(per.n, 0) AS BIGINT) AS nb,
+        |    CAST(COALESCE(per.nu, 0) AS BIGINT) AS nu,
+        |    CASE WHEN COALESCE(per.n, 0) > 0
+        |      THEN CAST(ROUND(CAST(per.ps AS DOUBLE) / 1000000000000.0
+        |        / CAST(per.n AS DOUBLE) * 1000000000000.0, 0) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS gm
+        |  FROM documents d LEFT JOIN per USING (doc_id)),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY gm, doc_id) AS pos
+        |  FROM sc),
+        |nt AS (SELECT COUNT(*) AS n_total FROM sc)
+        |SELECT CASE WHEN pos <= n_total // 3 THEN 'tail'
+        |    WHEN pos <= (n_total * 2) // 3 THEN 'middle'
+        |    ELSE 'head' END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(nb) AS BIGINT) AS sum_bigrams,
+        |  CAST(SUM(nu) AS BIGINT) AS sum_unseen,
+        |  MIN(gm) AS min_gm, MAX(gm) AS max_gm
+        |FROM rk CROSS JOIN nt GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val uu = (Dedup.md5Hash64(concat(col("doc_id").cast("string"),
+          lit("#lm"))).cast("double") + lit(9.223372036854776e18)) /
+        lit(1.8446744073709552e19)
+      val scores = graft.text.LangModel.bigramFluencyWithTrain(
+        documents(s, dir), "doc_id", "text", isTrain = uu < 0.8)
+      val g = scores.select(col("doc_id"), col("n_bigrams"), col("n_unseen"),
+        round(col("mean_cond_p") * lit(1.0e12), 0).cast("long").as("gm"))
+      val (ranked, nTotal) = graft.ops.Splits.withGlobalRowNumberCols(
+        g, Seq(col("gm"), col("doc_id")), "__pos")
+      ranked
+        .withColumn("bucket",
+          when(col("__pos") <= lit(nTotal / 3), "tail")
+            .when(col("__pos") <= lit(nTotal * 2 / 3), "middle")
+            .otherwise("head"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(col("n_unseen")).as("sum_unseen"),
+          min(col("gm")).as("min_gm"), max(col("gm")).as("max_gm"))
+        .orderBy("bucket")
     },
 
     // ---- sign-LSH recall@k audit (quantified approximation quality) ----
