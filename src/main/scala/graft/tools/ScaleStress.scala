@@ -260,6 +260,22 @@ object ScaleStress {
         shingleSize = 3, threshold = 0.5).count()
     }
 
+    // 5. Bigram-LM fluency (q195): train on the salted 80% split, score
+    //    the whole corpus — counts shuffle on 8-byte bigram identities,
+    //    one vocabulary-sized pinned model pass, AQE-sized score joins.
+    //    Tokens must be PURE ALPHA (the scorer's ^[a-z]+$ filter drops
+    //    [[documents]]' digit-suffixed vocabulary entirely — digits
+    //    translate to letters so the 5000-word vocab survives).
+    run("bigram_fluency") {
+      val toks = transform(sequence(lit(0), lit(59)),
+        i => concat(lit("w"), translate(
+          pmod(xxhash64(col("id"), i), lit(5000)).cast("string"),
+          "0123456789", "abcdefghij")))
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(toks, " ").as("text"))
+      graft.text.LangModel.bigramFluency(docs, "doc_id", "text").count()
+    }
+
     spark.stop()
   }
 }
