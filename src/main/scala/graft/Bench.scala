@@ -5,6 +5,20 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line of per-query seconds. Execution is forced through
   * the noop sink — a `count()` would let Catalyst prune projections and
   * drop sorts, under-measuring projection-heavy queries.
+  *
+  * Bench-line schema (the one stdout JSON line):
+  *  - `"value"` (headline total): sum of per-query medians over every
+  *    registered query EXCEPT the [[AuditQueries]] tier — the headline
+  *    measures plans the engine would actually schedule at scale.
+  *  - `"audit"`: the audit tier's own sum — a NUMBER on unfiltered runs,
+  *    the literal `null` on BENCH_ONLY-filtered iteration runs (a
+  *    partial sum would be indistinguishable from the real one).
+  *  - `"core100"`: sum over the pinned [[CoreQueries]] — same
+  *    number-or-null convention as `"audit"`; frozen membership, so it
+  *    still INCLUDES q77 (membership never drifts, even into tiers).
+  *  - `"queries"`: positional array of ALL registered queries' medians
+  *    in registration order (audit members included at their index), or
+  *    a name-keyed object on filtered runs.
   */
 object Bench {
   /** Pinned 100-query core (the suite's first 100 registration-order
@@ -115,6 +129,22 @@ object Bench {
     "q118_data_mixing",
     "q119_bm25_search",
     "q120_pq_ann")
+  /** Deliberately-exhaustive audit baselines (VERDICT r12 item 2): the
+    * two registered O(n²) all-pairs plans the engine itself documents a
+    * 100 TB run would never schedule — q77's exact Jaccard cross
+    * product (ground truth for q194's Bernoulli-sampled twin and
+    * q128's prefix-filter) and q170's LSH recall audit (exact all-pairs
+    * ground truth + the full LSH chain in one plan). They still RUN
+    * every bench (their timings stay in the positional array, their
+    * CORRECTNESS rows come from Verify which is untouched, and q77
+    * stays inside the frozen core100 sum), but the HEADLINE total
+    * excludes them and reports their sum as the separate `"audit"`
+    * field — the headline should measure plans the engine would
+    * schedule, the audit tier measures the ground-truth machinery.
+    */
+  val AuditQueries: Set[String] = Set(
+    "q77_jaccard_pairs",
+    "q170_lsh_recall_audit")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -250,7 +280,13 @@ object Bench {
     val errs = results.filter(_._3 > 0).map { case (n, _, e, _) =>
       "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")
-    val total = results.map(med).filter(_ >= 0).sum
+    // headline total excludes the audit tier (schema note in the object
+    // Scaladoc); the tier's own sum travels as the separate "audit" field
+    val total = results.filterNot(r => AuditQueries(r._1))
+      .map(med).filter(_ >= 0).sum
+    val auditTotal = results.filter(r => AuditQueries(r._1))
+      .map(med).filter(_ >= 0).sum
+    val auditField = if (only.isDefined) "null" else fmt(auditTotal)
     // suite-growth-stable metric: sum of medians over the pinned
     // CoreQueries only. Meaningful ONLY on the unfiltered full run: a
     // BENCH_ONLY iteration sums whichever core members it happened to
@@ -287,7 +323,7 @@ object Bench {
         s"""{"idx":$i,"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e,"load1":$load,"mem_avail_mb":$mem}"""
       }.mkString("[\n", ",\n", "\n]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"queries":$detail}\n""")
       // index↔name registry map as a machine-readable artifact (VERDICT
       // r10 item 7): BENCH_r*.json's positional "queries" array joins to
       // names through this file instead of a hand-run `runMain QOrder`.
@@ -297,7 +333,7 @@ object Bench {
         .mkString("[\n", ",\n", "\n]\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

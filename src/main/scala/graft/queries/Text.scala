@@ -107,12 +107,17 @@ object Text {
     * (per-doc fixed-association score). Returns the CTE list WITHOUT
     * the `WITH` keyword; callers append their ranking select.
     */
-  /** Shared CTE chain of the bigram-LM fluency protocol (q195/q196):
-    * salted split hash, alpha tokenization, bigram slices, train
-    * counts, add-one probabilities, per-doc grid sums — ends at
+  /** Shared CTE chain of the n-gram-LM fluency protocol
+    * (q195/q196 at n = 2, q197 at n = 3): salted split hash, alpha
+    * tokenization, n-gram slices, train counts over (n−1)-token
+    * contexts, add-one probabilities, per-doc grid sums — ends at
     * `per (doc_id, n, nu, ps)` plus `uu (doc_id, u)` for the split.
+    * Gram strings join space-free ^[a-z]+$ tokens with ' ', so the
+    * context prefix/successor split below is unambiguous at any n.
     */
-  private def fluencyPerDocSql: String =
+  private def fluencyPerDocSql(n: Int): String = {
+    val ctx = s"array_to_string((string_split(bg, ' '))[1:${n - 1}], ' ')"
+    val ctxD = s"array_to_string((string_split(d.bg, ' '))[1:${n - 1}], ' ')"
     s"""toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
       |      t -> regexp_matches(t, '^[a-z]+$$')) AS t
@@ -123,27 +128,29 @@ object Text {
       |    (CAST(h AS DOUBLE) + 9.223372036854776e18)
       |      / 1.8446744073709552e19 AS u
       |  FROM hv),
-      |shl AS (SELECT doc_id, CASE WHEN len(t) >= 2 THEN
-      |      list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+      |shl AS (SELECT doc_id, CASE WHEN len(t) >= $n THEN
+      |      list_transform(range(1, len(t) - ${n - 2}),
+      |                     i -> array_to_string(t[i:i+${n - 1}], ' '))
       |    ELSE []::VARCHAR[] END AS bgs FROM toks),
       |bgo AS (SELECT doc_id, unnest(bgs) AS bg FROM shl),
       |tr AS (SELECT b.doc_id, b.bg FROM bgo b JOIN uu USING (doc_id)
       |  WHERE u < CAST(0.8 AS DOUBLE)),
       |cuv AS (SELECT bg, COUNT(*) AS c_uv FROM tr GROUP BY 1),
-      |cu AS (SELECT split_part(bg, ' ', 1) AS bg_u, SUM(c_uv) AS c_u
+      |cu AS (SELECT $ctx AS bg_u, SUM(c_uv) AS c_u
       |  FROM cuv GROUP BY 1),
-      |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS V FROM tr),
+      |vv AS (SELECT COUNT(DISTINCT split_part(bg, ' ', $n)) AS V FROM tr),
       |pb AS (SELECT d.bg, cuv.bg IS NULL AS unseen,
       |    CAST(COALESCE(cuv.c_uv, 0) + 1 AS DOUBLE)
       |      / CAST(COALESCE(cu.c_u, 0) + GREATEST(vv.V, 1) AS DOUBLE) AS p
       |  FROM (SELECT DISTINCT bg FROM bgo) d
       |  LEFT JOIN cuv USING (bg)
-      |  LEFT JOIN cu ON cu.bg_u = split_part(d.bg, ' ', 1)
+      |  LEFT JOIN cu ON cu.bg_u = $ctxD
       |  CROSS JOIN vv),
       |per AS (SELECT o.doc_id, COUNT(*) AS n,
       |    COUNT(*) FILTER (WHERE pb.unseen) AS nu,
       |    SUM(CAST(ROUND(pb.p * 1000000000000.0, 0) AS DECIMAL(38,0))) AS ps
       |  FROM bgo o JOIN pb USING (bg) GROUP BY 1)""".stripMargin
+  }
 
   private def bm25CoreSql(terms: Seq[String]): String = {
     val tfCols = terms.map(t =>
@@ -3639,7 +3646,7 @@ object Text {
     // so the hash match certifies train/score separation, smoothing
     // arithmetic, and the unseen-bigram accounting end to end.
     Q("q195_bigram_fluency",
-      s"""WITH $fluencyPerDocSql
+      s"""WITH ${fluencyPerDocSql(2)}
         |SELECT d.doc_id,
         |  CASE WHEN uu.u < CAST(0.8 AS DOUBLE) THEN 'train' ELSE 'held' END AS split,
         |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_bigrams,
@@ -3669,7 +3676,7 @@ object Text {
     // adds one range shuffle of (doc_id, 3 longs); the report is one
     // map-side-combined 3-row aggregate.
     Q("q196_fluency_buckets",
-      s"""WITH $fluencyPerDocSql,
+      s"""WITH ${fluencyPerDocSql(2)},
         |sc AS (SELECT d.doc_id,
         |    CAST(COALESCE(per.n, 0) AS BIGINT) AS nb,
         |    CAST(COALESCE(per.nu, 0) AS BIGINT) AS nu,
@@ -3709,6 +3716,32 @@ object Text {
           sum(col("n_unseen")).as("sum_unseen"),
           min(col("gm")).as("min_gm"), max(col("gm")).as("max_gm"))
         .orderBy("bucket")
+    },
+
+    // ---- trigram-LM fluency (the n-gram order knob, VERDICT r12 #5) ----
+    // CCNet's real model is a 5-gram KenLM; [[graft.text.LangModel]] is
+    // parameterized on the order, with contexts as (n−1)-gram xxhash64
+    // identities. This registers the n = 3 point of that knob on the
+    // same protocol as q195 (same salted 80% split, add-one smoothing
+    // over two-token contexts, exact-grid mean conditional probability),
+    // so the hash match certifies the GENERALIZED context hashing —
+    // every shuffle/join key is still 8 bytes at any n; only the train
+    // count table's cardinality grows with the order (distinct n-grams,
+    // vocabulary-sized at fixed corpus entropy, never corpus-sized).
+    Q("q197_trigram_fluency",
+      s"""WITH ${fluencyPerDocSql(3)}
+        |SELECT d.doc_id,
+        |  CASE WHEN uu.u < CAST(0.8 AS DOUBLE) THEN 'train' ELSE 'held' END AS split,
+        |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(per.nu, 0) AS BIGINT) AS n_unseen,
+        |  CASE WHEN COALESCE(per.n, 0) > 0
+        |    THEN CAST(per.ps AS DOUBLE) / 1000000000000.0 / CAST(per.n AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS mean_cond_p
+        |FROM documents d JOIN uu USING (doc_id) LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.LangModel.ngramFluency(documents(s, dir), "doc_id", "text",
+          n = 3, trainFrac = 0.8, salt = "#lm")
+        .orderBy("doc_id")
     },
 
     // ---- sign-LSH recall@k audit (quantified approximation quality) ----

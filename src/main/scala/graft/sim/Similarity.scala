@@ -175,11 +175,13 @@ object Similarity {
     }.reduce(_.bitwiseOR(_))
   }
 
-  /** LSH-bucketed approximate top-k with exact re-ranking: candidates are
-    * corpus rows sharing a bucket with the query in any of `tables`
-    * independent tables. Equi-join on (table, bucket) — shuffles integer
-    * keys, never the full cross product.
-    */
+  // ---------------------------------------------------------------------
+  // LSH-bucketed approximate top-k with exact re-ranking: candidates are
+  // corpus rows sharing a bucket with the query in any of `tables`
+  // independent tables. Equi-join on (table, bucket) — shuffles integer
+  // keys, never the full cross product.
+  // ---------------------------------------------------------------------
+
   /** Cap per-(table,bucket) membership at `cap` rows (deterministic:
     * smallest ids) — a hot bucket otherwise makes the candidate join
     * quadratic within the bucket at corpus scale. Hash-partitioned
@@ -192,14 +194,20 @@ object Similarity {
         Window.partitionBy(col("t"), col("b")).orderBy(col(idCol))))
       .filter(col("__bn") <= cap).drop("__bn")
 
-  def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                  vecCol: String, k: Int, dim: Int, bits: Int = 12,
-                  tables: Int = 4, seed: Long = 42L,
-                  maxBucketSize: Int = 10000,
-                  exactPlaneDots: Boolean = false): DataFrame = {
-    // candidate generation carries IDS ONLY: buckets, the equi-join, and
-    // the distinct shuffle 8-byte keys; vectors re-attach by id after —
-    // shuffling vectors with every candidate pair is the scale killer.
+  /** The candidate-generation stage of [[signLshTopK]], exposed as its
+    * own operator: distinct (query_id, neighbor_id) pairs sharing a
+    * bucket in any table. Carries IDS ONLY — buckets, the equi-join,
+    * and the distinct shuffle 8-byte keys; vectors re-attach by id in
+    * the re-rank — shuffling vectors with every candidate pair is the
+    * scale killer. Also the instrument the `ann` ScaleStress decade
+    * counts: this frame's row count IS the candidate mass the bucketing
+    * admits at a given (bits, tables, corpus size).
+    */
+  def signLshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, dim: Int, bits: Int = 12,
+                        tables: Int = 4, seed: Long = 42L,
+                        maxBucketSize: Int = 10000,
+                        exactPlaneDots: Boolean = false): DataFrame = {
     def bucketed(df: DataFrame, id: String): DataFrame = {
       val buckets = array((0 until tables).map(t =>
         struct(lit(t).as("t"),
@@ -209,9 +217,18 @@ object Similarity {
     }
     val c = capBuckets(bucketed(corpus, "neighbor_id"), "neighbor_id", maxBucketSize)
     val q = bucketed(queries, "query_id")
-    val cands = c.join(q, Seq("t", "b"))
+    c.join(q, Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
+  }
+
+  def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, k: Int, dim: Int, bits: Int = 12,
+                  tables: Int = 4, seed: Long = 42L,
+                  maxBucketSize: Int = 10000,
+                  exactPlaneDots: Boolean = false): DataFrame = {
+    val cands = signLshCandidates(corpus, queries, idCol, vecCol, dim, bits,
+      tables, seed, maxBucketSize, exactPlaneDots)
     rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
   }
 
@@ -256,19 +273,42 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
-  /** IVF (inverted-file) approximate top-k — the other standard ANN
-    * scale path next to [[signLshTopK]]: a coarse k-means quantizer
-    * partitions the corpus into `nCells` cells (MLlib KMeans, seeded);
-    * each query probes its `nProbe` nearest cells and re-ranks exactly
-    * within them. Centroids are driver/broadcast state (nCells × dim);
-    * the candidate join shuffles on integer cell ids. Recall rises with
-    * nProbe; nProbe = nCells degenerates to exact search.
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) approximate top-k — the other standard ANN scale
+  // path next to signLshTopK: a coarse k-means quantizer partitions the
+  // corpus into `nCells` cells (MLlib KMeans, seeded); each query probes
+  // its `nProbe` nearest cells and re-ranks exactly within them.
+  // Centroids are driver/broadcast state (nCells × dim); the candidate
+  // join shuffles on integer cell ids. Recall rises with nProbe;
+  // nProbe = nCells degenerates to exact search.
+  // ---------------------------------------------------------------------
+
+  /** The candidate-generation stage of [[ivfTopK]]: distinct
+    * (query_id, neighbor_id) pairs whose corpus row lives in one of the
+    * query's `nProbe` nearest cells. Trains the same seeded coarse
+    * quantizer as [[ivfTopK]] (identical cells), carries ids + the
+    * integer cell only. The `ann` ScaleStress decade counts this frame
+    * to measure the probe fraction the cell structure admits.
     */
+  def ivfCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, nCells: Int = 16, nProbe: Int = 4,
+                    seed: Long = 42L): DataFrame =
+    ivfAssign(corpus, queries, idCol, vecCol, nCells, nProbe, seed)
+
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
               seed: Long = 42L): DataFrame = {
+    val cands = ivfAssign(corpus, queries, idCol, vecCol, nCells, nProbe, seed)
+    rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Shared cell-assignment + probe join of [[ivfTopK]] /
+    * [[ivfCandidates]].
+    */
+  private def ivfAssign(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, nCells: Int, nProbe: Int,
+                        seed: Long): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors => MlVectors}
     val spark = corpus.sparkSession
     val corpusF = corpus.select(col(idCol).as("neighbor_id"),
       org.apache.spark.ml.functions.array_to_vector(
@@ -301,12 +341,11 @@ object Similarity {
       .withColumn("__cell",
         explode(nearestCells(col("qv").cast("array<double>"))))
       .select("query_id", "__cell")
-    // candidate join carries ids + the integer cell only; scoring is the
-    // shared double-prefilter + bounded exact re-rank
-    val cands = c.join(q, Seq("__cell"))
+    // candidate join carries ids + the integer cell only; scoring (in
+    // ivfTopK) is the shared double-prefilter + bounded exact re-rank
+    c.join(q, Seq("__cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
   }
 
   /** IVF with a PINNED deterministic coarse quantizer — the q186

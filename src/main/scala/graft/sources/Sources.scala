@@ -80,12 +80,21 @@ object Csv {
       // ATOMIC_MOVE is a POSIX rename — readers see old-complete or
       // new-complete bytes, never a partial file (ADVICE r11).
       val tmp = java.nio.file.Files.createTempFile(dir, f".$i%04d-", ".part")
-      val in = transport(url)
-      try java.nio.file.Files.copy(in, tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
-      java.nio.file.Files.move(tmp, target,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // A failed transport/copy must not strand the .part file: an
+      // accumulating staging dir also defeats its deleteOnExit cleanup
+      // (deleteOnExit only removes EMPTY dirs) — so delete on any throw
+      // between creation and the rename (ADVICE r12).
+      try {
+        val in = transport(url)
+        try java.nio.file.Files.copy(in, tmp,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        finally in.close()
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch { case e: Throwable =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw e
+      }
       target.toString
     }
   }

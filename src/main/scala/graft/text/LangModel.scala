@@ -9,7 +9,9 @@ import org.apache.spark.sql.types.DecimalType
   * Datasets from Web Crawl Data"): score each document against a
   * language model trained on a reference partition, and filter/bucket
   * the corpus by how predictable its text is. CCNet uses KenLM 5-gram
-  * perplexity; this engine's form is an add-one-smoothed BIGRAM model
+  * perplexity; this engine's form is an add-one-smoothed n-gram model
+  * (order parameterized — contexts are (n−1)-gram identities; the
+  * registered queries run n = 2 for q195/q196 and n = 3 for q197)
   * with the perplexity surrogate chosen for cross-engine exactness —
   * the same trade [[Retrieval]] makes for BM25's idf: a log/exp
   * perplexity is transcendental (two engines' `ln` may differ in the
@@ -36,34 +38,55 @@ object LangModel {
   private def tokArr(textCol: Column): Column =
     filter(TextOps.tokens(textCol), t => t.rlike("^[a-z]+$"))
 
-  /** (u, v) bigram structs of the lowercase alpha tokens, in order,
-    * with occurrence multiplicity. zip_with over two slices — NOT an
+  /** (gh, ch, vh) xxhash64 identity structs of the doc's n-grams, in
+    * order with occurrence multiplicity: gram = hash of
+    * ((n−1)-token context string, successor token), context and
+    * successor as 8-byte keys on their own (the
+    * [[graft.dedup.Dedup.verifyJaccard]] 64-bit-identity trade; the
+    * q195/q197 oracles replay true strings and double as the collision
+    * detectors). At n = 2 this is exactly the historical bigram
+    * hashing — gh = xxhash64(u, v), ch = xxhash64(u), vh = xxhash64(v)
+    * — so [[bigramHashArr]] and every saved [[FluencyModel]] keep
+    * their values.
+    *
+    * Built as an (n−1)-fold zip_with over shifted slices — NOT an
     * index-lambda with element_at(t, i): a non-lambda subexpression
     * inside a higher-order-function body re-evaluates PER ELEMENT, so
     * the element_at form re-ran the regex token filter O(tokens²) times
-    * per document (measured 11.9 s for q195 at sf0.1; this form runs
-    * the filter O(1) per row and the query in ~1 s).
+    * per document (measured 11.9 s for the bigram q195 at sf0.1; this
+    * form runs the filter O(1) per row and the query in ~1 s). The
+    * context string concatenates space-free ^[a-z]+$ tokens with " ",
+    * so it is collision-free as an identity; the final hash lambda only
+    * touches bound lambda variables — O(n-grams) per row.
     */
-  private def bigramArr(textCol: Column): Column = {
+  def ngramHashArr(textCol: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram LM needs n >= 2, got $n")
     val t = tokArr(textCol)
-    when(size(t) >= 2,
-      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
-        (a, b) => struct(a.as("u"), b.as("v"))))
-      .otherwise(array().cast("array<struct<u:string,v:string>>"))
+    // (n−1)-token context strings at each start position (the
+    // [[graft.dedup.Dedup.shingles]] fold), zipped with the successor
+    val ctx = (2 until n)
+      .map(k => slice(t, lit(k), size(t) - (n - 1)))
+      .foldLeft(slice(t, lit(1), size(t) - (n - 1)))(
+        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+    val succ = slice(t, lit(n), size(t) - (n - 1))
+    when(size(t) >= n,
+      zip_with(ctx, succ, (c, w) => struct(
+        xxhash64(c, w).as("gh"),
+        xxhash64(c).as("ch"),
+        xxhash64(w).as("vh"))))
+      .otherwise(array().cast("array<struct<gh:bigint,ch:bigint,vh:bigint>>"))
   }
 
-  /** (bh, uh, vh) xxhash64 identity structs of the doc's bigrams —
-    * bigram, context and successor as 8-byte keys (the
-    * [[graft.dedup.Dedup.verifyJaccard]] 64-bit-identity trade; the
-    * q195 oracle replays true strings and doubles as the collision
-    * detector). The hash lambda only touches the bound lambda variable,
-    * so this stays O(bigrams) per row.
+  /** Bigram specialization of [[ngramHashArr]] under the historical
+    * (bh, uh, vh) field names — the streaming scorer's and
+    * [[FluencyModel]]'s on-disk schema. The rename lambda touches only
+    * the bound variable (O(bigrams) per row).
     */
   def bigramHashArr(textCol: Column): Column =
-    transform(bigramArr(textCol), b => struct(
-      xxhash64(b.getField("u"), b.getField("v")).as("bh"),
-      xxhash64(b.getField("u")).as("uh"),
-      xxhash64(b.getField("v")).as("vh")))
+    transform(ngramHashArr(textCol, 2), b => struct(
+      b.getField("gh").as("bh"),
+      b.getField("ch").as("uh"),
+      b.getField("vh").as("vh")))
 
   /** A trained add-one bigram LM as reusable artifacts: per-bigram
     * counts (bh, c_uv), per-context counts (uh, c_u) — both pinned,
@@ -121,27 +144,28 @@ object LangModel {
     * arithmetic as [[bigramFluencyWithTrain]]'s scoring half.
     */
   def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
-                     model: FluencyModel): DataFrame = {
-    val per = docs
-      .select(col(idCol), explode(bigramHashArr(col(textCol))).as("b"))
+                     model: FluencyModel): DataFrame =
+    // explode_outer: a doc with <2 alpha tokens keeps one null-bigram
+    // row so the aggregate covers every input id — one corpus scan, no
+    // re-attach join (the same shape as the streaming twin and
+    // [[ngramFluencyWithTrain]]'s core)
+    docs
+      .select(col(idCol), explode_outer(bigramHashArr(col(textCol))).as("b"))
       .select(col(idCol), col("b.bh").as("bh"), col("b.uh").as("uh"))
       .join(model.cuv, Seq("bh"), "left")
       .join(model.cu, Seq("uh"), "left")
-      .select(col(idCol), col("c_uv").isNull.as("unseen"),
-        ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("c_u"), lit(0L)) + lit(math.max(model.vocabSize, 1L)))
-            .cast("double")).as("p"))
+      .select(col(idCol),
+        (col("bh").isNotNull && col("c_uv").isNull).as("unseen"),
+        when(col("bh").isNotNull,
+          ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c_u"), lit(0L)) + lit(math.max(model.vocabSize, 1L)))
+              .cast("double"))).as("p"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(count(col("p")).as("n_bigrams"),
         count(when(col("unseen"), lit(1))).as("n_unseen"),
         gridSum(col("p")).as("__ps"))
-    docs.select(col(idCol))
-      .join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
+      .select(col(idCol), col("n_bigrams"), col("n_unseen"),
         gridMean(col("__ps"), col("n_bigrams")).as("mean_cond_p"))
-  }
 
   /** Grid capture of a probability column — shared by the batch and
     * streaming scorers so the two paths provably share arithmetic.
@@ -153,84 +177,128 @@ object LangModel {
     when(n > 0, ps.cast("double") / lit(Grid) / n.cast("double"))
       .otherwise(lit(0.0))
 
-  /** Per-document bigram-LM fluency against a model trained on the rows
-    * where `isTrain` holds (every doc is scored, train rows too — the
-    * CCNet shape trains on the reference partition and scores the whole
-    * crawl). Output per input row:
-    * (idCol, n_bigrams, n_unseen, mean_cond_p) where
-    * p(v|u) = (c(uv)+1)/(c(u)+V), c from train-occurrence counts,
-    * V = distinct successor-token count of the train bigrams, and
-    * mean_cond_p is the exact-grid mean (0.0 for docs with <2 alpha
-    * tokens). `n_unseen` counts bigrams absent from the train model —
-    * the held-out novelty signal add-one smoothing absorbs.
+  /** Shared n-gram scoring core: one corpus scan, the train flag
+    * threaded through to the output. Returns
+    * (idCol, __tr, n_ngrams, n_unseen, mean_cond_p).
+    *
+    * ONE (id, n-gram) occurrence stream, pinned (train counts and the
+    * scoring reduce both read it — re-deriving would re-tokenize the
+    * corpus twice), exploded with explode_OUTER so a doc with < n alpha
+    * tokens keeps one null-gram row: the aggregate then covers every
+    * input id and no second `documents` scan + re-attach join is needed
+    * (VERDICT r12 item 3 — the wrapper's split label now rides the same
+    * single scan). Gram/context/successor travel as 64-BIT xxhash64
+    * identities, never strings — the [[graft.dedup.Dedup]]
+    * shingle-identity trade (`verifyJaccard`'s "64-bit identities"):
+    * every shuffle and join key is 8 bytes, and the q195/q197 oracles,
+    * which replay the protocol over the TRUE strings, double as the
+    * collision detectors (a 64-bit collision would shift a count and
+    * fail the hash compare; P ≈ n²/2⁶⁵).
     */
-  def bigramFluencyWithTrain(docs: DataFrame, idCol: String, textCol: String,
-                             isTrain: Column): DataFrame = {
-    // One (id, bigram) occurrence stream, pinned (train counts and the
-    // scoring reduce both read it — re-deriving would re-tokenize the
-    // corpus twice). Bigram/context/successor travel as 64-BIT
-    // xxhash64 identities, never strings — the [[graft.dedup.Dedup]]
-    // shingle-identity trade (`verifyJaccard`'s "64-bit identities"):
-    // every shuffle and join key is 8 bytes, and the q195 oracle, which
-    // replays the protocol over the TRUE strings, doubles as the
-    // collision detector (a 64-bit collision would shift a count and
-    // fail the hash compare; P ≈ n²/2⁶⁵).
+  private def ngramScored(docs: DataFrame, idCol: String, textCol: String,
+                          isTrain: Column, n: Int): DataFrame = {
     val occ = graft.ops.Pin.pin(docs
       .select(col(idCol), isTrain.as("__tr"),
-        explode(bigramHashArr(col(textCol))).as("b"))
+        explode_outer(ngramHashArr(col(textCol), n)).as("g"))
       .select(col(idCol), col("__tr"),
-        col("b.bh").as("bh"), col("b.uh").as("uh"), col("b.vh").as("vh")))
-    val train = occ.filter(col("__tr"))
-    // uh/vh are functionally dependent on bh, so grouping by all three
-    // is the same partition as by bh alone — and carrying them through
+        col("g.gh").as("gh"), col("g.ch").as("ch"), col("g.vh").as("vh")))
+    // null-gram sentinel rows carry no count mass anywhere: train counts
+    // filter them, the score joins never match a null key, and the
+    // aggregates below count only non-null p
+    val train = occ.filter(col("__tr") && col("gh").isNotNull)
+    // ch/vh are functionally dependent on gh, so grouping by all three
+    // is the same partition as by gh alone — and carrying them through
     // ONE pinned count lets the context roll-up AND the vocabulary
     // count derive from the vocabulary-sized frame instead of each
     // replaying the corpus-sized aggregation (a .explain audit showed
     // the unpinned form running the occurrence shuffle three times)
     val cuv = graft.ops.Pin.pin(
-      train.groupBy("bh", "uh", "vh").agg(count(lit(1)).as("c_uv")))
-    val cu = cuv.groupBy("uh").agg(sum(col("c_uv")).as("c_u"))
+      train.groupBy("gh", "ch", "vh").agg(count(lit(1)).as("c_uv")))
+    val cu = cuv.groupBy("ch").agg(sum(col("c_uv")).as("c_u"))
     val vocab = cuv.agg(countDistinct(col("vh")).as("V"))
     // fold the model straight onto the occurrence stream: two AQE-sized
     // left joins on 8-byte keys + the 1-row V broadcast (the only hint)
-    val per = occ
-      .join(cuv.select(col("bh"), col("c_uv")), Seq("bh"), "left")
-      .join(cu, Seq("uh"), "left")
+    occ
+      .join(cuv.select(col("gh"), col("c_uv")), Seq("gh"), "left")
+      .join(cu, Seq("ch"), "left")
       .crossJoin(broadcast(vocab))
       // greatest(V, 1): an EMPTY train partition would otherwise make
       // every denominator 0 and every p Infinity — the guard pins the
-      // degenerate model to p = 1 per bigram (bounded, defined), and is
-      // an exact no-op whenever any train bigram exists (V >= 1)
-      .select(col(idCol), col("c_uv").isNull.as("unseen"),
-        ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
-          (coalesce(col("c_u"), lit(0L)) + greatest(col("V"), lit(1L)))
-            .cast("double")).as("p"))
+      // degenerate model to p = 1 per gram (bounded, defined), and is
+      // an exact no-op whenever any train gram exists (V >= 1)
+      .select(col(idCol), col("__tr"),
+        (col("gh").isNotNull && col("c_uv").isNull).as("unseen"),
+        when(col("gh").isNotNull,
+          ((coalesce(col("c_uv"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c_u"), lit(0L)) + greatest(col("V"), lit(1L)))
+              .cast("double"))).as("p"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
+      // __tr is functionally dependent on the group key (one flag per
+      // doc), so first() is deterministic here
+      .agg(first(col("__tr")).as("__tr"),
+        count(col("p")).as("n_ngrams"),
         count(when(col("unseen"), lit(1))).as("n_unseen"),
         gridSum(col("p")).as("__ps"))
-    docs.select(col(idCol))
-      .join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("n_unseen"), lit(0L)).as("n_unseen"),
-        gridMean(col("__ps"), col("n_bigrams")).as("mean_cond_p"))
+      .select(col(idCol), col("__tr"), col("n_ngrams"), col("n_unseen"),
+        gridMean(col("__ps"), col("n_ngrams")).as("mean_cond_p"))
   }
 
-  /** The salted-hash-split form: train on the `trainFrac` partition of
-    * the q150 unit-interval hash (stable under reruns and corpus
-    * growth, replayable by any md5-capable engine), score everything.
-    * Adds the split label for interpretability.
+  /** Per-document n-gram-LM fluency against a model trained on the rows
+    * where `isTrain` holds (every doc is scored, train rows too — the
+    * CCNet shape trains on the reference partition and scores the whole
+    * crawl; CCNet's real model is a 5-gram KenLM, and `n` is that
+    * order knob). Output per input row:
+    * (idCol, n_ngrams, n_unseen, mean_cond_p) where
+    * p(w|c) = (c(cw)+1)/(c(c)+V) over (n−1)-token contexts c,
+    * c from train-occurrence counts, V = distinct successor-token count
+    * of the train grams, and mean_cond_p is the exact-grid mean (0.0
+    * for docs with < n alpha tokens). `n_unseen` counts grams absent
+    * from the train model — the held-out novelty signal add-one
+    * smoothing absorbs.
+    */
+  def ngramFluencyWithTrain(docs: DataFrame, idCol: String, textCol: String,
+                            isTrain: Column, n: Int): DataFrame =
+    ngramScored(docs, idCol, textCol, isTrain, n)
+      .select(col(idCol), col("n_ngrams"), col("n_unseen"), col("mean_cond_p"))
+
+  /** Bigram (n = 2) form of [[ngramFluencyWithTrain]] under the
+    * historical column name `n_bigrams` — the q195/q196 contract.
+    */
+  def bigramFluencyWithTrain(docs: DataFrame, idCol: String, textCol: String,
+                             isTrain: Column): DataFrame =
+    ngramScored(docs, idCol, textCol, isTrain, 2)
+      .select(col(idCol), col("n_ngrams").as("n_bigrams"), col("n_unseen"),
+        col("mean_cond_p"))
+
+  /** The q150 salted-hash unit-interval split expression shared by the
+    * salted-split wrappers (stable under reruns and corpus growth,
+    * replayable by any md5-capable engine).
+    */
+  private def unitHash(idCol: String, salt: String): Column =
+    (graft.dedup.Dedup.md5Hash64(
+        concat(col(idCol).cast("string"), lit(salt))).cast("double") +
+      lit(9.223372036854776e18)) / lit(1.8446744073709552e19)
+
+  /** The salted-hash-split n-gram form: train on the `trainFrac`
+    * partition of the q150 unit-interval hash, score everything. The
+    * split label rides [[ngramScored]]'s threaded train flag — one
+    * corpus scan total (no re-hash, no re-attach join).
+    */
+  def ngramFluency(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   trainFrac: Double = 0.8,
+                   salt: String = "#lm"): DataFrame =
+    ngramScored(docs, idCol, textCol,
+        unitHash(idCol, salt) < trainFrac, n)
+      .select(col(idCol),
+        when(col("__tr"), "train").otherwise("held").as("split"),
+        col("n_ngrams"), col("n_unseen"), col("mean_cond_p"))
+
+  /** Bigram (n = 2) form of [[ngramFluency]] — the q195 contract
+    * (`n_bigrams` column name).
     */
   def bigramFluency(docs: DataFrame, idCol: String, textCol: String,
                     trainFrac: Double = 0.8,
-                    salt: String = "#lm"): DataFrame = {
-    val uu = (graft.dedup.Dedup.md5Hash64(
-        concat(col(idCol).cast("string"), lit(salt))).cast("double") +
-      lit(9.223372036854776e18)) / lit(1.8446744073709552e19)
-    bigramFluencyWithTrain(docs, idCol, textCol, uu < trainFrac)
-      .join(docs.select(col(idCol),
-        when(uu < trainFrac, "train").otherwise("held").as("split")), idCol)
-      .select(idCol, "split", "n_bigrams", "n_unseen", "mean_cond_p")
-  }
+                    salt: String = "#lm"): DataFrame =
+    ngramFluency(docs, idCol, textCol, 2, trainFrac, salt)
+      .withColumnRenamed("n_ngrams", "n_bigrams")
 }

@@ -94,6 +94,24 @@ object ScaleStress {
         .as("text"))
   }
 
+  /** Synthetic dim-`dim` float embeddings: components are pure hash
+    * projections of `id`, uniform in [-1, 1] — distributed,
+    * deterministic, no skew. The ANN query batch is simply ids <
+    * nQueries from the SAME generator, so the batch is PINNED across
+    * corpus sizes (id k generates the identical vector at every n) and
+    * its members' self-matches are excluded by the operators' own
+    * `neighbor_id =!= query_id` guard. Hash-uniform vectors make LSH
+    * buckets / IVF cells balanced — the cost decade measures the
+    * even-load shape; recall quality under structure is the q185–q187
+    * audits' job, and the hot-bucket failure mode is the skew decade's.
+    */
+  def annEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("id"), i), lit(2001)).cast("double")
+          / lit(1000.0) - lit(1.0)).cast("float")).as("embedding"))
+
   /** Fact table with a planted hot join key at ×100 the mean: keys are
     * uniform over `nKeys` for 90% of rows, and the remaining 10% all
     * carry key 0 — with nKeys = 1000 the mean key holds n/1000 rows and
@@ -110,6 +128,8 @@ object ScaleStress {
     // "core" (default) = the round-10 linear-shape families;
     // "skew"           = the planted-hot-key decade: naive vs mitigated
     //                    (Dedup.capBuckets / q188-planned Skew.saltedJoin)
+    // "ann"            = the similarity-search decade: exact vs sign-LSH
+    //                    vs IVF vs PQ-ADC top-k over a pinned query batch
     val mode = if (args.length > 1) args(1) else "core"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -152,6 +172,71 @@ object ScaleStress {
         s""""max_task_ms":${maxTask.get},"result_rows":$rows}""")
     }
 
+    // ---- ANN similarity decade (VERDICT r12 top item) ----
+    // The four registered top-k paths over the same synthetic corpus and
+    // the same PINNED 64-query batch (`annEmbeddings` — ids < 64
+    // generate identical vectors at every corpus size):
+    //  * exact  — `Similarity.cosineTopK`: the brute-force baseline;
+    //    cost is Q×n pair scores and a Q×n-row (ids + one double)
+    //    window shuffle — LINEAR in n at fixed Q, which is exactly why
+    //    the corpus-sized-query-set form (dedup, Q ∝ n) is QUADRATIC
+    //    and never schedulable at 100 TB.
+    //  * sign-LSH — `Similarity.signLshCandidates`/`signLshTopK`
+    //    (bits=12, tables=4): candidate mass ≈ Q·tables·n/2^bits — the
+    //    measured candidate count is the *_cands family's result_rows.
+    //  * IVF — `Similarity.ivfCandidates`/`ivfTopK` (nCells=64,
+    //    nProbe=8): candidate mass ≈ Q·n·nProbe/nCells, plus the
+    //    one-time seeded KMeans quantizer train (charged to the wall —
+    //    at 100 TB it is an indexing cost amortized over query batches).
+    //  * PQ-ADC — `Similarity.pqTopK` (m=8, k=16, the q120 config): by
+    //    design a SCAN-ALL method (candidates = Q×n code rows); its win
+    //    is 8 codes instead of 64 floats per row and m table lookups
+    //    instead of a dim-wide dot per pair, not candidate reduction.
+    //    The wall includes the one-time exact-decimal encode of the
+    //    corpus (the oracle-replayable audit form, O(n·m·k) decimal
+    //    sub-distances — the indexing cost, amortized in production).
+    // Cands families run the candidate stage alone (result_rows = the
+    // candidate count); topk families run the full operator. Run at
+    // 100k / 1M / 10M: the separation to read is exact's shuffle/wall
+    // slope (∝ n) vs the bucketed paths' candidate-bounded re-rank.
+    if (mode == "ann") {
+      val dim = 64; val qn = 64L; val k = 10
+      // optional third arg: comma-separated family substrings to run
+      // (e.g. "exact,lsh,ivf" to skip the decimal-heavy PQ encode at
+      // the largest sizes — PQ's own decade is measured to 1M)
+      val fams = if (args.length > 2) args(2).split(",").toSeq else Seq("")
+      def want(name: String): Boolean = fams.exists(name.contains)
+      def runIf(name: String)(body: => Long): Unit =
+        if (want(name)) run(name)(body)
+      def emb = annEmbeddings(spark, nDocs, dim)
+      def qs = annEmbeddings(spark, qn, dim)
+      runIf("ann_exact_topk") {
+        graft.sim.Similarity.cosineTopK(emb, qs, "vec_id", "embedding", k)
+          .count()
+      }
+      runIf("ann_lsh_cands") {
+        graft.sim.Similarity.signLshCandidates(emb, qs, "vec_id", "embedding",
+          dim = dim, bits = 12, tables = 4).count()
+      }
+      runIf("ann_lsh_topk") {
+        graft.sim.Similarity.signLshTopK(emb, qs, "vec_id", "embedding", k,
+          dim = dim, bits = 12, tables = 4).count()
+      }
+      runIf("ann_ivf_cands") {
+        graft.sim.Similarity.ivfCandidates(emb, qs, "vec_id", "embedding",
+          nCells = 64, nProbe = 8).count()
+      }
+      runIf("ann_ivf_topk") {
+        graft.sim.Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
+          nCells = 64, nProbe = 8).count()
+      }
+      runIf("ann_pq_adc_topk") {
+        graft.sim.Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+          m = 8, k = 16, dim = dim, topK = k).count()
+      }
+      spark.stop(); return
+    }
+
     // ---- planted-hot-key decade (VERDICT r11 top item) ----
     // The two named 100 TB skew mitigations measured against their naive
     // twins on the SAME planted skew, at the same sizes:
@@ -171,7 +256,16 @@ object ScaleStress {
     //    complementary runtime net.
     // "skew" runs both families; "skew-lsh"/"skew-join" one each (the
     // two decades want different sizes: the quadratic naive LSH output
-    // is infeasible at the row counts where join-task skew first bites)
+    // is infeasible at the row counts where join-task skew first bites).
+    // "skew-aqe" (VERDICT r12 item 7) re-runs the join pair with AQE ON
+    // — skew-join net enabled and tuned to actually fire at this data
+    // volume (the 256 MB default threshold never triggers on a 160 MB
+    // hot partition, which would "measure" AQE as a silent no-op) — so
+    // SCALE.md can state where the runtime net replaces the static salt
+    // and where it cannot (skew AQE can't see: the join output's
+    // per-key aggregation mass, or any skew downstream of the exchange
+    // AQE already finalized). Broadcast stays disabled in all four runs
+    // (the 1000-row dim stands in for an unbroadcastable large dim).
     if (mode.startsWith("skew")) {
       def withConf[A](kvs: (String, String)*)(body: => A): A = {
         val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
@@ -189,23 +283,35 @@ object ScaleStress {
         graft.dedup.Dedup.minhashCandidates(sigs, "doc_id",
           bands = 4, numHashes = 16, maxBucketSize = cap).count()
       }
-      if (mode != "skew-join") {
+      if (mode != "skew-join" && mode != "skew-aqe") {
         run("lsh_hot_bucket_naive") { lsh(Int.MaxValue) }
         run("lsh_hot_bucket_capped") { lsh(1000) }
       }
       if (mode == "skew-lsh") { spark.stop(); return }
 
+      // AQE tuned to FIRE on this volume: key 0 holds n/10 rows
+      // (~160 MB at 100M), under the 256 MB default skew threshold —
+      // the comparison must measure AQE acting, not AQE asleep.
+      val aqeOn = Seq(
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "33554432",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "33554432")
+      val joinConf = if (mode == "skew-aqe") aqeOn else noAqe
+      val suffix = if (mode == "skew-aqe") "_aqe" else ""
       val nKeys = 1000L
       def dim = spark.range(nKeys).select(col("id").as("key"),
         (col("id") * 7L).as("w"))
       def joined(f: DataFrame, d: DataFrame): Long =
         f.join(d, "key").groupBy("key")
           .agg(sum(col("v") + col("w")).as("s")).count()
-      run("skew_join_naive") {
-        withConf(noAqe: _*) { joined(skewFact(spark, nDocs, nKeys), dim) }
+      run(s"skew_join_naive$suffix") {
+        withConf(joinConf: _*) { joined(skewFact(spark, nDocs, nKeys), dim) }
       }
-      run("skew_join_salted") {
-        withConf(noAqe: _*) {
+      run(s"skew_join_salted$suffix") {
+        withConf(joinConf: _*) {
           val fact = skewFact(spark, nDocs, nKeys)
           val salts = graft.ops.Skew.keySkewReport(fact, "key",
               targetPerTask = math.max(nDocs / nKeys, 1L), topK = 1)

@@ -13,8 +13,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     // + suffix must stay under ~1425 chars (25% headroom against the
     // ~1900 usable budget — the window also has to fit sbt's trailing
     // [success] line). Worst case per query: 6 value digits + comma = 7.
-    // Prefix now includes the `"core100":NNN.NN` field (+20 chars).
-    val line = 130 + SparkEntry.registry.size * 7 + 40
+    // Prefix now includes the `"core100":NNN.NN` field (+20 chars) and
+    // the `"audit":NN.NN` field (+16 chars).
+    val line = 150 + SparkEntry.registry.size * 7 + 40
     // 1600 keeps ≥15% headroom against the ~1900 usable budget; at ~200
     // registered queries the next tightening step is dropping to
     // 1-decimal per-query precision (saves ~1 char/query).
@@ -35,6 +36,20 @@ class EntrySmokeSpec extends AnyFunSuite {
     val missing = Bench.CoreQueries -- registered
     assert(missing.isEmpty,
       s"core100 members missing from the registry: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("AuditQueries stay registered (headline exclusion must not orphan them)") {
+    // The audit tier is excluded from the headline total but its members
+    // must keep RUNNING — a renamed/deleted audit query would silently
+    // make "audit" sum fewer plans while the headline looked unchanged.
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val missing = Bench.AuditQueries -- registered
+    assert(missing.isEmpty,
+      s"audit members missing from the registry: ${missing.toSeq.sorted.mkString(", ")}")
+    // exhaustive baselines only: adding a member here reshapes the
+    // headline total's meaning — it must stay a deliberate, documented act
+    assert(Bench.AuditQueries == Set("q77_jaccard_pairs", "q170_lsh_recall_audit"),
+      "audit tier membership changed — update the Bench Scaladoc + BASELINE.md contract language")
   }
 
   test("entry (flagship disaggregation) returns rows on sf0.001") {
