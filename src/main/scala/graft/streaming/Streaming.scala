@@ -54,32 +54,34 @@ object Streaming {
         col("w.end").as("session_end"), col("n_events"), col("sum_value"))
 
   /** Ingestion-time LM fluency gate — the streaming twin of the q195
-    * batch scorer ([[graft.text.LangModel.bigramFluencyWithTrain]]):
+    * batch scorer ([[graft.text.LangModel.ngramFluencyWithTrain]]):
     * the model is TRAINED batch-side
-    * ([[graft.text.LangModel.trainBigramModel]], pinned
-    * vocabulary-sized count frames + the vocab size) and every arriving
-    * document scores against it via stateless projections plus two
-    * STREAM-STATIC left joins on 8-byte bigram identities — no model
-    * state lives in the stream. The only streaming state is the per-doc
-    * aggregation of its own exploded bigrams, keyed by
-    * (event-time, id) so the watermark evicts it; a document's rows
-    * arrive in one micro-batch, so results are final on arrival.
-    * Output: (tsCol, idCol, n_bigrams, n_unseen, mean_cond_p) — the
-    * batch scorer's columns, same grid arithmetic (StreamingSpec pins
-    * stream ≡ batch row-for-row on a shared fixture model).
+    * ([[graft.text.LangModel.trainNgramModel]], pinned
+    * vocabulary-sized count frames + the vocab size + the gram order)
+    * and every arriving document scores against it via stateless
+    * projections plus two STREAM-STATIC left joins on 8-byte gram
+    * identities — no model state lives in the stream. The only
+    * streaming state is the per-doc aggregation of its own exploded
+    * grams, keyed by (event-time, id) so the watermark evicts it; a
+    * document's rows arrive in one micro-batch, so results are final
+    * on arrival. Output: (tsCol, idCol, n_bigrams | n_ngrams,
+    * n_unseen, mean_cond_p) — the batch scorer's columns at the
+    * model's order, same grid arithmetic (StreamingSpec pins stream ≡
+    * batch row-for-row on shared fixture models at n = 2 and n = 3).
     */
   def fluencyStream(docs: DataFrame, tsCol: String, idCol: String,
                     textCol: String, model: graft.text.LangModel.FluencyModel,
                     watermark: String = "10 minutes"): DataFrame = {
     import graft.text.LangModel
+    val cnt = LangModel.countColName(model.n)
     docs
       .withWatermark(tsCol, watermark)
-      // explode_outer: a doc with <2 alpha tokens keeps one null-bigram
+      // explode_outer: a doc with < n alpha tokens keeps one null-gram
       // row so it still emits a (0, 0, 0.0) score downstream
       .select(col(tsCol), col(idCol),
-        explode_outer(LangModel.bigramHashArr(col(textCol))).as("b"))
+        explode_outer(LangModel.ngramHashArr(col(textCol), model.n)).as("b"))
       .select(col(tsCol), col(idCol),
-        col("b.bh").as("bh"), col("b.uh").as("uh"))
+        col("b.gh").as("bh"), col("b.ch").as("uh"))
       .join(model.cuv, Seq("bh"), "left")
       .join(model.cu, Seq("uh"), "left")
       .select(col(tsCol), col(idCol),
@@ -90,12 +92,12 @@ object Streaming {
               lit(math.max(model.vocabSize, 1L)))
               .cast("double")).as("p"))
       .groupBy(col(tsCol), col(idCol))
-      .agg(count(col("p")).as("n_bigrams"),
+      .agg(count(col("p")).as(cnt),
         count(org.apache.spark.sql.functions.when(col("unseen"), lit(1)))
           .as("n_unseen"),
         LangModel.gridSum(col("p")).as("__ps"))
-      .select(col(tsCol), col(idCol), col("n_bigrams"), col("n_unseen"),
-        LangModel.gridMean(col("__ps"), col("n_bigrams")).as("mean_cond_p"))
+      .select(col(tsCol), col(idCol), col(cnt), col("n_unseen"),
+        LangModel.gridMean(col("__ps"), col(cnt)).as("mean_cond_p"))
   }
 
   /** Keyed record for streaming dedup. */

@@ -88,37 +88,46 @@ object LangModel {
       b.getField("ch").as("uh"),
       b.getField("vh").as("vh")))
 
-  /** A trained add-one bigram LM as reusable artifacts: per-bigram
+  /** A trained add-one n-gram LM as reusable artifacts: per-gram
     * counts (bh, c_uv), per-context counts (uh, c_u) — both pinned,
-    * vocabulary-sized — and the successor-vocabulary size. The static
-    * side of [[graft.streaming.Streaming.fluencyStream]]'s
-    * stream-static joins; train it batch-side, score forever.
+    * vocabulary-sized, under the historical bigram column names at any
+    * order (bh = gram hash, uh = (n−1)-gram context hash — the on-disk
+    * schema predates the order knob) — the successor-vocabulary size,
+    * and the gram order `n`. The static side of
+    * [[graft.streaming.Streaming.fluencyStream]]'s stream-static
+    * joins; train it batch-side, score forever.
     */
-  final case class FluencyModel(cuv: DataFrame, cu: DataFrame, vocabSize: Long)
+  final case class FluencyModel(cuv: DataFrame, cu: DataFrame,
+                                vocabSize: Long, n: Int = 2)
 
-  /** Train a [[FluencyModel]] from the rows where `isTrain` holds —
-    * the same counts [[bigramFluencyWithTrain]] derives internally
-    * (vocabSize is a 1-row collect, the k-means-centroid artifact
-    * precedent: model fitting is an action).
+  /** Train a [[FluencyModel]] of order `n` from the rows where
+    * `isTrain` holds — the same counts [[ngramFluencyWithTrain]]
+    * derives internally (vocabSize is a 1-row collect, the
+    * k-means-centroid artifact precedent: model fitting is an action).
     */
-  def trainBigramModel(docs: DataFrame, idCol: String, textCol: String,
-                       isTrain: Column): FluencyModel = {
-    // one corpus pass: group by (bh, uh, vh) — uh/vh are functionally
-    // dependent on bh, so this is the bh partition — then pin the
+  def trainNgramModel(docs: DataFrame, idCol: String, textCol: String,
+                      isTrain: Column, n: Int): FluencyModel = {
+    // one corpus pass: group by (gh, ch, vh) — ch/vh are functionally
+    // dependent on gh, so this is the gh partition — then pin the
     // vocabulary-sized counts and derive contexts + vocab size from them
     val cuv = graft.ops.Pin.pin(docs.filter(isTrain)
-      .select(explode(bigramHashArr(col(textCol))).as("b"))
-      .groupBy(col("b.bh").as("bh"), col("b.uh").as("uh"),
-        col("b.vh").as("vh"))
+      .select(explode(ngramHashArr(col(textCol), n)).as("g"))
+      .groupBy(col("g.gh").as("bh"), col("g.ch").as("uh"),
+        col("g.vh").as("vh"))
       .agg(count(lit(1)).as("c_uv")))
     val cu = cuv.groupBy("uh").agg(sum(col("c_uv")).as("c_u"))
     val v = cuv.agg(countDistinct(col("vh"))).collect()(0).getLong(0)
     FluencyModel(graft.ops.Pin.pin(cuv.select("bh", "c_uv")),
-      graft.ops.Pin.pin(cu), v)
+      graft.ops.Pin.pin(cu), v, n)
   }
 
+  /** Bigram (n = 2) form of [[trainNgramModel]]. */
+  def trainBigramModel(docs: DataFrame, idCol: String, textCol: String,
+                       isTrain: Column): FluencyModel =
+    trainNgramModel(docs, idCol, textCol, isTrain, 2)
+
   /** Persist a trained [[FluencyModel]]: the two count frames as
-    * parquet, the vocab size as driver-side JSON (the
+    * parquet, the vocab size + gram order as driver-side JSON (the
     * [[graft.ml.Artifacts]] K3 contract — parquet for distributed
     * state, JSON for scalars).
     */
@@ -126,7 +135,7 @@ object LangModel {
     model.cuv.write.mode("overwrite").parquet(s"$dir/cuv")
     model.cu.write.mode("overwrite").parquet(s"$dir/cu")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "meta.json"),
-      s"""{"vocabSize":${model.vocabSize}}""")
+      s"""{"vocabSize":${model.vocabSize},"n":${model.n}}""")
   }
 
   def loadModel(spark: org.apache.spark.sql.SparkSession,
@@ -134,24 +143,34 @@ object LangModel {
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(
         java.nio.file.Paths.get(dir, "meta.json")))
+    // models saved before the order knob carry no "n" — they are bigram
     FluencyModel(spark.read.parquet(s"$dir/cuv"),
-      spark.read.parquet(s"$dir/cu"), meta.get("vocabSize").asLong())
+      spark.read.parquet(s"$dir/cu"), meta.get("vocabSize").asLong(),
+      if (meta.has("n")) meta.get("n").asInt() else 2)
   }
 
+  /** The gram-count output column: the historical `n_bigrams` for
+    * order-2 models (the q195 / streaming-parity contract), `n_ngrams`
+    * for any other order.
+    */
+  private[graft] def countColName(n: Int): String =
+    if (n == 2) "n_bigrams" else "n_ngrams"
+
   /** Score a batch frame against an already-trained (possibly
-    * [[loadModel]]-reloaded) model — the batch twin of
+    * [[loadModel]]-reloaded) model of any order — the batch twin of
     * [[graft.streaming.Streaming.fluencyStream]], same columns and
-    * arithmetic as [[bigramFluencyWithTrain]]'s scoring half.
+    * arithmetic as [[ngramFluencyWithTrain]]'s scoring half.
     */
   def scoreWithModel(docs: DataFrame, idCol: String, textCol: String,
                      model: FluencyModel): DataFrame =
-    // explode_outer: a doc with <2 alpha tokens keeps one null-bigram
+    // explode_outer: a doc with < n alpha tokens keeps one null-gram
     // row so the aggregate covers every input id — one corpus scan, no
     // re-attach join (the same shape as the streaming twin and
     // [[ngramFluencyWithTrain]]'s core)
     docs
-      .select(col(idCol), explode_outer(bigramHashArr(col(textCol))).as("b"))
-      .select(col(idCol), col("b.bh").as("bh"), col("b.uh").as("uh"))
+      .select(col(idCol),
+        explode_outer(ngramHashArr(col(textCol), model.n)).as("b"))
+      .select(col(idCol), col("b.gh").as("bh"), col("b.ch").as("uh"))
       .join(model.cuv, Seq("bh"), "left")
       .join(model.cu, Seq("uh"), "left")
       .select(col(idCol),
@@ -161,11 +180,11 @@ object LangModel {
             (coalesce(col("c_u"), lit(0L)) + lit(math.max(model.vocabSize, 1L)))
               .cast("double"))).as("p"))
       .groupBy(col(idCol))
-      .agg(count(col("p")).as("n_bigrams"),
+      .agg(count(col("p")).as(countColName(model.n)),
         count(when(col("unseen"), lit(1))).as("n_unseen"),
         gridSum(col("p")).as("__ps"))
-      .select(col(idCol), col("n_bigrams"), col("n_unseen"),
-        gridMean(col("__ps"), col("n_bigrams")).as("mean_cond_p"))
+      .select(col(idCol), col(countColName(model.n)), col("n_unseen"),
+        gridMean(col("__ps"), col(countColName(model.n))).as("mean_cond_p"))
 
   /** Grid capture of a probability column — shared by the batch and
     * streaming scorers so the two paths provably share arithmetic.

@@ -100,6 +100,36 @@ class LangModelSpec extends AnyFunSuite {
       (4L, 0L, 0L, 0.0)))
   }
 
+  test("trigram model round-trip: order persists, reloaded score == in-session scorer") {
+    val docs = Seq(
+      (1L, "a b a b a"), (2L, "a b c"), (3L, "a b a z"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val isTrain = col("doc_id") <= 2
+    val want = LangModel.ngramFluencyWithTrain(docs, "doc_id", "text",
+        isTrain, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm3").toString
+    try {
+      LangModel.saveModel(
+        LangModel.trainNgramModel(docs, "doc_id", "text", isTrain, n = 3), dir)
+      val m = LangModel.loadModel(spark, dir)
+      assert(m.n === 3, "gram order must persist through save/load")
+      val got = LangModel.scoreWithModel(docs, "doc_id", "text", m)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got === want,
+        "a reloaded trigram model must score bit-identically to the training session")
+      assert(LangModel.scoreWithModel(docs, "doc_id", "text", m)
+        .columns.toSeq === Seq("doc_id", "n_ngrams", "n_unseen", "mean_cond_p"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("salted wrapper is one corpus scan: no re-attach file scan after the pin") {
     // VERDICT r12 item 3: the split label must ride the pinned
     // occurrence stream's threaded train flag, not a second `documents`

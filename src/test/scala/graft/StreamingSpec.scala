@@ -617,6 +617,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fluency stream honors the model's gram order (trigram parity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.LangModel
+    // the LangModelSpec trigram fixture: train = docs 1,2; doc 3 carries
+    // an unseen trigram, doc 4 has <3 alpha tokens
+    val docs = Seq(
+      (1L, "a b a b a"), (2L, "a b c"), (3L, "a b a z"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val model = LangModel.trainNgramModel(docs, "doc_id", "text",
+      isTrain = col("doc_id") <= 2, n = 3)
+    val batch = LangModel.scoreWithModel(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val scored = Streaming.fluencyStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", model)
+    assert(scored.columns.toSeq ===
+      Seq("ts", "doc_id", "n_ngrams", "n_unseen", "mean_cond_p"))
+    val q = scored.writeStream.format("memory")
+      .queryName("fluency_stream3").outputMode("complete").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(
+        (t, 1L, "a b a b a"), (t, 2L, "a b c"),
+        (t, 3L, "a b a z"), (t, 4L, "x y"))
+      q.processAllAvailable()
+      val got = spark.table("fluency_stream3").orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(got === batch,
+        "trigram stream scores must be bit-identical to the batch scorer")
+    } finally q.stop()
+  }
+
   test("fluency scores survive a checkpointed stop/restart (VERDICT r12 item 4)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
