@@ -73,14 +73,23 @@ object Similarity {
   def normExact(a: Column): Column = sqrt(dotExact(a, a))
 
   /** Exact cosine top-k: for every query row, the k nearest corpus rows by
-    * cosine similarity (self-matches excluded). Two stages:
+    * cosine similarity (self-matches excluded). Three stages:
     *
-    *  1. Candidate ranking by the cheap codegen'd DOUBLE cosine over the
-    *     full pair product — only `(query_id, neighbor_id, dcos)` enters
-    *     the per-query window shuffle (never the vectors, never a decimal).
-    *     Per query we keep every row within [[RerankMargin]] of the k-th
-    *     double score; |double − exact| ≪ margin, so the survivor set is a
-    *     strict superset of the true exact top-k.
+    *  1. Map-side-combined margin-top-k of the cheap codegen'd DOUBLE
+    *     cosine over the full pair product ([[graft.ops.TopKAgg]] at
+    *     [[RerankMargin]] — each map task ships a ~k-pair buffer per
+    *     query through the shuffle, and the finished buffer is exactly
+    *     { rank ≤ k } ∪ { within margin of the k-th }: the same
+    *     near-tie superset of the true exact top-k the round-12
+    *     windowed filter kept, row-identical). The round-12 form
+    *     instead pushed ALL Q·n `(query_id, neighbor_id, dcos)` rows
+    *     through one per-query window: a Q·n-row exchange plus a full
+    *     sort whose hot partition was 87% of the 10M-vector wall
+    *     (SCALE.md ANN decade, 220.8 s max task / 12 GB shuffle) — and
+    *     the two-stage window ([[graft.ops.TopK.topKPerKey]]) only
+    *     balances that sort, it still exchanges every row. ONE scan of
+    *     the never-shuffled pair product (queries broadcast) now
+    *     produces the survivor ids directly.
     *  2. Exact DECIMAL re-rank of the bounded survivor set (~k rows per
     *     query) — vectors re-attach by id, BigDecimal cost is O(k·|queries|)
     *     instead of O(|queries|·|corpus|).
@@ -101,17 +110,11 @@ object Similarity {
     val dscored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
-    val wD = Window.partitionBy(col("query_id"))
-      .orderBy(col("dcos").desc, col("neighbor_id"))
-    // k-th double score per query (−2 < any cosine when the corpus has
-    // fewer than k rows, so everything is kept in that case).
-    val cands = dscored
-      .withColumn("__drnk", row_number().over(wD))
-      .withColumn("__dkth", coalesce(
-        max(when(col("__drnk") === k, col("dcos")))
-          .over(Window.partitionBy(col("query_id"))), lit(-2.0)))
-      .filter(col("dcos") >= col("__dkth") - RerankMargin)
-      .select("query_id", "neighbor_id")
+    val cands = dscored.groupBy("query_id")
+      .agg(graft.ops.TopKAgg.topK(col("dcos"), col("neighbor_id"), k,
+        RerankMargin).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t._2").as("neighbor_id"))
     val qe = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -233,12 +236,16 @@ object Similarity {
   }
 
   /** Exact top-k over a bounded (query_id, neighbor_id) candidate set:
-    * rank by the cheap codegen'd DOUBLE cosine first (ids + one double
-    * through the per-query window), then exact-DECIMAL re-rank only the
-    * survivors within [[RerankMargin]] of the k-th double score — the
-    * same two-stage scheme as [[cosineTopK]], so LSH/IVF at full
-    * coverage stay bit-equal to the exact path while BigDecimal cost is
-    * O(k·|queries|), not O(|candidates|).
+    * rank by the cheap codegen'd DOUBLE cosine first (the
+    * [[graft.ops.TopKAgg]] map-side-combined margin-top-k — candidate
+    * rows never enter an exchange, only ~k-pair buffers per query do;
+    * the round-12 per-query window exchanged and sorted every
+    * candidate row, 2 GB of IVF's 10M-decade shuffle), then
+    * exact-DECIMAL re-rank only the survivors within [[RerankMargin]]
+    * of the k-th double score — the same two-stage scheme as
+    * [[cosineTopK]], so LSH/IVF at full coverage stay bit-equal to the
+    * exact path while BigDecimal cost is O(k·|queries|), not
+    * O(|candidates|).
     */
   private def rerankCandidates(cands: DataFrame, corpus: DataFrame,
                                queries: DataFrame, idCol: String,
@@ -250,14 +257,11 @@ object Similarity {
     val dscored = cands.join(qd, "query_id").join(cd, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
-    val wq = Window.partitionBy(col("query_id"))
-    val surv = dscored
-      .withColumn("__drnk", row_number().over(
-        wq.orderBy(col("dcos").desc, col("neighbor_id"))))
-      .withColumn("__dkth", coalesce(
-        max(when(col("__drnk") === k, col("dcos"))).over(wq), lit(-2.0)))
-      .filter(col("dcos") >= col("__dkth") - RerankMargin)
-      .select("query_id", "neighbor_id")
+    val surv = dscored.groupBy("query_id")
+      .agg(graft.ops.TopKAgg.topK(col("dcos"), col("neighbor_id"), k,
+        RerankMargin).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t._2").as("neighbor_id"))
     val qe = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.TopKAgg
+
+/** The map-side-combined margin-top-k aggregate must keep EXACTLY the
+  * set the round-12 windowed near-tie filter kept — the contract
+  * [[graft.sim.Similarity]]'s double-prefilter correctness rests on.
+  */
+class TopKAggSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  private def viaAgg(df: DataFrame, k: Int, margin: Double): Set[(Long, Long)] =
+    df.groupBy("q")
+      .agg(TopKAgg.topK(col("s"), col("n"), k, margin).as("t"))
+      .select(col("q"), explode(col("t")).as("x"))
+      .select(col("q"), col("x._2").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def viaWindow(df: DataFrame, k: Int, margin: Double): Set[(Long, Long)] = {
+    val w = Window.partitionBy("q")
+    df.withColumn("rnk",
+        row_number().over(w.orderBy(col("s").desc, col("n"))))
+      .withColumn("kth", coalesce(
+        max(when(col("rnk") === k, col("s"))).over(w), lit(-2.0)))
+      .filter(col("s") >= col("kth") - margin)
+      .select("q", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("hand-computed: ties at the boundary, margin near-ties, short groups") {
+    // q=1 sorted: (0.9,10)(0.9,11)(0.8,12)(0.8-5e-10,13)(0.1,14) — at
+    // k=3 the k-th score is 0.8, so id 13 (within 1e-9) survives and 14
+    // does not; q=2 has fewer than k rows and keeps everything.
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 11L), (1L, 0.8, 12L),
+      (1L, 0.8 - 5e-10, 13L), (1L, 0.1, 14L),
+      (2L, 0.5, 20L))
+      .toDF("q", "s", "n")
+    val got = viaAgg(df, 3, 1e-9)
+    assert(got === Set((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (2L, 20L)))
+    assert(got === viaWindow(df, 3, 1e-9))
+  }
+
+  test("matches the windowed form on a hashed frame, invariant under repartition") {
+    val df = spark.range(500).select(
+      (col("id") % 7).as("q"),
+      (pmod(xxhash64(col("id")), lit(40)).cast("double") / 40.0).as("s"),
+      col("id").as("n"))
+    // ties are dense (40 distinct scores over ~71 rows per group), so
+    // the boundary tie-break path is exercised hard
+    for (margin <- Seq(0.0, 1e-9); k <- Seq(1, 5, 100)) {
+      val want = viaWindow(df, k, margin)
+      assert(viaAgg(df, k, margin) === want, s"k=$k margin=$margin")
+      assert(viaAgg(df.repartition(13), k, margin) === want,
+        s"k=$k margin=$margin under repartition (merge path)")
+    }
+  }
+
+  test("NaN scores rank first and survive, matching Spark's sort semantics") {
+    val df = Seq(
+      (1L, Double.NaN, 1L), (1L, 0.9, 2L), (1L, 0.8, 3L), (1L, 0.7, 4L))
+      .toDF("q", "s", "n")
+    val got = viaAgg(df, 2, 1e-9)
+    assert(got === Set((1L, 1L), (1L, 2L)),
+      "NaN is Spark's largest double and must hold rank 1")
+    assert(got === viaWindow(df, 2, 1e-9))
+  }
+}
