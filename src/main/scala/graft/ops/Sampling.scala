@@ -48,8 +48,10 @@ object Sampling {
           (((graft.dedup.Dedup.md5Hash64(
               concat(col(idCol).cast("string"), lit(salt))).cast("double")
             + lit(two63)) + lit(1.0)) / lit(two64))).as("pri"))
-    val top = TopK.topKPerKey(pri, Seq.empty, Seq(col("pri").desc, col(idCol)),
-      k + 1, rankCol = "smp_rank")
+    // corpus-sized priority frame: the combiner form ships (k+1)-pair
+    // buffers per map task instead of exchanging every prioritized row
+    val top = TopK.globalTopKByScore(pri, "pri", idCol, k + 1,
+      rankCol = "smp_rank")
     val tau = top.agg(
       max(when(col("smp_rank") === (k + 1), col("pri"))).as("tau"))
     top.filter(col("smp_rank") <= k)

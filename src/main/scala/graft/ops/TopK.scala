@@ -30,4 +30,51 @@ object TopK {
       .withColumn(rankCol, row_number().over(global).cast("long"))
       .filter(col(rankCol) <= k)
   }
+
+  /** Global top-k by `(scoreCol DESC, idCol ASC)` with the rank
+    * appended — the corpus-sized-frame form of [[topKPerKey]]. When
+    * `idCol` is a unique LongType key (every registered caller — BM25,
+    * DSIR selection, priority sampling rank over `doc_id`), the rank
+    * comes from the [[TopKAgg]] map-side-combined aggregate: each map
+    * task ships one ≤ k-pair sorted buffer through the shuffle and the
+    * ≤ k winners join back by id to re-attach the caller's columns (an
+    * AQE-broadcast k-row side — the corpus streams, nothing exchanges).
+    * [[topKPerKey]]'s local window, by contrast, still EXCHANGES every
+    * input row: a window's partial rank needs the spark_partition_id
+    * hash partitioning first (measured as the 12 GB exact-ANN exchange,
+    * SCALE.md round-13) — it balances the sort, it cannot shrink the
+    * shuffle. The price is a second scan of `df` (the join probe) —
+    * at corpus scale two scans beat one all-to-all exchange, and the
+    * scan projection prunes to what the caller selects.
+    *
+    * Rank parity with the window form is exact: the aggregate orders
+    * (score desc, id asc) with Spark's NaN-largest double semantics
+    * (TopKAggSpec), and the score/attribute values come from the
+    * original rows via the join-back, so hash-compared outputs are
+    * bit-identical. Non-long id types (no join-back key contract)
+    * fall back to the windowed form.
+    */
+  def globalTopKByScore(df: DataFrame, scoreCol: String, idCol: String,
+                        k: Int, rankCol: String = "rnk"): DataFrame = {
+    // the combiner is typed (Double score, Long id); any other types
+    // (a >2⁵³ long score would round under a double cast, a string id
+    // has no join-back contract) take the windowed form unchanged
+    if (df.schema(idCol).dataType != org.apache.spark.sql.types.LongType ||
+        df.schema(scoreCol).dataType != org.apache.spark.sql.types.DoubleType)
+      return topKPerKey(df, Seq.empty,
+        Seq(col(scoreCol).desc, col(idCol).asc), k, rankCol)
+    val winners = df
+      .agg(TopKAgg.topK(col(scoreCol), col(idCol), k)
+        .as("__top"))
+      .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+      // the aggregate's margin-superset contract keeps score-TIES at
+      // the k-th even at margin 0 (cosineTopK wants exactly that);
+      // this operator promises the window form's strict k, so cut at
+      // the buffer position — positions are the true row_number
+      .filter(col("__pos") < k)
+      .select(col("__t._2").as(idCol),
+        (col("__pos") + 1).cast("long").as(rankCol))
+    df.join(winners, Seq(idCol))
+      .select(df.columns.map(col) :+ col(rankCol): _*)
+  }
 }

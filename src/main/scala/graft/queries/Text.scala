@@ -3744,6 +3744,35 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- global top-k via the map-side margin-top-k aggregate ----
+    // The ops/TopKAgg.scala combiner registered as its own surface (it
+    // also runs inside every cosineTopK / rerankCandidates plan —
+    // q41/q85/q78/q87/q120 hash its survivor sets transitively): global
+    // top-25 documents by the q38 quality blend. Scale shape: the score
+    // is scan-projection math; the aggregate ships one ≤25-pair sorted
+    // buffer per map task (grouping-less groupBy ⇒ map-side partial
+    // merge) instead of exchanging the corpus-sized score set the way a
+    // rank window (or the two-stage topKPerKey) must; rank is the
+    // buffer position. The oracle replays it as a plain ROW_NUMBER —
+    // two rank algorithms, same answer (the q196 pattern).
+    Q("q198_topk_agg_quality",
+      s"""WITH sc AS (SELECT doc_id, $qualitySql AS q_score FROM documents),
+        |r AS (SELECT doc_id, q_score,
+        |    ROW_NUMBER() OVER (ORDER BY q_score DESC, doc_id) AS rank
+        |  FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, q_score
+        |FROM r WHERE rank <= 25 ORDER BY rank""".stripMargin) { (s, dir) =>
+      documents(s, dir)
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text"), stops).as("q_score"))
+        .agg(graft.ops.TopKAgg.topK(col("q_score"), col("doc_id"), 25)
+          .as("__top"))
+        .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+        .select((col("__pos") + 1).cast("long").as("rank"),
+          col("__t._2").as("doc_id"), col("__t._1").as("q_score"))
+        .orderBy("rank")
+    },
+
     // ---- sign-LSH recall@k audit (quantified approximation quality) ----
     // q45 is rows-only by design (its random-hyperplane double dots are
     // engine hashing); q85 proves full-coverage equivalence. This query

@@ -88,10 +88,12 @@ object Dsir {
   }
 
   /** Keep the top `k` raw (non-target) documents by importance weight
-    * (ties break on id ascending), via the two-stage top-k so a global
-    * rank never funnels all rows through one task.
+    * (ties break on id ascending). Corpus-sized frame, so the rank
+    * rides the map-side top-k combiner where the id is a long key
+    * ([[graft.ops.TopK.globalTopKByScore]] — k-pair buffers through
+    * the shuffle, never the weighted corpus).
     */
   def select(weights: DataFrame, idCol: String, k: Int): DataFrame =
-    graft.ops.TopK.topKPerKey(weights, Seq.empty,
-      Seq(col("weight").desc, col(idCol).asc), k, rankCol = "rank")
+    graft.ops.TopK.globalTopKByScore(weights, "weight", idCol, k,
+      rankCol = "rank")
 }

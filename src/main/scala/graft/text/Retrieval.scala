@@ -45,7 +45,10 @@ object Retrieval {
       lit(idf) * (tf * lit(k1 + 1)) / (tf + lit(k1) * (lit(1 - b) + lit(b) * dlr))
     }
     val scored = base.withColumn("score", comps.reduceLeft(_ + _))
-    graft.ops.TopK.topKPerKey(scored, Seq.empty,
-      Seq(col("score").desc, col(idCol).asc), topK, rankCol = "rank")
+    // corpus-sized frame: the combiner form ships k-pair buffers per map
+    // task instead of exchanging every scored row (TopK.globalTopKByScore
+    // scaladoc; long-id/double-score frames take the TopKAgg path)
+    graft.ops.TopK.globalTopKByScore(scored, "score", idCol, topK,
+      rankCol = "rank")
   }
 }

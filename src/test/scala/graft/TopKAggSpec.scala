@@ -61,6 +61,27 @@ class TopKAggSpec extends AnyFunSuite {
     }
   }
 
+  test("globalTopKByScore: combiner path equals the window path, fallback for non-long ids") {
+    import graft.ops.TopK
+    val df = spark.range(300).select(
+      col("id").as("n"),
+      (pmod(xxhash64(col("id")), lit(40)).cast("double") / 40.0).as("s"),
+      concat(lit("x"), col("id")).as("tag"))
+    def rows(d: org.apache.spark.sql.DataFrame): Set[(Long, Double, String, Long)] =
+      d.collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getString(2), r.getLong(3))).toSet
+    val agg = TopK.globalTopKByScore(df, "s", "n", 7, rankCol = "rank")
+    assert(agg.columns.toSeq === Seq("n", "s", "tag", "rank"))
+    val win = TopK.topKPerKey(df, Seq.empty,
+      Seq(col("s").desc, col("n").asc), 7, rankCol = "rank")
+    assert(rows(agg) === rows(win),
+      "combiner ranks + re-attached columns must equal the window form")
+    // non-long id: the fallback IS the window form — same 7 winners
+    val dfs = df.select(concat(lit("k"), col("n")).as("sid"), col("s"))
+    val fb = TopK.globalTopKByScore(dfs, "s", "sid", 7, rankCol = "rank")
+    assert(fb.count() === 7)
+  }
+
   test("NaN scores rank first and survive, matching Spark's sort semantics") {
     val df = Seq(
       (1L, Double.NaN, 1L), (1L, 0.9, 2L), (1L, 0.8, 3L), (1L, 0.7, 4L))
