@@ -110,6 +110,14 @@ object Similarity {
     val dscored = c.join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
+    // NOTE (measured, round 13): the survivor frame is ~k·|queries|
+    // rows but its post-explode stats are opaque to the planner, so the
+    // exact-stage attach exchanges the corpus vector column once
+    // (2.3 GB of the 31 s 10M-decade wall — the linear re-attach term
+    // SCALE.md documents; a Pin here does NOT fix it, localCheckpoint
+    // propagates the child's estimate rather than measured stats, and
+    // was measured cost-only). The production lever is layout: a
+    // corpus bucketed by id makes this attach exchange-free.
     val cands = dscored.groupBy("query_id")
       .agg(graft.ops.TopKAgg.topK(col("dcos"), col("neighbor_id"), k,
         RerankMargin).as("__top"))
