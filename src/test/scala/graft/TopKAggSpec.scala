@@ -91,4 +91,37 @@ class TopKAggSpec extends AnyFunSuite {
       "NaN is Spark's largest double and must hold rank 1")
     assert(got === viaWindow(df, 2, 1e-9))
   }
+
+  test("the aggregate maintains a streaming top-k equal to the batch form") {
+    // the KmvAgg claim applied to ranking: a mergeable buffer is the
+    // form Structured Streaming can maintain incrementally — the same
+    // code runs as an update/complete-mode groupBy aggregation (a
+    // running "best documents seen so far" leaderboard), which no
+    // window-rank form can do at all (rank windows are unsupported on
+    // streams)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long)]
+    val q = input.toDF().toDF("q", "s", "n")
+      .groupBy("q")
+      .agg(TopKAgg.topK(col("s"), col("n"), 3).as("t"))
+      .writeStream.format("memory").queryName("topk_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData((1L, 0.5, 1L), (1L, 0.9, 2L), (2L, 0.3, 3L))
+      q.processAllAvailable()
+      input.addData((1L, 0.7, 4L), (1L, 0.95, 5L), (1L, 0.1, 6L))
+      q.processAllAvailable()
+      val streamed = spark.table("topk_stream")
+        .select(col("q"), explode(col("t")).as("x"))
+        .select(col("q"), col("x._2").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = Seq((1L, 0.5, 1L), (1L, 0.9, 2L), (2L, 0.3, 3L),
+          (1L, 0.7, 4L), (1L, 0.95, 5L), (1L, 0.1, 6L))
+        .toDF("q", "s", "n")
+      assert(streamed === viaAgg(batch, 3, 0.0),
+        "running streamed top-k must equal the batch aggregate over everything seen")
+      assert(streamed === Set((1L, 5L), (1L, 2L), (1L, 4L), (2L, 3L)))
+    } finally q.stop()
+  }
 }
