@@ -152,6 +152,63 @@ object Text {
       |  FROM bgo o JOIN pb USING (bg) GROUP BY 1)""".stripMargin
   }
 
+  /** Shared CTE chain of the NB quality-classifier protocol
+    * (q199/q200): salted split hash, alpha tokenization, train-side
+    * per-token class counts, the log-free add-one posterior as one
+    * double division of exact HUGEINT products (the engine carries
+    * them as DECIMAL(38,0) — both exact integers far past 2⁶³), and
+    * the per-doc 1e12-grid sums — ends at `sc (doc_id, split, label,
+    * n_tokens, n_unseen, score)`. Positives are the `srcs` reference
+    * sources (the GPT-3 "trusted corpus" side of the labels).
+    */
+  private def nbPerDocSql(srcs: Seq[String], trainFrac: Double): String = {
+    val srcList = srcs.map(s => s"'$s'").mkString(", ")
+    s"""toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+      |      t -> regexp_matches(t, '^[a-z]+$$')) AS t
+      |  FROM documents),
+      |hv AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+           "md5(CAST(doc_id AS VARCHAR) || '#nb')", "documents", "h")}),
+      |uu AS (SELECT doc_id,
+      |    (CAST(h AS DOUBLE) + 9.223372036854776e18)
+      |      / 1.8446744073709552e19 AS u
+      |  FROM hv),
+      |lb AS (SELECT doc_id, source IN ($srcList) AS pos FROM documents),
+      |occ AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+      |tr AS (SELECT o.doc_id, o.tok, lb.pos
+      |  FROM occ o JOIN uu USING (doc_id) JOIN lb USING (doc_id)
+      |  WHERE u < CAST($trainFrac AS DOUBLE)),
+      |cnt AS (SELECT tok, COUNT(*) FILTER (WHERE pos) AS c_pos,
+      |    COUNT(*) FILTER (WHERE NOT pos) AS c_neg
+      |  FROM tr GROUP BY 1),
+      |tot AS (SELECT COALESCE(SUM(c_pos), 0) AS n_pos,
+      |    COALESCE(SUM(c_neg), 0) AS n_neg, COUNT(*) AS V FROM cnt),
+      |pr AS (SELECT d.tok, cnt.tok IS NULL AS unseen,
+      |    CAST(CAST(COALESCE(cnt.c_pos, 0) + 1 AS HUGEINT)
+      |           * (tot.n_neg + GREATEST(tot.V, 1)) AS DOUBLE)
+      |      / CAST(CAST(COALESCE(cnt.c_pos, 0) + 1 AS HUGEINT)
+      |           * (tot.n_neg + GREATEST(tot.V, 1))
+      |         + CAST(COALESCE(cnt.c_neg, 0) + 1 AS HUGEINT)
+      |           * (tot.n_pos + GREATEST(tot.V, 1)) AS DOUBLE) AS r
+      |  FROM (SELECT DISTINCT tok FROM occ) d
+      |  LEFT JOIN cnt USING (tok) CROSS JOIN tot),
+      |per AS (SELECT o.doc_id, COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE pr.unseen) AS nu,
+      |    SUM(CAST(ROUND(pr.r * 1000000000000.0, 0) AS DECIMAL(38,0))) AS rs
+      |  FROM occ o JOIN pr USING (tok) GROUP BY 1),
+      |sc AS (SELECT d.doc_id,
+      |    CASE WHEN uu.u < CAST($trainFrac AS DOUBLE)
+      |      THEN 'train' ELSE 'held' END AS split,
+      |    CASE WHEN lb.pos THEN 'ref' ELSE 'other' END AS label,
+      |    CAST(COALESCE(per.n, 0) AS BIGINT) AS n_tokens,
+      |    CAST(COALESCE(per.nu, 0) AS BIGINT) AS n_unseen,
+      |    CASE WHEN COALESCE(per.n, 0) > 0
+      |      THEN CAST(per.rs AS DOUBLE) / 1000000000000.0 / CAST(per.n AS DOUBLE)
+      |      ELSE CAST(0.5 AS DOUBLE) END AS score
+      |  FROM documents d JOIN uu USING (doc_id) JOIN lb USING (doc_id)
+      |  LEFT JOIN per USING (doc_id))""".stripMargin
+  }
+
   private def bm25CoreSql(terms: Seq[String]): String = {
     val tfCols = terms.map(t =>
       s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n    ")
@@ -4257,5 +4314,77 @@ object Text {
           coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
           col("min_j"), col("max_j"))
         .orderBy("bin")
+    },
+
+    // ---- NB quality classifier (the GPT-3 / LLaMA curation stage) ----
+    // Brown et al. 2020 §A / Touvron et al. 2023: a supervised
+    // "reference-like" classifier trained on trusted-vs-crawl labels,
+    // scoring the whole corpus. The engine form
+    // ([[graft.text.Classifier]]): add-one multinomial NB over unigram
+    // xxhash64 identities, trained on the salted-hash 80% split with
+    // src0-src2 as the reference class, scored log-free — the per-token
+    // posterior is ONE correctly-rounded division of exact
+    // DECIMAL(38,0) integer products (the oracle replays them as
+    // HUGEINT), the doc score the exact-grid mean posterior. The hash
+    // match certifies train/score separation, the class-count
+    // arithmetic, smoothing, and the unseen-token accounting end to
+    // end; the oracle runs over TRUE token strings, doubling as the
+    // 64-bit collision detector.
+    Q("q199_nb_quality_classifier",
+      s"""WITH ${nbPerDocSql(Seq("src0", "src1", "src2"), 0.8)}
+        |SELECT doc_id, split, label, n_tokens, n_unseen, score,
+        |  CASE WHEN score >= 0.5 THEN 'ref' ELSE 'other' END AS predicted
+        |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.Classifier.nbQuality(documents(s, dir), "doc_id", "text",
+          isPos = col("source").isin("src0", "src1", "src2"),
+          trainFrac = 0.8, salt = "#nb")
+        .select(col("doc_id"), col("split"), col("label"), col("n_tokens"),
+          col("n_unseen"), col("score"),
+          when(col("predicted"), "ref").otherwise("other").as("predicted"))
+        .orderBy("doc_id")
+    },
+
+    // ---- classifier-gated stochastic acceptance (GPT-3's keep rule) ----
+    // The second half of the stage: keep a document iff
+    // pareto(α) > 1 − score, with the Pareto draw made deterministic
+    // and replayable — the uniform is the q150 salted md5 unit hash
+    // and at α = 1 the inverse-CDF transform is RATIONAL
+    // (pareto₁(u) = 1/u − 1), so the keep decision is exact double
+    // arithmetic both engines replay bit-for-bit (α ≠ 1 needs pow —
+    // transcendental, the usual trade). Reported as the per-(label,
+    // split) acceptance audit — labels ride the classifier's single
+    // corpus scan, so there is no re-attach join; the mean score
+    // re-captures the grid (each score is already a replayed double,
+    // ROUND is exact on both sides).
+    Q("q200_classifier_acceptance",
+      s"""WITH ${nbPerDocSql(Seq("src0", "src1", "src2"), 0.8)},
+        |av AS (SELECT * FROM ${md5Hash64Sql("doc_id",
+             "md5(CAST(doc_id AS VARCHAR) || '#nbacc')", "documents", "ah")}),
+        |au AS (SELECT doc_id,
+        |    (CAST(ah AS DOUBLE) + 9.223372036854776e18)
+        |      / 1.8446744073709552e19 AS ua
+        |  FROM av),
+        |k AS (SELECT sc.label, sc.split, sc.score,
+        |    (1.0 / au.ua - 1.0) > (1.0 - sc.score) AS keep
+        |  FROM sc JOIN au USING (doc_id))
+        |SELECT label, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CAST(ROUND(score * 1000000000000.0, 0) AS DECIMAL(38,0)))
+        |      AS DOUBLE) / 1000000000000.0 / CAST(COUNT(*) AS DOUBLE)
+        |    AS mean_score
+        |FROM k GROUP BY 1, 2 ORDER BY label, split""".stripMargin) { (s, dir) =>
+      val scored = graft.text.Classifier.nbQuality(documents(s, dir),
+        "doc_id", "text", isPos = col("source").isin("src0", "src1", "src2"),
+        trainFrac = 0.8, salt = "#nb")
+      graft.text.Classifier.paretoAccept(scored, "doc_id", "score",
+          salt = "#nbacc")
+        .groupBy("label", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("keep"), lit(1))).as("n_kept"),
+          (sum(round(col("score") * lit(1.0e12), 0)
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double") / lit(1.0e12) /
+            count(lit(1)).cast("double")).as("mean_score"))
+        .orderBy("label", "split")
     })
 }

@@ -100,6 +100,50 @@ object Streaming {
         LangModel.gridMean(col("__ps"), col(cnt)).as("mean_cond_p"))
   }
 
+  /** Ingestion-time NB quality gate — the streaming twin of the q199
+    * batch scorer ([[graft.text.Classifier.scoreWithNbModel]]): the
+    * classifier is TRAINED batch-side
+    * ([[graft.text.Classifier.trainNbModel]], one pinned
+    * vocabulary-sized class-count frame + three scalars) and every
+    * arriving document scores against it via one STREAM-STATIC left
+    * join on 8-byte token identities — the [[fluencyStream]] frame
+    * with one join instead of two. Streaming state is only the per-doc
+    * aggregation of its own exploded tokens, keyed by (event-time, id)
+    * so the watermark evicts it. Output: (tsCol, idCol, n_tokens,
+    * n_unseen, score, predicted) — the batch scorer's columns, same
+    * exact-product posterior and grid arithmetic (StreamingSpec pins
+    * stream ≡ batch on a shared fixture model).
+    */
+  def classifyStream(docs: DataFrame, tsCol: String, idCol: String,
+                     textCol: String,
+                     model: graft.text.Classifier.NbModel,
+                     watermark: String = "10 minutes"): DataFrame = {
+    import graft.text.{Classifier, LangModel}
+    docs
+      .withWatermark(tsCol, watermark)
+      // explode_outer: a doc with no alpha tokens keeps one null-token
+      // row so it still emits a neutral (0, 0, 0.5) score downstream
+      .select(col(tsCol), col(idCol),
+        explode_outer(Classifier.tokHashArr(col(textCol))).as("th"))
+      .join(model.stats, Seq("th"), "left")
+      .select(col(tsCol), col(idCol),
+        (col("th").isNotNull && col("c_pos").isNull).as("unseen"),
+        when(col("th").isNotNull,
+          Classifier.posterior(col("c_pos"), col("c_neg"),
+            lit(model.nPos), lit(model.nNeg),
+            lit(model.vocabSize))).as("r"))
+      .groupBy(col(tsCol), col(idCol))
+      .agg(count(col("r")).as("n_tokens"),
+        count(org.apache.spark.sql.functions.when(col("unseen"), lit(1)))
+          .as("n_unseen"),
+        LangModel.gridSum(col("r")).as("__rs"))
+      .select(col(tsCol), col(idCol), col("n_tokens"), col("n_unseen"),
+        when(col("n_tokens") > 0,
+          LangModel.gridMean(col("__rs"), col("n_tokens")))
+          .otherwise(lit(0.5)).as("score"))
+      .withColumn("predicted", col("score") >= lit(0.5))
+  }
+
   /** Keyed record for streaming dedup. */
   final case class Doc(fp: String, id: Long, text: String)
 

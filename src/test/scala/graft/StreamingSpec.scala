@@ -706,4 +706,42 @@ class StreamingSpec extends AnyFunSuite {
         s"post-restart stream scores must equal the batch scorer: $late vs $want")
     } finally q2.stop()
   }
+
+  test("classify stream scores against a batch-trained NB model, row-equal to the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.Classifier
+    // the ClassifierSpec fixture: train = docs 1,2 (doc1 pos); doc 3
+    // carries an unseen token, doc 4 has no alpha tokens
+    val docs = Seq(
+      (1L, "a b a", true), (2L, "b c", false),
+      (3L, "a c z", false), (4L, "x9 !!", false))
+      .toDF("doc_id", "text", "pos")
+    val model = Classifier.trainNbModel(docs, "doc_id", "text",
+      isTrain = col("doc_id") <= 2, isPos = col("pos"))
+    assert((model.nPos, model.nNeg, model.vocabSize) === ((3L, 2L, 3L)))
+    val batch = Classifier.scoreWithNbModel(docs, "doc_id", "text", model)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val scored = Streaming.classifyStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text", model)
+    assert(scored.columns.toSeq ===
+      Seq("ts", "doc_id", "n_tokens", "n_unseen", "score", "predicted"))
+    val q = scored.writeStream.format("memory")
+      .queryName("classify_stream").outputMode("complete").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(
+        (t, 1L, "a b a"), (t, 2L, "b c"),
+        (t, 3L, "a c z"), (t, 4L, "x9 !!"))
+      q.processAllAvailable()
+      val got = spark.table("classify_stream").orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5)))
+      assert(got === batch,
+        "stream scores must be bit-identical to the batch scorer")
+    } finally q.stop()
+  }
 }
