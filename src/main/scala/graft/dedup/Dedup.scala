@@ -65,23 +65,28 @@ object Dedup {
     * Readable form — for the hot minhash/Jaccard path use
     * [[shingleHashes]], which avoids per-index slice+concat allocation.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
+  def shingles(text: Column, n: Int): Column =
     // n-fold zip_with over shifted slices, not slice(toks, i, n) in an
     // index lambda: a non-lambda subexpression in a HOF body
     // re-evaluates per ELEMENT, so the old form re-ran the tokenizing
     // split O(tokens) times per doc (the q195 lesson,
     // LangModel.bigramArr) — quadratic on the streaming
     // minhashSignatureExpr path that folds over this array numHashes
-    // times. HOF inputs evaluate once per row.
-    val grams = (2 to n)
-      .map(k => slice(toks, lit(k), size(toks) - (n - 1)))
-      .foldLeft(slice(toks, lit(1), size(toks) - (n - 1)))(
-        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
-    array_distinct(
+    // times. The token array is additionally let-bound once per row
+    // through a single-element array + transform (the
+    // [[graft.text.TextOps.chunkWindows]] trick): the gram tree
+    // references it 2n+2 times, and each textual reference of a raw
+    // expression analyzes into a distinct lambda binding that
+    // subexpression elimination cannot unify — the unbound form re-ran
+    // the split 2n+2 times per ROW.
+    array_distinct(flatten(transform(array(TextOps.tokens(text)), toks => {
+      val grams = (2 to n)
+        .map(k => slice(toks, lit(k), size(toks) - (n - 1)))
+        .foldLeft(slice(toks, lit(1), size(toks) - (n - 1)))(
+          (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
       when(size(toks) >= n, grams)
-        .otherwise(array(concat_ws(" ", toks))))
-  }
+        .otherwise(array(concat_ws(" ", toks)))
+    })))
 
   /** Distinct (id, shingle-string) ROWS — same shingle set as
     * [[shingles]] (distinct n-gram strings; whole trimmed text when the

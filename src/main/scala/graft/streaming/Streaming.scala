@@ -77,9 +77,14 @@ object Streaming {
     docs
       .withWatermark(tsCol, watermark)
       // explode_outer: a doc with < n alpha tokens keeps one null-gram
-      // row so it still emits a (0, 0, 0.0) score downstream
+      // row so it still emits a (0, 0, 0.0) score downstream. Two-step
+      // projection — tokenize once into an attribute, gram-hash from
+      // it (the ngramHashFromToks rationale; same plan shape as the
+      // batch scorer so the parity spec also pins the evaluation form)
       .select(col(tsCol), col(idCol),
-        explode_outer(LangModel.ngramHashArr(col(textCol), model.n)).as("b"))
+        LangModel.tokArr(col(textCol)).as("__tk"))
+      .select(col(tsCol), col(idCol),
+        explode_outer(LangModel.ngramHashFromToks(col("__tk"), model.n)).as("b"))
       .select(col(tsCol), col(idCol),
         col("b.gh").as("bh"), col("b.ch").as("uh"))
       .join(model.cuv, Seq("bh"), "left")

@@ -32,12 +32,14 @@ import org.apache.spark.sql.types.DecimalType
   * Scale shape (the [[LangModel]] frame): class counts shuffle on
   * 8-byte xxhash64 token KEYS (vocabulary-sized, never corpus-sized);
   * the corpus stream carries (id, token-hash) rows; the model folds
-  * back onto the occurrence stream as one AQE-sized left join (the
-  * count table is data-dependent — no broadcast hint, per the
-  * JoinInvariantSpec invariant) plus the hinted 1-row totals frame;
-  * the per-doc reduce is one map-side-combined aggregate. The q199
-  * oracle replays the protocol over TRUE token strings, so the hash
-  * compare doubles as the 64-bit collision detector.
+  * back onto the occurrence stream as one left join — broadcast when
+  * a MEASURED count of the pinned stats frame proves it small
+  * ([[LangModel.BroadcastModelLimit]], the JoinInvariantSpec
+  * reviewed-gate pattern), AQE-sized otherwise — plus the hinted
+  * 1-row totals frame; the per-doc reduce is one map-side-combined
+  * aggregate. The q199 oracle replays the protocol over TRUE token
+  * strings, so the hash compare doubles as the 64-bit collision
+  * detector.
   */
 object Classifier {
 
@@ -129,13 +131,23 @@ object Classifier {
         .groupBy("th")
         .agg(count(when(col("__pos"), lit(1))).as("c_pos"),
           count(when(!col("__pos"), lit(1))).as("c_neg")))
-    // 1-row totals (the only hinted frame, the LangModel vocab shape)
+    // 1-row totals frame (always hinted, the LangModel vocab shape)
     val tot = stats.agg(
       coalesce(sum(col("c_pos")), lit(0L)).cast("long").as("n_pos"),
       coalesce(sum(col("c_neg")), lit(0L)).cast("long").as("n_neg"),
       count(lit(1)).as("V"))
+    // the model-join hint is AUTO-GATED on the measured
+    // (already-pinned) vocabulary count — the
+    // [[LangModel.BroadcastModelLimit]] rationale verbatim: the pinned
+    // frame reports no measured stats, so without the gate the
+    // vocabulary-sized join was planned sort-merge at large n and
+    // exchanged the corpus-sized occurrence stream (measured 506 MB of
+    // shuffle at 1M docs vs ~3 MB gated, SCALE.md round 13)
+    val statsJ =
+      if (stats.count() <= LangModel.BroadcastModelLimit) broadcast(stats)
+      else stats
     occ
-      .join(stats, Seq("th"), "left")
+      .join(statsJ, Seq("th"), "left")
       .crossJoin(broadcast(tot))
       .select(col(idCol), col("__tr"), col("__pos"),
         (col("th").isNotNull && col("c_pos").isNull).as("unseen"),

@@ -26,17 +26,75 @@ import org.apache.spark.sql.types.DecimalType
   * Scale shape: bigram counts and probabilities shuffle on bigram KEYS
   * (vocabulary-sized); the corpus stream carries only (id, bigram)
   * rows and the per-doc reduce is one map-side-combined aggregate.
-  * The probability table joins back to the occurrence stream AQE-sized
-  * — it is a distinct-bigram frame (data-dependent), so no broadcast
-  * hint (the JoinInvariantSpec forced-broadcast invariant). The only
-  * hinted frame is the grouping-less 1-row vocabulary count.
+  * The count tables join back onto the occurrence stream broadcast
+  * when a MEASURED count of the pinned gram frame proves them small
+  * ([[BroadcastModelLimit]] — the JoinInvariantSpec reviewed-gate
+  * pattern), AQE-sized otherwise; the grouping-less 1-row vocabulary
+  * count is always hinted.
   */
 object LangModel {
 
   private val Grid = 1.0e12
 
-  private def tokArr(textCol: Column): Column =
+  /** Auto-gate threshold for broadcasting the trained model's count
+    * frames onto the corpus occurrence stream (the
+    * [[graft.graph.Graph.BroadcastNodeLimit]] pattern: hint only when
+    * a MEASURED count proved the bound). The measurement is free: the
+    * count frame is already eagerly pinned, so counting it scans
+    * materialized blocks. Without the gate the planner CANNOT make the
+    * broadcast decision itself: the pinned frame reports no measured
+    * stats (localCheckpoint propagates the child's estimate, which
+    * derives from the corpus-sized occurrence stream), so the
+    * vocabulary-sized model join was planned sort-merge at large n and
+    * exchanged the corpus-sized occurrence stream — measured 506 MB of
+    * shuffle at 1M docs on the classifier twin of this chain, vs
+    * ~3 MB gated (SCALE.md round 13).
+    *
+    * The bound is set where the broadcast is CLEARLY cheap, not where
+    * it barely fits: a gram-count row is two longs, so 2×10⁶ rows is a
+    * ~60 MB hashed relation — a ~1 s single-threaded build and a
+    * torrent-ship far below any corpus-sized exchange. The first cut
+    * of this gate used 10⁷ (fits-in-memory reasoning) and measurement
+    * vetoed it: at 9.2M distinct grams the single-threaded broadcast
+    * build + relation memory pressure ran the 200k-doc fluency family
+    * 5× SLOWER than the ungated AQE shuffle join it replaced (61.2 s
+    * vs 12.6 s, SCALE.md round 13). Above the gate the joins degrade
+    * to AQE-sized shuffles — the right call for gram vocabularies that
+    * genuinely explode; real Zipfian bigram vocabularies sit well
+    * under 2M and keep the broadcast win.
+    */
+  val BroadcastModelLimit: Long = 2000000L
+
+  private[graft] def tokArr(textCol: Column): Column =
     filter(TextOps.tokens(textCol), t => t.rlike("^[a-z]+$"))
+
+  /** [[ngramHashArr]] over an ALREADY-TOKENIZED array column. The
+    * scoring scans bind the token array to a projected attribute and
+    * call this form, because the gram tree references its input n+3
+    * times (two slices per gram position, the size guard, the empty
+    * fallback) and each textual reference is analyzed into a distinct
+    * lambda-variable binding — subexpression elimination cannot unify
+    * them, so passing the raw tokenizer expression re-ran the
+    * split+regex filter n+3 times PER ROW (measured: the 1M-doc occ
+    * pin's executor CPU dropped ~3× when the q195 scan switched to the
+    * bound-attribute form; an attribute reference is a row-field read).
+    */
+  private[graft] def ngramHashFromToks(t: Column, n: Int): Column = {
+    require(n >= 2, s"n-gram LM needs n >= 2, got $n")
+    // (n−1)-token context strings at each start position (the
+    // [[graft.dedup.Dedup.shingles]] fold), zipped with the successor
+    val ctx = (2 until n)
+      .map(k => slice(t, lit(k), size(t) - (n - 1)))
+      .foldLeft(slice(t, lit(1), size(t) - (n - 1)))(
+        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+    val succ = slice(t, lit(n), size(t) - (n - 1))
+    when(size(t) >= n,
+      zip_with(ctx, succ, (c, w) => struct(
+        xxhash64(c, w).as("gh"),
+        xxhash64(c).as("ch"),
+        xxhash64(w).as("vh"))))
+      .otherwise(array().cast("array<struct<gh:bigint,ch:bigint,vh:bigint>>"))
+  }
 
   /** (gh, ch, vh) xxhash64 identity structs of the doc's n-grams, in
     * order with occurrence multiplicity: gram = hash of
@@ -57,25 +115,12 @@ object LangModel {
     * form runs the filter O(1) per row and the query in ~1 s). The
     * context string concatenates space-free ^[a-z]+$ tokens with " ",
     * so it is collision-free as an identity; the final hash lambda only
-    * touches bound lambda variables — O(n-grams) per row.
+    * touches bound lambda variables — O(n-grams) per row. Plan-building
+    * scans should prefer projecting [[tokArr]] to a column and calling
+    * [[ngramHashFromToks]] on the attribute (see its Scaladoc).
     */
-  def ngramHashArr(textCol: Column, n: Int): Column = {
-    require(n >= 2, s"n-gram LM needs n >= 2, got $n")
-    val t = tokArr(textCol)
-    // (n−1)-token context strings at each start position (the
-    // [[graft.dedup.Dedup.shingles]] fold), zipped with the successor
-    val ctx = (2 until n)
-      .map(k => slice(t, lit(k), size(t) - (n - 1)))
-      .foldLeft(slice(t, lit(1), size(t) - (n - 1)))(
-        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
-    val succ = slice(t, lit(n), size(t) - (n - 1))
-    when(size(t) >= n,
-      zip_with(ctx, succ, (c, w) => struct(
-        xxhash64(c, w).as("gh"),
-        xxhash64(c).as("ch"),
-        xxhash64(w).as("vh"))))
-      .otherwise(array().cast("array<struct<gh:bigint,ch:bigint,vh:bigint>>"))
-  }
+  def ngramHashArr(textCol: Column, n: Int): Column =
+    ngramHashFromToks(tokArr(textCol), n)
 
   /** Bigram specialization of [[ngramHashArr]] under the historical
     * (bh, uh, vh) field names — the streaming scorer's and
@@ -111,7 +156,8 @@ object LangModel {
     // dependent on gh, so this is the gh partition — then pin the
     // vocabulary-sized counts and derive contexts + vocab size from them
     val cuv = graft.ops.Pin.pin(docs.filter(isTrain)
-      .select(explode(ngramHashArr(col(textCol), n)).as("g"))
+      .select(tokArr(col(textCol)).as("__tk"))
+      .select(explode(ngramHashFromToks(col("__tk"), n)).as("g"))
       .groupBy(col("g.gh").as("bh"), col("g.ch").as("uh"),
         col("g.vh").as("vh"))
       .agg(count(lit(1)).as("c_uv")))
@@ -168,8 +214,9 @@ object LangModel {
     // re-attach join (the same shape as the streaming twin and
     // [[ngramFluencyWithTrain]]'s core)
     docs
+      .select(col(idCol), tokArr(col(textCol)).as("__tk"))
       .select(col(idCol),
-        explode_outer(ngramHashArr(col(textCol), model.n)).as("b"))
+        explode_outer(ngramHashFromToks(col("__tk"), model.n)).as("b"))
       .select(col(idCol), col("b.gh").as("bh"), col("b.ch").as("uh"))
       .join(model.cuv, Seq("bh"), "left")
       .join(model.cu, Seq("uh"), "left")
@@ -216,9 +263,15 @@ object LangModel {
     */
   private def ngramScored(docs: DataFrame, idCol: String, textCol: String,
                           isTrain: Column, n: Int): DataFrame = {
+    // two-step projection: tokenize ONCE into an attribute, gram-hash
+    // from the attribute (the [[ngramHashFromToks]] rationale — the
+    // gram tree references its input n+3 times; CollapseProject keeps
+    // the split because the non-cheap alias is multiply referenced)
     val occ = graft.ops.Pin.pin(docs
       .select(col(idCol), isTrain.as("__tr"),
-        explode_outer(ngramHashArr(col(textCol), n)).as("g"))
+        tokArr(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tr"),
+        explode_outer(ngramHashFromToks(col("__tk"), n)).as("g"))
       .select(col(idCol), col("__tr"),
         col("g.gh").as("gh"), col("g.ch").as("ch"), col("g.vh").as("vh")))
     // null-gram sentinel rows carry no count mass anywhere: train counts
@@ -235,11 +288,17 @@ object LangModel {
       train.groupBy("gh", "ch", "vh").agg(count(lit(1)).as("c_uv")))
     val cu = cuv.groupBy("ch").agg(sum(col("c_uv")).as("c_u"))
     val vocab = cuv.agg(countDistinct(col("vh")).as("V"))
-    // fold the model straight onto the occurrence stream: two AQE-sized
-    // left joins on 8-byte keys + the 1-row V broadcast (the only hint)
+    // fold the model straight onto the occurrence stream: two left
+    // joins on 8-byte keys + the 1-row V broadcast. The count-frame
+    // hints are AUTO-GATED on the measured (already-pinned) gram count
+    // — see [[BroadcastModelLimit]]; cu is grouped FROM cuv, so the
+    // same measurement bounds both frames. Above the gate the joins
+    // degrade to AQE-sized shuffles.
+    val gateB = cuv.count() <= BroadcastModelLimit
+    def gated(df: DataFrame): DataFrame = if (gateB) broadcast(df) else df
     occ
-      .join(cuv.select(col("gh"), col("c_uv")), Seq("gh"), "left")
-      .join(cu, Seq("ch"), "left")
+      .join(gated(cuv.select(col("gh"), col("c_uv"))), Seq("gh"), "left")
+      .join(gated(cu), Seq("ch"), "left")
       .crossJoin(broadcast(vocab))
       // greatest(V, 1): an EMPTY train partition would otherwise make
       // every denominator 0 and every p Infinity — the guard pins the

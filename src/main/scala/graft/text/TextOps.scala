@@ -50,22 +50,25 @@ object TextOps {
     * same convention as the MinHash shingler, so repetition features and
     * dedup shingles agree on degenerate docs.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  def wordNgrams(text: Column, n: Int): Column =
     // n-fold zip_with over shifted slices, NOT an index lambda with
     // slice(t, i, n): a non-lambda subexpression in a HOF body
     // re-evaluates per ELEMENT, so the slice form re-ran the
     // tokenizing split O(tokens) times per doc (the q195 lesson,
-    // LangModel.bigramArr). HOF *inputs* evaluate once per row, so the
-    // slices pay O(n) token-array builds per row instead.
-    val grams = (2 to n)
-      .map(k => slice(t, lit(k), size(t) - (n - 1)))
-      .foldLeft(slice(t, lit(1), size(t) - (n - 1)))(
-        (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+    // LangModel.bigramArr). The token array is let-bound once per row
+    // through a single-element array + transform (the [[chunkWindows]]
+    // trick): the gram tree references it n+3 times, and each textual
+    // reference of a raw expression is analyzed into a distinct
+    // lambda binding that subexpression elimination cannot unify — the
+    // unbound form re-ran the tokenizing split n+3 times per ROW.
     when(text.isNull, array().cast("array<string>"))
-      .when(size(t) >= n, grams)
-      .otherwise(array(array_join(t, " ")))
-  }
+      .otherwise(flatten(transform(array(tokens(text)), t => {
+        val grams = (2 to n)
+          .map(k => slice(t, lit(k), size(t) - (n - 1)))
+          .foldLeft(slice(t, lit(1), size(t) - (n - 1)))(
+            (acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
+        when(size(t) >= n, grams).otherwise(array(array_join(t, " ")))
+      })))
 
   /** HTML-to-text extraction, the crawl-processing front door: drop
     * `<script>`/`<style>` elements WITH their contents (their text is

@@ -326,10 +326,17 @@ object ScaleStress {
       spark.stop(); return
     }
 
+    // Core mode accepts the same optional third-arg family filter as
+    // ann mode (comma-separated substrings), so a single family's
+    // decade can be re-measured without paying for the other five.
+    val coreFams = if (args.length > 2) args(2).split(",").toSeq else Seq("")
+    def runCore(name: String)(body: => Long): Unit =
+      if (coreFams.exists(name.contains)) run(name)(body)
+
     // 1. MinHash near-dup → connected components → keep-best (the q154
     //    family: production xxhash64 hashing, banded LSH, verify, then
     //    group resolution and best-doc semi-join)
-    run("neardup_components_keepbest") {
+    runCore("neardup_components_keepbest") {
       val docs = documents(spark, nDocs)
       val pairs = graft.dedup.Dedup.minhashNearDups(
         docs, "doc_id", "text", threshold = 0.5,
@@ -345,14 +352,14 @@ object ScaleStress {
 
     // 2. Adjacency-form PageRank, 3 iterations, broadcast ranks (q131's
     //    plan) over an 8-average-degree hash graph
-    run("pagerank_adjacency") {
+    runCore("pagerank_adjacency") {
       val e = edges(spark, nDocs * 8, math.max(nDocs, 8L))
       graft.graph.Graph.pageRank(e, iters = 3).count()
     }
 
     // 3. DTW k-means (k=4, 5 Lloyd iterations) over nDocs/16 series of
     //    length 24 — the fused mapPartitions assignment path (q53)
-    run("dtw_kmeans") {
+    runCore("dtw_kmeans") {
       val s = series(spark, math.max(nDocs / 16, 64L), 24)
       graft.ml.Clustering.dtwKMeans(s, "sid", "vec", k = 4, maxIter = 5)
         .assignments.count()
@@ -362,7 +369,7 @@ object ScaleStress {
     //    path that replaces the quadratic all-pairs baseline): the
     //    corpus-wide EXACT similarity join whose cost must track the
     //    matching-pair mass, not the pair square
-    run("prefix_jaccard") {
+    runCore("prefix_jaccard") {
       graft.dedup.Dedup.prefixJaccardPairs(
         documents(spark, nDocs), "doc_id", "text",
         shingleSize = 3, threshold = 0.5).count()
@@ -374,7 +381,7 @@ object ScaleStress {
     //    Tokens must be PURE ALPHA (the scorer's ^[a-z]+$ filter drops
     //    [[documents]]' digit-suffixed vocabulary entirely — digits
     //    translate to letters so the 5000-word vocab survives).
-    run("bigram_fluency") {
+    runCore("bigram_fluency") {
       val toks = transform(sequence(lit(0), lit(59)),
         i => concat(lit("w"), translate(
           pmod(xxhash64(col("id"), i), lit(5000)).cast("string"),
@@ -382,6 +389,23 @@ object ScaleStress {
       val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         array_join(toks, " ").as("text"))
       graft.text.LangModel.bigramFluency(docs, "doc_id", "text").count()
+    }
+
+    // 6. NB quality classifier (q199): the fluency chain minus one join
+    //    (unigram identities, class counts instead of gram counts) —
+    //    measured rather than argued, so SCALE.md's "the LM decade
+    //    upper-bounds it" claim has its own row. Same alpha vocabulary
+    //    as family 5; the class label is a hash projection (~30% pos).
+    runCore("nb_classifier") {
+      val toks = transform(sequence(lit(0), lit(59)),
+        i => concat(lit("w"), translate(
+          pmod(xxhash64(col("id"), i), lit(5000)).cast("string"),
+          "0123456789", "abcdefghij")))
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(toks, " ").as("text"),
+        (pmod(xxhash64(col("id"), lit(11L)), lit(10)) < 3).as("pos"))
+      graft.text.Classifier.nbQuality(docs, "doc_id", "text",
+        isPos = col("pos")).count()
     }
 
     spark.stop()

@@ -197,7 +197,24 @@ class JoinInvariantSpec extends AnyFunSuite {
     "q155_weather_capstone" ->
       ("the hinted frames are the station inventory (fixed reference " +
         "dimension input, ~100k rows worldwide by contract) and the " +
-        "12-row monthly target frame"))
+        "12-row monthly target frame"),
+    "q195_bigram_fluency" ->
+      ("LangModel auto-gates the model-count-frame hints on the " +
+        "MEASURED row count of the already-pinned gram frame " +
+        "(<= BroadcastModelLimit, the q139 pattern) — the hint only " +
+        "exists because the runtime count proved the bound; above the " +
+        "gate the joins degrade to AQE-sized shuffles"),
+    "q196_fluency_buckets" ->
+      ("same measured-count auto-gate as q195 (shared ngramScored core)"),
+    "q197_trigram_fluency" ->
+      ("same measured-count auto-gate as q195 (shared ngramScored core)"),
+    "q199_nb_quality_classifier" ->
+      ("Classifier auto-gates the class-count-frame hint on the " +
+        "MEASURED row count of the already-pinned stats frame " +
+        "(<= LangModel.BroadcastModelLimit) — the q195 rationale on " +
+        "the NB chain"),
+    "q200_classifier_acceptance" ->
+      ("same measured-count auto-gate as q199 (shared nbScored core)"))
 
   /** Logical-plan twin of [[bounded]]: hints are only visible on the
     * analyzed plan (the optimizer folds ResolvedHint into JoinHint), so
