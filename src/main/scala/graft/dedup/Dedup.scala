@@ -124,16 +124,26 @@ object Dedup {
     * per document instead of ~len slices.
     */
   def shingleHashes(text: Column, n: Int): Column = {
-    val th = transform(TextOps.tokens(text), t => xxhash64(t))
     def rotl(c: Column, k: Int): Column =
       shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
-    val combined = (1 until n).foldLeft(th) { (acc, k) =>
-      zip_with(acc, slice(th, lit(k + 1), greatest(size(th) - k, lit(0))),
-        (a, b) => a.bitwiseXOR(rotl(b, (7 * k) % 63 + 1)))
-    }
-    array_distinct(
-      when(size(th) >= n, filter(combined, c => c.isNotNull))
-        .otherwise(array(xxhash64(concat_ws(" ", TextOps.tokens(text))))))
+    // Both the token array and its per-token hash array are let-bound
+    // once per row through the single-element-array + transform trick
+    // (the [[graft.text.TextOps.chunkWindows]] pattern): the xor fold
+    // references the hash array ~2n times and the short-doc fallback
+    // re-reads the tokens, and each textual reference of a raw
+    // expression analyzes into a distinct lambda binding that
+    // subexpression elimination cannot unify — the unbound form re-ran
+    // the tokenizing split ~2n times per ROW (the q195 lesson's
+    // per-ROW sibling; see SCALE.md round 13).
+    array_distinct(flatten(transform(array(TextOps.tokens(text)), toks =>
+      flatten(transform(array(transform(toks, t => xxhash64(t))), th => {
+        val combined = (1 until n).foldLeft(th) { (acc, k) =>
+          zip_with(acc, slice(th, lit(k + 1), greatest(size(th) - k, lit(0))),
+            (a, b) => a.bitwiseXOR(rotl(b, (7 * k) % 63 + 1)))
+        }
+        when(size(th) >= n, filter(combined, c => c.isNotNull))
+          .otherwise(array(xxhash64(concat_ws(" ", toks))))
+      })))))
   }
 
   /** Seeded per-family xor constants (md5-derived, driver-side) for the

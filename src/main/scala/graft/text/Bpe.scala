@@ -120,13 +120,19 @@ object Bpe {
       // zip_with over slices, not element_at(arr, i) in an index lambda:
       // a non-lambda subexpression in a HOF body re-evaluates PER
       // ELEMENT, so the element_at form re-split the seq string
-      // O(len²) times per word (the q195 lesson, LangModel.bigramArr)
-      val arr = split(trim(col("seq")), "  ")
-      val pairsOf = when(size(arr) >= 2,
-        zip_with(slice(arr, lit(1), size(arr) - 1),
-          slice(arr, lit(2), size(arr) - 1),
-          (a, b) => concat(a, lit("  "), b)))
-        .otherwise(array().cast("array<string>"))
+      // O(len²) times per word (the q195 lesson, LangModel.bigramArr).
+      // The split array is additionally let-bound once per row (the
+      // chunkWindows single-element-array trick): the pair tree
+      // references it 5 times, and each textual reference analyzes
+      // into a distinct binding CSE cannot unify — the unbound form
+      // re-split 5 times per ROW (SCALE.md round 13).
+      val pairsOf = flatten(transform(
+        array(split(trim(col("seq")), "  ")), arr =>
+          when(size(arr) >= 2,
+            zip_with(slice(arr, lit(1), size(arr) - 1),
+              slice(arr, lit(2), size(arr) - 1),
+              (a, b) => concat(a, lit("  "), b)))
+            .otherwise(array().cast("array<string>"))))
       val top = cur.select(explode(pairsOf).as("pair"), col("cnt"))
         .groupBy("pair").agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("pair").asc)

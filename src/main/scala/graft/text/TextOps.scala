@@ -13,6 +13,21 @@ object TextOps {
   /** Whitespace tokens of the lowercased, trimmed text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Let-bind `x` once per row: `body` receives a lambda VARIABLE (a
+    * bound value), so referencing it k times costs ONE evaluation of
+    * `x` instead of k. Each textual reference of a raw expression is
+    * analyzed into a distinct lambda binding (fresh exprIds), which
+    * neither codegen CSE nor the interpreted subexpression-elimination
+    * runtime can unify — so a derived array (a tokenizing split, a
+    * regex extract) referenced k times in one tree re-ran k times per
+    * ROW (the [[chunkWindows]] single-element-array trick,
+    * generalized; measured in SCALE.md round 13). `element_at(_, 1)`
+    * unwraps the 1-element array `transform` builds; works for any
+    * result type, including arrays.
+    */
+  private[graft] def letBound(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
   /** Unicode NFC normalization (native codegen'd expression
     * [[graft.functions.NfcNormalize]]; DuckDB twin: `nfc_normalize`).
     */
@@ -173,22 +188,30 @@ object TextOps {
       .otherwise(lit(0.0))
   }
 
-  /** Share of tokens that are stopwords (from `stops`). */
-  def stopwordRatio(text: Column, stops: Seq[String]): Column = {
-    val toks = tokens(text)
+  /** [[stopwordRatio]] over an already-bound token array (the
+    * [[letBound]] contract: `toks` must be a lambda variable or plain
+    * attribute — the tree references it 3 times).
+    */
+  private[graft] def stopwordRatioOf(toks: Column, stops: Seq[String]): Column = {
     val stopArr = array(stops.map(lit): _*)
     when(size(toks) > 0,
       size(filter(toks, t => array_contains(stopArr, t))).cast("double") / size(toks))
       .otherwise(lit(0.0))
   }
 
-  /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  /** Share of tokens that are stopwords (from `stops`). */
+  def stopwordRatio(text: Column, stops: Seq[String]): Column =
+    letBound(tokens(text))(stopwordRatioOf(_, stops))
+
+  /** [[meanTokenLen]] over an already-bound token array (3 references). */
+  private[graft] def meanTokenLenOf(toks: Column): Column =
     when(size(toks) > 0,
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
       .otherwise(lit(0.0))
-  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column =
+    letBound(tokens(text))(meanTokenLenOf)
 
   /** Heuristic quality score in [0,1]: rewards mid-length documents and
     * stopword presence, penalizes punctuation soup. Deterministic
@@ -218,18 +241,28 @@ object TextOps {
     */
   def c4Clean(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
               minLineWords: Int = 5, minKeptLines: Int = 3): org.apache.spark.sql.DataFrame = {
-    val lines = split(col(textCol), "\n")
-    val kept = filter(lines, l =>
-      trim(l).rlike("[.!?\"]$") &&
-        size(split(trim(l), "\\s+")) >= minLineWords &&
-        !lower(l).contains("javascript"))
-    df.select(col(idCol),
-      size(lines).cast("long").as("n_lines"),
-      size(kept).cast("long").as("n_kept"),
-      (!lower(col(textCol)).contains("lorem ipsum") &&
-        !col(textCol).contains("{") &&
-        size(kept) >= minKeptLines).as("keep_doc"),
-      md5(array_join(kept, "\n")).as("cleaned_fp"))
+    // the line split and the kept-line filter (a per-line regex) are
+    // let-bound once per row and the four outputs emitted as one
+    // struct, then projected to columns: as four independent column
+    // expressions the filter ran 3× and the split 4× per row (the
+    // letBound rationale)
+    val c = letBound(split(col(textCol), "\n")) { lines =>
+      letBound(filter(lines, l =>
+        trim(l).rlike("[.!?\"]$") &&
+          size(split(trim(l), "\\s+")) >= minLineWords &&
+          !lower(l).contains("javascript"))) { kept =>
+        struct(
+          size(lines).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept"),
+          (!lower(col(textCol)).contains("lorem ipsum") &&
+            !col(textCol).contains("{") &&
+            size(kept) >= minKeptLines).as("keep_doc"),
+          md5(array_join(kept, "\n")).as("cleaned_fp"))
+      }
+    }
+    df.select(col(idCol), c.as("__c"))
+      .select(col(idCol), col("__c.n_lines"), col("__c.n_kept"),
+        col("__c.keep_doc"), col("__c.cleaned_fp"))
   }
 
   /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
@@ -253,42 +286,55 @@ object TextOps {
   def gopherQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nWords = size(toks).cast("long")
-    val meanLen = meanTokenLen(t)
-    // regexp_replace keeps this pure-Column (no name splicing, so odd
-    // column names never break); left-to-right non-overlapping matching
-    // makes it count-equivalent to a literal replace for both patterns
-    val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
-    val nEllip = ((length(t) -
-      length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
-    val symbolRatio = (nHash + nEllip).cast("double") / nWords.cast("double")
-    val lines = split(t, "\n")
-    val nLines = size(lines).cast("long")
-    val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))
-      .cast("double") / nLines.cast("double")
-    val ellipsisRatio = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
-      .cast("double") / nLines.cast("double")
-    val alphaRatio = size(filter(toks, w => w.rlike("[a-z]")))
-      .cast("double") / nWords.cast("double")
-    val stopArr = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      .map(lit): _*)
-    val nStops = size(filter(stopArr, s => array_contains(toks, s))).cast("long")
-    df.select(col(idCol),
-      nWords.as("n_words"),
-      meanLen.as("mean_word_len"),
-      symbolRatio.as("symbol_ratio"),
-      bulletRatio.as("bullet_ratio"),
-      ellipsisRatio.as("ellipsis_ratio"),
-      alphaRatio.as("alpha_ratio"),
-      nStops.as("n_stopwords"),
-      (nWords.between(50L, 100000L) &&
-        meanLen >= 3.0 && meanLen <= 10.0 &&
-        symbolRatio <= 0.1 &&
-        bulletRatio <= 0.9 &&
-        ellipsisRatio <= 0.3 &&
-        alphaRatio >= 0.8 &&
-        nStops >= 2L).as("keep_doc"))
+    // the token and line arrays are let-bound once per row and the
+    // outputs emitted as one struct, then projected to columns: as
+    // independent column expressions the tokenizing split ran ~13× per
+    // row (nWords, meanLen's 3, alphaRatio, nStops' per-stopword
+    // lambda re-evaluating `toks` 8 times — the per-ELEMENT form of
+    // the defect on top of the per-ROW one) and the line split 3×
+    val c = letBound(tokens(t)) { toks =>
+      letBound(split(t, "\n")) { lines =>
+        val nWords = size(toks).cast("long")
+        val meanLen = meanTokenLenOf(toks)
+        // regexp_replace keeps this pure-Column (no name splicing, so odd
+        // column names never break); left-to-right non-overlapping matching
+        // makes it count-equivalent to a literal replace for both patterns
+        val nHash = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+        val nEllip = ((length(t) -
+          length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+        val symbolRatio = (nHash + nEllip).cast("double") / nWords.cast("double")
+        val nLines = size(lines).cast("long")
+        val bulletRatio = size(filter(lines, l => trim(l).rlike("^[-*•]")))
+          .cast("double") / nLines.cast("double")
+        val ellipsisRatio = size(filter(lines, l => trim(l).rlike("\\.\\.\\.$")))
+          .cast("double") / nLines.cast("double")
+        val alphaRatio = size(filter(toks, w => w.rlike("[a-z]")))
+          .cast("double") / nWords.cast("double")
+        val stopArr = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+          .map(lit): _*)
+        val nStops = size(filter(stopArr, s => array_contains(toks, s))).cast("long")
+        struct(
+          nWords.as("n_words"),
+          meanLen.as("mean_word_len"),
+          symbolRatio.as("symbol_ratio"),
+          bulletRatio.as("bullet_ratio"),
+          ellipsisRatio.as("ellipsis_ratio"),
+          alphaRatio.as("alpha_ratio"),
+          nStops.as("n_stopwords"),
+          (nWords.between(50L, 100000L) &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symbolRatio <= 0.1 &&
+            bulletRatio <= 0.9 &&
+            ellipsisRatio <= 0.3 &&
+            alphaRatio >= 0.8 &&
+            nStops >= 2L).as("keep_doc"))
+      }
+    }
+    df.select(col(idCol), c.as("__g"))
+      .select(col(idCol), col("__g.n_words"), col("__g.mean_word_len"),
+        col("__g.symbol_ratio"), col("__g.bullet_ratio"),
+        col("__g.ellipsis_ratio"), col("__g.alpha_ratio"),
+        col("__g.n_stopwords"), col("__g.keep_doc"))
   }
 
   /** Marker stopwords per language for the n-gram/marker language-ID
@@ -303,17 +349,27 @@ object TextOps {
   /** Predicted language: argmax of marker-token counts, ties broken by
     * marker-list order, "und" (undetermined) when no marker matches.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = langMarkers.map { case (lang, markers) =>
-      val m = array(markers.map(lit): _*)
-      lang -> size(filter(toks, t => array_contains(m, t)))
+  def langId(text: Column): Column =
+    // let-bind the token array AND the 4-score array: the argmax fold
+    // references each score twice and `best` (which contains all four)
+    // once per language, so the unbound form re-ran the tokenizing
+    // split ~20× per row (the letBound rationale); element_at reads of
+    // a bound score array are free, and `greatest` is kept verbatim so
+    // the tie/zero semantics are character-identical to the original
+    letBound(tokens(text)) { toks =>
+      letBound(array(langMarkers.map { case (_, markers) =>
+        val m = array(markers.map(lit): _*)
+        size(filter(toks, t => array_contains(m, t)))
+      }: _*)) { ss =>
+        val scores = langMarkers.zipWithIndex.map { case ((lang, _), i) =>
+          lang -> element_at(ss, i + 1)
+        }
+        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+        scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+          when(s === best && best > 0, lit(lang)).otherwise(acc)
+        }
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
-      when(s === best && best > 0, lit(lang)).otherwise(acc)
-    }
-  }
 
   /** Canonical-form document fingerprint: md5 of the lowercased,
     * whitespace-collapsed text. Stable across engines (md5 is md5), used
