@@ -161,6 +161,14 @@ object ScaleStress {
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", v)
     def run(family: String)(body: => Long): Unit = {
+      // Drop the previous family's leaked pinned blocks before timing:
+      // chains localCheckpoint intermediates they never unpersist (the
+      // ContextCleaner frees them on driver GC, i.e. at an arbitrary
+      // later point), so block-manager pressure from family k inflated
+      // family k+1's wall — observed as a 2.1–21 s same-code spread on
+      // the classifier family until this flush was added.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       // settle async listener traffic from the previous family
       Thread.sleep(1500)
       read.set(0L); write.set(0L); maxTask.set(0L)

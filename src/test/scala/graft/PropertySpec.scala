@@ -153,6 +153,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("shingleHashes set structure matches true-string shingles — random docs") {
+    // Cross-validates the two independent shingle-identity builders —
+    // the rotate-xor token-hash combine (shingleHashes, the round-13
+    // let-bound form) against the true shingle STRINGS the readable
+    // shingles() expression emits. The hash VALUES are a different
+    // function by design; what must agree is the set STRUCTURE the
+    // Jaccard/minhash chains consume: per-doc distinct cardinality and
+    // every cross-doc intersection size (a combine collision or a
+    // dropped/duplicated gram would break one of them; random small
+    // vocab forces heavy cross-doc overlap so intersections are
+    // non-trivial).
+    import graft.dedup.Dedup
+    val docGen = for {
+      nTok <- Gen.choose(0, 40)
+      toks <- Gen.listOfN(nTok, Gen.oneOf("alpha", "beta", "gamma",
+        "delta", "x1", "y2", "Zz", "MiXeD"))
+    } yield toks.mkString(" ")
+    for (s <- 1 to 8) {
+      val n = sample(Gen.choose(2, 4), 1700 + s)
+      val txtA = sample(docGen, 1600 + s)
+      val txtB = sample(docGen, 1650 + s)
+      val df = Seq((txtA, txtB)).toDF("a", "b")
+      val row = df.select(
+        size(Dedup.shingleHashes(col("a"), n)).as("nh_a"),
+        size(Dedup.shingles(col("a"), n)).as("ns_a"),
+        size(Dedup.shingleHashes(col("b"), n)).as("nh_b"),
+        size(Dedup.shingles(col("b"), n)).as("ns_b"),
+        size(array_intersect(Dedup.shingleHashes(col("a"), n),
+          Dedup.shingleHashes(col("b"), n))).as("ih"),
+        size(array_intersect(Dedup.shingles(col("a"), n),
+          Dedup.shingles(col("b"), n))).as("is"))
+        .head()
+      assert(row.getInt(0) === row.getInt(1),
+        s"doc-a cardinality diverges on '$txtA' at n=$n")
+      assert(row.getInt(2) === row.getInt(3),
+        s"doc-b cardinality diverges on '$txtB' at n=$n")
+      assert(row.getInt(4) === row.getInt(5),
+        s"intersection diverges on '$txtA' ∩ '$txtB' at n=$n")
+    }
+  }
+
   test("Exact.dsum is bit-identical under any partitioning (vs sequential decimal)") {
     // the engine's exactness contract in one assertion: the distributed
     // decimal sum must equal a single-threaded BigDecimal fold for EVERY
