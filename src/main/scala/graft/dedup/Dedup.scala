@@ -196,15 +196,25 @@ object Dedup {
     * inside one projection — the batch path amortizes that via
     * explode+groupBy; per-doc columnar work is the right trade wherever
     * a shuffle is unavailable (streams) or unwanted (scan-side tagging).
+    *
+    * The shingle-hash array is LET-BOUND once per row
+    * ([[graft.text.TextOps.letBound]]): the per-family min maps
+    * reference it numHashes times, and each textual reference of the
+    * raw expression analyzes into a distinct lambda binding CSE cannot
+    * unify — the unbound form re-built the whole shingle array (the
+    * tokenizing split, the n-fold zip_with, the distinct) numHashes
+    * times per row, a 64× hidden multiplier on exactly the streaming
+    * path that cannot amortize via explode (SCALE.md round 13).
     */
   def minhashSignatureExpr(text: Column, numHashes: Int = 64,
                            shingleSize: Int = 3, seed: Long = 42L): Column = {
     val consts = xorConsts(numHashes, seed)
-    val hs = transform(shingles(coalesce(text, lit("")), shingleSize),
-      s => xxhash64(s))
-    array(consts.map { c =>
-      array_min(transform(hs, h => h.bitwiseXOR(lit(c))))
-    }: _*)
+    TextOps.letBound(transform(shingles(coalesce(text, lit("")), shingleSize),
+      s => xxhash64(s))) { hs =>
+      array(consts.map { c =>
+        array_min(transform(hs, h => h.bitwiseXOR(lit(c))))
+      }: _*)
+    }
   }
 
   /** Candidate near-duplicate pairs via LSH banding: split the signature
