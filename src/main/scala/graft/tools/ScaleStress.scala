@@ -1,7 +1,7 @@
 package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-stress harness (NOT a registered query): empirically validates
@@ -393,6 +393,29 @@ object ScaleStress {
       val toks = transform(sequence(lit(0), lit(59)),
         i => concat(lit("w"), translate(
           pmod(xxhash64(col("id"), i), lit(5000)).cast("string"),
+          "0123456789", "abcdefghij")))
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(toks, " ").as("text"))
+      graft.text.LangModel.bigramFluency(docs, "doc_id", "text").count()
+    }
+
+    // 5b. Bigram fluency on a ZIPFIAN 1000-word vocabulary — the
+    //     broadcast gate's FIRE path at corpus scale (family 5's
+    //     uniform 5000² gram space exceeds BroadcastModelLimit at
+    //     every measured size, so its decade only exercises the
+    //     decline path; here the bigram space is capped at 10⁶ < 2M,
+    //     the realistic Zipf head makes the gram-count distribution
+    //     heavy, and the model joins broadcast at any corpus size —
+    //     the shuffle column should stay ~model-sized as n grows).
+    //     Rank = floor(V^u) is the inverse-CDF of Zipf(s=1) up to the
+    //     harmonic normalization (CDF(k) ≈ ln k / ln V); pow is fine
+    //     here — this is a stress generator, not an oracle contract.
+    runCore("bigram_fluency_zipf") {
+      def rank(i: Column): Column = floor(pow(lit(1000.0),
+        (pmod(xxhash64(col("id"), i), lit(1000000L)).cast("double")
+          + lit(0.5)) / lit(1000000.0))).cast("long")
+      val toks = transform(sequence(lit(0), lit(59)),
+        i => concat(lit("w"), translate(rank(i).cast("string"),
           "0123456789", "abcdefghij")))
       val docs = spark.range(nDocs).select(col("id").as("doc_id"),
         array_join(toks, " ").as("text"))
