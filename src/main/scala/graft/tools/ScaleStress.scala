@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Scale-stress harness (NOT a registered query): empirically validates
   * SCALE.md's 100×-survival claims for the heaviest operator families
-  * (5 linear-shape core families, the two planted-skew decades, the
+  * (7 linear-shape core families, the two planted-skew decades, the
   * 4-path ANN similarity decade) by driving them at self-generated
   * corpus sizes and recording wall time and shuffle volume. Testdata
   * is read-only and capped at sf0.1, so inputs are synthesized here —
