@@ -907,11 +907,17 @@ object Dedup {
     * positions, 1-based inclusive).
     *
     * 100 TB shape: the gram stream is a scan projection carrying
-    * (doc_id, pos, 16-byte md5) — text never leaves the scan;
+    * (doc_id, pos, 8-byte xxhash64) — text never leaves the scan;
     * occurrence counting is a map-side-combined groupBy on the hash;
     * the dup-hash semi-join shuffles hashes only; span merging windows
     * over (doc_id, pos) int pairs partitioned by document, so no
-    * single-partition stage exists anywhere.
+    * single-partition stage exists anywhere. Gram identities are
+    * engine-internal (they never surface in output — spans are token
+    * POSITIONS), so they use the [[verifyJaccard]] 64-bit-identity
+    * trade rather than the 32-hex-char md5 the first cut shuffled:
+    * the q121 oracle groups TRUE gram strings independently and its
+    * hash compare on the span positions doubles as the collision
+    * detector.
     *
     * Returns one row per (doc, merged span): (doc_id, s, e).
     */
@@ -925,8 +931,8 @@ object Dedup {
     // the size >= n case must be gated explicitly, not left to sequence.
     val gramList = when(size(col("toks")) >= n,
         expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> md5(array_join(slice(toks, i, $n), ' ')))"))
-      .otherwise(array().cast("array<string>"))
+          s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))"))
+      .otherwise(array().cast("array<bigint>"))
     val grams = base.select(col("doc_id"), posexplode(gramList))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gh"))
