@@ -3801,6 +3801,34 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- 5-gram-LM fluency (the published CCNet operating point) ----
+    // q197 proved the order knob at n = 3; CCNet's actual model is a
+    // 5-gram KenLM (Wenzek et al. 2020), so the claimed generality is
+    // oracle-checked AT the published order here (VERDICT r13 item 5).
+    // The engine-side hash-collision surface grows with the order —
+    // distinct (n−1)-token context strings multiply while identities
+    // stay 64-bit xxhash64 — and the oracle's TRUE-string replay below
+    // is exactly the detector for that surface: a context or gram
+    // collision shifts a count and fails the hash compare. (At
+    // production scale a collision perturbs one score — it never
+    // fabricates output rows, the dupSpans failure mode that got
+    // 128-bit lanes.)
+    Q("q201_fivegram_fluency",
+      s"""WITH ${fluencyPerDocSql(5)}
+        |SELECT d.doc_id,
+        |  CASE WHEN uu.u < CAST(0.8 AS DOUBLE) THEN 'train' ELSE 'held' END AS split,
+        |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(per.nu, 0) AS BIGINT) AS n_unseen,
+        |  CASE WHEN COALESCE(per.n, 0) > 0
+        |    THEN CAST(per.ps AS DOUBLE) / 1000000000000.0 / CAST(per.n AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS mean_cond_p
+        |FROM documents d JOIN uu USING (doc_id) LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.LangModel.ngramFluency(documents(s, dir), "doc_id", "text",
+          n = 5, trainFrac = 0.8, salt = "#lm")
+        .orderBy("doc_id")
+    },
+
     // ---- global top-k via the map-side margin-top-k aggregate ----
     // The ops/TopKAgg.scala combiner registered as its own surface (it
     // also runs inside every cosineTopK / rerankCandidates plan —
@@ -3825,6 +3853,12 @@ object Text {
         .agg(graft.ops.TopKAgg.topK(col("q_score"), col("doc_id"), 25)
           .as("__top"))
         .select(posexplode(col("__top")).as(Seq("__pos", "__t")))
+        // the aggregate keeps score-ties at the k-th even at margin 0;
+        // the oracle's ROW_NUMBER ... WHERE rank <= 25 is strictly k
+        // rows, so cut at buffer position exactly as globalTopKByScore
+        // does (quality scores saturate at 1.0, so boundary ties are
+        // live, not theoretical)
+        .filter(col("__pos") < 25)
         .select((col("__pos") + 1).cast("long").as("rank"),
           col("__t._2").as("doc_id"), col("__t._1").as("q_score"))
         .orderBy("rank")

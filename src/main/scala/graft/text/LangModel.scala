@@ -11,7 +11,8 @@ import org.apache.spark.sql.types.DecimalType
   * the corpus by how predictable its text is. CCNet uses KenLM 5-gram
   * perplexity; this engine's form is an add-one-smoothed n-gram model
   * (order parameterized — contexts are (n−1)-gram identities; the
-  * registered queries run n = 2 for q195/q196 and n = 3 for q197)
+  * registered queries run n = 2 for q195/q196, n = 3 for q197, and
+  * n = 5 — KenLM's published order — for q201)
   * with the perplexity surrogate chosen for cross-engine exactness —
   * the same trade [[Retrieval]] makes for BM25's idf: a log/exp
   * perplexity is transcendental (two engines' `ln` may differ in the
