@@ -118,11 +118,7 @@ object Similarity {
     // propagates the child's estimate rather than measured stats, and
     // was measured cost-only). The production lever is layout: a
     // corpus bucketed by id makes this attach exchange-free.
-    val cands = dscored.groupBy("query_id")
-      .agg(graft.ops.TopKAgg.topK(col("dcos"), col("neighbor_id"), k,
-        RerankMargin).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t._2").as("neighbor_id"))
+    val cands = marginSurvivors(dscored, k)
     val qe = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -143,6 +139,46 @@ object Similarity {
     * everything that isn't a near-tie with the k-th score.
     */
   private val RerankMargin = 1e-9
+
+  /** Margin-top-k survivor ids of a (query_id, neighbor_id, dcos)
+    * double-prefilter frame — the shared first stage of [[cosineTopK]]
+    * and [[rerankCandidates]]. When `neighbor_id` is LongType (every
+    * registered embedding id) this is the [[graft.ops.TopKAgg]]
+    * map-side-combined aggregate; any other id type falls back to the
+    * windowed margin filter — the same retention set, computed the
+    * round-12 way — because the combiner is a typed (Double, Long)
+    * udaf with no encoder for other id types (the
+    * [[graft.ops.TopK.globalTopKByScore]] fallback rule). Null scores
+    * (a null/absent vector makes `dcos` null) are dropped up front in
+    * BOTH branches: a null cosine is not a similarity — the windowed
+    * form sorted them last, where they could only surface for queries
+    * with fewer than k real candidates; the typed aggregate would
+    * instead fail at runtime on the null double (ADVICE r13).
+    */
+  private def marginSurvivors(dscored0: DataFrame, k: Int): DataFrame = {
+    val dscored = dscored0.filter(col("dcos").isNotNull)
+    if (dscored.schema("neighbor_id").dataType ==
+        org.apache.spark.sql.types.LongType)
+      dscored.groupBy("query_id")
+        .agg(graft.ops.TopKAgg.topK(col("dcos"), col("neighbor_id"), k,
+          RerankMargin).as("__top"))
+        .select(col("query_id"), explode(col("__top")).as("__t"))
+        .select(col("query_id"), col("__t._2").as("neighbor_id"))
+    else {
+      // windowed twin of the aggregate's retention rule:
+      // { rank ≤ k } ∪ { within RerankMargin of the k-th score }
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("dcos").desc, col("neighbor_id"))
+      dscored
+        .withColumn("__rnk", row_number().over(w))
+        .withColumn("__kth",
+          min(when(col("__rnk") <= k, col("dcos")))
+            .over(Window.partitionBy("query_id")))
+        .filter(col("__rnk") <= k ||
+          col("dcos") >= col("__kth") - RerankMargin)
+        .select("query_id", "neighbor_id")
+    }
+  }
 
   /** Seeded random hyperplanes: `bits` pseudo-random unit directions per
     * table, components derived from a splitmix-style integer mix —
@@ -265,11 +301,7 @@ object Similarity {
     val dscored = cands.join(qd, "query_id").join(cd, "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
-    val surv = dscored.groupBy("query_id")
-      .agg(graft.ops.TopKAgg.topK(col("dcos"), col("neighbor_id"), k,
-        RerankMargin).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t._2").as("neighbor_id"))
+    val surv = marginSurvivors(dscored, k)
     val qe = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),

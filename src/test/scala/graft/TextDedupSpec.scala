@@ -401,6 +401,32 @@ class TextDedupSpec extends AnyFunSuite {
     assert(overlap > 0.2, s"ANN recall too low: $overlap")
   }
 
+  test("cosineTopK guards the combiner's typed contract: string ids fall back, null vectors drop (ADVICE r13)") {
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding").limit(60)
+    val queries = emb.filter(col("vec_id") < 3)
+    val long = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", 5)
+      .select(col("query_id").cast("string"), col("rnk"),
+        col("neighbor_id").cast("string"), col("cosine"))
+      .as[(String, Long, String, Double)].collect().toSet
+    // non-long ids have no combiner contract — the windowed fallback
+    // must produce the identical ranking (cosines here are tie-free, so
+    // the long-vs-string tie-break order difference never bites)
+    val s = emb.select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
+    val sq = queries.select(col("vec_id").cast("string").as("vec_id"), col("embedding"))
+    val str = Similarity.cosineTopK(s, sq, "vec_id", "embedding", 5)
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(str === long, "windowed fallback must match the combiner path")
+    // a null embedding yields a null cosine — not a neighbor, not a crash
+    val withNull = emb.unionByName(
+      Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val guarded = Similarity.cosineTopK(withNull, queries, "vec_id", "embedding", 5)
+      .select(col("query_id").cast("string"), col("rnk"),
+        col("neighbor_id").cast("string"), col("cosine"))
+      .as[(String, Long, String, Double)].collect().toSet
+    assert(guarded === long, "null-vector corpus rows must be ignored")
+  }
+
   test("langId picks marker language; und for unknown scripts") {
     val df = Seq(
       (1L, "the cat and the dog is a friend of mine"),
