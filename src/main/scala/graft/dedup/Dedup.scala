@@ -907,17 +907,24 @@ object Dedup {
     * positions, 1-based inclusive).
     *
     * 100 TB shape: the gram stream is a scan projection carrying
-    * (doc_id, pos, 8-byte xxhash64) — text never leaves the scan;
-    * occurrence counting is a map-side-combined groupBy on the hash;
-    * the dup-hash semi-join shuffles hashes only; span merging windows
-    * over (doc_id, pos) int pairs partitioned by document, so no
-    * single-partition stage exists anywhere. Gram identities are
-    * engine-internal (they never surface in output — spans are token
-    * POSITIONS), so they use the [[verifyJaccard]] 64-bit-identity
-    * trade rather than the 32-hex-char md5 the first cut shuffled:
-    * the q121 oracle groups TRUE gram strings independently and its
-    * hash compare on the span positions doubles as the collision
-    * detector.
+    * (doc_id, pos, 16-byte gram identity) — text never leaves the
+    * scan; occurrence counting is one whole-partition window on the
+    * identity; span merging windows over (doc_id, pos) int pairs
+    * partitioned by document, so no single-partition stage exists
+    * anywhere. Gram identities are engine-internal (they never
+    * surface in output — spans are token POSITIONS) and are 128-BIT:
+    * two independently-salted xxhash64 lanes, still 2.75× under the
+    * hex-md5 payload the first cut shuffled. One 64-bit lane is NOT
+    * enough here (ADVICE r13): a collision mints a FALSE duplicate
+    * span, and at the 100 TB shape (10¹⁰⁺ distinct grams) the
+    * birthday expectation N²/2⁶⁵ reaches whole false spans in
+    * production, where the q121 oracle — which groups TRUE gram
+    * strings and is the collision detector at test scale — never
+    * executes. Two lanes put the expectation at N²/2¹²⁹ ≈ 10⁻¹⁹:
+    * collision-safe at any physical corpus. (Set-membership uses like
+    * [[verifyJaccard]]'s shingle identities keep the single-lane
+    * trade — there a collision shifts one Jaccard estimate, it does
+    * not fabricate output.)
     *
     * Returns one row per (doc, merged span): (doc_id, s, e).
     */
@@ -929,21 +936,26 @@ object Dedup {
       TextOps.tokens(col(textCol)).as("toks"))
     // Guarded gram list: sequence(1, 0) in Spark DESCENDS ([1, 0]), so
     // the size >= n case must be gated explicitly, not left to sequence.
+    // Two-level transform so the gram STRING binds once as a lambda
+    // variable — referencing the array_join twice in one lambda would
+    // re-run the slice+join per lane per position (the multi-reference
+    // HOF re-evaluation class, commit ab2b3ea).
     val gramList = when(size(col("toks")) >= n,
-        expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
-          s"i -> xxhash64(array_join(slice(toks, i, $n), ' ')))"))
-      .otherwise(array().cast("array<bigint>"))
+        expr(s"transform(transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> array_join(slice(toks, i, $n), ' ')), " +
+          "g -> named_struct('h1', xxhash64(g), 'h2', xxhash64('#ds2', g)))"))
+      .otherwise(array().cast("array<struct<h1:bigint,h2:bigint>>"))
     val grams = base.select(col("doc_id"), posexplode(gramList))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("gh"))
+        col("col.h1").as("gh1"), col("col.h2").as("gh2"))
     // Occurrence counting as a whole-partition window over the gram
-    // hash: ONE pass over the corpus and ONE gram-stream shuffle. The
-    // groupBy-then-semi-join alternative scans the corpus twice (the
-    // gram projection is recomputed on both sides) and still shuffles
-    // the full gram stream for the join — measured 2.9 s vs 2.4 s at
-    // sf0.1. A hash-hot gram only grows one window partition's count
-    // scan, never a driver structure.
-    val wGh = Window.partitionBy("gh")
+    // identity: ONE pass over the corpus and ONE gram-stream shuffle.
+    // The groupBy-then-semi-join alternative scans the corpus twice
+    // (the gram projection is recomputed on both sides) and still
+    // shuffles the full gram stream for the join — measured 2.9 s vs
+    // 2.4 s at sf0.1. A hash-hot gram only grows one window
+    // partition's count scan, never a driver structure.
+    val wGh = Window.partitionBy("gh1", "gh2")
     val dp = grams
       .withColumn("c", count(lit(1)).over(wGh))
       .filter(col("c") >= minOccur).select("doc_id", "pos")
