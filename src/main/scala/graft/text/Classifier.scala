@@ -19,8 +19,10 @@ import org.apache.spark.sql.types.DecimalType
   *    computed as ONE correctly-rounded double division of two EXACT
   *    integer products, (c_pos+1)·(n_neg+V) over
   *    (c_pos+1)·(n_neg+V) + (c_neg+1)·(n_pos+V), products carried as
-  *    DECIMAL(38,0) so they stay exact far past Long range (the oracle
-  *    replays them as HUGEINT);
+  *    DECIMAL(38,0) so each PRODUCT stays exact well past Long range
+  *    (the oracle replays them as HUGEINT; the products' SUM shares
+  *    the precision-38 cap — see [[posterior]] for the documented
+  *    corpus-size bound);
   *  - the document score is the exact-1e12-grid MEAN of r over its
   *    token occurrences (the [[LangModel.gridSum]] capture — mean
   *    posterior rather than the log-sum true NB, same ordering signal
@@ -104,6 +106,19 @@ object Classifier {
     * columns; `greatest(V, 1)` pins the empty-model degenerate case to
     * r = 0.5 everywhere (bounded, defined) and is an exact no-op
     * whenever any train token exists.
+    *
+    * Exactness bound (ADVICE r13): each PRODUCT is two sub-2⁶³ longs,
+    * so it tops out below 2¹²⁶ ≈ 8.6e37 and always fits DECIMAL(38,0)
+    * exactly — but the SUM `num + alt` is also capped at precision 38
+    * (Spark's max), so it can overflow — to null under non-ANSI
+    * semantics, silently dropping the token from `count(r)` — once
+    * each product approaches ~5e37, i.e. once a per-class occurrence
+    * total passes ~7·10¹⁸ (≈ Long.MaxValue·¾; counts come from
+    * `count()`, which is itself a long). A 100 TB corpus is ~10¹⁴
+    * token occurrences — 4+ orders of headroom — so the bound is
+    * documented rather than engineered around; the oracle's HUGEINT
+    * (int128) replay stays exact to the same corpus sizes and far
+    * beyond.
     */
   private[graft] def posterior(cPos: Column, cNeg: Column, nPos: Column,
                                 nNeg: Column, v: Column): Column = {
