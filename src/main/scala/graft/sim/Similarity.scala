@@ -123,7 +123,9 @@ object Similarity {
       col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normExact(col(vecCol)).as("cn"))
-    val scored = cands.join(qe, "query_id").join(ce, "neighbor_id")
+    // corpus attach first, broadcast query frame last — the survivor
+    // exchange then carries ids only (see rerankCandidates)
+    val scored = cands.join(ce, "neighbor_id").join(qe, "query_id")
       .withColumn("cosine", dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -298,7 +300,17 @@ object Similarity {
       col(vecCol).as("qv"), sqrt(dot(col(vecCol), col(vecCol))).as("qnD")))
     val cd = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       sqrt(dot(col(vecCol), col(vecCol))).as("cnD"))
-    val dscored = cands.join(qd, "query_id").join(cd, "neighbor_id")
+    // JOIN ORDER is load-bearing (round 14): the corpus attach on
+    // neighbor_id comes FIRST, while the candidate rows are still bare
+    // 16-byte id pairs — attaching the broadcast query frame first
+    // (the round-13 order) put qv, a ~dim·4-byte array, on EVERY
+    // candidate row BEFORE the neighbor_id exchange, so the "corpus
+    // re-attach" shuffle was mostly query vectors riding candidates.
+    // The query join stays a broadcast hash join wherever it sits, so
+    // joining it last costs nothing and the exchange carries ids only
+    // (with a bucketed corpus the attach is then fully exchange-free —
+    // PlanSpec holds both proofs).
+    val dscored = cands.join(cd, "neighbor_id").join(qd, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("qv"), col("cv")) / (col("qnD") * col("cnD"))).as("dcos"))
     val surv = marginSurvivors(dscored, k)
@@ -306,7 +318,7 @@ object Similarity {
       col(vecCol).as("qv"), normExact(col(vecCol)).as("qn")))
     val ce = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       normExact(col(vecCol)).as("cn"))
-    val scored = surv.join(qe, "query_id").join(ce, "neighbor_id")
+    val scored = surv.join(ce, "neighbor_id").join(qe, "query_id")
       .withColumn("cosine",
         dotExact(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
@@ -560,6 +572,66 @@ object Similarity {
       .select(col(idCol), col("j"), col("best.code").as("code"))
   }
 
+  /** Production encode — the same (idCol, j, code) contract as
+    * [[pqEncode]] with the argmin taken over DOUBLE distances (one
+    * native codegen'd dot per (row, code) instead of a per-element
+    * BigDecimal capture). Two standard ADC-encode identities make it
+    * cheap:
+    *
+    *  - ||s − c||² = ||s||² − 2⟨s,c⟩ + ||c||², and ||s||² is CONSTANT
+    *    across the codes a subvector compares against, so the argmin
+    *    drops it — the scored quantity is ||c||² − 2⟨s,c⟩ with ||c||²
+    *    a driver-computed literal per centroid (the codebook is
+    *    bounded by contract, so the whole argmin inlines into the
+    *    scan projection: ZERO shuffle, where the exact form pays an
+    *    n·m-row argmin exchange);
+    *  - ties break to the lower code via the same lexicographic
+    *    struct-min as the exact form.
+    *
+    * Code agreement with [[pqEncode]] is exact wherever the true
+    * distance gap between the best and second-best centroid exceeds
+    * double rounding (~1e-13 at embedding scale) — PqSpec equates the
+    * two encoders on real vectors; [[pqEncode]] stays the q120 oracle
+    * path (its decimal argmin is engine-replayable at EXACT
+    * half-boundary ties, which no double form can promise). This form
+    * exists because the exact encode dominates the PQ decade's wall —
+    * O(n·m·k) BigDecimal captures, 43.2 s of the 1M-vector run
+    * (SCALE.md round 13) — while at 100 TB the encode is the indexing
+    * pass and must run at scan speed.
+    */
+  def pqEncodeFast(corpus: DataFrame, idCol: String, vecCol: String,
+                   codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    // the codebook is bounded and driver-built by contract (pqCodebook
+    // collects k rows), so the whole argmin runs INSIDE the scan
+    // projection against centroid literals — zero shuffle, unlike the
+    // exact form's explode + broadcast-join + groupBy, whose n·m-row
+    // argmin exchange is pure overhead once distances are double. The
+    // subvector slices project to a bound attribute first so the k
+    // per-code references read a row field instead of re-slicing (the
+    // multi-reference HOF class, commit ab2b3ea).
+    val cbRows = codebook.select(col("j"), col("code"), col("cvec"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)),
+        r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+    val nCodes = cbRows.keys.map(_._2).max + 1
+    val subs = array((0 until m).map(j =>
+      slice(col(vecCol), j * dsub + 1, dsub)): _*)
+    val withSubs = corpus.select(col(idCol), subs.as("__subs"))
+    val codes = array((0 until m).map { j =>
+      array_min(array((0 until nCodes).map { c =>
+        val cen = cbRows((j, c))
+        val cn2 = cen.map(x => x * x).sum
+        struct((lit(cn2) - lit(2.0) *
+          dot(element_at(col("__subs"), j + 1), lit(cen))).as("d"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    withSubs.select(col(idCol), posexplode(codes))
+      .select(col(idCol), col("pos").cast("int").as("j"),
+        col("col").as("code"))
+  }
+
   /** ADC top-k: per query an m×k distance table (bounded, broadcast),
     * then one scan over the corpus codes summing m exact-decimal
     * lookups. Output per query: (query_id, rank, neighbor_id, adc) with
@@ -568,11 +640,16 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, m: Int, k: Int, dim: Int,
-             topK: Int): DataFrame = {
+             topK: Int, exactEncode: Boolean = true): DataFrame = {
     val dsub = dim / m
     val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
-    val codes = pqEncode(corpus, idCol, vecCol, cb, m, dim)
-      .withColumnRenamed(idCol, "neighbor_id")
+    // exactEncode=false swaps in the production [[pqEncodeFast]] argmin
+    // (identical codes away from decimal half-boundaries — PqSpec); the
+    // per-query ADC table below stays exact-decimal in both modes: it
+    // is m×k rows per query, bounded, and its sums ARE the ranking.
+    val enc = if (exactEncode) pqEncode(corpus, idCol, vecCol, cb, m, dim)
+              else pqEncodeFast(corpus, idCol, vecCol, cb, m, dim)
+    val codes = enc.withColumnRenamed(idCol, "neighbor_id")
     val qsubs = queries
       .select(col(idCol).as("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol))

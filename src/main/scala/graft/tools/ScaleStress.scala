@@ -140,6 +140,9 @@ object ScaleStress {
       .config("spark.sql.session.timeZone", "UTC")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.ui.enabled", "false")
+      // the ann *_bucketed families persist the corpus as a bucketed
+      // TABLE (bucketing metadata lives in the catalog, not the footer)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_stress_warehouse")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -243,6 +246,73 @@ object ScaleStress {
       runIf("ann_pq_adc_topk") {
         graft.sim.Similarity.pqTopK(emb, qs, "vec_id", "embedding",
           m = 8, k = 16, dim = dim, topK = k).count()
+      }
+      // the production-encode PQ path (pqEncodeFast — double argmin,
+      // codes spec-equated to the exact form away from half-boundaries):
+      // the decimal encode capped the PQ decade at 1M; this family is
+      // the 10M un-capping (VERDICT r13 item 2)
+      runIf("ann_pq_fast_topk") {
+        graft.sim.Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+          m = 8, k = 16, dim = dim, topK = k, exactEncode = false).count()
+      }
+      // ---- bucketed-corpus re-rank (VERDICT r13 item 1) ----
+      // The round-13 ANN decade proved the family's dominant remaining
+      // shuffle is the re-rank's corpus-vector re-attach (LSH 5.2 GB /
+      // IVF 15.1 GB at 10M vectors). The named lever is LAYOUT: the
+      // corpus written bucketed by id (Sources.bucketedSink) gives the
+      // attach join's corpus side a pre-shuffled HashPartitioning, so
+      // only candidate IDS exchange. The one-time bucketed write is the
+      // indexing pass (amortized across query batches in production),
+      // so it runs OUTSIDE the timed body; PlanSpec holds the
+      // no-Exchange-above-the-bucketed-scan plan proof.
+      if (Seq("ann_exact_topk_bucketed", "ann_lsh_topk_bucketed",
+          "ann_ivf_topk_bucketed").exists(want)) {
+        graft.sources.Csv.bucketedSink(emb, "graft_ann_corpus",
+          Seq("vec_id"), buckets = cpus.toInt)
+        def corp = spark.table("graft_ann_corpus")
+        runIf("ann_exact_topk_bucketed") {
+          graft.sim.Similarity.cosineTopK(corp, qs, "vec_id", "embedding", k)
+            .count()
+        }
+        runIf("ann_lsh_topk_bucketed") {
+          graft.sim.Similarity.signLshTopK(corp, qs, "vec_id", "embedding", k,
+            dim = dim, bits = 12, tables = 4).count()
+        }
+        runIf("ann_ivf_topk_bucketed") {
+          graft.sim.Similarity.ivfTopK(corp, qs, "vec_id", "embedding", k,
+            nCells = 64, nProbe = 8).count()
+        }
+      }
+      spark.stop(); return
+    }
+
+    // ---- global top-k: window form vs combiner form (VERDICT r13 #3) ----
+    // The globalTopKByScore rewrite trades the window's all-rows
+    // exchange for a second corpus scan (the aggregate finds winner
+    // ids, a join-back re-attaches payload). At sf0.1 that showed as
+    // +0.4 s on q119/q140; this decade measures the crossover. The
+    // frame carries a 64-char payload the result must retain (forced
+    // through the aggregate below): the window form ships it THROUGH
+    // the exchange, the combiner form only rescans it.
+    if (mode == "topk") {
+      val k = 100
+      def df = spark.range(nDocs).select(col("id").as("doc_id"),
+        (pmod(xxhash64(col("id"), lit(7L)), lit(1000000L)).cast("double")
+          / lit(1.0e6)).as("score"),
+        concat(md5(col("id").cast("string")),
+          md5(concat(col("id").cast("string"), lit("#p")))).as("payload"))
+      // sum(length(payload)) forces the payload column through each
+      // plan — a bare count() would let Catalyst prune it and the
+      // window form's exchange would ship 16 bytes/row instead of 80
+      def force(r: DataFrame): Long =
+        r.agg(count(lit(1)), sum(length(col("payload"))))
+          .collect()(0).getLong(0)
+      run("topk_window") {
+        force(graft.ops.TopK.topKPerKey(df, Seq.empty,
+          Seq(col("score").desc, col("doc_id").asc), k))
+      }
+      run("topk_combiner") {
+        force(graft.ops.TopK.globalTopKByScore(df, "score", "doc_id", k))
       }
       spark.stop(); return
     }

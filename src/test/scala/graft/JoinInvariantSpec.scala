@@ -208,6 +208,8 @@ class JoinInvariantSpec extends AnyFunSuite {
       ("same measured-count auto-gate as q195 (shared ngramScored core)"),
     "q197_trigram_fluency" ->
       ("same measured-count auto-gate as q195 (shared ngramScored core)"),
+    "q201_fivegram_fluency" ->
+      ("same measured-count auto-gate as q195 (shared ngramScored core)"),
     "q199_nb_quality_classifier" ->
       ("Classifier auto-gates the class-count-frame hint on the " +
         "MEASURED row count of the already-pinned stats frame " +

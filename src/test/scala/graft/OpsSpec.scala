@@ -16,6 +16,10 @@ object TestSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.ui.enabled", "false")
+      // specs that persist bucketed tables (PlanSpec) must not drop a
+      // spark-warehouse dir into the repo tree
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_test_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

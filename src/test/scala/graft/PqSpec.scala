@@ -38,6 +38,30 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("production double encode agrees with the exact-decimal encode away from half-boundaries") {
+    // the synthetic corpus has no two subvectors equidistant from two
+    // centroids (sin-based components, per-id drift), so the argmin gap
+    // always exceeds double rounding and the two encoders must agree
+    // code-for-code — and the pqTopK(exactEncode=false) production path
+    // must reproduce the audit path's full output
+    val df = corpus(60)
+    val cb = Similarity.pqCodebook(df, "vec_id", "embedding", m, 8, dim)
+    val exact = Similarity.pqEncode(df, "vec_id", "embedding", cb, m, dim)
+      .orderBy("vec_id", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val fast = Similarity.pqEncodeFast(df, "vec_id", "embedding", cb, m, dim)
+      .orderBy("vec_id", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(fast === exact)
+    val q = df.filter(col("vec_id") < 2)
+    val a = Similarity.pqTopK(df, q, "vec_id", "embedding", m, 8, dim, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val b = Similarity.pqTopK(df, q, "vec_id", "embedding", m, 8, dim, 5,
+      exactEncode = false)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   test("full-coverage codebook (k = n) makes ADC identical to exact search") {
     val df = corpus(20) // k = n = 20: every vector is its own centroid
     val queries = df.filter(col("vec_id") < 3)
