@@ -39,13 +39,22 @@ object TopK {
     * task ships one ≤ k-pair sorted buffer through the shuffle and the
     * ≤ k winners join back by id to re-attach the caller's columns (an
     * AQE-broadcast k-row side — the corpus streams, nothing exchanges).
-    * [[topKPerKey]]'s local window, by contrast, still EXCHANGES every
-    * input row: a window's partial rank needs the spark_partition_id
-    * hash partitioning first (measured as the 12 GB exact-ANN exchange,
-    * SCALE.md round-13) — it balances the sort, it cannot shrink the
-    * shuffle. The price is a second scan of `df` (the join probe) —
-    * at corpus scale two scans beat one all-to-all exchange, and the
-    * scan projection prunes to what the caller selects.
+    *
+    * What the combiner actually buys over [[topKPerKey]] here was
+    * re-measured in round 14 (SCALE.md `topk` decade): for a STRICT
+    * rank ≤ k filter Spark's own InferWindowGroupLimit already prunes
+    * map-side BEFORE the exchange, so the window form's shuffle is
+    * k-sized too — but it still fully SORTS every input partition to
+    * rank it (n·log n + spill per task), where the aggregate keeps an
+    * O(k) insertion buffer per task. Measured at 100M rows: window
+    * 76.0 s (max task 75.3 s — the per-partition sort) vs combiner
+    * 5.7 s. (The 12 GB all-rows exchange SCALE.md round 13 recorded
+    * was the MARGIN-retention window — `rank ≤ k OR score ≥ kth −
+    * margin` defeats the WindowGroupLimit pushdown, so that form
+    * really does exchange everything.) The price is a second scan of
+    * `df` (the join probe) — visible as ~+0.4 s per query at sf0.1,
+    * amortized to noise by 1M rows, dominated by the removed sort
+    * beyond.
     *
     * Rank parity with the window form is exact: the aggregate orders
     * (score desc, id asc) with Spark's NaN-largest double semantics

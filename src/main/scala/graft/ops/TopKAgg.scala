@@ -12,13 +12,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * runs it MAP-SIDE COMBINED: each partition ships a ~k-pair buffer
   * per group through the shuffle, however many rows it held.
   *
-  * That is the property the window forms cannot give: both the plain
-  * per-key window and the two-stage [[TopK.topKPerKey]] still EXCHANGE
-  * every input row (a window's partial rank needs a hash partitioning
-  * first — topKPerKey only balances the sort, it cannot shrink the
-  * shuffle), measured at 12 GB for the 640M-row exact ANN stage
-  * (SCALE.md round-13 decade). This aggregate ships k rows per
-  * (group, map task) instead.
+  * That is the property the window forms cannot give. The MARGIN
+  * retention the ANN prefilter needs (`rank ≤ k OR score ≥ kth −
+  * margin`) defeats Spark's InferWindowGroupLimit pushdown, so the
+  * windowed form of that filter exchanges every input row — measured
+  * at 12 GB for the 640M-row exact ANN stage (SCALE.md round-13
+  * decade). A STRICT rank ≤ k window does get the map-side
+  * WindowGroupLimit prune (its exchange stays k-sized), but it still
+  * fully SORTS every input partition to rank it — measured 76.0 s vs
+  * the combiner's 5.7 s at 100M rows (SCALE.md round-14 `topk`
+  * decade): this aggregate keeps an O(k) insertion buffer per task
+  * instead of an n·log n sort, and ships k rows per (group, map task)
+  * through the shuffle in both cases.
   *
   * `margin` widens the retention rule to "rank ≤ k OR score ≥ (k-th
   * score − margin)" — the near-tie superset the exact-re-rank pattern

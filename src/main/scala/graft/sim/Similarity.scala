@@ -600,16 +600,28 @@ object Similarity {
     * pass and must run at scan speed.
     */
   def pqEncodeFast(corpus: DataFrame, idCol: String, vecCol: String,
-                   codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+                   codebook: DataFrame, m: Int, dim: Int): DataFrame =
+    fastPackedCodes(corpus, idCol, vecCol, codebook, m, dim, idCol)
+      .select(col(idCol), posexplode(col("codes")))
+      .select(col(idCol), col("pos").cast("int").as("j"),
+        col("col").as("code"))
+
+  /** The [[pqEncodeFast]] argmin emitting ONE row per vector with the
+    * m codes as an array — the stored-index layout [[pqTopK]]'s packed
+    * ADC scan consumes. The codebook is bounded and driver-built by
+    * contract (pqCodebook collects k rows), so the whole argmin runs
+    * INSIDE the scan projection against centroid literals — zero
+    * shuffle, unlike the exact form's explode + broadcast-join +
+    * groupBy, whose n·m-row argmin exchange is pure overhead once
+    * distances are double. The subvector slices project to a bound
+    * attribute first so the k per-code references read a row field
+    * instead of re-slicing (the multi-reference HOF class, commit
+    * ab2b3ea).
+    */
+  private def fastPackedCodes(corpus: DataFrame, idCol: String,
+                              vecCol: String, codebook: DataFrame,
+                              m: Int, dim: Int, outId: String): DataFrame = {
     val dsub = dim / m
-    // the codebook is bounded and driver-built by contract (pqCodebook
-    // collects k rows), so the whole argmin runs INSIDE the scan
-    // projection against centroid literals — zero shuffle, unlike the
-    // exact form's explode + broadcast-join + groupBy, whose n·m-row
-    // argmin exchange is pure overhead once distances are double. The
-    // subvector slices project to a bound attribute first so the k
-    // per-code references read a row field instead of re-slicing (the
-    // multi-reference HOF class, commit ab2b3ea).
     val cbRows = codebook.select(col("j"), col("code"), col("cvec"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
@@ -617,7 +629,7 @@ object Similarity {
     val nCodes = cbRows.keys.map(_._2).max + 1
     val subs = array((0 until m).map(j =>
       slice(col(vecCol), j * dsub + 1, dsub)): _*)
-    val withSubs = corpus.select(col(idCol), subs.as("__subs"))
+    val withSubs = corpus.select(col(idCol).as(outId), subs.as("__subs"))
     val codes = array((0 until m).map { j =>
       array_min(array((0 until nCodes).map { c =>
         val cen = cbRows((j, c))
@@ -627,41 +639,111 @@ object Similarity {
           lit(c).as("c"))
       }: _*)).getField("c")
     }: _*)
-    withSubs.select(col(idCol), posexplode(codes))
-      .select(col(idCol), col("pos").cast("int").as("j"),
-        col("col").as("code"))
+    withSubs.select(col(outId), codes.as("codes"))
   }
 
   /** ADC top-k: per query an m×k distance table (bounded, broadcast),
-    * then one scan over the corpus codes summing m exact-decimal
-    * lookups. Output per query: (query_id, rank, neighbor_id, adc) with
-    * adc snapped to DECIMAL(18,9)→double for cross-engine output parity;
-    * ranking uses the unsnapped exact decimal.
+    * then one scan over the PACKED corpus codes — one row per vector
+    * carrying its m codes as an array — scoring each (vector, query)
+    * pair as m flat-array lookups INSIDE the broadcast-nested-loop
+    * projection (the cosineTopK pair-product shape with table lookups
+    * in place of the dot), feeding the [[graft.ops.TopKAgg]] margin
+    * combiner directly. Output per query: (query_id, rank, neighbor_id,
+    * adc) with adc snapped to DECIMAL(18,9)→double for cross-engine
+    * output parity; ranking is by the EXACT decimal ADC — the margin
+    * survivors ([[RerankMargin]] ≫ the ≤1e-13 double-lookup-sum error)
+    * re-sum their decimal ADC from the pinned codes and a strict window
+    * ranks them, so the output is bit-identical to ranking everything
+    * exactly.
+    *
+    * The packed scan exists because the first ADC form — exploded
+    * (id, j, code) rows joined to the broadcast table and hash-
+    * aggregated per (query, neighbor) — pushes Q·n·m joined rows
+    * through an aggregate over Q·n groups: measured 485 s at 10M
+    * vectors (SCALE.md round 14), almost all of it that aggregate,
+    * where the packed projection + combiner never materializes the
+    * pair frame at all. Codes are pinned because the score scan and
+    * the survivor re-sum both read them — and because stored packed
+    * codes ARE the production PQ index (the encode is the indexing
+    * pass this pin stands in for). Non-long ids keep the exploded
+    * windowed form (the [[graft.ops.TopK.globalTopKByScore]] fallback
+    * rule — the combiner is a typed (Double, Long) udaf).
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, m: Int, k: Int, dim: Int,
              topK: Int, exactEncode: Boolean = true): DataFrame = {
     val dsub = dim / m
     val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
-    // exactEncode=false swaps in the production [[pqEncodeFast]] argmin
-    // (identical codes away from decimal half-boundaries — PqSpec); the
-    // per-query ADC table below stays exact-decimal in both modes: it
-    // is m×k rows per query, bounded, and its sums ARE the ranking.
-    val enc = if (exactEncode) pqEncode(corpus, idCol, vecCol, cb, m, dim)
-              else pqEncodeFast(corpus, idCol, vecCol, cb, m, dim)
-    val codes = enc.withColumnRenamed(idCol, "neighbor_id")
     val qsubs = queries
       .select(col(idCol).as("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol))
       .withColumn("qsub", slice(col(vecCol), col("j") * dsub + 1, lit(dsub)))
       .drop(vecCol)
+    // exact-decimal per-(query, j, code) sub-distances in BOTH encode
+    // modes: bounded m×k rows per query, and its sums ARE the ranking
     val table = qsubs.join(broadcast(cb), Seq("j"))
       .withColumn("td", sqDistExact(col("qsub"), col("cvec")))
       .select("query_id", "j", "code", "td")
-    val adc = codes.join(broadcast(table), Seq("j", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("td")).as("adc"))
+    val ranked =
+      if (corpus.schema(idCol).dataType ==
+          org.apache.spark.sql.types.LongType) {
+        // packed codes: exactEncode packs the oracle-path argmin's
+        // exploded rows (one n·m→n exchange, the audit trade);
+        // the production encode emits the packed row straight from
+        // the scan projection — zero shuffle
+        val packed = graft.ops.Pin.pin(
+          if (exactEncode)
+            pqEncode(corpus, idCol, vecCol, cb, m, dim)
+              .groupBy(col(idCol).as("neighbor_id"))
+              .agg(transform(
+                array_sort(collect_list(struct(col("j"), col("code")))),
+                g => g.getField("code")).as("codes"))
+          else
+            fastPackedCodes(corpus, idCol, vecCol, cb, m, dim,
+              "neighbor_id"))
+        // per-query flat double lookup table (j-major: index j·k+code),
+        // order pinned by the (j, code) struct sort
+        val qtblD = table.groupBy("query_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("j"), col("code"),
+              col("td").cast("double").as("tdD")))),
+            x => x.getField("tdD")).as("__qt"))
+        val scored = packed
+          .join(broadcast(qtblD), col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (0 until m).map(j => element_at(col("__qt"),
+              lit(j * k + 1) + element_at(col("codes"), j + 1)))
+              .reduce(_ + _).as("adcD"))
+        val surv = scored.groupBy("query_id")
+          .agg(graft.ops.TopKAgg.topK(-col("adcD"),
+            col("neighbor_id"), topK, RerankMargin).as("__top"))
+          .select(col("query_id"), explode(col("__top")).as("__t"))
+          .select(col("query_id"), col("__t._2").as("neighbor_id"))
+        val survAdc = surv.join(packed, Seq("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            posexplode(col("codes")))
+          .select(col("query_id"), col("neighbor_id"),
+            col("pos").cast("int").as("j"), col("col").as("code"))
+          .join(broadcast(table), Seq("query_id", "j", "code"))
+          .groupBy("query_id", "neighbor_id").agg(sum(col("td")).as("adc"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adc").asc, col("neighbor_id"))
+        survAdc
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= topK)
+      } else {
+        val enc =
+          if (exactEncode) pqEncode(corpus, idCol, vecCol, cb, m, dim)
+          else pqEncodeFast(corpus, idCol, vecCol, cb, m, dim)
+        val adc = enc.withColumnRenamed(idCol, "neighbor_id")
+          .join(broadcast(table), Seq("j", "code"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum(col("td")).as("adc"))
+        graft.ops.TopK.topKPerKey(adc, Seq("query_id"),
+          Seq(col("adc").asc, col("neighbor_id").asc), topK,
+          rankCol = "rank")
+      }
     // snap scale-9 via floor(x·1e9 + ½)/1e9 in pure decimal arithmetic:
     // the exact ADC decimal CAN land on a half boundary at scale 9, where
     // engines' decimal-cast rounding modes disagree — floor doesn't.
@@ -672,8 +754,7 @@ object Similarity {
     // first (exact) and multiply by an INT literal (DECIMAL(10,0)):
     // 28+10+1 = 39 → adjusted DECIMAL(38,17), which holds the 9-frac-
     // digit product exactly. PqSpec pins the half-boundary class.
-    graft.ops.TopK.topKPerKey(adc, Seq("query_id"),
-      Seq(col("adc").asc, col("neighbor_id").asc), topK, rankCol = "rank")
+    ranked
       .withColumn("adc", snap9Floor(col("adc")))
       .select("query_id", "rank", "neighbor_id", "adc")
   }
