@@ -65,6 +65,13 @@ class JoinInvariantSpec extends AnyFunSuite {
     "q187_pq_recall_at_k" ->
       ("same as q185/q186: the exact-L2 reference pairing against the " +
         "broadcast ≤ 10-row literal-filtered query frame"),
+    "q120_pq_ann" ->
+      ("the packed ADC scan (round 14): the BNLJ build side is the " +
+        "per-query flat lookup-table aggregate — one row per QUERY " +
+        "(grouped from the m×k-rows-per-query broadcast-joined table), " +
+        "bounded by the query-batch contract exactly like q41's frame; " +
+        "a grouped aggregate is not mechanically bounded, but its " +
+        "grouping key is the bounded external query id"),
     "q123_semantic_decon" ->
       ("the build side is the pinned stratified EVAL sample (2 vectors " +
         "per label, ≤ 2×|labels| rows by the rn ≤ 2 window); Pin " +
