@@ -4,11 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling / plan-audit main (not part of the driver contract).
-  * Round 14: PQ ADC decomposition — where pqTopK's wall actually goes.
+  * Round 14: IVF wall decomposition — quantizer train vs candidate join
+  * vs re-rank — and the packed-PQ pair-scan cost.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,41 +24,33 @@ object Profile {
       r
     }
     import graft.sim.Similarity
-    val dim = 64; val m = 8; val k = 16; val dsub = dim / m
+    val dim = 64
     def emb = graft.tools.ScaleStress.annEmbeddings(spark, n, dim)
     def qs = graft.tools.ScaleStress.annEmbeddings(spark, 64L, dim)
-    val cb = time("codebook") {
-      Similarity.pqCodebook(emb, "vec_id", "embedding", m, k, dim) }
-    val codes = Similarity.pqEncodeFast(emb, "vec_id", "embedding", cb, m, dim)
-      .withColumnRenamed("vec_id", "neighbor_id")
-    time("codes count") { codes.count() }
-    time("codes count warm") { codes.count() }
-    val qsubs = qs
-      .select(col("vec_id").as("query_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"), col("embedding"))
-      .withColumn("qsub", slice(col("embedding"), col("j") * dsub + 1, lit(dsub)))
-      .drop("embedding")
-    val table = qsubs.join(broadcast(cb), Seq("j"))
-      .withColumn("td", Similarity.sqDistExact(col("qsub"), col("cvec")))
-      .select("query_id", "j", "code", "td")
-    val adc = codes.join(broadcast(table), Seq("j", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("td")).as("adc"))
-    time("adc agg count") { adc.count() }
-    val adcD = codes.join(broadcast(table.withColumn("td", col("td").cast("double"))), Seq("j", "code"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .groupBy("query_id", "neighbor_id")
-      .agg(sum(col("td")).as("adc"))
-    time("adc agg count (double)") { adcD.count() }
-    time("topKPerKey over adc") {
-      graft.ops.TopK.topKPerKey(adc, Seq("query_id"),
-        Seq(col("adc").asc, col("neighbor_id").asc), 10, rankCol = "rank").count() }
-    time("pqTopK fast full") {
-      Similarity.pqTopK(emb, qs, "vec_id", "embedding", m, k, dim, 10,
-        exactEncode = false).count() }
-    println("=== adc plan ===")
-    println(adc.queryExecution.executedPlan.toString.take(2500))
+    // warmup (the cold-first JIT trap)
+    Similarity.ivfTopK(graft.tools.ScaleStress.annEmbeddings(spark, 20000L, dim),
+      graft.tools.ScaleStress.annEmbeddings(spark, 8L, dim),
+      "vec_id", "embedding", 10, nCells = 64, nProbe = 8).count()
+    // KMeans train alone (the ivfAssign internals, replicated)
+    time("kmeans train only") {
+      import org.apache.spark.ml.clustering.KMeans
+      val corpusF = emb.select(col("vec_id").as("neighbor_id"),
+        org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>")).as("__f"))
+      val sampled = corpusF.sample(withReplacement = false, 0.25, 42L)
+      val trainDf = if (sampled.count() >= 128L) sampled else corpusF
+      new KMeans().setK(64).setSeed(42L).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("__f").setPredictionCol("__cell").fit(trainDf)
+    }
+    time("ivfCandidates (train+probe)") {
+      Similarity.ivfCandidates(emb, qs, "vec_id", "embedding",
+        nCells = 64, nProbe = 8).count()
+    }
+    time("ivfTopK full") {
+      Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10,
+        nCells = 64, nProbe = 8).count()
+    }
     spark.stop()
   }
 }

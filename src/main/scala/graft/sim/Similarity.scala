@@ -373,7 +373,17 @@ object Similarity {
     // nProbe, not centroid polish, so half MLlib's default iterations is
     // plenty and a seeded sample is enough training data (standard IVF
     // practice; the full-probe equivalence (q78) holds for ANY centroids).
-    val sampled = corpusF.sample(withReplacement = false, 0.25, seed)
+    // The sample is CAPPED at ~256 training points per centroid (the
+    // standard IVF sizing): a fixed 25% fraction made the quantizer
+    // train O(corpus) — profiled at 9.1 s of IVF's 11.4 s wall at 1M
+    // vectors (SCALE.md round 14) and growing linearly, for centroids
+    // whose polish stopped mattering orders of magnitude earlier. At
+    // small corpora (< 1024·nCells rows) the fraction stays 0.25, so
+    // test-scale outputs are unchanged.
+    val total = corpusF.count()
+    val frac = math.min(0.25,
+      (256.0 * nCells) / math.max(total, 1L).toDouble)
+    val sampled = corpusF.sample(withReplacement = false, frac, seed)
     val trainDf = if (sampled.count() >= nCells * 2L) sampled else corpusF
     // random init, not k-means||: the parallel init runs ~5 extra
     // sampling rounds of jobs, and a coarse quantizer's recall comes
