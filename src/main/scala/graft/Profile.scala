@@ -4,12 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Scratch profiling / plan-audit main (not part of the driver contract).
-  * Round 14: IVF wall decomposition — quantizer train vs candidate join
-  * vs re-rank — and the packed-PQ pair-scan cost.
+  * Round 14: pqTopK fast-path scaling check (unpinned packed codes).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,36 +18,18 @@ object Profile {
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"$name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
     import graft.sim.Similarity
-    val dim = 64
-    def emb = graft.tools.ScaleStress.annEmbeddings(spark, n, dim)
+    val dim = 64; val m = 8; val k = 16
+    def emb(n: Long) = graft.tools.ScaleStress.annEmbeddings(spark, n, dim)
     def qs = graft.tools.ScaleStress.annEmbeddings(spark, 64L, dim)
-    // warmup (the cold-first JIT trap)
-    Similarity.ivfTopK(graft.tools.ScaleStress.annEmbeddings(spark, 20000L, dim),
-      graft.tools.ScaleStress.annEmbeddings(spark, 8L, dim),
-      "vec_id", "embedding", 10, nCells = 64, nProbe = 8).count()
-    // KMeans train alone (the ivfAssign internals, replicated)
-    time("kmeans train only") {
-      import org.apache.spark.ml.clustering.KMeans
-      val corpusF = emb.select(col("vec_id").as("neighbor_id"),
-        org.apache.spark.ml.functions.array_to_vector(
-          col("embedding").cast("array<double>")).as("__f"))
-      val sampled = corpusF.sample(withReplacement = false, 0.25, 42L)
-      val trainDf = if (sampled.count() >= 128L) sampled else corpusF
-      new KMeans().setK(64).setSeed(42L).setMaxIter(10)
-        .setInitMode("random")
-        .setFeaturesCol("__f").setPredictionCol("__cell").fit(trainDf)
-    }
-    time("ivfCandidates (train+probe)") {
-      Similarity.ivfCandidates(emb, qs, "vec_id", "embedding",
-        nCells = 64, nProbe = 8).count()
-    }
-    time("ivfTopK full") {
-      Similarity.ivfTopK(emb, qs, "vec_id", "embedding", 10,
-        nCells = 64, nProbe = 8).count()
+    for (n <- Seq(20000L, 20000L, 50000L, 100000L, 200000L)) {
+      time(s"pqTopK fast n=$n") {
+        Similarity.pqTopK(emb(n), qs, "vec_id", "embedding", m, k, dim, 10,
+          exactEncode = false).count()
+      }
     }
     spark.stop()
   }

@@ -698,9 +698,17 @@ object Similarity {
       if (corpus.schema(idCol).dataType ==
           org.apache.spark.sql.types.LongType) {
         // packed codes: exactEncode packs the oracle-path argmin's
-        // exploded rows (one n·m→n exchange, the audit trade);
-        // the production encode emits the packed row straight from
-        // the scan projection — zero shuffle
+        // exploded rows (one n·m→n exchange, the audit trade); the
+        // production encode emits the packed row straight from the
+        // scan projection. BOTH are pinned, and the pin is
+        // LOAD-BEARING beyond reuse: a broadcast-nested-loop join's
+        // fused codegen defers its stream side's projection to the
+        // use site INSIDE the build loop, so an unpinned codes
+        // expression re-ran the whole m×k argmin once PER PAIR —
+        // measured 65 s at 100k vectors vs 6.7 s pinned (the pin
+        // materializes codes to row fields, and the pair loop then
+        // reads attributes). In production the packed codes are a
+        // STORED index table, which is this same materialization.
         val packed = graft.ops.Pin.pin(
           if (exactEncode)
             pqEncode(corpus, idCol, vecCol, cb, m, dim)
