@@ -157,7 +157,7 @@ object Similarity {
     * with fewer than k real candidates; the typed aggregate would
     * instead fail at runtime on the null double (ADVICE r13).
     */
-  private def marginSurvivors(dscored0: DataFrame, k: Int): DataFrame = {
+  private[graft] def marginSurvivors(dscored0: DataFrame, k: Int): DataFrame = {
     val dscored = dscored0.filter(col("dcos").isNotNull)
     if (dscored.schema("neighbor_id").dataType ==
         org.apache.spark.sql.types.LongType)

@@ -124,4 +124,41 @@ class TopKAggSpec extends AnyFunSuite {
       assert(streamed === Set((1L, 5L), (1L, 2L), (1L, 4L), (2L, 3L)))
     } finally q.stop()
   }
+
+  test("marginSurvivors: windowed fallback = combiner branch on tie-dense and NaN frames (ADVICE r13)") {
+    // the Similarity prefilter's two branches must retain the SAME
+    // survivor set: the retained set {rank<=k} ∪ {score >= kth-margin}
+    // depends only on SCORES (ids break ties among equal scores, which
+    // cannot change the k-th VALUE), so the long-id combiner branch and
+    // the non-long-id windowed branch are set-equal even on tie-dense
+    // frames — including NaN scores, where Spark's NaN-largest /
+    // NaN-equals-itself semantics must hold in both. Deterministic
+    // pseudo-random frames with heavy ties via a coarse score grid.
+    def frame(seed: Int, rows: Int, grid: Int) = {
+      val rnd = new scala.util.Random(seed)
+      val data = (0 until rows).map { i =>
+        val s = if (rnd.nextInt(20) == 0) Double.NaN
+                else rnd.nextInt(grid).toDouble / grid
+        (rnd.nextInt(3).toLong, i.toLong, s)
+      }
+      data.toDF("query_id", "neighbor_id", "dcos")
+    }
+    for (seed <- 1 to 5; k <- Seq(1, 3, 7)) {
+      val df = frame(seed, 120, 6) // 6-value grid => dense ties
+      val viaCombiner = graft.sim.Similarity.marginSurvivors(df, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toString)).toSet
+      val viaWindowBranch = graft.sim.Similarity.marginSurvivors(
+          df.select(col("query_id"),
+            col("neighbor_id").cast("string").as("neighbor_id"), col("dcos")), k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(viaWindowBranch === viaCombiner,
+        s"branch mismatch at seed=$seed k=$k")
+      // and null scores drop in both branches
+      val withNull = df.unionByName(Seq((0L, 9999L, null.asInstanceOf[java.lang.Double]))
+        .toDF("query_id", "neighbor_id", "dcos"))
+      val g = graft.sim.Similarity.marginSurvivors(withNull, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1).toString)).toSet
+      assert(g === viaCombiner, s"null score leaked at seed=$seed k=$k")
+    }
+  }
 }
