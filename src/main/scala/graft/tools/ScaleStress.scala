@@ -289,10 +289,10 @@ object ScaleStress {
         del(new java.io.File("/tmp/graft_stress_warehouse/graft_ann_corpus"))
         graft.sources.Csv.bucketedSink(emb, "graft_ann_corpus",
           Seq("vec_id"), buckets = cpus.toInt)
-        def corp = spark.table("graft_ann_corpus")
+        def bucketedCorpus = spark.table("graft_ann_corpus")
         val byName = bodies.toMap
         bucketedPairs.foreach { case (bn, base) =>
-          if (want(bn)) run(bn) { byName(base)(corp, qs) } }
+          if (want(bn)) run(bn) { byName(base)(bucketedCorpus, qs) } }
       }
       spark.stop(); return
     }

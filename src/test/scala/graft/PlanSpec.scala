@@ -68,9 +68,9 @@ class PlanSpec extends AnyFunSuite {
         "un-bucketed corpus should exchange vectors in the attach join")
       graft.sources.Csv.bucketedSink(emb, "plan_spec_ann_corpus",
         Seq("vec_id"), buckets = 8)
-      val corp = spark.table("plan_spec_ann_corpus")
-      val qs = corp.filter(col("vec_id") < 3)
-      val bucketed = graft.sim.Similarity.signLshTopK(corp, qs,
+      val bucketedCorpus = spark.table("plan_spec_ann_corpus")
+      val qs = bucketedCorpus.filter(col("vec_id") < 3)
+      val bucketed = graft.sim.Similarity.signLshTopK(bucketedCorpus, qs,
         "vec_id", "embedding", 5, dim = 64, bits = 2, tables = 2)
       val leaks = vectorExchanges(bucketed)
       assert(leaks.isEmpty,
