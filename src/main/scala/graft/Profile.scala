@@ -1,13 +1,13 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiling / plan-audit main (not part of the driver contract).
-  * Round 14: pqTopK fast-path scaling check (unpinned packed codes).
+  * Round 14: pqTopK fast-path materialization A/B (pin vs exchange).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 1000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
@@ -23,14 +23,20 @@ object Profile {
     }
     import graft.sim.Similarity
     val dim = 64; val m = 8; val k = 16
-    def emb(n: Long) = graft.tools.ScaleStress.annEmbeddings(spark, n, dim)
+    def emb(x: Long) = graft.tools.ScaleStress.annEmbeddings(spark, x, dim)
     def qs = graft.tools.ScaleStress.annEmbeddings(spark, 64L, dim)
-    for (n <- Seq(20000L, 20000L, 50000L, 100000L, 200000L)) {
-      time(s"pqTopK fast n=$n") {
-        Similarity.pqTopK(emb(n), qs, "vec_id", "embedding", m, k, dim, 10,
-          exactEncode = false).count()
-      }
-    }
+    // warm
+    Similarity.pqTopK(emb(20000L), qs, "vec_id", "embedding", m, k, dim, 10,
+      exactEncode = false).count()
+    time("pqTopK fast 100k") {
+      Similarity.pqTopK(emb(100000L), qs, "vec_id", "embedding", m, k, dim, 10,
+        exactEncode = false).count() }
+    time("pqTopK fast 1M") {
+      Similarity.pqTopK(emb(n), qs, "vec_id", "embedding", m, k, dim, 10,
+        exactEncode = false).count() }
+    time("pqTopK fast 1M 2nd") {
+      Similarity.pqTopK(emb(n), qs, "vec_id", "embedding", m, k, dim, 10,
+        exactEncode = false).count() }
     spark.stop()
   }
 }
