@@ -620,13 +620,16 @@ object Similarity {
     * m codes as an array — the stored-index layout [[pqTopK]]'s packed
     * ADC scan consumes. The codebook is bounded and driver-built by
     * contract (pqCodebook collects k rows), so the whole argmin runs
-    * INSIDE the scan projection against centroid literals — zero
-    * shuffle, unlike the exact form's explode + broadcast-join +
-    * groupBy, whose n·m-row argmin exchange is pure overhead once
-    * distances are double. The subvector slices project to a bound
-    * attribute first so the k per-code references read a row field
-    * instead of re-slicing (the multi-reference HOF class, commit
-    * ab2b3ea).
+    * INSIDE the scan projection — zero shuffle, unlike the exact
+    * form's explode + broadcast-join + groupBy, whose n·m-row argmin
+    * exchange is pure overhead once distances are double. The argmin
+    * itself is the native [[graft.functions.PqEncodeCodes]] expression
+    * (three primitive loops over a flat centroid array): the first cut
+    * — m × array_min over k struct(dist, code) literals — allocated
+    * m·k structs per row and measured ~12.5 µs/row, which WAS the PQ
+    * decade's indexing wall; the native form runs the identical
+    * arithmetic allocation-free (PqSpec equates both against the
+    * exact-decimal encode).
     */
   private def fastPackedCodes(corpus: DataFrame, idCol: String,
                               vecCol: String, codebook: DataFrame,
@@ -635,21 +638,16 @@ object Similarity {
     val cbRows = codebook.select(col("j"), col("code"), col("cvec"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
-        r.getSeq[Float](2).map(_.toDouble).toArray)).toMap
+        r.getSeq[Float](2).map(_.toDouble).toIndexedSeq)).toMap
     val nCodes = cbRows.keys.map(_._2).max + 1
-    val subs = array((0 until m).map(j =>
-      slice(col(vecCol), j * dsub + 1, dsub)): _*)
-    val withSubs = corpus.select(col(idCol).as(outId), subs.as("__subs"))
-    val codes = array((0 until m).map { j =>
-      array_min(array((0 until nCodes).map { c =>
-        val cen = cbRows((j, c))
-        val cn2 = cen.map(x => x * x).sum
-        struct((lit(cn2) - lit(2.0) *
-          dot(element_at(col("__subs"), j + 1), lit(cen))).as("d"),
-          lit(c).as("c"))
-      }: _*)).getField("c")
-    }: _*)
-    withSubs.select(col(outId), codes.as("codes"))
+    val cents: IndexedSeq[IndexedSeq[Double]] =
+      (0 until m).flatMap(j => (0 until nCodes).map(c => cbRows((j, c))))
+        .toIndexedSeq
+    val codes = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        cents, m, nCodes, dsub))
+    corpus.select(col(idCol).as(outId), codes.as("codes"))
   }
 
   /** ADC top-k: per query an m×k distance table (bounded, broadcast),
