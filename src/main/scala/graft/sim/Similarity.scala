@@ -402,7 +402,25 @@ object Similarity {
         s
       }.take(nProbe)
     }
-    val c = model.transform(corpusF).select(col("neighbor_id"), col("__cell"))
+    // corpus-side cell assignment via the native argmin expression
+    // ([[graft.functions.PqEncodeCodes]] at m = 1, k = nCells,
+    // dsub = dim — a PQ subspace argmin IS a coarse-quantizer assign):
+    // MLlib's transform routes every row through boxed Vector UDF
+    // machinery, the dominant per-vector cost of the decade's 10M run
+    // once the train was capped; the plain-double argmin assigns the
+    // same cells (ties and fastSquaredDistance ulps can flip only
+    // exact near-ties, which move recall — the q185–q187 audits'
+    // subject — never correctness: q78's full-probe ≡ exact holds for
+    // ANY assignment, and q66 is rows-only by design)
+    val dim = centers.headOption.map(_.length).getOrElse(0)
+    val cents: IndexedSeq[IndexedSeq[Double]] =
+      centers.map(_.toIndexedSeq).toIndexedSeq
+    val cellCol = element_at(org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        cents, 1, nCells, dim)), 1)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      cellCol.as("__cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("__cell",
         explode(nearestCells(col("qv").cast("array<double>"))))
