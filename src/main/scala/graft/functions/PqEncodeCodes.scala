@@ -21,12 +21,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   *
   * Semantics are exactly the declarative form's (PqSpec equates both
   * against the exact-decimal [[graft.sim.Similarity.pqEncode]]):
-  * dist(j, c) = ‖cen‖² − 2·⟨sub_j, cen⟩ (the per-row constant ‖sub‖²
-  * dropped — it cannot change an argmin), the dot accumulating
-  * left-to-right IEEE like [[DoubleDotProduct]], null/missing elements
-  * skipped, ties and all-NaN groups resolving to the LOWEST code (the
-  * struct-min ordering: strict `<` never replaces an equal-or-NaN
-  * candidate).
+  * dist(j, c) = ‖cen‖²_present − 2·⟨sub_j, cen⟩ (the per-row constant
+  * ‖sub‖²_present dropped — it cannot change an argmin), the dot
+  * accumulating left-to-right IEEE like [[DoubleDotProduct]], ties and
+  * all-NaN groups resolving to the LOWEST code (the struct-min
+  * ordering: strict `<` never replaces an equal-or-NaN candidate).
+  *
+  * Null/missing (ragged) elements drop their ENTIRE (x−c)² term, the
+  * [[ExactSqDist.compute]] convention the exact encoder follows: the
+  * centroid-norm term is ‖cen‖² restricted to the row's PRESENT
+  * positions (the precomputed full norm minus the skipped components'
+  * c_d² — that residual varies across centroids, so only dropping the
+  * dot term would silently diverge from [[graft.sim.Similarity.pqEncode]]
+  * on ragged rows; ADVICE r14). The present set is per (row, subspace),
+  * constant across the k centroids compared, so dropping ‖sub‖²_present
+  * stays argmin-safe. Dense rows never take the correction branch.
   *
   * `centroids` is indexed (j·k + c) → dsub components; it is driver
   * state shipped via a codegen reference object (bounded by the
@@ -92,18 +101,23 @@ case class PqEncodeCodes(child: Expression,
         val cell = j * k + c
         val base = cell * dsub
         var s = 0.0
+        var miss = 0.0
         var d = 0
         while (d < dsub) {
           val idx = j * dsub + d
-          // ragged/null elements skip, the DoubleDotProduct convention
-          // (the declarative twin's slice+dot does the same)
+          // ragged/null elements drop their whole (x−c)² term — the
+          // ExactSqDist convention — so the skipped centroid component's
+          // c_d² must leave the norm term too (see class scaladoc)
           if (idx < n && !v.isNullAt(idx)) {
             val x = if (fl) v.getFloat(idx).toDouble else v.getDouble(idx)
             s += x * flat(base + d)
+          } else {
+            val cd = flat(base + d)
+            miss += cd * cd
           }
           d += 1
         }
-        val dist = cn2(cell) - 2.0 * s
+        val dist = cn2(cell) - miss - 2.0 * s
         if (dist < best) { best = dist; bestC = c }
         c += 1
       }

@@ -377,14 +377,23 @@ object Similarity {
     // standard IVF sizing): a fixed 25% fraction made the quantizer
     // train O(corpus) — profiled at 9.1 s of IVF's 11.4 s wall at 1M
     // vectors (SCALE.md round 14) and growing linearly, for centroids
-    // whose polish stopped mattering orders of magnitude earlier. At
-    // small corpora (< 1024·nCells rows) the fraction stays 0.25, so
-    // test-scale outputs are unchanged.
-    val total = corpusF.count()
-    val frac = math.min(0.25,
-      (256.0 * nCells) / math.max(total, 1L).toDouble)
-    val sampled = corpusF.sample(withReplacement = false, frac, seed)
-    val trainDf = if (sampled.count() >= nCells * 2L) sampled else corpusF
+    // whose polish stopped mattering orders of magnitude earlier.
+    // Sizing runs WITHOUT an exact full-corpus count (ADVICE r14: the
+    // old corpusF.count() added a full scan per candidate-generation
+    // call just to pick a fraction): sample at 0.25 first, count THAT
+    // (the only corpus pass sizing pays, and it doubles as the
+    // too-small-to-sample check), and when the sample overshoots the
+    // 256/centroid budget, down-cap the already-drawn sample with a
+    // second seeded sub-sample. At small corpora (0.25·n ≤ 256·nCells)
+    // the training set is the plain 25% sample — identical to the old
+    // path, so test-scale outputs are unchanged.
+    val cap = 256.0 * nCells
+    val sampled0 = corpusF.sample(withReplacement = false, 0.25, seed)
+    val n0 = sampled0.count()
+    val sampled = if (n0 > cap)
+      sampled0.sample(withReplacement = false, cap / n0.toDouble, seed + 1)
+    else sampled0
+    val trainDf = if (n0 >= nCells * 2L) sampled else corpusF
     // random init, not k-means||: the parallel init runs ~5 extra
     // sampling rounds of jobs, and a coarse quantizer's recall comes
     // from nProbe, not centroid polish
@@ -658,6 +667,13 @@ object Similarity {
       .map(r => ((r.getInt(0), r.getInt(1)),
         r.getSeq[Float](2).map(_.toDouble).toIndexedSeq)).toMap
     val nCodes = cbRows.keys.map(_._2).max + 1
+    // codes must be contiguous 0..nCodes-1 in EVERY subspace (pqCodebook
+    // emits exactly that; an externally-built codebook might not) — fail
+    // with the defect named instead of a bare key-miss in the flatMap
+    // below (ADVICE r14)
+    require(cbRows.size == m * nCodes,
+      s"incomplete codebook: expected every (j, code) pair for m=$m " +
+        s"subspaces x $nCodes codes (${m * nCodes} rows), got ${cbRows.size}")
     val cents: IndexedSeq[IndexedSeq[Double]] =
       (0 until m).flatMap(j => (0 until nCodes).map(c => cbRows((j, c))))
         .toIndexedSeq
@@ -700,6 +716,13 @@ object Similarity {
              topK: Int, exactEncode: Boolean = true): DataFrame = {
     val dsub = dim / m
     val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
+    // actual per-subspace code count: pqCodebook emits min(k, corpus
+    // rows) codes (its limit(k) driver collect), so a corpus smaller
+    // than k makes the per-query flat table's stride nCodes < k — the
+    // lookup index below must use THAT stride, or every j ≥ 1 lookup
+    // reads a wrong position / returns null (ADVICE r14). cb is a
+    // driver-built LocalRelation, so this max is a local no-scan job.
+    val nCodes = cb.agg(max(col("code"))).head.getInt(0) + 1
     val qsubs = queries
       .select(col(idCol).as("query_id"),
         explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol))
@@ -738,8 +761,8 @@ object Similarity {
           else
             fastPackedCodes(corpus, idCol, vecCol, cb, m, dim,
               "neighbor_id"))
-        // per-query flat double lookup table (j-major: index j·k+code),
-        // order pinned by the (j, code) struct sort
+        // per-query flat double lookup table (j-major: index
+        // j·nCodes+code), order pinned by the (j, code) struct sort
         val qtblD = table.groupBy("query_id")
           .agg(transform(
             array_sort(collect_list(struct(col("j"), col("code"),
@@ -749,7 +772,7 @@ object Similarity {
           .join(broadcast(qtblD), col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"),
             (0 until m).map(j => element_at(col("__qt"),
-              lit(j * k + 1) + element_at(col("codes"), j + 1)))
+              lit(j * nCodes + 1) + element_at(col("codes"), j + 1)))
               .reduce(_ + _).as("adcD"))
         val surv = scored.groupBy("query_id")
           .agg(graft.ops.TopKAgg.topK(-col("adcD"),

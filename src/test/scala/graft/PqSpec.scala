@@ -62,6 +62,54 @@ class PqSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("ragged (short) vectors: native encode matches the exact-decimal encode") {
+    // a short vector's missing elements drop their ENTIRE (x−c)² term in
+    // the exact encoder (slice+ExactSqDist skips the overhang), and the
+    // skipped residual Σ c_d² VARIES across centroids — the pre-fix
+    // native argmin kept the full centroid norm and could assign a
+    // different code silently (ADVICE r14). Codebook from the dense
+    // corpus; encode rows whose vectors are truncated mid-subspace.
+    val dense = corpus(40)
+    val cb = Similarity.pqCodebook(dense, "vec_id", "embedding", m, 8, dim)
+    val ragged = corpus(40)
+      .select(col("vec_id"),
+        // lengths 1..dim: every truncation point incl. mid-subspace cuts
+        slice(col("embedding"), lit(1),
+          (col("vec_id") % dim + 1).cast("int")).as("embedding"))
+    val exact = Similarity.pqEncode(ragged, "vec_id", "embedding", cb, m, dim)
+      .orderBy("vec_id", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    val fast = Similarity.pqEncodeFast(ragged, "vec_id", "embedding", cb, m, dim)
+      .orderBy("vec_id", "j").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(fast === exact)
+  }
+
+  test("corpus smaller than k: packed ADC stride follows the actual code count") {
+    // pqCodebook emits min(k, corpus rows) codes; with corpus = 6 < k = 8
+    // the per-query flat table has stride 6, and a j·k-based lookup would
+    // read wrong positions / nulls for j ≥ 1 (ADVICE r14). Equate the
+    // packed path against the exploded windowed form on a string-id twin
+    // (the non-long-id fallback), which never took the packed branch.
+    val df = corpus(6)
+    val q = df.filter(col("vec_id") < 2)
+    val got = Similarity.pqTopK(df, q, "vec_id", "embedding", m, 8, dim, 3,
+      exactEncode = false)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0).toString, r.getLong(1), r.getLong(2).toString,
+        r.getDouble(3))).toSeq
+    val dfs = df.select(col("vec_id").cast("string").as("vec_id"),
+      col("embedding"))
+    val qs = q.select(col("vec_id").cast("string").as("vec_id"),
+      col("embedding"))
+    val want = Similarity.pqTopK(dfs, qs, "vec_id", "embedding", m, 8, dim, 3,
+      exactEncode = false)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSeq
+    assert(got === want)
+  }
+
   test("full-coverage codebook (k = n) makes ADC identical to exact search") {
     val df = corpus(20) // k = n = 20: every vector is its own centroid
     val queries = df.filter(col("vec_id") < 3)
