@@ -299,6 +299,16 @@ object Bench {
     val coreTotal = results.filter(r => CoreQueries(r._1))
       .map(med).filter(_ >= 0).sum
     val coreField = if (only.isDefined) "null" else fmt(coreTotal)
+    // Noisy-run self-flag (VERDICT r14 item 6): round 14's +8.9% driver
+    // drift took a per-query forensic diff against commit history to
+    // dismiss as ambient; the run's own load1 snapshots already held the
+    // answer (54 of 792 above 6, peak 9.7). Flag it in the artifact:
+    // suspect when ANY snapshot's load1 exceeds 8 or more than 5% of
+    // snapshots exceed 6 (the committed-run profile that round). A
+    // suspect run's total should not be adopted as a BASELINE.md record.
+    val allLoads = results.flatMap(_._4.map(_._1)).filter(_ >= 0)
+    val ambientSuspect = allLoads.exists(_ > 8.0) ||
+      (allLoads.nonEmpty && allLoads.count(_ > 6.0) > allLoads.length * 0.05)
     // Full per-query dispersion goes to a FILE (the stdout line is
     // capture-bounded): one JSON object per query with min/median/max
     // over successful reps, so docs can cite run-to-run spread from the
@@ -323,7 +333,7 @@ object Bench {
         s"""{"idx":$i,"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e,"load1":$load,"mem_avail_mb":$mem}"""
       }.mkString("[\n", ",\n", "\n]")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"queries":$detail}\n""")
       // index↔name registry map as a machine-readable artifact (VERDICT
       // r10 item 7): BENCH_r*.json's positional "queries" array joins to
       // names through this file instead of a hand-run `runMain QOrder`.
@@ -333,7 +343,7 @@ object Bench {
         .mkString("[\n", ",\n", "\n]\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3829,6 +3829,45 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- ANN over a BUCKETED corpus table (the 100 TB layout, driven) ----
+    // The deployment shape the round-14 decade measured (IVF 10M shuffle
+    // 5,270 → 13.2 MB once the corpus is bucketed by id) exercised
+    // through the driver contract: the corpus is written via
+    // [[graft.sources.Csv.bucketedSink]] (the one-time indexing pass —
+    // catalog table, bucketed + in-bucket-sorted by vec_id), read back
+    // from the catalog, and queried with the SAME full-coverage sign-LSH
+    // DAG as q85 — so the oracle is q85's brute-force SQL and the hash
+    // match certifies the whole layout path end to end: bucketed write,
+    // catalog read, candidate generation inheriting the bucket
+    // partitioning, and the exchange-free re-rank attach (PlanSpec holds
+    // the no-vector-exchange plan proof; this query holds the row/hash
+    // proof at every future round). VERDICT r14 item 2.
+    Q("q202_lsh_bucketed_corpus",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      graft.sources.Csv.bucketedSink(emb, "graft_q202_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      val corpus = s.table("graft_q202_ann_corpus")
+      Similarity.signLshTopK(corpus, corpus.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, bits = 0, tables = 2,
+        maxBucketSize = Int.MaxValue)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- global top-k via the map-side margin-top-k aggregate ----
     // The ops/TopKAgg.scala combiner registered as its own surface (it
     // also runs inside every cosineTopK / rerankCandidates plan —

@@ -126,9 +126,32 @@ object Csv {
     * benefit that lets the join skip its per-bucket sort — when each
     * bucket holds a single file. Requires a table catalog (saveAsTable);
     * bucketing metadata lives there, not in the parquet footer.
+    *
+    * Overwrite is made SAFE against the stale-managed-location trap: a
+    * previous JVM's table DIRECTORY survives under the warehouse while
+    * the in-memory catalog does not, and saveAsTable-as-CREATE then
+    * refuses the non-empty location (this silently killed a round-14
+    * measurement campaign). The table is dropped from the catalog and
+    * its default managed directory deleted before the write — managed
+    * location only, never user data at an external path.
     */
   def bucketedSink(df: DataFrame, table: String, keys: Seq[String],
                    buckets: Int, sortBuckets: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val whPath =
+      try {
+        val u = new java.net.URI(wh)
+        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else wh
+      } catch { case _: java.net.URISyntaxException => wh }
+    val loc = new java.io.File(whPath,
+      table.toLowerCase(java.util.Locale.ROOT))
+    def del(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+      f.delete(); ()
+    }
+    if (loc.exists) del(loc)
     val w = df.repartition(buckets, keys.map(col): _*)
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

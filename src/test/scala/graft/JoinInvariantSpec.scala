@@ -188,6 +188,10 @@ class JoinInvariantSpec extends AnyFunSuite {
       ("same bounded query-set contract as q41"),
     "q85_lsh_full_coverage" ->
       ("same bounded query-set contract as q41"),
+    "q202_lsh_bucketed_corpus" ->
+      ("q85's bucketed-corpus twin: the hinted frames are the same " +
+        "literal-filtered ≤ 10-row query set (vec_id < 10), read from " +
+        "the bucketed catalog table instead of the parquet scan"),
     "q120_pq_ann" ->
       ("same bounded query-set contract as q41 (plus the PQ codebook, " +
         "k×m centroid rows by construction)"),
