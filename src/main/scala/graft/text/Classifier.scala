@@ -41,7 +41,22 @@ import org.apache.spark.sql.types.DecimalType
   * 1-row totals frame; the per-doc reduce is one map-side-combined
   * aggregate. The q199 oracle replays the protocol over TRUE token
   * strings, so the hash compare doubles as the 64-bit collision
-  * detector.
+  * detector at test scale.
+  *
+  * Corpus-size bound for the single-lane token identity (the
+  * [[graft.dedup.Dedup.dupSpans]] analysis, applied — the oracle
+  * never runs where a collision is expected): at a 100 TB corpus the
+  * train vocabulary reaches ~10⁹–10¹⁰ distinct alpha tokens, so the
+  * birthday expectation n²/2⁶⁵ admits a handful of colliding token
+  * pairs. The effect is BOUNDED and benign, so one lane suffices
+  * where dupSpans needed two: a collision merges two tokens' class
+  * counts, perturbing one likelihood ratio by roughly one extra
+  * observation against the V-sized smoothing denominator — a nudge
+  * to a heuristic quality score. No document row is dropped,
+  * fabricated, or re-keyed (doc ids never pass through the token
+  * hash), and the acceptance gate consumes the score's ORDER, not an
+  * exact count. dupSpans mints output rows from identity equality —
+  * a collision there fabricates a false span, hence its 128 bits.
   */
 object Classifier {
 

@@ -257,10 +257,27 @@ object LangModel {
     * single scan). Gram/context/successor travel as 64-BIT xxhash64
     * identities, never strings — the [[graft.dedup.Dedup]]
     * shingle-identity trade (`verifyJaccard`'s "64-bit identities"):
-    * every shuffle and join key is 8 bytes, and the q195/q197 oracles,
-    * which replay the protocol over the TRUE strings, double as the
-    * collision detectors (a 64-bit collision would shift a count and
-    * fail the hash compare; P ≈ n²/2⁶⁵).
+    * every shuffle and join key is 8 bytes, and the q195/q197/q201
+    * oracles, which replay the protocol over the TRUE strings, double
+    * as the collision detectors at test scale (a 64-bit collision
+    * would shift a count and fail the hash compare; P ≈ n²/2⁶⁵).
+    *
+    * Corpus-size bound for the single lane (the [[graft.dedup.Dedup
+    * .dupSpans]] analysis, applied): the oracle runs at sf0.01, never
+    * at the 100 TB shape — there, with 10¹⁰⁺ distinct grams/contexts,
+    * the birthday expectation n²/2⁶⁵ reaches ~a few colliding pairs,
+    * so a production corpus SHOULD expect isolated collisions. The
+    * effect is BOUNDED and benign, which is why one lane suffices
+    * where dupSpans needed two: a gram/context collision merges two
+    * count cells, nudging the smoothed conditional probability of the
+    * affected grams — a perturbation of one heuristic fluency score,
+    * on the order of a single extra observation against a
+    * vocabulary-sized denominator. No row is dropped, fabricated, or
+    * re-keyed (doc ids never pass through these hashes), and no
+    * downstream decision consumes an exact count. dupSpans, by
+    * contrast, MINTS output rows from identity equality — there a
+    * collision fabricates a false duplicate span, hence its two
+    * independently-salted lanes.
     */
   private def ngramScored(docs: DataFrame, idCol: String, textCol: String,
                           isTrain: Column, n: Int): DataFrame = {
