@@ -243,33 +243,80 @@ object Similarity {
         Window.partitionBy(col("t"), col("b")).orderBy(col(idCol))))
       .filter(col("__bn") <= cap).drop("__bn")
 
+  /** One (id, t, b) bucket-membership row per table for every input
+    * row — the shared bucket-explode of the corpus index and the
+    * per-batch query side.
+    */
+  private def lshBucketFrame(df: DataFrame, idCol: String, outId: String,
+                             vecCol: String, dim: Int, bits: Int,
+                             tables: Int, seed: Long,
+                             exactPlaneDots: Boolean): DataFrame = {
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        lshBucket(col(vecCol), dim, bits, t, seed, exactPlaneDots).as("b"))): _*)
+    df.select(col(idCol).as(outId), explode(buckets).as("tb"))
+      .select(col(outId), col("tb.t").as("t"), col("tb.b").as("b"))
+  }
+
+  /** The sign-LSH corpus INDEX: one (neighbor_id, t, b) membership row
+    * per (row, table), hot buckets already capped — everything about
+    * the corpus that candidate generation consumes. This frame is what
+    * a deployment PERSISTS: written once via
+    * [[graft.sources.Csv.bucketedSink]] keyed by the (t, b) join key,
+    * it pre-pays both per-batch corpus-side costs — the bucket
+    * computation (tables × bits dots per corpus row) and, because the
+    * bucketed table scan reports HashPartitioning(t, b), the
+    * candidate equi-join's corpus-side exchange (n·tables (id, t, b)
+    * rows — the dominant remaining sign-LSH shuffle term at 10M
+    * vectors, 469 MB/batch, SCALE.md round 15). Query batches then
+    * shuffle only their own tiny bucket frame plus candidate ids.
+    */
+  def signLshIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, bits: Int = 12, tables: Int = 4,
+                   seed: Long = 42L, maxBucketSize: Int = 10000,
+                   exactPlaneDots: Boolean = false): DataFrame =
+    capBuckets(lshBucketFrame(corpus, idCol, "neighbor_id", vecCol, dim,
+      bits, tables, seed, exactPlaneDots), "neighbor_id", maxBucketSize)
+
+  /** Candidate generation against a PREBUILT [[signLshIndex]] frame
+    * (typically a persisted bucketed table): distinct
+    * (query_id, neighbor_id) pairs sharing a bucket in any table. The
+    * query side's (dim, bits, tables, seed, exactPlaneDots) MUST match
+    * the index build's — bucket ids are only comparable under the same
+    * hyperplanes.
+    */
+  def signLshCandidatesFromIndex(index: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, dim: Int,
+                                 bits: Int = 12, tables: Int = 4,
+                                 seed: Long = 42L,
+                                 exactPlaneDots: Boolean = false): DataFrame = {
+    val q = lshBucketFrame(queries, idCol, "query_id", vecCol, dim, bits,
+      tables, seed, exactPlaneDots)
+    index.join(q, Seq("t", "b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+  }
+
   /** The candidate-generation stage of [[signLshTopK]], exposed as its
     * own operator: distinct (query_id, neighbor_id) pairs sharing a
-    * bucket in any table. Carries IDS ONLY — buckets, the equi-join,
-    * and the distinct shuffle 8-byte keys; vectors re-attach by id in
-    * the re-rank — shuffling vectors with every candidate pair is the
-    * scale killer. Also the instrument the `ann` ScaleStress decade
-    * counts: this frame's row count IS the candidate mass the bucketing
-    * admits at a given (bits, tables, corpus size).
+    * bucket in any table — [[signLshCandidatesFromIndex]] over an
+    * inline [[signLshIndex]] build. Carries IDS ONLY — buckets, the
+    * equi-join, and the distinct shuffle 8-byte keys; vectors
+    * re-attach by id in the re-rank — shuffling vectors with every
+    * candidate pair is the scale killer. Also the instrument the `ann`
+    * ScaleStress decade counts: this frame's row count IS the
+    * candidate mass the bucketing admits at a given (bits, tables,
+    * corpus size).
     */
   def signLshCandidates(corpus: DataFrame, queries: DataFrame, idCol: String,
                         vecCol: String, dim: Int, bits: Int = 12,
                         tables: Int = 4, seed: Long = 42L,
                         maxBucketSize: Int = 10000,
-                        exactPlaneDots: Boolean = false): DataFrame = {
-    def bucketed(df: DataFrame, id: String): DataFrame = {
-      val buckets = array((0 until tables).map(t =>
-        struct(lit(t).as("t"),
-          lshBucket(col(vecCol), dim, bits, t, seed, exactPlaneDots).as("b"))): _*)
-      df.select(col(idCol).as(id), explode(buckets).as("tb"))
-        .select(col(id), col("tb.t").as("t"), col("tb.b").as("b"))
-    }
-    val c = capBuckets(bucketed(corpus, "neighbor_id"), "neighbor_id", maxBucketSize)
-    val q = bucketed(queries, "query_id")
-    c.join(q, Seq("t", "b"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select("query_id", "neighbor_id").distinct()
-  }
+                        exactPlaneDots: Boolean = false): DataFrame =
+    signLshCandidatesFromIndex(
+      signLshIndex(corpus, idCol, vecCol, dim, bits, tables, seed,
+        maxBucketSize, exactPlaneDots),
+      queries, idCol, vecCol, dim, bits, tables, seed, exactPlaneDots)
 
   def signLshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   vecCol: String, k: Int, dim: Int, bits: Int = 12,
@@ -278,6 +325,24 @@ object Similarity {
                   exactPlaneDots: Boolean = false): DataFrame = {
     val cands = signLshCandidates(corpus, queries, idCol, vecCol, dim, bits,
       tables, seed, maxBucketSize, exactPlaneDots)
+    rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** [[signLshTopK]] reading a PREBUILT corpus index — the production
+    * per-batch shape: `index` is the persisted [[signLshIndex]] table
+    * (bucketed by (t, b)), `corpus` the vector table the re-rank
+    * attaches from (bucketed by id for the exchange-free attach). The
+    * per-batch shuffle is then the query bucket frame + candidate ids
+    * only; both one-time layout passes are amortized across batches.
+    */
+  def signLshTopKFromIndex(index: DataFrame, corpus: DataFrame,
+                           queries: DataFrame, idCol: String,
+                           vecCol: String, k: Int, dim: Int,
+                           bits: Int = 12, tables: Int = 4,
+                           seed: Long = 42L,
+                           exactPlaneDots: Boolean = false): DataFrame = {
+    val cands = signLshCandidatesFromIndex(index, queries, idCol, vecCol,
+      dim, bits, tables, seed, exactPlaneDots)
     rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
   }
 

@@ -294,6 +294,36 @@ object ScaleStress {
         bucketedPairs.foreach { case (bn, base) =>
           if (want(bn)) run(bn) { byName(base)(bucketedCorpus, qs) } }
       }
+      // ---- persisted LSH index (VERDICT r14 item 1) ----
+      // The bucketed decade left ONE multi-hundred-MB sign-LSH term:
+      // the per-batch (neighbor_id, t, b) index build — bucket dots
+      // over the corpus plus the capBuckets window's hashpartitioning
+      // (t, b) exchange of all n·tables membership rows (468.7 MB at
+      // 10M), attributed to "a one-time amortized pass" WITHOUT a
+      // number. This family puts the number on it: the index persists
+      // ONCE via bucketedSink keyed by its (t, b) join key (untimed —
+      // the indexing pass), the corpus stays the bucketed table from
+      // above (untimed — the round-14 layout pass), and the timed body
+      // is what a production query batch actually runs:
+      // signLshTopKFromIndex over the two persisted tables. Expected
+      // per-batch shuffle: the 64-query bucket frame + candidate ids.
+      if (want("ann_lsh_topk_indexed")) {
+        graft.sources.Csv.bucketedSink(
+          Similarity.signLshIndex(emb, "vec_id", "embedding",
+            dim = dim, bits = 12, tables = 4),
+          "graft_lsh_index", Seq("t", "b"), buckets = cpus.toInt)
+        // corpus table may already exist from the *_bucketed families;
+        // (re)write it so this family also runs standalone
+        graft.sources.Csv.bucketedSink(emb, "graft_ann_corpus",
+          Seq("vec_id"), buckets = cpus.toInt)
+        run("ann_lsh_topk_indexed") {
+          Similarity.signLshTopKFromIndex(
+            spark.table("graft_lsh_index"),
+            spark.table("graft_ann_corpus"), qs,
+            "vec_id", "embedding", k, dim = dim, bits = 12, tables = 4)
+            .count()
+        }
+      }
       spark.stop(); return
     }
 

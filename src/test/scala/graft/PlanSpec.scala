@@ -86,6 +86,75 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted LSH index joins exchange-free on the index side (VERDICT r14 item 1)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the last unmeasured "one-time amortized pass" in the ANN family:
+    // the sign-LSH (neighbor_id, t, b) index build. Persisted bucketed
+    // by its (t, b) join key, the candidate equi-join must need NO
+    // shuffle exchange anywhere above the index scan — the per-batch
+    // corpus-side cost (bucket dots + the capBuckets window's full
+    // membership exchange) is pre-paid by the layout. AQE/auto-broadcast
+    // off so a broadcast of the tiny query side can't mask a regression
+    // on the index side's partitioning.
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 3)
+    // a PRE-JOIN membership exchange above the index scan: its output
+    // still carries the (t, b) bucket keys. The post-join candidate-id
+    // distinct ((query_id, neighbor_id) — the intended per-batch
+    // shuffle) also has the scan in its subtree and must NOT count.
+    def exchangesAboveScan(df: org.apache.spark.sql.DataFrame,
+                           table: String): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if Seq("t", "b").forall(n => e.output.exists(_.name == n)) &&
+            e.child.exists {
+              case s: FileSourceScanExec =>
+                s.tableIdentifier.exists(_.table == table)
+              case _ => false
+            } => e.output.map(_.name).mkString(",")
+      }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // detector control: the INLINE index build must show a (t, b)
+      // membership exchange (the capBuckets window) — otherwise this
+      // test could pass vacuously against a renamed column
+      val inline = graft.sim.Similarity.signLshCandidates(emb, qs,
+        "vec_id", "embedding", dim = 64, bits = 2, tables = 2)
+      val inlineMembership = inline.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if Seq("t", "b").forall(n => e.output.exists(_.name == n)) =>
+          e.output.map(_.name).mkString(",")
+      }
+      assert(inlineMembership.nonEmpty,
+        "inline LSH should exchange (t, b) membership rows — detector broken?")
+      graft.sources.Csv.bucketedSink(
+        graft.sim.Similarity.signLshIndex(emb, "vec_id", "embedding",
+          dim = 64, bits = 2, tables = 2),
+        "plan_spec_lsh_index", Seq("t", "b"), buckets = 4)
+      val idx = spark.table("plan_spec_lsh_index")
+      val cands = graft.sim.Similarity.signLshCandidatesFromIndex(
+        idx, qs, "vec_id", "embedding", dim = 64, bits = 2, tables = 2)
+      val leaks = exchangesAboveScan(cands, "plan_spec_lsh_index")
+      assert(leaks.isEmpty,
+        s"persisted LSH index still exchanges above its scan: $leaks")
+      // and the indexed path is row-equal to the inline-index path
+      val a = inline
+        .orderBy("query_id", "neighbor_id").collect().map(_.toSeq).toSeq
+      val b = cands
+        .orderBy("query_id", "neighbor_id").collect().map(_.toSeq).toSeq
+      assert(a === b)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_lsh_index")
+    }
+  }
+
   test("repetition stats run shuffle-free inside the scan projection (q103)") {
     val p = plan("q103_repetition_stats")
     // the only exchange allowed is the final ORDER BY's range partition;
