@@ -20,14 +20,16 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // per-stage: task count, max task ms, sum task ms
-    val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long)]()
+    // per-stage: task count, max task ms, sum task ms, sum GC ms
+    val stageStats = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long, Long, Long)]()
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskInfo != null) {
-          stageStats.merge(t.stageId, (1, t.taskInfo.duration, t.taskInfo.duration),
-            (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+          val gc = if (t.taskMetrics != null) t.taskMetrics.jvmGCTime else 0L
+          stageStats.merge(t.stageId,
+            (1, t.taskInfo.duration, t.taskInfo.duration, gc),
+            (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3, a._4 + b._4))
         }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stageNames.put(s.stageInfo.stageId,
@@ -40,14 +42,37 @@ object Profile {
       val r = f
       println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       import scala.jdk.CollectionConverters._
-      stageStats.asScala.toSeq.sortBy(_._1).foreach { case (sid, (cnt, mx, sm)) =>
+      stageStats.asScala.toSeq.sortBy(_._1).foreach { case (sid, (cnt, mx, sm, gc)) =>
         if (mx > 2000)
           println(f"  stage $sid%4d tasks=$cnt%4d max=${mx / 1000.0}%7.1fs " +
-            f"sum=${sm / 1000.0}%8.1fs  ${stageNames.getOrDefault(sid, "?")}")
+            f"sum=${sm / 1000.0}%8.1fs gc=${gc / 1000.0}%8.1fs  " +
+            stageNames.getOrDefault(sid, "?"))
       }
       r
     }
 
+    val mode = if (args.length > 1) args(1) else "pq"
+    if (mode == "nb") {
+      // round-15: the classifier decade's 200k anomaly — one task is
+      // ~80% of a 9-26 s wall at a flat 2.65 MB shuffle. Which stage?
+      import org.apache.spark.sql.functions._
+      def docs(nd: Long) = spark.range(nd).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(59)),
+          i => concat(lit("w"), translate(
+            pmod(xxhash64(col("id"), i), lit(5000)).cast("string"),
+            "0123456789", "abcdefghij"))), " ").as("text"),
+        (pmod(xxhash64(col("id"), lit(11L)), lit(10)) < 3).as("pos"))
+      def body(nd: Long): Long =
+        graft.text.Classifier.nbQuality(docs(nd), "doc_id", "text",
+          isPos = col("pos")).count()
+      body(20000L) // warm
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      (1 to 3).foreach { i =>
+        time(s"nb_classifier n=$n rep$i") { body(n) }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
+      spark.stop(); return
+    }
     import graft.sim.Similarity
     val dim = 64; val m = 8; val k = 16; val topK = 10
     def emb = graft.tools.ScaleStress.annEmbeddings(spark, n, dim)

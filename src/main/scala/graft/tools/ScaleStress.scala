@@ -172,6 +172,14 @@ object ScaleStress {
       // the classifier family until this flush was added.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // ... and collect the previous family's garbage OUTSIDE the timed
+      // region (the Bench isolation rationale): without this, the next
+      // family's first heavy stage absorbs a full-heap GC of its
+      // predecessor's garbage — measured on the classifier decade as a
+      // 2-30 s same-code wall spread whose slow draws put 25-40% of
+      // task time in jvmGCTime, uniformly across all 32 tasks
+      // (Profile stage histograms, round 15).
+      System.gc()
       // settle async listener traffic from the previous family
       Thread.sleep(1500)
       read.set(0L); write.set(0L); maxTask.set(0L)
