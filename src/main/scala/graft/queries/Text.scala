@@ -3868,6 +3868,48 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- ANN against a PERSISTED sign-LSH index (round-15 layout) ----
+    // q202 drives the bucketed-corpus half of the 100 TB ANN layout;
+    // this drives the other half measured in round 15: the
+    // (neighbor_id, t, b) index persisted once via bucketedSink keyed
+    // by its (t, b) join key (per-batch sign-LSH shuffle 468.7 →
+    // 21.3 MB at 10M vectors, SCALE.md round 15), with the query batch
+    // running signLshTopKFromIndex against the persisted index + the
+    // bucketed corpus. Full coverage (bits = 0, uncapped) makes the
+    // result equal exact search, so q85's brute-force SQL hash-checks
+    // the whole persisted-index path: index write, catalog read,
+    // bucket equi-join, exchange-free re-rank. PlanSpec holds the
+    // no-exchange-above-the-index-scan machine proof.
+    Q("q203_lsh_persisted_index",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      graft.sources.Csv.bucketedSink(
+        Similarity.signLshIndex(emb, "vec_id", "embedding", dim = 64,
+          bits = 0, tables = 2, maxBucketSize = Int.MaxValue),
+        "graft_q203_lsh_index", Seq("t", "b"), buckets = 8)
+      graft.sources.Csv.bucketedSink(emb, "graft_q203_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      Similarity.signLshTopKFromIndex(
+        s.table("graft_q203_lsh_index"), s.table("graft_q203_ann_corpus"),
+        s.table("graft_q203_ann_corpus").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, bits = 0, tables = 2)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- global top-k via the map-side margin-top-k aggregate ----
     // The ops/TopKAgg.scala combiner registered as its own surface (it
     // also runs inside every cosineTopK / rerankCandidates plan —

@@ -192,6 +192,9 @@ class JoinInvariantSpec extends AnyFunSuite {
       ("q85's bucketed-corpus twin: the hinted frames are the same " +
         "literal-filtered ≤ 10-row query set (vec_id < 10), read from " +
         "the bucketed catalog table instead of the parquet scan"),
+    "q203_lsh_persisted_index" ->
+      ("q202's persisted-index sibling: the same bounded query-set " +
+        "contract, query frame read from the bucketed corpus table"),
     "q120_pq_ann" ->
       ("same bounded query-set contract as q41 (plus the PQ codebook, " +
         "k×m centroid rows by construction)"),
