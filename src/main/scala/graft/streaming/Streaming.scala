@@ -404,4 +404,68 @@ object Streaming {
           out.result().iterator
       }
   }
+
+  /** Online ANN serving — the streaming twin of
+    * [[graft.sim.Similarity.signLshTopKFromIndex]]: a STREAM of query
+    * vectors served against the STATIC persisted corpus layout (the
+    * round-15 deployment shape — the sign-LSH index table bucketed by
+    * its (t, b) join key, the corpus table bucketed by id; both
+    * written once, amortized across every arriving query).
+    *
+    * Per arriving query: bucket ids are a stateless projection (the
+    * same seeded [[graft.sim.Similarity.lshBucket]] hyperplanes as the
+    * index build — (dim, bits, tables, seed) MUST match it); candidates
+    * come from a STREAM-STATIC equi-join on (t, b) against the index;
+    * a watermark-evicted dedup collapses multi-table bucket
+    * collisions to one row per (ts, query, neighbor) — the batch
+    * path's `distinct()`; vectors re-attach by id from the static
+    * corpus (never through streaming state); and the per-query top-k
+    * is ONE [[graft.ops.TopKAgg]] aggregation keyed by (event-time,
+    * query) so the watermark evicts it. Scoring goes straight to the
+    * exact-decimal cosine — the candidate set is bucket-bounded, so
+    * the batch path's double prefilter has nothing left to prune — and
+    * ranks by (cosine desc, neighbor_id), exactly the batch window's
+    * order: output rows are bit-identical to the batch operator per
+    * micro-batch (StreamingSpec pins it). Ids must be LongType (the
+    * typed (Double, Long) aggregator — the
+    * [[graft.ops.TopK.globalTopKByScore]] contract).
+    *
+    * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
+    */
+  def annTopKStream(queries: DataFrame, tsCol: String, idCol: String,
+                    vecCol: String, index: DataFrame, corpus: DataFrame,
+                    k: Int, dim: Int, bits: Int = 12, tables: Int = 4,
+                    seed: Long = 42L,
+                    watermark: String = "10 minutes"): DataFrame = {
+    import graft.sim.Similarity
+    val buckets = array((0 until tables).map(t =>
+      struct(lit(t).as("t"),
+        Similarity.lshBucket(col(vecCol), dim, bits, t, seed).as("b"))): _*)
+    val qb = queries
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
+        Similarity.normExact(col(vecCol)).as("qn"), explode(buckets).as("tb"))
+      .select(col(tsCol), col("query_id"), col("qv"), col("qn"),
+        col("tb.t").as("t"), col("tb.b").as("b"))
+    val cands = qb.join(index, Seq("t", "b"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates(tsCol, "query_id", "neighbor_id")
+    val ce = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), Similarity.normExact(col(vecCol)).as("cn"))
+    cands.join(ce, Seq("neighbor_id"))
+      .select(col(tsCol), col("query_id"), col("neighbor_id"),
+        (Similarity.dotExact(col("qv"), col("cv"))
+          / (col("qn") * col("cn"))).as("cosine"))
+      .groupBy(col(tsCol), col("query_id"))
+      .agg(graft.ops.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col(tsCol), col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      // strict-k cut: the aggregate keeps k-th-score ties (the batch
+      // window's row_number does not) — the q198 pattern
+      .filter(col("__pos") < k)
+      .select(col(tsCol), col("query_id"),
+        (col("__pos") + 1).cast("long").as("rnk"),
+        col("__t._2").as("neighbor_id"), col("__t._1").as("cosine"))
+  }
 }

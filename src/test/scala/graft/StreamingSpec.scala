@@ -10,6 +10,113 @@ import graft.streaming.Streaming
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
 
+  test("ANN query stream against the static LSH index equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 16
+    // deterministic corpus; bits = 2 / tables = 2 makes multi-table
+    // bucket collisions (the duplicate-candidate path the stream's
+    // dedup must collapse) near-certain
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.signLshIndex(corpus, "vec_id", "embedding",
+      dim = dim, bits = 2, tables = 2)
+    val qIds = Seq(1L, 5L, 9L)
+    val batch = Similarity.signLshTopKFromIndex(index, corpus,
+        corpus.filter(col("vec_id").isin(qIds: _*)),
+        "vec_id", "embedding", k = 5, dim = dim, bits = 2, tables = 2)
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qVecs = corpus.filter(col("vec_id").isin(qIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val served = Streaming.annTopKStream(
+      input.toDF().toDF("ts", "vec_id", "embedding"),
+      "ts", "vec_id", "embedding", index, corpus,
+      k = 5, dim = dim, bits = 2, tables = 2)
+    val q = served.writeStream.format("memory")
+      .queryName("ann_stream").outputMode("complete").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(qVecs.map { case (id, v) => (t, id, v) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ann_stream")
+        .orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(got === batch,
+        "streamed ANN results must be bit-identical to the batch operator")
+    } finally q.stop()
+  }
+
+  test("ANN stream state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    // the classifier restart proof's shape on the ANN server: the index
+    // and corpus are STATIC (stream-static joins carry no stream state,
+    // both frames re-resolve on restart); streaming state is the
+    // candidate dedup + the per-(ts, query) top-k aggregate, recovered
+    // from the checkpoint. Queries arriving only AFTER the restart must
+    // rank bit-identically to the batch operator.
+    val dim = 16
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.signLshIndex(corpus, "vec_id", "embedding",
+      dim = dim, bits = 2, tables = 2)
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt").toString
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    def start() = Streaming.annTopKStream(
+        input.toDF().toDF("ts", "vec_id", "embedding"),
+        "ts", "vec_id", "embedding", index, corpus,
+        k = 5, dim = dim, bits = 2, tables = 2)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          out.add((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def t(min: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val q1 = start()
+    try {
+      input.addData((t(0), 1L, vecs(1L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      // post-restart queries, then two late sentinels: the first
+      // advances the watermark past t(40) at its batch's END, the
+      // second runs a batch under the advanced watermark so append
+      // mode flushes the t(40) groups (the classifier-proof protocol)
+      input.addData((t(40), 5L, vecs(5L)), (t(40), 9L, vecs(9L)))
+      q2.processAllAvailable()
+      input.addData((t(120), 98L, vecs(0L)))
+      q2.processAllAvailable()
+      input.addData((t(240), 99L, vecs(0L)))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val late = out.asScala.filter(r => r._1 == 5L || r._1 == 9L)
+        .toSeq.sortBy(r => (r._1, r._2))
+      val want = Similarity.signLshTopKFromIndex(index, corpus,
+          corpus.filter(col("vec_id").isin(5L, 9L)),
+          "vec_id", "embedding", k = 5, dim = dim, bits = 2, tables = 2)
+        .orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(late === want,
+        s"post-restart ANN ranks must equal the batch operator: $late vs $want")
+    } finally q2.stop()
+  }
+
   test("tumbling daily means aggregate a replayed hourly feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
