@@ -3910,6 +3910,48 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- ANN against a PERSISTED IVF index (round-15 layout) ----
+    // The IVF sibling of q203: the (neighbor_id, cell) assignment
+    // table bucketed by NEIGHBOR_ID (the layout lesson SCALE.md round
+    // 15 records: id bucketing hands the candidate frame its attach
+    // partitioning — 0.53 MB/batch at 10M vectors vs 556 MB bucketed
+    // by the probe key) plus the bounded centroid frame, the corpus
+    // bucketed by id, and the query batch running ivfTopKFromIndex
+    // over the three persisted frames at FULL probe width — so the
+    // result equals exact search and q78's brute-force SQL
+    // hash-checks the whole persisted-IVF path every round.
+    Q("q204_ivf_persisted_index",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      graft.sources.Csv.bucketedSink(idx.cells, "graft_q204_ivf_cells",
+        Seq("neighbor_id"), buckets = 8)
+      graft.sources.Csv.bucketedSink(idx.centroids,
+        "graft_q204_ivf_centroids", Seq("cell"), buckets = 1)
+      graft.sources.Csv.bucketedSink(emb, "graft_q204_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      Similarity.ivfTopKFromIndex(
+        s.table("graft_q204_ivf_cells"), s.table("graft_q204_ivf_centroids"),
+        s.table("graft_q204_ann_corpus"),
+        s.table("graft_q204_ann_corpus").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- global top-k via the map-side margin-top-k aggregate ----
     // The ops/TopKAgg.scala combiner registered as its own surface (it
     // also runs inside every cosineTopK / rerankCandidates plan —

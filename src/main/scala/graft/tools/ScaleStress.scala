@@ -332,6 +332,37 @@ object ScaleStress {
             .count()
         }
       }
+      // ---- persisted IVF index (the LSH-index pattern on IVF) ----
+      // IVF's per-batch corpus-side terms are the quantizer train and
+      // the cell-assignment scan; both are one-time indexing passes.
+      // Persist the (neighbor_id, cell) assignment bucketed by
+      // NEIGHBOR_ID — not the probe key: the bounded query batch
+      // broadcasts into the probe join anyway, and IVF has no distinct
+      // between probe and attach, so an id-bucketed cells table lets
+      // the candidate frame inherit HashPartitioning(neighbor_id)
+      // straight through to the re-rank attach. (A first cut bucketed
+      // by `cell` measured 556 MB/batch at 10M — the whole 80M-pair
+      // candidate frame re-exchanged for the attach — vs 0.53 MB with
+      // the id bucketing.) The centroid frame is the bounded model
+      // artifact, persisted next to it.
+      if (want("ann_ivf_topk_indexed")) {
+        val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nCells = 64)
+        graft.sources.Csv.bucketedSink(idx.cells, "graft_ivf_cells",
+          Seq("neighbor_id"), buckets = cpus.toInt)
+        graft.sources.Csv.bucketedSink(idx.centroids,
+          "graft_ivf_centroids", Seq("cell"), buckets = 1)
+        graft.sources.Csv.bucketedSink(emb, "graft_ann_corpus",
+          Seq("vec_id"), buckets = cpus.toInt)
+        run("ann_ivf_topk_indexed") {
+          Similarity.ivfTopKFromIndex(
+            spark.table("graft_ivf_cells"),
+            spark.table("graft_ivf_centroids"),
+            spark.table("graft_ann_corpus"), qs,
+            "vec_id", "embedding", k, nProbe = 8)
+            .count()
+        }
+      }
       spark.stop(); return
     }
 

@@ -195,6 +195,10 @@ class JoinInvariantSpec extends AnyFunSuite {
     "q203_lsh_persisted_index" ->
       ("q202's persisted-index sibling: the same bounded query-set " +
         "contract, query frame read from the bucketed corpus table"),
+    "q204_ivf_persisted_index" ->
+      ("the persisted-IVF drive: the hinted frames are the bounded " +
+        "query batch (vec_id < 10 from the bucketed corpus table) in " +
+        "both the probe join and the re-rank — the q41 contract"),
     "q120_pq_ann" ->
       ("same bounded query-set contract as q41 (plus the PQ codebook, " +
         "k×m centroid rows by construction)"),

@@ -155,6 +155,82 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF cells: candidates inherit id partitioning to the attach (round 15)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the IVF layout lesson (SCALE.md round 15): the cells table must
+    // be bucketed by NEIGHBOR_ID, not the probe key — the bounded
+    // query batch broadcasts into the probe join, and with no distinct
+    // between probe and attach the candidate frame then inherits
+    // HashPartitioning(neighbor_id) straight through to the re-rank
+    // attach. The machine invariant: in the full top-k plan, NO
+    // shuffle exchange above the cells scan sits below the first
+    // aggregate — i.e. the corpus-sized candidate frame never
+    // re-exchanges; the first exchange above the index is the
+    // map-side-combined margin-top-k's k-buffer exchange. (Bucketing
+    // by `cell` instead measured 556 MB/batch at 10M vectors — the
+    // whole candidate frame re-keyed for the attach.) AQE and
+    // auto-broadcast off so test-scale sizes can't rescue either
+    // layout; the probe join still broadcasts through its explicit
+    // bounded-query-batch hint — which is part of the production
+    // shape being proven (a shuffled probe would re-key the scan).
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 3)
+    def scanOf(table: String): SparkPlan => Boolean = {
+      case s: FileSourceScanExec => s.tableIdentifier.exists(_.table == table)
+      case _ => false
+    }
+    def preAggExchangesAbove(df: org.apache.spark.sql.DataFrame,
+                             table: String): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec
+          if e.child.exists(scanOf(table)) &&
+            !e.child.exists(_.isInstanceOf[BaseAggregateExec]) =>
+          e.output.map(_.name).mkString(",")
+      }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = graft.sim.Similarity.ivfIndex(emb, "vec_id", "embedding",
+        nCells = 4)
+      graft.sources.Csv.bucketedSink(idx.cells, "plan_spec_ivf_cells",
+        Seq("neighbor_id"), buckets = 4)
+      // detector control: the MIS-bucketed layout (by the probe key)
+      // must show a pre-aggregation candidate exchange
+      graft.sources.Csv.bucketedSink(idx.cells, "plan_spec_ivf_bad",
+        Seq("cell"), buckets = 4)
+      def topk(cellsTable: String) =
+        graft.sim.Similarity.ivfTopKFromIndex(
+          spark.table(cellsTable), idx.centroids, emb, qs,
+          "vec_id", "embedding", k = 5, nProbe = 2)
+      assert(preAggExchangesAbove(topk("plan_spec_ivf_bad"),
+          "plan_spec_ivf_bad").nonEmpty,
+        "probe-key bucketing should re-exchange candidates — detector broken?")
+      val leaks = preAggExchangesAbove(topk("plan_spec_ivf_cells"),
+        "plan_spec_ivf_cells")
+      assert(leaks.isEmpty,
+        s"id-bucketed IVF cells still re-exchange candidates: $leaks")
+      // and the indexed path is row-equal to the inline operator (same
+      // seeded train over the same corpus → identical centroids)
+      val a = graft.sim.Similarity.ivfTopK(emb, qs, "vec_id", "embedding",
+          k = 5, nCells = 4, nProbe = 2)
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      val b = topk("plan_spec_ivf_cells")
+        .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
+      assert(a === b)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS plan_spec_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS plan_spec_ivf_bad")
+    }
+  }
+
   test("repetition stats run shuffle-free inside the scan projection (q103)") {
     val p = plan("q103_repetition_stats")
     // the only exchange allowed is the final ORDER BY's range partition;
