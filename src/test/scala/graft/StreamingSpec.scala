@@ -51,6 +51,102 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVF query stream against the persisted index equals the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 16
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4)
+    // pin the cells frame: the quantizer is already trained (idx holds
+    // literal centroids), so both consumers read identical assignments
+    val cells = graft.ops.Pin.pin(idx.cells)
+    val qIds = Seq(2L, 7L, 11L)
+    val batch = Similarity.ivfTopKFromIndex(cells, idx.centroids, corpus,
+        corpus.filter(col("vec_id").isin(qIds: _*)),
+        "vec_id", "embedding", k = 5, nProbe = 2)
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qVecs = corpus.filter(col("vec_id").isin(qIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val served = Streaming.ivfTopKStream(
+      input.toDF().toDF("ts", "vec_id", "embedding"),
+      "ts", "vec_id", "embedding", cells, idx.centroids, corpus,
+      k = 5, nProbe = 2)
+    val q = served.writeStream.format("memory")
+      .queryName("ivf_stream").outputMode("complete").start()
+    try {
+      val t = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(qVecs.map { case (id, v) => (t, id, v) }.toSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivf_stream")
+        .orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(got === batch,
+        "streamed IVF results must be bit-identical to the batch operator")
+    } finally q.stop()
+  }
+
+  test("IVF stream state survives a checkpointed stop/restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 16
+    val corpus = (0L until 40L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4)
+    val cells = graft.ops.Pin.pin(idx.cells)
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    def start() = Streaming.ivfTopKStream(
+        input.toDF().toDF("ts", "vec_id", "embedding"),
+        "ts", "vec_id", "embedding", cells, idx.centroids, corpus,
+        k = 5, nProbe = 2)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          out.add((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def t(min: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val q1 = start()
+    try {
+      input.addData((t(0), 2L, vecs(2L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData((t(40), 7L, vecs(7L)), (t(40), 11L, vecs(11L)))
+      q2.processAllAvailable()
+      input.addData((t(120), 98L, vecs(0L)))
+      q2.processAllAvailable()
+      input.addData((t(240), 99L, vecs(0L)))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val late = out.asScala.filter(r => r._1 == 7L || r._1 == 11L)
+        .toSeq.sortBy(r => (r._1, r._2))
+      val want = Similarity.ivfTopKFromIndex(cells, idx.centroids, corpus,
+          corpus.filter(col("vec_id").isin(7L, 11L)),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+        .orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(late === want,
+        s"post-restart IVF ranks must equal the batch operator: $late vs $want")
+    } finally q2.stop()
+  }
+
   test("ANN stream state survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
