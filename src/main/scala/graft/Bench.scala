@@ -19,6 +19,13 @@ import org.apache.spark.sql.SparkSession
   *  - `"queries"`: positional array of ALL registered queries' medians
   *    in registration order (audit members included at their index), or
   *    a name-keyed object on filtered runs.
+  *  - `"calib_cpu_ms"` / `"calib_query_ms"`: fixed-cost slow-box probes
+  *    (median-of-3, run once before rep 1) — a single-thread busy loop
+  *    and one pinned 25-row query; see the in-method comment and the
+  *    BASELINE.md protocol sentence.
+  *  - `"qorder_md5"`: 8-hex digest of the registration-order name list —
+  *    two rounds' positional arrays are joinable iff these match; the
+  *    full name→median map is in `BENCH_DETAIL.json`'s `by_name`.
   */
 object Bench {
   /** Pinned 100-query core (the suite's first 100 registration-order
@@ -175,6 +182,43 @@ object Bench {
           "l_returnflag")
         .write.format("noop").mode("overwrite").save()
     }
+    // Slow-box calibration probes (VERDICT r15 item 2): `ambient_suspect`
+    // catches load SPIKES, but a uniformly slow box passes it and has
+    // been diagnosed in BASELINE.md prose three rounds running (the
+    // 212.51 and 205.05 runs). Pin two fixed-cost probes before rep 1
+    // and record them in the artifact, so a slow-box run is an
+    // ARTIFACT-provable state: (a) a single-thread busy loop — pure CPU,
+    // no Spark — whose only variables are clock speed, steal time, and
+    // scheduler pressure; (b) one tiny pinned query (25-row nation agg
+    // through the noop sink) — the fixed per-query scheduling cost every
+    // suite member pays. Median-of-3 each; a run whose calib_cpu_ms sits
+    // >25% above the record window's is slow-box by artifact, not
+    // argument (protocol sentence in BASELINE.md).
+    def medianD(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    var calibSink = 0L
+    def busyProbeMs(): Double = {
+      var h = 0x811c9dc5L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      calibSink ^= h
+      (System.nanoTime() - t0) / 1e6
+    }
+    def queryProbeMs(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calibCpuMs = medianD((1 to 3).map(_ => busyProbeMs()))
+    val calibQueryMs = medianD((1 to 3).map(_ => queryProbeMs()))
+    if (calibSink == 42L) System.err.println("") // keep the loop live
     // Optional comma-separated name filter for local iteration; the
     // driver never sets it, so the recorded bench always covers everything.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -264,9 +308,16 @@ object Bench {
     // queries keep their successful-rep median and appear in "errors"
     // (short name → failed-rep count), which is {} on a clean run.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // centisecond per-query precision: ambient drift is ±25%, so 10 ms
-    // granularity loses nothing real and keeps the line short.
+    // STDOUT-line per-query precision is 1 decimal (the EntrySmokeSpec
+    // budget guard's documented tightening step, taken in round 16 when
+    // the calib/qorder fields landed): ambient drift is ±25%, and exact
+    // 2-decimal medians travel by NAME in BENCH_DETAIL.json's `by_name`
+    // on every unfiltered run — per-query forensics should read that
+    // committed artifact, not the positional stdout array.
     def fmtQ(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.1f", v)
+    // full centisecond precision for the detail-file fields
+    def fmtQ2(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", v)
     def med(r: (String, Seq[Double], Int, Seq[(Double, Long)])): Double =
       if (r._2.nonEmpty) median(r._2) else -1.0
@@ -317,6 +368,21 @@ object Bench {
     // claims must come from a recorded artifact).
     // Never from a BENCH_ONLY-filtered iteration run, which would
     // silently clobber the committed full-suite artifact with a subset.
+    // Positional arrays self-identify their ordering (VERDICT r15 item
+    // 8): r15 inserted q202–q204 mid-registry, silently misaligning
+    // positional diffs against r14. The full {name: median} map cannot
+    // ride the stdout line (the driver's capture is a bounded ~2000-char
+    // tail; the 201-entry positional array already uses ~1.2k of it), so
+    // the line carries an 8-hex md5 of the registration-order name list
+    // instead — two rounds' BENCH_r*.json arrays are positionally
+    // joinable iff their qorder_md5 match — and the by-NAME map travels
+    // in BENCH_DETAIL.json (committed every round), which has no budget.
+    val qorderMd5 = {
+      val names = SparkEntry.registry.map(_.name).mkString(",")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(names.getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
     if (only.isEmpty) {
       val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       // "idx" = registry position, so positional BENCH_r*.json arrays
@@ -328,12 +394,16 @@ object Bench {
           if (s.isEmpty) (-1.0, -1.0, -1.0) else (s.head, median(s), s.last)
         // ambience: (load1, memAvailMB) captured before each rep and once
         // after the last — reps+1 snapshots bracketing every timed region
-        val load = amb.map(a => fmtQ(a._1)).mkString("[", ",", "]")
+        val load = amb.map(a => fmtQ2(a._1)).mkString("[", ",", "]")
         val mem = amb.map(_._2).mkString("[", ",", "]")
-        s"""{"idx":$i,"name":"$n","min":${fmtQ(mn)},"median":${fmtQ(md)},"max":${fmtQ(mx)},"err_reps":$e,"load1":$load,"mem_avail_mb":$mem}"""
+        s"""{"idx":$i,"name":"$n","min":${fmtQ2(mn)},"median":${fmtQ2(md)},"max":${fmtQ2(mx)},"err_reps":$e,"load1":$load,"mem_avail_mb":$mem}"""
       }.mkString("[\n", ",\n", "\n]")
+      // name-keyed medians: the cross-round join artifact (never depends
+      // on a QORDER snapshot matching — VERDICT r15 item 8)
+      val byName = results
+        .map(r => "\"" + r._1 + "\":" + fmtQ2(med(r))).mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
       // index↔name registry map as a machine-readable artifact (VERDICT
       // r10 item 7): BENCH_r*.json's positional "queries" array joins to
       // names through this file instead of a hand-run `runMain QOrder`.
@@ -343,7 +413,7 @@ object Bench {
         .mkString("[\n", ",\n", "\n]\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

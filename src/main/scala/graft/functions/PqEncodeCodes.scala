@@ -88,7 +88,61 @@ case class PqEncodeCodes(child: Expression,
     a
   }
 
+  @transient private lazy val neverNull: Boolean = child.dataType match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  }
+
+  /** Dense rows — the overwhelmingly common case (every production
+    * embedding column is fixed-width, non-null elements) — take an
+    * inner loop with no per-element bounds/null branch: one row-level
+    * check (length == m·dsub, plus a single null scan unless the
+    * schema already says containsNull = false) buys back the k× per-
+    * element checks the ragged-correctness branch costs. Semantics are
+    * unchanged: with every element present, miss ≡ 0 and the ragged
+    * loop reduces to exactly this one (PqSpec equates both against the
+    * exact encoder; the ragged spec covers the other branch).
+    */
   def compute(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val dense = n == m * dsub && (neverNull || {
+      var i = 0; var ok = true
+      while (ok && i < n) { if (v.isNullAt(i)) ok = false; i += 1 }
+      ok
+    })
+    if (dense) computeDense(v) else computeRagged(v)
+  }
+
+  private def computeDense(v: ArrayData): ArrayData = {
+    val fl = isFloat
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      val off = j * dsub
+      var c = 0
+      while (c < k) {
+        val cell = j * k + c
+        val base = cell * dsub
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = if (fl) v.getFloat(off + d).toDouble else v.getDouble(off + d)
+          s += x * flat(base + d)
+          d += 1
+        }
+        val dist = cn2(cell) - 2.0 * s
+        if (dist < best) { best = dist; bestC = c }
+        c += 1
+      }
+      out(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def computeRagged(v: ArrayData): ArrayData = {
     val fl = isFloat
     val n = v.numElements()
     val out = new Array[Int](m)

@@ -10,16 +10,19 @@ class EntrySmokeSpec extends AnyFunSuite {
     // switched per-query times to a positional array in registration
     // order, which removes the per-query key overhead entirely. Guard
     // the arithmetic as the registry grows: prefix + "999.99," per query
-    // + suffix must stay under ~1425 chars (25% headroom against the
-    // ~1900 usable budget — the window also has to fit sbt's trailing
-    // [success] line). Worst case per query: 6 value digits + comma = 7.
-    // Prefix now includes the `"core100":NNN.NN` field (+20 chars), the
-    // `"audit":NN.NN` field (+16 chars), and the
-    // `"ambient_suspect":false` field (+24 chars).
-    val line = 175 + SparkEntry.registry.size * 7 + 40
-    // 1625 keeps ~14% headroom against the ~1900 usable budget; at ~205
-    // registered queries the next tightening step is dropping to
-    // 1-decimal per-query precision (saves ~1 char/query).
+    // + suffix must stay inside the ~1900 usable budget with headroom
+    // (the window also has to fit sbt's trailing [success] line).
+    // Round 16 took the documented tightening step — per-query stdout
+    // precision dropped to 1 decimal (exact 2-decimal medians travel in
+    // BENCH_DETAIL.json's by_name) — so worst case per query is now
+    // "999.9," = 6 chars. Prefix includes `"core100":NNN.NN` (+20),
+    // `"audit":NN.NN` (+16), `"ambient_suspect":false` (+24), and the
+    // round-16 fields `"calib_cpu_ms":NNNNN` (+21),
+    // `"calib_query_ms":NNNNN` (+23), `"qorder_md5":"deadbeef"` (+24).
+    val line = 175 + 68 + SparkEntry.registry.size * 6 + 40
+    // 1625 keeps ~15% headroom against the ~1900 usable budget at the
+    // current ~220-query scale; the next tightening step if the registry
+    // passes ~220 is moving the positional array to integer centiseconds.
     assert(line < 1625, s"bench line worst case $line chars; tighten format")
     // error keys (rare) still use the short qNN prefix — keep it unique
     val short = SparkEntry.registry.map(_.name.takeWhile(_ != '_'))
