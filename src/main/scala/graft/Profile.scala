@@ -41,6 +41,13 @@ object Profile {
       val t0 = System.nanoTime()
       val r = f
       println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      // listener events arrive ASYNCHRONOUSLY on the bus — without a
+      // settle, tail onTaskEnd/onStageCompleted events from the just-
+      // timed job can be missed or bleed into the NEXT measurement, and
+      // these histograms are diagnostic instruments (they re-diagnosed
+      // the r14 PQ "straggler"). Same drain ScaleStress uses (ADVICE
+      // r15; listenerBus.waitUntilEmpty is private[spark]).
+      Thread.sleep(1500)
       import scala.jdk.CollectionConverters._
       stageStats.asScala.toSeq.sortBy(_._1).foreach { case (sid, (cnt, mx, sm, gc)) =>
         if (mx > 2000)

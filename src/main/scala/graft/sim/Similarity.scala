@@ -516,20 +516,34 @@ object Similarity {
     IvfIndex(cells, centroids)
   }
 
-  /** Candidate generation against a PREBUILT [[IvfIndex]] (typically
-    * both frames read back from persisted tables): each query probes
-    * its `nProbe` nearest centroids and pairs with every corpus row
-    * assigned to those cells. Carries ids + the integer cell only.
+  /** The ONE probe rule of the batch and streaming IVF paths: a udf
+    * mapping a query vector to its `nProbe` nearest centroid cell ids.
+    * Centroids are read BY NAME (`cell`, `cvec`) — not position — and a
+    * named require pins cell ids to exactly contiguous 0..n-1, because
+    * the udf returns ARRAY INDICES as cell ids: a persisted, reordered,
+    * or gapped centroids frame would otherwise probe wrong cells with
+    * no error, only silently wrong recall (ADVICE r15). Collect is
+    * bounded by the [[IvfIndex]] contract (nCells rows). Defined once
+    * so the batch ([[ivfCandidatesFromIndex]]) and streaming
+    * ([[graft.streaming.Streaming.ivfTopKStream]]) probe rules cannot
+    * drift apart — their bit-equality per micro-batch (StreamingSpec)
+    * assumes identical probes.
     */
-  def ivfCandidatesFromIndex(cells: DataFrame, centroids: DataFrame,
-                             queries: DataFrame, idCol: String,
-                             vecCol: String, nProbe: Int): DataFrame = {
-    val spark = cells.sparkSession
-    // bounded by the IvfIndex contract: nCells rows
-    val centers: Array[Array[Double]] = centroids.orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
+  private[graft] def nearestCellsUdf(
+      centroids: DataFrame, nProbe: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val spark = centroids.sparkSession
+    val rows = centroids.select(col("cell").cast("int").as("cell"),
+      col("cvec")).orderBy("cell").collect()
+    val ids = rows.map(_.getInt(0))
+    require(ids.sameElements(Array.range(0, rows.length)),
+      s"IVF centroid frame must carry exactly contiguous cell ids " +
+        s"0..${rows.length - 1} (the probe udf returns array indices " +
+        s"as cells); got [${ids.take(8).mkString(",")}${if (ids.length > 8) ",…" else ""}]")
+    val centers: Array[Array[Double]] =
+      rows.map(_.getSeq[Double](1).toArray)
     val bc = spark.sparkContext.broadcast(centers)
-    val nearestCells = udf { (v: Seq[Double]) =>
+    udf { (v: Seq[Double]) =>
       val arr = v.toArray
       bc.value.indices.sortBy { c =>
         val cen = bc.value(c)
@@ -538,6 +552,17 @@ object Similarity {
         s
       }.take(nProbe)
     }
+  }
+
+  /** Candidate generation against a PREBUILT [[IvfIndex]] (typically
+    * both frames read back from persisted tables): each query probes
+    * its `nProbe` nearest centroids and pairs with every corpus row
+    * assigned to those cells. Carries ids + the integer cell only.
+    */
+  def ivfCandidatesFromIndex(cells: DataFrame, centroids: DataFrame,
+                             queries: DataFrame, idCol: String,
+                             vecCol: String, nProbe: Int): DataFrame = {
+    val nearestCells = nearestCellsUdf(centroids, nProbe)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell",
         explode(nearestCells(col("qv").cast("array<double>"))))

@@ -138,15 +138,23 @@ object Csv {
   def bucketedSink(df: DataFrame, table: String, keys: Seq[String],
                    buckets: Int, sortBuckets: Boolean = true): Unit = {
     val spark = df.sparkSession
+    // The stale-location cleanup recursively deletes a MANAGED table
+    // directory, so the path must come from the CATALOG, not from
+    // string-joining warehouse + name (ADVICE r15: with a non-default
+    // current database the managed location is <warehouse>/<db>.db/
+    // <table> and the joined path misses it — the saveAsTable-refuses-
+    // non-empty-location trap would return; and a db-qualified name
+    // would aim the recursive delete somewhere it was never validated
+    // for). Require a simple unqualified name — the sink's contract —
+    // and resolve the default managed path the same way saveAsTable
+    // will.
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"bucketedSink requires a simple unqualified table name " +
+        s"(letters/digits/underscore), got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    val whPath =
-      try {
-        val u = new java.net.URI(wh)
-        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else wh
-      } catch { case _: java.net.URISyntaxException => wh }
-    val loc = new java.io.File(whPath,
-      table.toLowerCase(java.util.Locale.ROOT))
+    val loc = new java.io.File(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
       f.delete(); ()

@@ -405,6 +405,56 @@ object Streaming {
       }
   }
 
+  /** [[annTopKStream]]'s IVF sibling: a query-vector stream served
+    * against the persisted [[graft.sim.Similarity.IvfIndex]] layout
+    * (cells table bucketed by id + bounded centroid frame + corpus
+    * table). Simpler state story than sign-LSH: every corpus row lives
+    * in exactly ONE cell and a query probes `nProbe` DISTINCT cells,
+    * so candidate pairs are unique by construction — no dedup
+    * operator; the only streaming state is the per-(event-time, query)
+    * [[graft.ops.TopKAgg]] buffer, watermark-evicted. The probe set is
+    * a stateless projection against the driver-collected centroids
+    * (bounded by the IvfIndex contract), exactly the batch
+    * [[graft.sim.Similarity.ivfCandidatesFromIndex]] rule, and scoring
+    * is the exact-decimal cosine ranked (cosine desc, neighbor_id) —
+    * bit-equal to [[graft.sim.Similarity.ivfTopKFromIndex]] per
+    * micro-batch (StreamingSpec pins it). Ids must be LongType.
+    *
+    * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
+    */
+  def ivfTopKStream(queries: DataFrame, tsCol: String, idCol: String,
+                    vecCol: String, cells: DataFrame, centroids: DataFrame,
+                    corpus: DataFrame, k: Int, nProbe: Int = 4,
+                    watermark: String = "10 minutes"): DataFrame = {
+    import graft.sim.Similarity
+    // the ONE probe rule, shared with the batch path (ADVICE r15: a
+    // copy-pasted udf here could drift and silently break the
+    // stream-equals-batch bit-equality StreamingSpec pins)
+    val nearestCells = Similarity.nearestCellsUdf(centroids, nProbe)
+    val qb = queries
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
+        Similarity.normExact(col(vecCol)).as("qn"),
+        explode(nearestCells(col(vecCol).cast("array<double>"))).as("cell"))
+    val ce = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"), Similarity.normExact(col(vecCol)).as("cn"))
+    qb.join(cells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .join(ce, Seq("neighbor_id"))
+      .select(col(tsCol), col("query_id"), col("neighbor_id"),
+        (Similarity.dotExact(col("qv"), col("cv"))
+          / (col("qn") * col("cn"))).as("cosine"))
+      .groupBy(col(tsCol), col("query_id"))
+      .agg(graft.ops.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
+        .as("__top"))
+      .select(col(tsCol), col("query_id"),
+        posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .filter(col("__pos") < k)
+      .select(col(tsCol), col("query_id"),
+        (col("__pos") + 1).cast("long").as("rnk"),
+        col("__t._2").as("neighbor_id"), col("__t._1").as("cosine"))
+  }
+
   /** Online ANN serving — the streaming twin of
     * [[graft.sim.Similarity.signLshTopKFromIndex]]: a STREAM of query
     * vectors served against the STATIC persisted corpus layout (the
@@ -432,66 +482,6 @@ object Streaming {
     *
     * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
     */
-  /** [[annTopKStream]]'s IVF sibling: a query-vector stream served
-    * against the persisted [[graft.sim.Similarity.IvfIndex]] layout
-    * (cells table bucketed by id + bounded centroid frame + corpus
-    * table). Simpler state story than sign-LSH: every corpus row lives
-    * in exactly ONE cell and a query probes `nProbe` DISTINCT cells,
-    * so candidate pairs are unique by construction — no dedup
-    * operator; the only streaming state is the per-(event-time, query)
-    * [[graft.ops.TopKAgg]] buffer, watermark-evicted. The probe set is
-    * a stateless projection against the driver-collected centroids
-    * (bounded by the IvfIndex contract), exactly the batch
-    * [[graft.sim.Similarity.ivfCandidatesFromIndex]] rule, and scoring
-    * is the exact-decimal cosine ranked (cosine desc, neighbor_id) —
-    * bit-equal to [[graft.sim.Similarity.ivfTopKFromIndex]] per
-    * micro-batch (StreamingSpec pins it). Ids must be LongType.
-    *
-    * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
-    */
-  def ivfTopKStream(queries: DataFrame, tsCol: String, idCol: String,
-                    vecCol: String, cells: DataFrame, centroids: DataFrame,
-                    corpus: DataFrame, k: Int, nProbe: Int = 4,
-                    watermark: String = "10 minutes"): DataFrame = {
-    import graft.sim.Similarity
-    val spark = cells.sparkSession
-    // bounded by the IvfIndex contract: nCells rows
-    val centers: Array[Array[Double]] = centroids.orderBy("cell").collect()
-      .map(_.getSeq[Double](1).toArray)
-    val bc = spark.sparkContext.broadcast(centers)
-    val nearestCells = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      bc.value.indices.sortBy { c =>
-        val cen = bc.value(c)
-        var s = 0.0; var i = 0
-        while (i < arr.length) { val d = arr(i) - cen(i); s += d * d; i += 1 }
-        s
-      }.take(nProbe)
-    }
-    val qb = queries
-      .withWatermark(tsCol, watermark)
-      .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
-        Similarity.normExact(col(vecCol)).as("qn"),
-        explode(nearestCells(col(vecCol).cast("array<double>"))).as("cell"))
-    val ce = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), Similarity.normExact(col(vecCol)).as("cn"))
-    qb.join(cells, Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .join(ce, Seq("neighbor_id"))
-      .select(col(tsCol), col("query_id"), col("neighbor_id"),
-        (Similarity.dotExact(col("qv"), col("cv"))
-          / (col("qn") * col("cn"))).as("cosine"))
-      .groupBy(col(tsCol), col("query_id"))
-      .agg(graft.ops.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
-        .as("__top"))
-      .select(col(tsCol), col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__t")))
-      .filter(col("__pos") < k)
-      .select(col(tsCol), col("query_id"),
-        (col("__pos") + 1).cast("long").as("rnk"),
-        col("__t._2").as("neighbor_id"), col("__t._1").as("cosine"))
-  }
-
   def annTopKStream(queries: DataFrame, tsCol: String, idCol: String,
                     vecCol: String, index: DataFrame, corpus: DataFrame,
                     k: Int, dim: Int, bits: Int = 12, tables: Int = 4,
