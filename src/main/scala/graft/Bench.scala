@@ -20,9 +20,12 @@ import org.apache.spark.sql.SparkSession
   *    in registration order (audit members included at their index), or
   *    a name-keyed object on filtered runs.
   *  - `"calib_cpu_ms"` / `"calib_query_ms"`: fixed-cost slow-box probes
-  *    (median-of-3, run once before rep 1) — a single-thread busy loop
-  *    and one pinned 25-row query; see the in-method comment and the
-  *    BASELINE.md protocol sentence.
+  *    (median-of-3 after a discarded JIT warm-up, run once before
+  *    rep 1) — a single-thread busy loop and one pinned 25-row query;
+  *    see the in-method comment and the BASELINE.md protocol sentence.
+  *  - `"calib_cpu_ms_post"`: the CPU probe repeated after the last rep,
+  *    so the pre/post pair brackets the whole run — a box that degrades
+  *    mid-suite shows as an in-band pre + blown-out post (ADVICE r16).
   *  - `"qorder_md5"`: 8-hex digest of the registration-order name list —
   *    two rounds' positional arrays are joinable iff these match; the
   *    full name→median map is in `BENCH_DETAIL.json`'s `by_name`.
@@ -216,6 +219,10 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e6
     }
+    // One discarded warm-up iteration first: the probe loop's own JIT
+    // compilation otherwise lands inside the first measured iteration
+    // and inflates the median on a quiet box (ADVICE r16).
+    busyProbeMs()
     val calibCpuMs = medianD((1 to 3).map(_ => busyProbeMs()))
     val calibQueryMs = medianD((1 to 3).map(_ => queryProbeMs()))
     if (calibSink == 42L) System.err.println("") // keep the loop live
@@ -297,6 +304,12 @@ object Bench {
       ambience += ((loadAvg1, memAvailMb))
       (q.name, times, errReps, ambience.toSeq)
     }
+    // Re-run the CPU probe AFTER the last rep: the pre-run calib pair
+    // only certifies the box at rep-1 time, so a box that degrades
+    // mid-suite (thermal, a co-tenant arriving) read as quiet (ADVICE
+    // r16). The pre/post bracket bounds the run: both in-band means the
+    // whole window was quiet; a post-probe blowout names the drift.
+    val calibCpuMsPost = medianD((1 to 3).map(_ => busyProbeMs()))
     // The driver captures a bounded 2000-char tail of the output, so the
     // line must stay well inside it (rounds 2 and 3 overflowed and
     // recorded parsed=null). Per-query times are a positional ARRAY in
@@ -403,7 +416,7 @@ object Bench {
       val byName = results
         .map(r => "\"" + r._1 + "\":" + fmtQ2(med(r))).mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
       // index↔name registry map as a machine-readable artifact (VERDICT
       // r10 item 7): BENCH_r*.json's positional "queries" array joins to
       // names through this file instead of a hand-run `runMain QOrder`.
@@ -413,7 +426,7 @@ object Bench {
         .mkString("[\n", ",\n", "\n]\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

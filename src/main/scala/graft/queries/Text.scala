@@ -3952,6 +3952,99 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- ANN against an APPENDED IVF index (round-17 delta path) ----
+    // Corpora grow; rebuilding a 10M-row assignment table to add 1% is
+    // the cost [[Similarity.ivfAppend]] exists to avoid (VERDICT r16
+    // item 3). This query drives the maintenance path end to end: the
+    // index is built on 80% of the corpus, persisted, and the
+    // remaining 20% is delta-appended under the FROZEN persisted
+    // quantizer (bucketedAppend — same id-bucketing keys, so the
+    // exchange-free probe→attach layout survives). Full probe width
+    // makes the result equal exact search over the WHOLE corpus, so
+    // the brute-force SQL hash-checks that the appended table is a
+    // complete, correctly-assigned corpus: a dropped or mis-bucketed
+    // delta row would break the hash.
+    Q("q205_ivf_appended_index",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val idx = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 16)
+      graft.sources.Csv.bucketedSink(idx.cells, "graft_q205_ivf_cells",
+        Seq("neighbor_id"), buckets = 8)
+      graft.sources.Csv.bucketedSink(idx.centroids,
+        "graft_q205_ivf_centroids", Seq("cell"), buckets = 1)
+      graft.sources.Csv.bucketedSink(emb, "graft_q205_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      Similarity.ivfAppend("graft_q205_ivf_cells",
+        s.table("graft_q205_ivf_centroids"), delta, "vec_id", "embedding",
+        buckets = 8)
+      Similarity.ivfTopKFromIndex(
+        s.table("graft_q205_ivf_cells"), s.table("graft_q205_ivf_centroids"),
+        s.table("graft_q205_ann_corpus"),
+        s.table("graft_q205_ann_corpus").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- ANN against an APPENDED sign-LSH index (the LSH sibling) ----
+    // Same maintenance contract on the sign-LSH layout: the
+    // (neighbor_id, t, b) index is built on 80% of the corpus and the
+    // delta appended via [[Similarity.signLshAppend]] — hyperplanes are
+    // seed-frozen so delta memberships are bit-identical to a rebuild's,
+    // and the cap-aware fill path executes against the persisted
+    // table's live bucket counts (the cap is finite but non-binding
+    // here, keeping full coverage so exact-search SQL hash-checks the
+    // appended index; the binding-cap semantics are IndexAppendSpec's).
+    Q("q206_lsh_appended_index",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      graft.sources.Csv.bucketedSink(
+        Similarity.signLshIndex(base, "vec_id", "embedding", dim = 64,
+          bits = 0, tables = 2, maxBucketSize = 1000000),
+        "graft_q206_lsh_index", Seq("t", "b"), buckets = 8)
+      graft.sources.Csv.bucketedSink(emb, "graft_q206_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      Similarity.signLshAppend("graft_q206_lsh_index", delta, "vec_id",
+        "embedding", dim = 64, buckets = 8, bits = 0, tables = 2,
+        maxBucketSize = 1000000)
+      Similarity.signLshTopKFromIndex(
+        s.table("graft_q206_lsh_index"), s.table("graft_q206_ann_corpus"),
+        s.table("graft_q206_ann_corpus").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, bits = 0, tables = 2)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- global top-k via the map-side margin-top-k aggregate ----
     // The ops/TopKAgg.scala combiner registered as its own surface (it
     // also runs inside every cosineTopK / rerankCandidates plan —

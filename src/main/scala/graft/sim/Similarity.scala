@@ -278,6 +278,66 @@ object Similarity {
     capBuckets(lshBucketFrame(corpus, idCol, "neighbor_id", vecCol, dim,
       bits, tables, seed, exactPlaneDots), "neighbor_id", maxBucketSize)
 
+  /** The DELTA rows to append to a persisted [[signLshIndex]] table
+    * when the corpus grows (VERDICT r16 item 3): bucket memberships for
+    * only the new rows (hyperplanes are seed-derived and frozen, so a
+    * delta row's (t, b) is bit-identical to what a fresh rebuild
+    * assigns it), cap-aware against the EXISTING index — per (t, b),
+    * delta rows fill only the `maxBucketSize − existing` remaining
+    * slots, smallest ids first. Below the cap the appended index is
+    * exactly the fresh-rebuild index (capBuckets keeps the cap
+    * smallest ids, and a set that only grows can never re-admit a
+    * dropped row — IndexAppendSpec pins set-equality); AT the cap the
+    * semantics are first-committed-wins: existing members keep their
+    * slots even when a delta id sorts below them (a rebuild would swap
+    * them in). That divergence is deliberate — re-capping a hot bucket
+    * means rewriting the table, which is the rebuild this operator
+    * exists to avoid, and the cap is a hot-bucket pathology guard, not
+    * a ranking.
+    *
+    * The existing-count scan is exchange-free when `existing` is the
+    * persisted (t, b)-bucketed table (partial agg over the bucketed
+    * scan's own partitioning); the delta-side window shuffles only the
+    * delta's membership rows.
+    */
+  def signLshIndexDelta(existing: DataFrame, delta: DataFrame,
+                        idCol: String, vecCol: String, dim: Int,
+                        bits: Int = 12, tables: Int = 4, seed: Long = 42L,
+                        maxBucketSize: Int = 10000,
+                        exactPlaneDots: Boolean = false): DataFrame = {
+    val deltaMem = lshBucketFrame(delta, idCol, "neighbor_id", vecCol,
+      dim, bits, tables, seed, exactPlaneDots)
+    if (maxBucketSize == Int.MaxValue) deltaMem
+    else {
+      val have = existing.groupBy(col("t"), col("b"))
+        .agg(count(lit(1)).as("__have"))
+      deltaMem
+        .withColumn("__bn", row_number().over(
+          Window.partitionBy(col("t"), col("b")).orderBy(col("neighbor_id"))))
+        .join(have, Seq("t", "b"), "left")
+        .filter(col("__bn") <= lit(maxBucketSize.toLong)
+          - coalesce(col("__have"), lit(0L)))
+        .select(col("neighbor_id"), col("t"), col("b"))
+    }
+  }
+
+  /** [[signLshIndexDelta]] appended straight to the persisted index
+    * table (same (t, b) bucketing keys and count — the spec is
+    * catalog-validated, so the exchange-free candidate-join proof
+    * survives the append).
+    */
+  def signLshAppend(indexTable: String, delta: DataFrame, idCol: String,
+                    vecCol: String, dim: Int, buckets: Int,
+                    bits: Int = 12, tables: Int = 4, seed: Long = 42L,
+                    maxBucketSize: Int = 10000,
+                    exactPlaneDots: Boolean = false): Unit = {
+    val spark = delta.sparkSession
+    graft.sources.Csv.bucketedAppend(
+      signLshIndexDelta(spark.table(indexTable), delta, idCol, vecCol,
+        dim, bits, tables, seed, maxBucketSize, exactPlaneDots),
+      indexTable, Seq("t", "b"), buckets)
+  }
+
   /** Candidate generation against a PREBUILT [[signLshIndex]] frame
     * (typically a persisted bucketed table): distinct
     * (query_id, neighbor_id) pairs sharing a bucket in any table. The
@@ -501,20 +561,74 @@ object Similarity {
     // exact near-ties, which move recall — the q185–q187 audits'
     // subject — never correctness: q78's full-probe ≡ exact holds for
     // ANY assignment, and q66 is rows-only by design)
+    val cells = assignCellsWith(corpus, idCol, vecCol, centers)
+    import spark.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    IvfIndex(cells, centroids)
+  }
+
+  /** Cell assignment against FIXED centroid arrays — the corpus-side
+    * half of [[ivfIndex]], shared with the delta-append path so a
+    * fresh build and an append assign by the identical rule.
+    */
+  private def assignCellsWith(corpus: DataFrame, idCol: String,
+                              vecCol: String,
+                              centers: Array[Array[Double]]): DataFrame = {
     val dim = centers.headOption.map(_.length).getOrElse(0)
     val cents: IndexedSeq[IndexedSeq[Double]] =
       centers.map(_.toIndexedSeq).toIndexedSeq
     val cellCol = element_at(org.apache.spark.sql.graft.Bridge.column(
       graft.functions.PqEncodeCodes(
         org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-        cents, 1, nCells, dim)), 1)
-    val cells = corpus.select(col(idCol).as("neighbor_id"),
-      cellCol.as("cell"))
-    import spark.implicits._
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
-    IvfIndex(cells, centroids)
+        cents, 1, centers.length, dim)), 1)
+    corpus.select(col(idCol).as("neighbor_id"), cellCol.as("cell"))
   }
+
+  /** Collect a persisted (cell, cvec) centroid frame into dense arrays
+    * — BY NAME, with the contiguous-0..n-1 require (the
+    * [[nearestCellsUdf]] rule, shared so every consumer of a persisted
+    * quantizer rejects a reordered/gapped frame the same way). Bounded
+    * by the [[IvfIndex]] contract (nCells rows).
+    */
+  private[graft] def centroidArrays(centroids: DataFrame): Array[Array[Double]] = {
+    val rows = centroids.select(col("cell").cast("int").as("cell"),
+      col("cvec")).orderBy("cell").collect()
+    val ids = rows.map(_.getInt(0))
+    require(ids.sameElements(Array.range(0, rows.length)),
+      s"IVF centroid frame must carry exactly contiguous cell ids " +
+        s"0..${rows.length - 1}; got [${ids.take(8).mkString(",")}${if (ids.length > 8) ",…" else ""}]")
+    rows.map(_.getSeq[Double](1).toArray)
+  }
+
+  /** Assign a DELTA of new corpus rows their cells under a PERSISTED
+    * quantizer — the incremental half of IVF index maintenance
+    * (VERDICT r16 item 3): corpora grow, and rebuilding a 10M-row
+    * assignment table to add 1% is a full corpus scan plus a full
+    * table rewrite. The quantizer is FROZEN (the standard IVF
+    * append contract — retraining centroids would re-home existing
+    * rows, i.e. a rebuild by definition), so the delta frame is
+    * bit-identical to what a fresh [[ivfIndex]] assignment under the
+    * same centroids would produce for those rows (IndexAppendSpec
+    * pins union-equality), and appending it to the id-bucketed cells
+    * table preserves the exchange-free probe→attach layout
+    * ([[graft.sources.Csv.bucketedAppend]] — same bucketing keys).
+    */
+  def ivfDeltaCells(centroids: DataFrame, delta: DataFrame,
+                    idCol: String, vecCol: String): DataFrame =
+    assignCellsWith(delta, idCol, vecCol, centroidArrays(centroids))
+
+  /** [[ivfDeltaCells]] appended straight to the persisted cells table:
+    * assign only the delta, append to the bucketed layout (same keys,
+    * same bucket count — saveAsTable validates the spec against the
+    * catalog, so a drifted spec throws instead of silently de-bucketing
+    * the table).
+    */
+  def ivfAppend(cellsTable: String, centroids: DataFrame, delta: DataFrame,
+                idCol: String, vecCol: String, buckets: Int): Unit =
+    graft.sources.Csv.bucketedAppend(
+      ivfDeltaCells(centroids, delta, idCol, vecCol),
+      cellsTable, Seq("neighbor_id"), buckets)
 
   /** The ONE probe rule of the batch and streaming IVF paths: a udf
     * mapping a query vector to its `nProbe` nearest centroid cell ids.
@@ -533,24 +647,47 @@ object Similarity {
       centroids: DataFrame, nProbe: Int)
       : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val spark = centroids.sparkSession
-    val rows = centroids.select(col("cell").cast("int").as("cell"),
-      col("cvec")).orderBy("cell").collect()
-    val ids = rows.map(_.getInt(0))
-    require(ids.sameElements(Array.range(0, rows.length)),
-      s"IVF centroid frame must carry exactly contiguous cell ids " +
-        s"0..${rows.length - 1} (the probe udf returns array indices " +
-        s"as cells); got [${ids.take(8).mkString(",")}${if (ids.length > 8) ",…" else ""}]")
-    val centers: Array[Array[Double]] =
-      rows.map(_.getSeq[Double](1).toArray)
+    val centers: Array[Array[Double]] = centroidArrays(centroids)
     val bc = spark.sparkContext.broadcast(centers)
     udf { (v: Seq[Double]) =>
+      // Allocation-free k-smallest selection instead of the old
+      // `indices.sortBy(dist).take(nProbe)` (VERDICT r16 item 6): the
+      // full sort is O(nCells log nCells) boxed-Integer work PER QUERY
+      // ROW — noise at bench cell counts, per-row garbage at a 100 TB
+      // layout's 10⁴–10⁵ cells under a high-QPS serving stream. Two
+      // nProbe-length insertion buffers + an early-abandoned distance
+      // loop give the same ids in the same order: strict `<` insertion
+      // over ascending cell index reproduces the stable sort's
+      // tie-to-lower-index rule exactly (earlier equal-distance cells
+      // are already placed and a later equal never displaces), and the
+      // abandon threshold is the current k-th best, which can only
+      // skip cells the insertion would reject anyway.
       val arr = v.toArray
-      bc.value.indices.sortBy { c =>
-        val cen = bc.value(c)
-        var s = 0.0; var i = 0
-        while (i < arr.length) { val d = arr(i) - cen(i); s += d * d; i += 1 }
-        s
-      }.take(nProbe)
+      val cents = bc.value
+      val n = cents.length
+      val kk = math.max(1, math.min(nProbe, n))
+      val bd = new Array[Double](kk)
+      val bi = new Array[Int](kk)
+      java.util.Arrays.fill(bd, Double.PositiveInfinity)
+      var c = 0
+      while (c < n) {
+        val cen = cents(c)
+        val worst = bd(kk - 1)
+        var s = 0.0
+        var i = 0
+        while (i < arr.length && s < worst) {
+          val d = arr(i) - cen(i); s += d * d; i += 1
+        }
+        if (i == arr.length && s < worst) {
+          var j = kk - 1
+          while (j > 0 && s < bd(j - 1)) {
+            bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1
+          }
+          bd(j) = s; bi(j) = c
+        }
+        c += 1
+      }
+      bi.toSeq.take(math.min(nProbe, n))
     }
   }
 

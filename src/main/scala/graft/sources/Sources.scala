@@ -152,16 +152,50 @@ object Csv {
       s"bucketedSink requires a simple unqualified table name " +
         s"(letters/digits/underscore), got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new java.io.File(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val locUri = spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // The recursive delete is a LOCAL-filesystem cleanup: only attempt
+    // it when the catalog-resolved managed location is file-scheme (or
+    // scheme-less, the local-warehouse default). On an hdfs/s3
+    // warehouse `new File(URI)` would throw IllegalArgumentException
+    // before the write (ADVICE r16) — there the stale-location trap
+    // belongs to the cluster's warehouse tooling, so skip, don't die.
+    val loc: Option[java.io.File] = locUri.getScheme match {
+      case null   => Some(new java.io.File(locUri.getPath))
+      case "file" => Some(new java.io.File(locUri))
+      case _      => None
+    }
     def del(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
       f.delete(); ()
     }
-    if (loc.exists) del(loc)
+    loc.filter(_.exists).foreach(del)
     val w = df.repartition(buckets, keys.map(col): _*)
       .write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortBuckets) w.sortBy(keys.head, keys.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Append rows to an EXISTING [[bucketedSink]] table — the delta
+    * half of an incremental index maintenance pass (VERDICT r16 item
+    * 3): the (buckets, keys) spec must match the table's (saveAsTable
+    * validates it against the catalog and throws on mismatch, so a
+    * drifted spec cannot silently de-bucket the table). Each append
+    * adds one file per bucket; Spark's bucketed scan still reports
+    * HashPartitioning over the bucket keys with multiple files per
+    * bucket (it unions them into the bucket's partition), so the
+    * exchange-free join proofs (PlanSpec) survive appends. Per-bucket
+    * SORT guarantees do NOT survive (each file is sorted, the union
+    * isn't) — SMJ planning re-sorts; the engine's index joins are
+    * hash-side anyway.
+    */
+  def bucketedAppend(df: DataFrame, table: String, keys: Seq[String],
+                     buckets: Int, sortBuckets: Boolean = true): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"bucketedAppend requires a simple unqualified table name, got '$table'")
+    val w = df.repartition(buckets, keys.map(col): _*)
+      .write.format("parquet").mode("append")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortBuckets) w.sortBy(keys.head, keys.tail: _*) else w)
       .saveAsTable(table)

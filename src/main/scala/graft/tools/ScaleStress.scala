@@ -110,9 +110,16 @@ object ScaleStress {
   def annEmbeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
     spark.range(n).select(
       col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(dim - 1)),
-        i => (pmod(xxhash64(col("id"), i), lit(2001)).cast("double")
-          / lit(1000.0) - lit(1.0)).cast("float")).as("embedding"))
+      embeddingCol(col("id"), dim).as("embedding"))
+
+  /** The generator's embedding as a COLUMN of any id expression — shared
+    * with the `serve` mode's rate-source query stream, so streamed query
+    * vectors come from the identical deterministic family as the corpus.
+    */
+  def embeddingCol(id: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(id, i), lit(2001)).cast("double")
+        / lit(1000.0) - lit(1.0)).cast("float"))
 
   /** Fact table with a planted hot join key at ×100 the mean: keys are
     * uniform over `nKeys` for 90% of rows, and the remaining 10% all
@@ -132,6 +139,9 @@ object ScaleStress {
     //                    (Dedup.capBuckets / q188-planned Skew.saltedJoin)
     // "ann"            = the similarity-search decade: exact vs sign-LSH
     //                    vs IVF vs PQ-ADC top-k over a pinned query batch
+    //                    (+ "recall" families: production-path recall@k)
+    // "append"         = index delta-append vs rebuild (1% corpus growth)
+    // "serve"          = ANN serving-stream qps/latency/state decade
     val mode = if (args.length > 1) args(1) else "core"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -361,6 +371,200 @@ object ScaleStress {
             spark.table("graft_ann_corpus"), qs,
             "vec_id", "embedding", k, nProbe = 8)
             .count()
+        }
+      }
+      // ---- production-path recall (VERDICT r16 item 4) ----
+      // q185–q187 audit recall on PINNED oracle-replayable mechanics
+      // (deterministic md5-sampled centroids, exact-decimal cell
+      // assignment); the recall a deployment actually gets from the
+      // TRAINED paths — the seeded-KMeans IVF coarse quantizer, the
+      // sampled PQ codebooks, the seeded sign-LSH hyperplanes at the
+      // production (bits, tables) — was unmeasured. recall@k here is
+      // |engine top-k ∩ exact top-k| / |exact top-k| over the same
+      // pinned 64-query batch as the wall families, computed
+      // engine-side (a bounded Q·k-row join). Filter name: "recall".
+      if (want("recall")) {
+        val exact = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", k)
+          .select(col("query_id"), col("neighbor_id"))
+        val exactP = graft.ops.Pin.pin(exact)
+        val nExact = exactP.count()
+        def recallOf(name: String, res: DataFrame): Unit = {
+          val hit = res.select(col("query_id"), col("neighbor_id"))
+            .join(exactP, Seq("query_id", "neighbor_id")).count()
+          println(s"""{"family":"$name","n_docs":$nDocs,"k":$k,""" +
+            s""""recall_at_k":${fmt(hit.toDouble / math.max(1L, nExact))},""" +
+            s""""hits":$hit,"exact_pairs":$nExact}""")
+        }
+        recallOf("ann_ivf_recall",
+          Similarity.ivfTopK(emb, qs, "vec_id", "embedding", k,
+            nCells = 64, nProbe = 8))
+        recallOf("ann_lsh_recall",
+          Similarity.signLshTopK(emb, qs, "vec_id", "embedding", k,
+            dim = dim, bits = 12, tables = 4))
+        recallOf("ann_pq_recall",
+          Similarity.pqTopK(emb, qs, "vec_id", "embedding",
+            m = 8, k = 16, dim = dim, topK = k, exactEncode = false))
+      }
+      spark.stop(); return
+    }
+
+    // ---- index delta-append vs rebuild (VERDICT r16 item 3) ----
+    // Corpora grow ~1% at a time; the maintenance question is what the
+    // delta path saves over rebuilding the persisted layout. Rebuild
+    // families time the full index build + bucketed write at n + 1%;
+    // append families time assigning ONLY the 1% delta under the frozen
+    // quantizer/hyperplanes and appending to the existing bucketed
+    // table (IndexAppendSpec holds the parity proofs). Run at 1M / 10M.
+    if (mode == "append") {
+      val dim = 64
+      val deltaN = math.max(1L, nDocs / 100L)
+      val cpusI = cpus.toInt
+      def full = annEmbeddings(spark, nDocs + deltaN, dim)
+      def base = annEmbeddings(spark, nDocs, dim)
+      def delta = full.filter(col("vec_id") >= nDocs)
+      import graft.sim.Similarity
+      // cold-JVM warm-up at a small size (the SCALE.md methodology note)
+      locally {
+        val we = annEmbeddings(spark, 20000L, dim)
+        val wd = annEmbeddings(spark, 20200L, dim)
+          .filter(col("vec_id") >= 20000L)
+        graft.sources.Csv.bucketedSink(
+          Similarity.signLshIndex(we, "vec_id", "embedding", dim = dim,
+            bits = 12, tables = 4), "graft_append_lsh", Seq("t", "b"),
+          buckets = cpusI)
+        Similarity.signLshAppend("graft_append_lsh", wd, "vec_id",
+          "embedding", dim = dim, buckets = cpusI, bits = 12, tables = 4)
+        val wi = Similarity.ivfIndex(we, "vec_id", "embedding", nCells = 64)
+        graft.sources.Csv.bucketedSink(wi.cells, "graft_append_ivf_cells",
+          Seq("neighbor_id"), buckets = cpusI)
+        graft.sources.Csv.bucketedSink(wi.centroids,
+          "graft_append_ivf_centroids", Seq("cell"), buckets = 1)
+        Similarity.ivfAppend("graft_append_ivf_cells",
+          spark.table("graft_append_ivf_centroids"), wd,
+          "vec_id", "embedding", buckets = cpusI)
+      }
+      run("lsh_index_rebuild") {
+        graft.sources.Csv.bucketedSink(
+          Similarity.signLshIndex(full, "vec_id", "embedding", dim = dim,
+            bits = 12, tables = 4),
+          "graft_append_lsh", Seq("t", "b"), buckets = cpusI)
+        nDocs + deltaN
+      }
+      // existing index on the base corpus (untimed — it already exists
+      // in the maintenance scenario), then the timed delta append
+      graft.sources.Csv.bucketedSink(
+        Similarity.signLshIndex(base, "vec_id", "embedding", dim = dim,
+          bits = 12, tables = 4),
+        "graft_append_lsh", Seq("t", "b"), buckets = cpusI)
+      run("lsh_index_append") {
+        Similarity.signLshAppend("graft_append_lsh", delta, "vec_id",
+          "embedding", dim = dim, buckets = cpusI, bits = 12, tables = 4)
+        deltaN
+      }
+      run("ivf_index_rebuild") {
+        val idx = Similarity.ivfIndex(full, "vec_id", "embedding",
+          nCells = 64)
+        graft.sources.Csv.bucketedSink(idx.cells, "graft_append_ivf_cells",
+          Seq("neighbor_id"), buckets = cpusI)
+        graft.sources.Csv.bucketedSink(idx.centroids,
+          "graft_append_ivf_centroids", Seq("cell"), buckets = 1)
+        nDocs + deltaN
+      }
+      val idxB = Similarity.ivfIndex(base, "vec_id", "embedding",
+        nCells = 64)
+      graft.sources.Csv.bucketedSink(idxB.cells, "graft_append_ivf_cells",
+        Seq("neighbor_id"), buckets = cpusI)
+      graft.sources.Csv.bucketedSink(idxB.centroids,
+        "graft_append_ivf_centroids", Seq("cell"), buckets = 1)
+      run("ivf_index_append") {
+        Similarity.ivfAppend("graft_append_ivf_cells",
+          spark.table("graft_append_ivf_centroids"), delta,
+          "vec_id", "embedding", buckets = cpusI)
+        deltaN
+      }
+      spark.stop(); return
+    }
+
+    // ---- ANN serving streams: throughput / latency / state (r16 #2) ----
+    // annTopKStream / ivfTopKStream are bit-equal to batch and
+    // restart-proven (StreamingSpec) but carried no numbers. Serve the
+    // persisted nDocs-vector layouts a rate-source query stream at a
+    // fixed qps for SPARK_GRAFT_SERVE_SEC seconds (default 45) and
+    // report per-family: processed qps, trigger-latency p50/p95, and
+    // state rows/bytes at the run's first and last progress — the
+    // first≈last state row count IS the watermark-turnover boundedness
+    // evidence (state would grow monotonically without eviction).
+    // Third arg: comma-separated input rates, default "64,512".
+    if (mode == "serve") {
+      val dim = 64; val k = 10
+      val cpusI = cpus.toInt
+      val rates = (if (args.length > 2) args(2) else "64,512")
+        .split(",").map(_.trim.toInt).toSeq
+      val emb = annEmbeddings(spark, nDocs, dim)
+      import graft.sim.Similarity
+      graft.sources.Csv.bucketedSink(emb, "graft_serve_corpus",
+        Seq("vec_id"), buckets = cpusI)
+      graft.sources.Csv.bucketedSink(
+        Similarity.signLshIndex(emb, "vec_id", "embedding", dim = dim,
+          bits = 12, tables = 4),
+        "graft_serve_lsh", Seq("t", "b"), buckets = cpusI)
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 64)
+      graft.sources.Csv.bucketedSink(idx.cells, "graft_serve_ivf_cells",
+        Seq("neighbor_id"), buckets = cpusI)
+      graft.sources.Csv.bucketedSink(idx.centroids,
+        "graft_serve_ivf_centroids", Seq("cell"), buckets = 1)
+      val corpus = spark.table("graft_serve_corpus")
+      val serveSec = sys.env.getOrElse("SPARK_GRAFT_SERVE_SEC", "45").toInt
+      def pct(xs: Seq[Double], p: Double): Double =
+        if (xs.isEmpty) -1.0
+        else xs.sorted.apply(math.min(xs.size - 1,
+          (p * xs.size).toInt))
+      def serveOne(name: String, rps: Int)
+                  (mk: DataFrame => DataFrame): Unit = {
+        // query ids offset far past any corpus id so the stream never
+        // collides with a corpus row's self-match guard
+        val qid = col("value") + lit(1L << 40)
+        val qs = spark.readStream.format("rate")
+          .option("rowsPerSecond", rps.toString).load()
+          .select(col("timestamp").as("ts"), qid.as("vec_id"),
+            embeddingCol(qid, dim).as("embedding"))
+        val ckpt = java.nio.file.Files
+          .createTempDirectory(s"graft_serve_$name").toString
+        val q = mk(qs).writeStream.format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger
+            .ProcessingTime("1 second"))
+          .start()
+        Thread.sleep(serveSec * 1000L)
+        val progs = q.recentProgress.toSeq
+          .filter(_.numInputRows > 0)
+        q.stop()
+        val trig = progs.flatMap(p =>
+          Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+        val rows = progs.map(_.numInputRows).sum
+        val wallSec = trig.sum / 1000.0
+        val stateRows = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
+        val stateMb = progs.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        println(s"""{"family":"$name","n_docs":$nDocs,"rps_in":$rps,""" +
+          s""""batches":${progs.size},"rows":$rows,""" +
+          s""""qps_processed":${fmt(if (wallSec > 0) rows / wallSec else -1.0)},""" +
+          s""""trigger_ms_p50":${fmt(pct(trig, 0.50))},""" +
+          s""""trigger_ms_p95":${fmt(pct(trig, 0.95))},""" +
+          s""""state_rows_first":${stateRows.headOption.getOrElse(-1L)},""" +
+          s""""state_rows_last":${stateRows.lastOption.getOrElse(-1L)},""" +
+          s""""state_mb_last":${fmt(stateMb.lastOption.getOrElse(0L) / 1e6)}}""")
+      }
+      rates.foreach { rps =>
+        serveOne("serve_lsh_topk", rps) { qs =>
+          graft.streaming.Streaming.annTopKStream(qs, "ts", "vec_id",
+            "embedding", spark.table("graft_serve_lsh"), corpus, k,
+            dim = dim, bits = 12, tables = 4, watermark = "10 seconds")
+        }
+        serveOne("serve_ivf_topk", rps) { qs =>
+          graft.streaming.Streaming.ivfTopKStream(qs, "ts", "vec_id",
+            "embedding", spark.table("graft_serve_ivf_cells"),
+            spark.table("graft_serve_ivf_centroids"), corpus, k,
+            nProbe = 8, watermark = "10 seconds")
         }
       }
       spark.stop(); return

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sim.Similarity
+
+/** Delta-append to persisted ANN index layouts (VERDICT r16 item 3):
+  * corpora grow; the maintenance contract is "assign only the delta,
+  * append to the bucketed tables". These specs pin the two parity
+  * claims the operators make:
+  *  - IVF: under the FROZEN persisted quantizer the appended cells
+  *    table is bit-identical to a fresh full-corpus assignment.
+  *  - sign-LSH: below the bucket cap the appended index is exactly the
+  *    fresh-rebuild index (capBuckets keeps the cap smallest ids, and
+  *    a grown set can never re-admit a dropped row); AT the cap the
+  *    semantics are first-committed-wins, asserted explicitly.
+  * Plus the layout claim: appending through bucketedAppend keeps the
+  * table's bucketing (the exchange-free join proofs survive appends).
+  */
+class IndexAppendSpec extends AnyFunSuite {
+  lazy val spark = TestSession.spark
+  import spark.implicits._
+
+  // deterministic synthetic vectors: component j of id i is a fixed
+  // integer mix — exact in doubles, so assignment parity is bit-exact
+  private def vec(i: Long, dim: Int): Seq[Double] =
+    (0 until dim).map(j => (((i * 31 + j * 17 + 7) % 19) - 9).toDouble)
+  private def emb(ids: Seq[Long], dim: Int = 4) =
+    ids.map(i => (i, vec(i, dim))).toDF("vec_id", "embedding")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case x         => x
+    }: Seq[Any]).toSet
+
+  test("IVF delta assignment ≡ fresh assignment under the frozen quantizer") {
+    val base = emb(10L to 49L)
+    val delta = emb(50L to 59L)
+    val full = emb((10L to 59L))
+    val idx = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 4)
+    val deltaCells = Similarity.ivfDeltaCells(idx.centroids, delta,
+      "vec_id", "embedding")
+    // the full corpus assigned under the SAME persisted centroid frame
+    val fullCells = Similarity.ivfDeltaCells(idx.centroids, full,
+      "vec_id", "embedding")
+    assert(rows(idx.cells) ++ rows(deltaCells) === rows(fullCells),
+      "base ∪ delta must equal the fresh full assignment")
+    // the delta never re-homes existing rows: disjoint id sets
+    assert(rows(idx.cells.select("neighbor_id"))
+      .intersect(rows(deltaCells.select("neighbor_id"))).isEmpty)
+  }
+
+  test("ivfAppend keeps table content and bucketing through the append") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = emb(0L to 39L)
+    val delta = emb(40L to 49L)
+    try {
+      val idx = Similarity.ivfIndex(base, "vec_id", "embedding", nCells = 4)
+      graft.sources.Csv.bucketedSink(idx.cells, "append_spec_ivf_cells",
+        Seq("neighbor_id"), buckets = 4)
+      graft.sources.Csv.bucketedSink(idx.centroids,
+        "append_spec_ivf_centroids", Seq("cell"), buckets = 1)
+      Similarity.ivfAppend("append_spec_ivf_cells",
+        spark.table("append_spec_ivf_centroids"), delta,
+        "vec_id", "embedding", buckets = 4)
+      val got = spark.table("append_spec_ivf_cells")
+      val want = Similarity.ivfDeltaCells(
+        spark.table("append_spec_ivf_centroids"), emb(0L to 49L),
+        "vec_id", "embedding")
+      assert(rows(got) === rows(want))
+      // bucketing survives: an id-keyed aggregation over the appended
+      // table (now holding >1 file per bucket) plans with NO shuffle
+      // exchange above the scan
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val agg = got.groupBy("neighbor_id").count()
+        val exchanges = agg.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(exchanges.isEmpty,
+          "appended bucketed table must keep HashPartitioning(neighbor_id)")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // a mismatched bucket spec must throw, not silently de-bucket
+      intercept[Exception] {
+        graft.sources.Csv.bucketedAppend(
+          Similarity.ivfDeltaCells(spark.table("append_spec_ivf_centroids"),
+            emb(Seq(99L)), "vec_id", "embedding"),
+          "append_spec_ivf_cells", Seq("neighbor_id"), buckets = 8)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS append_spec_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS append_spec_ivf_centroids")
+    }
+  }
+
+  test("LSH delta ∪ existing ≡ fresh rebuild below the cap (including smaller delta ids)") {
+    val base = emb(20L to 49L)
+    val delta = emb(0L to 9L)   // ids BELOW every existing member
+    val full = emb((0L to 9L) ++ (20L to 49L))
+    val cap = 100 // finite, non-binding: the cap-aware join path runs
+    val existing = Similarity.signLshIndex(base, "vec_id", "embedding",
+      dim = 4, bits = 2, tables = 2, maxBucketSize = cap)
+    val deltaRows = Similarity.signLshIndexDelta(existing, delta,
+      "vec_id", "embedding", dim = 4, bits = 2, tables = 2,
+      maxBucketSize = cap)
+    val fresh = Similarity.signLshIndex(full, "vec_id", "embedding",
+      dim = 4, bits = 2, tables = 2, maxBucketSize = cap)
+    assert(rows(existing) ++ rows(deltaRows) === rows(fresh),
+      "below the cap, append must reproduce the fresh rebuild exactly")
+  }
+
+  test("LSH delta fills only the remaining slots at the cap (first-committed-wins)") {
+    // bits = 0 → one bucket per table, so bucket occupancy is exact
+    val cap = 5
+    def idxOf(ids: Seq[Long]) = Similarity.signLshIndex(emb(ids),
+      "vec_id", "embedding", dim = 4, bits = 0, tables = 1,
+      maxBucketSize = cap)
+    // full bucket: 8 base rows capped to the 5 smallest; a delta with
+    // SMALLER ids must not evict committed members (a rebuild would)
+    val fullBucket = idxOf(10L to 17L)
+    assert(fullBucket.count() === 5)
+    val none = Similarity.signLshIndexDelta(fullBucket, emb(1L to 3L),
+      "vec_id", "embedding", dim = 4, bits = 0, tables = 1,
+      maxBucketSize = cap)
+    assert(none.count() === 0, "a full bucket admits no delta rows")
+    // partial bucket: 3 base rows, 2 free slots → the 2 smallest delta
+    // ids fill them, the rest are dropped
+    val partial = idxOf(10L to 12L)
+    val fills = Similarity.signLshIndexDelta(partial, emb(1L to 4L),
+      "vec_id", "embedding", dim = 4, bits = 0, tables = 1,
+      maxBucketSize = cap)
+    assert(rows(fills.select("neighbor_id")) ===
+      Set(Seq[Any](1L), Seq[Any](2L)))
+  }
+
+  test("uncapped LSH delta is the plain membership frame (no count scan)") {
+    val base = emb(0L to 9L)
+    val delta = emb(10L to 14L)
+    val existing = Similarity.signLshIndex(base, "vec_id", "embedding",
+      dim = 4, bits = 2, tables = 2, maxBucketSize = Int.MaxValue)
+    val deltaRows = Similarity.signLshIndexDelta(existing, delta,
+      "vec_id", "embedding", dim = 4, bits = 2, tables = 2,
+      maxBucketSize = Int.MaxValue)
+    val fresh = Similarity.signLshIndex(emb(0L to 14L), "vec_id",
+      "embedding", dim = 4, bits = 2, tables = 2,
+      maxBucketSize = Int.MaxValue)
+    assert(rows(existing) ++ rows(deltaRows) === rows(fresh))
+  }
+}

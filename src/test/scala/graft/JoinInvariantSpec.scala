@@ -199,6 +199,15 @@ class JoinInvariantSpec extends AnyFunSuite {
       ("the persisted-IVF drive: the hinted frames are the bounded " +
         "query batch (vec_id < 10 from the bucketed corpus table) in " +
         "both the probe join and the re-rank — the q41 contract"),
+    "q205_ivf_appended_index" ->
+      ("q204's delta-append sibling: the same bounded query batch " +
+        "(vec_id < 10 from the bucketed corpus table) hinted in the " +
+        "probe join and both re-rank stages — the q41 contract; the " +
+        "appended CELLS side is never hinted"),
+    "q206_lsh_appended_index" ->
+      ("q203's delta-append sibling: the same bounded query-set " +
+        "contract (vec_id < 10 from the bucketed corpus table); the " +
+        "appended index side is never hinted"),
     "q120_pq_ann" ->
       ("same bounded query-set contract as q41 (plus the PQ codebook, " +
         "k×m centroid rows by construction)"),
