@@ -140,7 +140,7 @@ object Similarity {
     * d ≤ 1024; 1e-9 leaves 4 orders of headroom while still pruning
     * everything that isn't a near-tie with the k-th score.
     */
-  private val RerankMargin = 1e-9
+  private[graft] val RerankMargin = 1e-9
 
   /** Margin-top-k survivor ids of a (query_id, neighbor_id, dcos)
     * double-prefilter frame — the shared first stage of [[cosineTopK]]

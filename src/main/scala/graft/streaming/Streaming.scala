@@ -412,13 +412,15 @@ object Streaming {
     * in exactly ONE cell and a query probes `nProbe` DISTINCT cells,
     * so candidate pairs are unique by construction — no dedup
     * operator; the only streaming state is the per-(event-time, query)
-    * [[graft.ops.TopKAgg]] buffer, watermark-evicted. The probe set is
-    * a stateless projection against the driver-collected centroids
+    * [[graft.ops.VecTopKAgg]] buffer, watermark-evicted. The probe set
+    * is a stateless projection against the driver-collected centroids
     * (bounded by the IvfIndex contract), exactly the batch
     * [[graft.sim.Similarity.ivfCandidatesFromIndex]] rule, and scoring
-    * is the exact-decimal cosine ranked (cosine desc, neighbor_id) —
-    * bit-equal to [[graft.sim.Similarity.ivfTopKFromIndex]] per
-    * micro-batch (StreamingSpec pins it). Ids must be LongType.
+    * is the shared [[servedExactTopK]] two-stage tail (double
+    * prefilter in the aggregate, exact-decimal re-rank over the ≤ k+ε
+    * survivors) — bit-equal to
+    * [[graft.sim.Similarity.ivfTopKFromIndex]] per micro-batch
+    * (StreamingSpec pins it). Ids must be LongType.
     *
     * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
     */
@@ -434,25 +436,73 @@ object Streaming {
     val qb = queries
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
-        Similarity.normExact(col(vecCol)).as("qn"),
         explode(nearestCells(col(vecCol).cast("array<double>"))).as("cell"))
     val ce = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), Similarity.normExact(col(vecCol)).as("cn"))
-    qb.join(cells, Seq("cell"))
+      col(vecCol).as("cv"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("cnD"))
+    val cands = qb.join(cells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .join(ce, Seq("neighbor_id"))
-      .select(col(tsCol), col("query_id"), col("neighbor_id"),
-        (Similarity.dotExact(col("qv"), col("cv"))
-          / (col("qn") * col("cn"))).as("cosine"))
+    servedExactTopK(cands, tsCol, k)
+  }
+
+  /** The shared two-stage scoring tail of [[annTopKStream]] and
+    * [[ivfTopKStream]]: a DOUBLE-cosine margin-top-k prefilter as the
+    * ONE stateful aggregation (the [[graft.ops.VecTopKAgg]] buffer —
+    * each survivor carries its corpus vector), then a STATELESS
+    * in-row exact-decimal re-rank over the ≤ k+ε survivors
+    * (transform + comparator array_sort + strict-k slice). This is
+    * the batch `rerankCandidates` double-prefilter contract verbatim —
+    * same [[graft.sim.Similarity.RerankMargin]] retention rule, same
+    * exact-decimal cosine, same (cosine desc, neighbor_id) strict-k
+    * tie order — so per-micro-batch outputs remain bit-equal to the
+    * batch operators (StreamingSpec pins it), while decimal cost
+    * drops from O(candidates) to O(k·|queries|): the round-17 serve
+    * measurement found the old score-everything-exactly tail made a
+    * 1M-corpus IVF batch (~125k candidates/query) miss any reasonable
+    * trigger entirely.
+    *
+    * `cands` must carry (tsCol, query_id, qv, neighbor_id, cv, cnD):
+    * one row per candidate, `cnD` the double corpus norm.
+    */
+  private def servedExactTopK(cands: DataFrame, tsCol: String,
+                              k: Int): DataFrame = {
+    import graft.sim.Similarity
+    val dscored = cands.select(col(tsCol), col("query_id"), col("qv"),
+      col("neighbor_id"), col("cv").cast("array<double>").as("cvd"),
+      (Similarity.dot(col("qv"), col("cv"))
+        / (sqrt(Similarity.dot(col("qv"), col("qv"))) * col("cnD")))
+        .as("dcos"))
+    val surv = dscored
       .groupBy(col(tsCol), col("query_id"))
-      .agg(graft.ops.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
-        .as("__top"))
+      .agg(first(col("qv")).as("qv"),
+        graft.ops.VecTopKAgg.topK(col("dcos"), col("neighbor_id"),
+          col("cvd"), k, Similarity.RerankMargin).as("__surv"))
+      // per-row constants lifted OUT of the per-element lambda (the
+      // documented HOF re-evaluation trap)
+      .withColumn("__qn", Similarity.normExact(col("qv")))
+    val rescored = surv.withColumn("__scored",
+      transform(col("__surv"), s =>
+        struct(
+          (Similarity.dotExact(col("qv"), s.getField("_3"))
+            / (col("__qn") * Similarity.normExact(s.getField("_3"))))
+            .as("cosine"),
+          s.getField("_2").as("neighbor_id"))))
+    // exact strict-k order: (cosine desc, neighbor_id asc) — the batch
+    // window's row_number rule — as a comparator sort over ≤ k+ε rows
+    val sorted = array_sort(col("__scored"), (l, r) =>
+      when(l.getField("cosine") > r.getField("cosine"), lit(-1))
+        .when(l.getField("cosine") < r.getField("cosine"), lit(1))
+        .otherwise(when(l.getField("neighbor_id") < r.getField("neighbor_id"), lit(-1))
+          .when(l.getField("neighbor_id") > r.getField("neighbor_id"), lit(1))
+          .otherwise(lit(0))))
+    rescored
       .select(col(tsCol), col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__t")))
-      .filter(col("__pos") < k)
+        posexplode(slice(sorted, 1, k)).as(Seq("__pos", "__t")))
       .select(col(tsCol), col("query_id"),
         (col("__pos") + 1).cast("long").as("rnk"),
-        col("__t._2").as("neighbor_id"), col("__t._1").as("cosine"))
+        col("__t.neighbor_id").as("neighbor_id"),
+        col("__t.cosine").as("cosine"))
   }
 
   /** Online ANN serving — the streaming twin of
@@ -466,19 +516,21 @@ object Streaming {
     * same seeded [[graft.sim.Similarity.lshBucket]] hyperplanes as the
     * index build — (dim, bits, tables, seed) MUST match it); candidates
     * come from a STREAM-STATIC equi-join on (t, b) against the index;
-    * a watermark-evicted dedup collapses multi-table bucket
-    * collisions to one row per (ts, query, neighbor) — the batch
-    * path's `distinct()`; vectors re-attach by id from the static
-    * corpus (never through streaming state); and the per-query top-k
-    * is ONE [[graft.ops.TopKAgg]] aggregation keyed by (event-time,
-    * query) so the watermark evicts it. Scoring goes straight to the
-    * exact-decimal cosine — the candidate set is bucket-bounded, so
-    * the batch path's double prefilter has nothing left to prune — and
-    * ranks by (cosine desc, neighbor_id), exactly the batch window's
-    * order: output rows are bit-identical to the batch operator per
-    * micro-batch (StreamingSpec pins it). Ids must be LongType (the
-    * typed (Double, Long) aggregator — the
-    * [[graft.ops.TopK.globalTopKByScore]] contract).
+    * multi-table bucket collisions (the batch path's `distinct()`) are
+    * absorbed INSIDE the aggregate — [[graft.ops.VecTopKAgg]]'s insert
+    * is duplicate-idempotent on the bit-identical (score, id) a
+    * collision re-presents, which replaced the earlier dropDuplicates
+    * operator whose per-candidate-pair state was the measured
+    * per-batch state-commit wall (1.7M rows/batch at a 1M corpus);
+    * vectors re-attach by id from the static corpus (never through
+    * streaming state); and the per-query top-k is that ONE aggregation
+    * keyed by (event-time, query) so the watermark evicts it. Scoring
+    * is the shared [[servedExactTopK]] two-stage tail — double-cosine
+    * margin prefilter in the aggregate, exact-decimal re-rank over the
+    * ≤ k+ε survivors, ranked (cosine desc, neighbor_id), exactly the
+    * batch window's order: output rows are bit-identical to the batch
+    * operator per micro-batch (StreamingSpec pins it). Ids must be
+    * LongType (the typed aggregator contract).
     *
     * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
     */
@@ -494,28 +546,14 @@ object Streaming {
     val qb = queries
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
-        Similarity.normExact(col(vecCol)).as("qn"), explode(buckets).as("tb"))
-      .select(col(tsCol), col("query_id"), col("qv"), col("qn"),
+        explode(buckets).as("tb"))
+      .select(col(tsCol), col("query_id"), col("qv"),
         col("tb.t").as("t"), col("tb.b").as("b"))
     val cands = qb.join(index, Seq("t", "b"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .dropDuplicates(tsCol, "query_id", "neighbor_id")
     val ce = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"), Similarity.normExact(col(vecCol)).as("cn"))
-    cands.join(ce, Seq("neighbor_id"))
-      .select(col(tsCol), col("query_id"), col("neighbor_id"),
-        (Similarity.dotExact(col("qv"), col("cv"))
-          / (col("qn") * col("cn"))).as("cosine"))
-      .groupBy(col(tsCol), col("query_id"))
-      .agg(graft.ops.TopKAgg.topK(col("cosine"), col("neighbor_id"), k)
-        .as("__top"))
-      .select(col(tsCol), col("query_id"),
-        posexplode(col("__top")).as(Seq("__pos", "__t")))
-      // strict-k cut: the aggregate keeps k-th-score ties (the batch
-      // window's row_number does not) — the q198 pattern
-      .filter(col("__pos") < k)
-      .select(col(tsCol), col("query_id"),
-        (col("__pos") + 1).cast("long").as("rnk"),
-        col("__t._2").as("neighbor_id"), col("__t._1").as("cosine"))
+      col(vecCol).as("cv"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("cnD"))
+    servedExactTopK(cands.join(ce, Seq("neighbor_id")), tsCol, k)
   }
 }
