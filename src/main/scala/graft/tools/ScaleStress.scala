@@ -582,7 +582,11 @@ object ScaleStress {
       // would deploy. Standard IVF sizing is nCells ≈ √n with nProbe
       // tuned to the recall target (the recall decade's slope): here
       // √1M = 1024 cells, nProbe 16 → ~1.6% probe fraction.
-      val serveCells = math.max(64, math.sqrt(nDocs.toDouble).toInt)
+      // capped at 1024: KMeans train cost grows with k·|sample|·iters,
+      // and past ~1k cells the quantizer train (not the serve path)
+      // dominates the one-time build at 10M
+      val serveCells =
+        math.min(1024, math.max(64, math.sqrt(nDocs.toDouble).toInt))
       val serveProbe = 16
       val idx = Similarity.ivfIndex(emb, "vec_id", "embedding",
         nCells = serveCells)
