@@ -473,11 +473,19 @@ object Streaming {
       (Similarity.dot(col("qv"), col("cv"))
         / (sqrt(Similarity.dot(col("qv"), col("qv"))) * col("cnD")))
         .as("dcos"))
+    // the NATIVE aggregate, not the typed udaf: the udaf's encoder
+    // deserializes every candidate row's vector into a boxed Seq
+    // before reduce can reject it (~20 µs/row — the measured serve
+    // throughput floor); the native form copies a vector only on
+    // actual insert (VecTopKNativeSpec equates the two)
+    import org.apache.spark.sql.graft.Bridge
+    val vecTopK = Bridge.column(graft.functions.VecTopKNative(
+      Bridge.expression(col("dcos")), Bridge.expression(col("neighbor_id")),
+      Bridge.expression(col("cvd")), k, Similarity.RerankMargin)
+      .toAggregateExpression())
     val surv = dscored
       .groupBy(col(tsCol), col("query_id"))
-      .agg(first(col("qv")).as("qv"),
-        graft.ops.VecTopKAgg.topK(col("dcos"), col("neighbor_id"),
-          col("cvd"), k, Similarity.RerankMargin).as("__surv"))
+      .agg(first(col("qv")).as("qv"), vecTopK.as("__surv"))
       // per-row constants lifted OUT of the per-element lambda (the
       // documented HOF re-evaluation trap)
       .withColumn("__qn", Similarity.normExact(col("qv")))
