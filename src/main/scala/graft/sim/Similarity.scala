@@ -669,6 +669,7 @@ object Similarity {
       val bd = new Array[Double](kk)
       val bi = new Array[Int](kk)
       java.util.Arrays.fill(bd, Double.PositiveInfinity)
+      var filled = 0
       var c = 0
       while (c < n) {
         val cen = cents(c)
@@ -679,6 +680,7 @@ object Similarity {
           val d = arr(i) - cen(i); s += d * d; i += 1
         }
         if (i == arr.length && s < worst) {
+          if (bd(kk - 1) == Double.PositiveInfinity) filled += 1
           var j = kk - 1
           while (j > 0 && s < bd(j - 1)) {
             bd(j) = bd(j - 1); bi(j) = bi(j - 1); j -= 1
@@ -687,7 +689,29 @@ object Similarity {
         }
         c += 1
       }
-      bi.toSeq.take(math.min(nProbe, n))
+      if (filled == kk) bi.toSeq
+      else {
+        // Degenerate-distance fallback (ADVICE r17): a NaN component or
+        // an overflow-to-+Inf squared distance never passes `s < worst`,
+        // so fewer than kk cells insert and the unfilled `bi` slots
+        // would emit spurious duplicate cell-0 ids. Mirror the replaced
+        // full sort exactly — Ordering[Double] is Double.compare
+        // (finite < +Inf < NaN, stable within ties), so non-finite
+        // cells rank after every finite one, in index order — by
+        // falling back to that sort. Only reachable on degenerate
+        // inputs; every finite-distance row stays on the fast path.
+        val ds = new Array[Double](n)
+        var c2 = 0
+        while (c2 < n) {
+          val cen = cents(c2)
+          var s = 0.0
+          var i = 0
+          while (i < arr.length) { val d = arr(i) - cen(i); s += d * d; i += 1 }
+          ds(c2) = s
+          c2 += 1
+        }
+        (0 until n).sortBy(i => ds(i)).take(kk)
+      }
     }
   }
 

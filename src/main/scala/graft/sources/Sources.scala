@@ -135,6 +135,26 @@ object Csv {
     * its default managed directory deleted before the write — managed
     * location only, never user data at an external path.
     */
+  /** The stale-location cleanup's TARGET resolution, factored out so
+    * the non-file-scheme contract is unit-testable without a real
+    * hdfs/s3 warehouse (VERDICT r17 item 5): only a file-scheme or
+    * scheme-less (local-warehouse default) managed location yields a
+    * local directory to delete — any other scheme returns None, never
+    * throws, and [[bucketedSink]] then skips the cleanup (there the
+    * stale-location trap belongs to the cluster's warehouse tooling).
+    */
+  private[graft] def localCleanupTarget(locUri: java.net.URI)
+      : Option[java.io.File] = locUri.getScheme match {
+    case null   => Some(new java.io.File(locUri.getPath))
+    case "file" => Some(new java.io.File(locUri))
+    case _      => None
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   def bucketedSink(df: DataFrame, table: String, keys: Seq[String],
                    buckets: Int, sortBuckets: Boolean = true): Unit = {
     val spark = df.sparkSession
@@ -160,16 +180,7 @@ object Csv {
     // warehouse `new File(URI)` would throw IllegalArgumentException
     // before the write (ADVICE r16) — there the stale-location trap
     // belongs to the cluster's warehouse tooling, so skip, don't die.
-    val loc: Option[java.io.File] = locUri.getScheme match {
-      case null   => Some(new java.io.File(locUri.getPath))
-      case "file" => Some(new java.io.File(locUri))
-      case _      => None
-    }
-    def del(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
-      f.delete(); ()
-    }
-    loc.filter(_.exists).foreach(del)
+    localCleanupTarget(locUri).filter(_.exists).foreach(deleteRecursively)
     val w = df.repartition(buckets, keys.map(col): _*)
       .write.format("parquet").mode("overwrite")
       .bucketBy(buckets, keys.head, keys.tail: _*)

@@ -497,13 +497,31 @@ object Streaming {
             .as("cosine"),
           s.getField("_2").as("neighbor_id"))))
     // exact strict-k order: (cosine desc, neighbor_id asc) — the batch
-    // window's row_number rule — as a comparator sort over ≤ k+ε rows
-    val sorted = array_sort(col("__scored"), (l, r) =>
-      when(l.getField("cosine") > r.getField("cosine"), lit(-1))
-        .when(l.getField("cosine") < r.getField("cosine"), lit(1))
-        .otherwise(when(l.getField("neighbor_id") < r.getField("neighbor_id"), lit(-1))
+    // window's row_number rule — as a comparator sort over ≤ k+ε rows.
+    // NaN gets explicit DEFENSIVE branches (ADVICE r17): `>`/`<` are
+    // both false on NaN, so the bare comparator returned 0 and ordered
+    // NaN cosines by buffer arrival instead of the batch window's
+    // NaN-largest desc rule (Double.compare semantics). Chasing the
+    // repro showed a NaN exact cosine is UNREACHABLE end to end —
+    // a zero-norm vector's 0-divisor division throws DIVIDE_BY_ZERO
+    // under default ANSI (null-dropped with ANSI off), and a NaN
+    // component throws in the exact-decimal capture, both loudly, in
+    // stream and batch alike (StreamingSpec pins the loud-failure
+    // parity) — but the branches keep the comparator a faithful
+    // Double.compare should a future score path admit NaN.
+    val sorted = array_sort(col("__scored"), (l, r) => {
+      val (lcos, rcos) = (l.getField("cosine"), r.getField("cosine"))
+      val idCmp =
+        when(l.getField("neighbor_id") < r.getField("neighbor_id"), lit(-1))
           .when(l.getField("neighbor_id") > r.getField("neighbor_id"), lit(1))
-          .otherwise(lit(0))))
+          .otherwise(lit(0))
+      when(isnan(lcos) && isnan(rcos), idCmp)
+        .when(isnan(lcos), lit(-1))
+        .when(isnan(rcos), lit(1))
+        .when(lcos > rcos, lit(-1))
+        .when(lcos < rcos, lit(1))
+        .otherwise(idCmp)
+    })
     rescored
       .select(col(tsCol), col("query_id"),
         posexplode(slice(sorted, 1, k)).as(Seq("__pos", "__t")))
@@ -539,6 +557,17 @@ object Streaming {
     * batch window's order: output rows are bit-identical to the batch
     * operator per micro-batch (StreamingSpec pins it). Ids must be
     * LongType (the typed aggregator contract).
+    *
+    * CHECKPOINT COMPATIBILITY (ADVICE r17): round 17 replaced the
+    * typed-udaf aggregate with [[graft.functions.VecTopKNative]] and
+    * removed the dropDuplicates operator, changing both the streaming
+    * state schema and the stateful-operator layout — a checkpoint
+    * written by a pre-round-17 build of this stream (or of
+    * [[ivfTopKStream]]) fails LOUDLY on restart with a
+    * state-schema/operator mismatch, never silent corruption. A serve
+    * deployment upgrading across that boundary must restart from a
+    * fresh checkpoint (the streams are stateless across queries once
+    * the watermark closes, so the loss is only in-flight queries).
     *
     * Output: (tsCol, query_id, rnk, neighbor_id, cosine).
     */

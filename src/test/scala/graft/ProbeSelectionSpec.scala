@@ -56,6 +56,38 @@ class ProbeSelectionSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate distances (NaN/overflow) fall back to the sort — no duplicate cells") {
+    // ADVICE r17: non-finite squared distances never pass `s < worst`,
+    // so the insertion buffer under-fills and the unfilled slots used
+    // to emit spurious duplicate cell-0 ids. The fallback must return
+    // the stable-sort reference order: finite cells first, then +Inf,
+    // then NaN, index order within each class — and never a duplicate.
+    val big = Double.MaxValue
+    val centers: Array[Array[Double]] = Array(
+      Array(Double.NaN, 0.0),    // NaN distance to every query
+      Array(0.0, 0.0),           // finite
+      Array(big, big),           // overflows to +Inf vs a finite query
+      Array(1.0, 1.0),           // finite
+      Array(Double.NaN, 1.0))    // NaN
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    val queries = Seq((0L, Seq(0.5, 0.5)), (1L, Seq(-2.0, 3.0))).toDF("id", "v")
+    for (nProbe <- Seq(2, 3, 4, 5)) {
+      val probe = Similarity.nearestCellsUdf(centroids, nProbe)
+      val got = queries.select(col("id"), probe(col("v")).as("cells"))
+        .orderBy("id").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      queries.collect().foreach { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Double](1).toArray
+        val want = referenceProbe(centers, v, nProbe)
+        assert(got(id) === want, s"fallback mismatch at id=$id nProbe=$nProbe")
+        assert(got(id).distinct.size === got(id).size,
+          s"duplicate cell ids at id=$id nProbe=$nProbe: ${got(id)}")
+      }
+    }
+  }
+
   test("reordered/gapped centroid frames are still rejected") {
     val bad = Seq((1, Seq(1.0, 0.0)), (2, Seq(0.0, 1.0)))
       .toDF("cell", "cvec")

@@ -32,6 +32,21 @@ class SourcesGeoSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() === 1000)
   }
 
+  test("bucketedSink stale-location cleanup skips non-file warehouse schemes (no throw)") {
+    // VERDICT r17 item 5: on an hdfs/s3 warehouse the old inline
+    // `new File(URI)` threw IllegalArgumentException BEFORE the write.
+    // The factored resolver must return None (skip, don't die) for any
+    // non-file scheme, and a local directory for file/scheme-less URIs.
+    import java.net.URI
+    assert(Csv.localCleanupTarget(new URI("hdfs://nn:8020/warehouse/t")).isEmpty)
+    assert(Csv.localCleanupTarget(new URI("s3a://bucket/warehouse/t")).isEmpty)
+    assert(Csv.localCleanupTarget(new URI("file:/tmp/wh/t"))
+      .exists(_.getPath == "/tmp/wh/t"))
+    // scheme-less: the local-warehouse default saveAsTable resolves to
+    assert(Csv.localCleanupTarget(new URI("/tmp/wh/t2"))
+      .exists(_.getPath == "/tmp/wh/t2"))
+  }
+
   test("bucketed tables join with no exchange and match the plain join") {
     // the co-located-join layout: both sides bucketed on the join key
     // with the same bucket count -> the sort-merge join consumes bucket

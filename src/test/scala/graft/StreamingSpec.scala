@@ -51,6 +51,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("degenerate corpus vectors fail LOUDLY and identically in stream and batch") {
+    // ADVICE r17 flagged the exact re-rank's comparator returning 0 on
+    // NaN cosines. Chasing the repro showed the scenario is UNREACHABLE
+    // end to end: a zero-norm vector's 0-divisor division throws
+    // DIVIDE_BY_ZERO under the default ANSI mode (and with ANSI off
+    // Spark's Divide returns null, which both retention rules drop
+    // before any ordering), and a NaN COMPONENT throws in the
+    // exact-decimal capture (BigDecimal.valueOf(NaN)) — in BOTH
+    // engines, before the comparator ever runs. The comparator now
+    // carries defensive NaN branches matching the batch window's
+    // Double.compare rule anyway; this spec pins the reachability
+    // analysis: degenerate vectors are a loud failure, never a silent
+    // ordering divergence.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 8
+    def corpusWith(bad: Array[Float]) = ((0L until 12L).map { i =>
+      (i, Array.tabulate(dim)(d => (math.cos(i * 17 + d * 3) * 5).toFloat))
+    } :+ (12L, bad)).toDF("vec_id", "embedding")
+    for (bad <- Seq(Array.fill(dim)(0.0f), Array.fill(dim)(Float.NaN))) {
+      val corpus = corpusWith(bad)
+      val index = Similarity.signLshIndex(corpus, "vec_id", "embedding",
+        dim = dim, bits = 0, tables = 1, maxBucketSize = Int.MaxValue)
+      val queries = corpus.filter(col("vec_id") === 1L)
+      intercept[Exception] {
+        Similarity.signLshTopKFromIndex(index, corpus, queries,
+          "vec_id", "embedding", k = 4, dim = dim, bits = 0, tables = 1)
+          .collect()
+      }
+      val qVecs = queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val input = MemoryStream[(Timestamp, Long, Array[Float])]
+      val served = Streaming.annTopKStream(
+        input.toDF().toDF("ts", "vec_id", "embedding"),
+        "ts", "vec_id", "embedding", index, corpus,
+        k = 4, dim = dim, bits = 0, tables = 1)
+      // complete mode so the aggregate EMITS in the same micro-batch:
+      // in append mode the NaN case's throw (it lives in the post-agg
+      // exact re-rank) is deferred to the watermark-advance emission —
+      // still loud, just later
+      val q = served.writeStream.format("noop").outputMode("complete").start()
+      try {
+        val t = Timestamp.valueOf("2024-01-01 00:00:00")
+        input.addData(qVecs.map { case (id, v) => (t, id, v) }.toSeq: _*)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+  }
+
   test("IVF query stream against the persisted index equals the batch operator") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
