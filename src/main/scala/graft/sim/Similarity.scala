@@ -514,8 +514,24 @@ object Similarity {
     */
   def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                nCells: Int = 16, seed: Long = 42L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
     val spark = corpus.sparkSession
+    val centers = trainQuantizer(corpus, idCol, vecCol, nCells, seed)
+    val cells = assignCellsWith(corpus, idCol, vecCol, centers)
+    import spark.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    IvfIndex(cells, centroids)
+  }
+
+  /** The coarse-quantizer training pass of [[ivfIndex]], factored out so
+    * the IVFPQ index build ([[ivfPqIndex]]) trains by the identical rule
+    * (same sampling, same seed discipline) and can fuse its cell
+    * assignment with the PQ encode into one corpus scan.
+    */
+  private def trainQuantizer(corpus: DataFrame, idCol: String,
+                             vecCol: String, nCells: Int,
+                             seed: Long): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
     val corpusF = corpus.select(col(idCol).as("neighbor_id"),
       org.apache.spark.ml.functions.array_to_vector(
         col(vecCol).cast("array<double>")).as("__f"))
@@ -550,22 +566,18 @@ object Similarity {
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
       .setInitMode("random")
       .setFeaturesCol("__f").setPredictionCol("__cell").fit(trainDf)
-    val centers = model.clusterCenters.map(_.toArray)
-    // corpus-side cell assignment via the native argmin expression
-    // ([[graft.functions.PqEncodeCodes]] at m = 1, k = nCells,
-    // dsub = dim — a PQ subspace argmin IS a coarse-quantizer assign):
-    // MLlib's transform routes every row through boxed Vector UDF
-    // machinery, the dominant per-vector cost of the decade's 10M run
-    // once the train was capped; the plain-double argmin assigns the
-    // same cells (ties and fastSquaredDistance ulps can flip only
-    // exact near-ties, which move recall — the q185–q187 audits'
-    // subject — never correctness: q78's full-probe ≡ exact holds for
-    // ANY assignment, and q66 is rows-only by design)
-    val cells = assignCellsWith(corpus, idCol, vecCol, centers)
-    import spark.implicits._
-    val centroids = centers.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
-    IvfIndex(cells, centroids)
+    // corpus-side cell assignment (in the callers) goes via the native
+    // argmin expression ([[graft.functions.PqEncodeCodes]] at m = 1,
+    // k = nCells, dsub = dim — a PQ subspace argmin IS a
+    // coarse-quantizer assign): MLlib's transform routes every row
+    // through boxed Vector UDF machinery, the dominant per-vector cost
+    // of the decade's 10M run once the train was capped; the
+    // plain-double argmin assigns the same cells (ties and
+    // fastSquaredDistance ulps can flip only exact near-ties, which
+    // move recall — the q185–q187 audits' subject — never correctness:
+    // q78's full-probe ≡ exact holds for ANY assignment, and q66 is
+    // rows-only by design)
+    model.clusterCenters.map(_.toArray)
   }
 
   /** Cell assignment against FIXED centroid arrays — the corpus-side
@@ -982,6 +994,23 @@ object Similarity {
                               vecCol: String, codebook: DataFrame,
                               m: Int, dim: Int, outId: String): DataFrame = {
     val dsub = dim / m
+    val (nCodes, cents) = codebookArrays(codebook, m)
+    val codes = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        cents, m, nCodes, dsub))
+    corpus.select(col(idCol).as(outId), codes.as("codes"))
+  }
+
+  /** Collect a (j, code, cvec) codebook frame into the flat
+    * (j·nCodes + code)-indexed centroid array the native PQ expressions
+    * consume, returning (nCodes, centroids). The contiguous-codes
+    * require is the [[centroidArrays]] rule on the PQ family: a
+    * persisted/externally-built codebook with gaps would otherwise
+    * mis-index silently. Bounded by the codebook contract (m×k rows).
+    */
+  private[graft] def codebookArrays(codebook: DataFrame, m: Int)
+      : (Int, IndexedSeq[IndexedSeq[Double]]) = {
     val cbRows = codebook.select(col("j"), col("code"), col("cvec"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
@@ -997,11 +1026,7 @@ object Similarity {
     val cents: IndexedSeq[IndexedSeq[Double]] =
       (0 until m).flatMap(j => (0 until nCodes).map(c => cbRows((j, c))))
         .toIndexedSeq
-    val codes = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.PqEncodeCodes(
-        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-        cents, m, nCodes, dsub))
-    corpus.select(col(idCol).as(outId), codes.as("codes"))
+    (nCodes, cents)
   }
 
   /** ADC top-k: per query an m×k distance table (bounded, broadcast),
@@ -1043,16 +1068,9 @@ object Similarity {
     // reads a wrong position / returns null (ADVICE r14). cb is a
     // driver-built LocalRelation, so this max is a local no-scan job.
     val nCodes = cb.agg(max(col("code"))).head.getInt(0) + 1
-    val qsubs = queries
-      .select(col(idCol).as("query_id"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol))
-      .withColumn("qsub", slice(col(vecCol), col("j") * dsub + 1, lit(dsub)))
-      .drop(vecCol)
     // exact-decimal per-(query, j, code) sub-distances in BOTH encode
     // modes: bounded m×k rows per query, and its sums ARE the ranking
-    val table = qsubs.join(broadcast(cb), Seq("j"))
-      .withColumn("td", sqDistExact(col("qsub"), col("cvec")))
-      .select("query_id", "j", "code", "td")
+    val table = adcDecimalTable(queries, idCol, vecCol, cb, m, dsub)
     val ranked =
       if (corpus.schema(idCol).dataType ==
           org.apache.spark.sql.types.LongType) {
@@ -1081,36 +1099,7 @@ object Similarity {
           else
             fastPackedCodes(corpus, idCol, vecCol, cb, m, dim,
               "neighbor_id"))
-        // per-query flat double lookup table (j-major: index
-        // j·nCodes+code), order pinned by the (j, code) struct sort
-        val qtblD = table.groupBy("query_id")
-          .agg(transform(
-            array_sort(collect_list(struct(col("j"), col("code"),
-              col("td").cast("double").as("tdD")))),
-            x => x.getField("tdD")).as("__qt"))
-        val scored = packed
-          .join(broadcast(qtblD), col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            (0 until m).map(j => element_at(col("__qt"),
-              lit(j * nCodes + 1) + element_at(col("codes"), j + 1)))
-              .reduce(_ + _).as("adcD"))
-        val surv = scored.groupBy("query_id")
-          .agg(graft.ops.TopKAgg.topK(-col("adcD"),
-            col("neighbor_id"), topK, RerankMargin).as("__top"))
-          .select(col("query_id"), explode(col("__top")).as("__t"))
-          .select(col("query_id"), col("__t._2").as("neighbor_id"))
-        val survAdc = surv.join(packed, Seq("neighbor_id"))
-          .select(col("query_id"), col("neighbor_id"),
-            posexplode(col("codes")))
-          .select(col("query_id"), col("neighbor_id"),
-            col("pos").cast("int").as("j"), col("col").as("code"))
-          .join(broadcast(table), Seq("query_id", "j", "code"))
-          .groupBy("query_id", "neighbor_id").agg(sum(col("td")).as("adc"))
-        val w = Window.partitionBy("query_id")
-          .orderBy(col("adc").asc, col("neighbor_id"))
-        survAdc
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= topK)
+        packedAdcRank(packed, table, m, nCodes, topK)
       } else {
         val enc =
           if (exactEncode) pqEncode(corpus, idCol, vecCol, cb, m, dim)
@@ -1147,6 +1136,360 @@ object Similarity {
     floor(adc.cast(DecimalType(28, 18)) * lit(1000000000)
         + lit(0.5).cast("decimal(2,1)"))
       .cast("double") / lit(1.0e9)
+
+  /** The exact-decimal per-(query, j, code) ADC sub-distance table —
+    * the bounded (|queries|·m·k rows) broadcast frame whose sums ARE
+    * the oracle-replayable ADC ranking (q120/q207's CTE chain). Shared
+    * by [[pqTopK]] and [[pqTopKFromIndex]] so the in-query and
+    * persisted-index paths score by the identical rule.
+    */
+  private def adcDecimalTable(queries: DataFrame, idCol: String,
+                              vecCol: String, cb: DataFrame,
+                              m: Int, dsub: Int): DataFrame = {
+    val qsubs = queries
+      .select(col(idCol).as("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"), col(vecCol))
+      .withColumn("qsub", slice(col(vecCol), col("j") * dsub + 1, lit(dsub)))
+      .drop(vecCol)
+    qsubs.join(broadcast(cb), Seq("j"))
+      .withColumn("td", sqDistExact(col("qsub"), col("cvec")))
+      .select("query_id", "j", "code", "td")
+  }
+
+  /** The packed-ADC scoring core shared by [[pqTopK]] (in-query encode)
+    * and [[pqTopKFromIndex]] (persisted codes table): one scan over the
+    * packed (neighbor_id, codes) frame scoring each (vector, query)
+    * pair as m flat-array double lookups inside the broadcast-nested-
+    * loop projection, the [[graft.ops.TopKAgg]] margin combiner, then
+    * the exact-decimal ADC re-sum + strict window over the ≤ topK+ε
+    * survivors. Output: (query_id, rank, neighbor_id, adc-decimal) —
+    * bit-identical to ranking everything exactly (see [[pqTopK]]).
+    */
+  private def packedAdcRank(packed: DataFrame, table: DataFrame,
+                            m: Int, nCodes: Int, topK: Int): DataFrame = {
+    // per-query flat double lookup table (j-major: index
+    // j·nCodes+code), order pinned by the (j, code) struct sort
+    val qtblD = table.groupBy("query_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code"),
+          col("td").cast("double").as("tdD")))),
+        x => x.getField("tdD")).as("__qt"))
+    val scored = packed
+      .join(broadcast(qtblD), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (0 until m).map(j => element_at(col("__qt"),
+          lit(j * nCodes + 1) + element_at(col("codes"), j + 1)))
+          .reduce(_ + _).as("adcD"))
+    val surv = scored.groupBy("query_id")
+      .agg(graft.ops.TopKAgg.topK(-col("adcD"),
+        col("neighbor_id"), topK, RerankMargin).as("__top"))
+      .select(col("query_id"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__t._2").as("neighbor_id"))
+    val survAdc = surv.join(packed, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("codes")))
+      .select(col("query_id"), col("neighbor_id"),
+        col("pos").cast("int").as("j"), col("col").as("code"))
+      .join(broadcast(table), Seq("query_id", "j", "code"))
+      .groupBy("query_id", "neighbor_id").agg(sum(col("td")).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    survAdc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted PQ index (VERDICT r17 item 3 — the symmetry gap): sign-LSH
+  // and IVF both had persisted-index + delta-append + from-index query
+  // paths; PQ codes were recomputed in-query every time. The packed
+  // (neighbor_id, codes) frame IS the production PQ index — m·log₂k
+  // bits per vector, the reason PQ scans billions of vectors in memory —
+  // so it persists via bucketedSink (keyed by neighbor_id: the ADC scan
+  // itself is layout-indifferent, but id bucketing keeps any downstream
+  // attach exchange-free and matches the corpus/cells convention), the
+  // bounded codebook frame next to it as the model artifact, and a
+  // delta appends by encoding ONLY the new rows under the FROZEN
+  // codebook (re-sampling the codebook would re-home every existing
+  // code — a rebuild by definition; the ivfDeltaCells contract).
+  // ---------------------------------------------------------------------
+
+  /** A built PQ index: `codes` the packed (neighbor_id, codes) table —
+    * the corpus-sized half a deployment persists — and `codebook` the
+    * bounded (j, code, cvec) frame (m×k rows; the model artifact).
+    */
+  final case class PqIndex(codes: DataFrame, codebook: DataFrame)
+
+  /** Build the PQ index: deterministic md5-ordered codebook sample +
+    * one packed-encode scan. `exactEncode` keeps the oracle-replayable
+    * exact-decimal argmin ([[pqEncode]], the q120/q207 audit form);
+    * the default is the production scan-speed encoder
+    * ([[fastPackedCodes]] — zero shuffle, PqSpec-equated codes).
+    */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, k: Int, dim: Int,
+              exactEncode: Boolean = false): PqIndex = {
+    val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
+    PqIndex(packedCodes(corpus, idCol, vecCol, cb, m, dim, exactEncode), cb)
+  }
+
+  /** Packed (neighbor_id, codes) rows for `df` under a FIXED codebook —
+    * the shared encode of [[pqIndex]] and [[pqDeltaCodes]].
+    */
+  private def packedCodes(df: DataFrame, idCol: String, vecCol: String,
+                          cb: DataFrame, m: Int, dim: Int,
+                          exactEncode: Boolean): DataFrame =
+    if (exactEncode)
+      pqEncode(df, idCol, vecCol, cb, m, dim)
+        .groupBy(col(idCol).as("neighbor_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("code")))),
+          g => g.getField("code")).as("codes"))
+    else
+      fastPackedCodes(df, idCol, vecCol, cb, m, dim, "neighbor_id")
+
+  /** The DELTA rows to append to a persisted [[pqIndex]] codes table
+    * when the corpus grows: encode only the new rows under the frozen
+    * persisted codebook — bit-identical to what a fresh build under
+    * the same codebook assigns them (IndexAppendSpec pins it).
+    */
+  def pqDeltaCodes(codebook: DataFrame, delta: DataFrame, idCol: String,
+                   vecCol: String, m: Int, dim: Int,
+                   exactEncode: Boolean = false): DataFrame =
+    packedCodes(delta, idCol, vecCol, codebook, m, dim, exactEncode)
+
+  /** [[pqDeltaCodes]] appended straight to the persisted codes table
+    * (same neighbor_id bucketing keys and count — catalog-validated,
+    * the ivfAppend/signLshAppend contract).
+    */
+  def pqAppend(codesTable: String, codebook: DataFrame, delta: DataFrame,
+               idCol: String, vecCol: String, m: Int, dim: Int,
+               buckets: Int, exactEncode: Boolean = false): Unit =
+    graft.sources.Csv.bucketedAppend(
+      pqDeltaCodes(codebook, delta, idCol, vecCol, m, dim, exactEncode),
+      codesTable, Seq("neighbor_id"), buckets)
+
+  /** [[pqTopK]] reading a PREBUILT [[PqIndex]] — the production
+    * per-batch shape: `codes` is the persisted packed table, `codebook`
+    * the persisted model frame; the per-batch work is the bounded
+    * per-query decimal table + the packed ADC scan. Output contract
+    * and ranking rule are [[pqTopK]]'s exactly (the shared
+    * [[packedAdcRank]] core), so the q120-pattern SQL oracles this
+    * path end to end. Ids must be LongType (the combiner contract).
+    */
+  def pqTopKFromIndex(codes: DataFrame, codebook: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dim: Int, topK: Int): DataFrame = {
+    require(codes.schema("neighbor_id").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "pqTopKFromIndex requires LongType ids (the margin-combiner contract)")
+    val dsub = dim / m
+    val nCodes = codebook.agg(max(col("code"))).head.getInt(0) + 1
+    val table = adcDecimalTable(queries, idCol, vecCol, codebook, m, dsub)
+    packedAdcRank(codes, table, m, nCodes, topK)
+      .withColumn("adc", snap9Floor(col("adc")))
+      .select("query_id", "rank", "neighbor_id", "adc")
+  }
+
+  // ---------------------------------------------------------------------
+  // IVFPQ (VERDICT r17 item 1) — the standard FAISS serving composition
+  // (Jégou, Douze, Schmid 2011 §V: IVFADC): the coarse IVF quantizer
+  // bounds WHICH corpus rows a query inspects (nProbe cells), and PQ
+  // codes stored IN the cells table bound what each inspection costs —
+  // candidates are scored from m code-table lookups (bytes) instead of
+  // riding full vectors through the probe join, and only the ≤ rerank
+  // ADC survivors fetch their true vectors for the exact re-rank. The
+  // measured gap this closes: flat-IVF serving saturated at ~59 q/s at
+  // 1M/256 q/s because a backlog batch joined 78M candidate rows each
+  // carrying a 64-double vector (SCALE.md round 17).
+  // ---------------------------------------------------------------------
+
+  /** A built IVFPQ index: `cells` the (neighbor_id, cell, codes)
+    * assignment+codes table — ONE corpus-sized frame carrying both the
+    * coarse cell and the packed PQ codes — plus the two bounded model
+    * frames (`centroids` the coarse quantizer, `codebook` the PQ
+    * codebooks). Persist cells bucketed by neighbor_id (the IvfIndex
+    * layout lesson), the model frames next to it.
+    */
+  final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
+                              codebook: DataFrame)
+
+  /** Build the IVFPQ index: the [[ivfIndex]] coarse quantizer train +
+    * the [[pqCodebook]] sample, then ONE corpus scan assigning each row
+    * its cell (native argmin) and its packed codes (native encode) in
+    * the same projection — the indexing pass runs at scan speed, no
+    * joins. `exactEncode` swaps in the oracle-replayable decimal
+    * argmin codes (an n·m-row argmin exchange + id join — the audit
+    * trade, q209).
+    */
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nCells: Int, m: Int, k: Int, dim: Int, seed: Long = 42L,
+                 exactEncode: Boolean = false): IvfPqIndex = {
+    val spark = corpus.sparkSession
+    val centers = trainQuantizer(corpus, idCol, vecCol, nCells, seed)
+    val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
+    val cells =
+      if (exactEncode)
+        assignCellsWith(corpus, idCol, vecCol, centers)
+          .join(packedCodes(corpus, idCol, vecCol, cb, m, dim,
+            exactEncode = true), Seq("neighbor_id"))
+      else {
+        val dsub = dim / m
+        val (nCodes, cents) = codebookArrays(cb, m)
+        val cellCol = element_at(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.PqEncodeCodes(
+            org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+            centers.map(_.toIndexedSeq).toIndexedSeq, 1, centers.length,
+            dim)), 1)
+        val codesCol = org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.PqEncodeCodes(
+            org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+            cents, m, nCodes, dsub))
+        corpus.select(col(idCol).as("neighbor_id"), cellCol.as("cell"),
+          codesCol.as("codes"))
+      }
+    import spark.implicits._
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    IvfPqIndex(cells, centroids, cb)
+  }
+
+  /** The DELTA rows to append to a persisted [[ivfPqIndex]] cells table:
+    * assign cell + codes for only the new rows under the FROZEN
+    * quantizer and codebook — the [[ivfDeltaCells]] contract with codes
+    * riding the same scan.
+    */
+  def ivfPqDeltaCells(centroids: DataFrame, codebook: DataFrame,
+                      delta: DataFrame, idCol: String, vecCol: String,
+                      m: Int, dim: Int): DataFrame = {
+    val centers = centroidArrays(centroids)
+    val dsub = dim / m
+    val (nCodes, cents) = codebookArrays(codebook, m)
+    val cellCol = element_at(org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        centers.map(_.toIndexedSeq).toIndexedSeq, 1, centers.length,
+        dim)), 1)
+    val codesCol = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqEncodeCodes(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        cents, m, nCodes, dsub))
+    delta.select(col(idCol).as("neighbor_id"), cellCol.as("cell"),
+      codesCol.as("codes"))
+  }
+
+  /** [[ivfPqDeltaCells]] appended straight to the persisted cells table
+    * (same neighbor_id bucketing — the ivfAppend contract).
+    */
+  def ivfPqAppend(cellsTable: String, centroids: DataFrame,
+                  codebook: DataFrame, delta: DataFrame, idCol: String,
+                  vecCol: String, m: Int, dim: Int, buckets: Int): Unit =
+    graft.sources.Csv.bucketedAppend(
+      ivfPqDeltaCells(centroids, codebook, delta, idCol, vecCol, m, dim),
+      cellsTable, Seq("neighbor_id"), buckets)
+
+  /** The per-query ADC lookup-table COLUMN (array<double>, j-major
+    * j·k + code) over a collected codebook — the stateless-projection
+    * form both the batch [[ivfPqTopKFromIndex]] double path and the
+    * serving stream build their tables with (ONE rule, the
+    * nearestCellsUdf no-drift principle). Returns (nCodes, column).
+    */
+  private[graft] def adcTableCol(codebook: DataFrame, m: Int, dim: Int,
+                                 vec: Column): (Int, Column) = {
+    val dsub = dim / m
+    val (nCodes, cents) = codebookArrays(codebook, m)
+    (nCodes, org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqAdcTable(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        cents, m, nCodes, dsub)))
+  }
+
+  /** The m-lookup ADC sum over a packed codes column against a
+    * j-major lookup table column — the scoring projection of the
+    * IVFPQ candidate join (batch and stream share it verbatim).
+    */
+  private[graft] def adcLookupSum(qt: Column, codes: Column,
+                                  m: Int, nCodes: Int): Column =
+    (0 until m).map(j => element_at(qt,
+      lit(j * nCodes + 1) + element_at(codes, j + 1))).reduce(_ + _)
+
+  /** IVFPQ top-k against a PREBUILT [[IvfPqIndex]] — the serving shape:
+    *
+    *  1. PROBE: each query explodes to its `nProbe` nearest cells (the
+    *     shared [[nearestCellsUdf]] rule) with its ADC lookup table
+    *     riding the bounded probe frame (broadcast — the cells side's
+    *     id-bucketed partitioning survives to the re-rank attach).
+    *  2. ADC PREFILTER: candidates are scored INSIDE the join
+    *     projection as m double lookups over their stored codes —
+    *     bytes, not vectors — and the margin-top-`rerank` combiner
+    *     keeps ≤ rerank+ε survivor IDS per query.
+    *  3. EXACT RE-RANK: only the survivors re-attach true vectors
+    *     (the shared rerankCandidates tail: double-cosine prefilter +
+    *     bounded exact-decimal re-rank), output the strict top-k.
+    *
+    * Full coverage (nProbe = nCells, rerank ≥ corpus) degenerates to
+    * exact search — the q78-pattern oracle (q208). `exactAdc` swaps
+    * step 2's double lookups for the oracle-replayable exact-decimal
+    * ADC with a STRICT top-rerank (the q120 CTE chain — q209's audit
+    * form; production keeps the doubles). The two variants can differ
+    * at a BINDING rerank boundary by design: code-identical candidates
+    * tie EXACTLY in ADC, the production margin retention keeps the
+    * whole tie group, and the strict replayable rule cuts inside it by
+    * id — a superset, never a miss (IvfPqSpec pins both rules).
+    *
+    * Output: (query_id, rnk, neighbor_id, cosine) — cosine is the true
+    * exact cosine, not the quantized ADC (the IVFADC re-rank contract).
+    */
+  def ivfPqTopKFromIndex(cells: DataFrame, centroids: DataFrame,
+                         codebook: DataFrame, corpus: DataFrame,
+                         queries: DataFrame, idCol: String, vecCol: String,
+                         k: Int, m: Int, dim: Int, nProbe: Int,
+                         rerank: Int, exactAdc: Boolean = false): DataFrame = {
+    val nearestCells = nearestCellsUdf(centroids, nProbe)
+    val surv =
+      if (exactAdc) {
+        val q = queries.select(col(idCol).as("query_id"), col(vecCol))
+          .withColumn("cell",
+            explode(nearestCells(col(vecCol).cast("array<double>"))))
+        val cands = cells.join(broadcast(q.select("query_id", "cell")),
+            Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            posexplode(col("codes")))
+          .select(col("query_id"), col("neighbor_id"),
+            col("pos").cast("int").as("j"), col("col").as("code"))
+        val dsub = dim / m
+        val table = adcDecimalTable(queries, idCol, vecCol, codebook, m, dsub)
+        val adc = cands.join(broadcast(table), Seq("query_id", "j", "code"))
+          .groupBy("query_id", "neighbor_id").agg(sum(col("td")).as("adc"))
+        // STRICT top-rerank by the exact decimal (replayable — no
+        // double margin): row_number over (adc asc, neighbor_id)
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("adc").asc, col("neighbor_id"))
+        adc.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= rerank)
+          .select("query_id", "neighbor_id")
+      } else {
+        val (nCodes, qtCol) = adcTableCol(codebook, m, dim, col(vecCol))
+        val q = queries.select(col(idCol).as("query_id"),
+            qtCol.as("__qt"),
+            explode(nearestCells(col(vecCol).cast("array<double>")))
+              .as("cell"))
+        // candidates carry (query_id, codes) through the probe join;
+        // the ADC sum runs in the join projection and only
+        // (query_id, neighbor_id, adcD) survives it — the lookup table
+        // rides the BOUNDED broadcast probe frame, never a candidate row
+        val dscored = cells.join(broadcast(q), Seq("cell"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            (-adcLookupSum(col("__qt"), col("codes"), m, nCodes))
+              .as("dcos"))
+        // margin-top-rerank by NEGATED double ADC — marginSurvivors'
+        // retention rule verbatim (combiner on long ids)
+        marginSurvivors(dscored, rerank)
+      }
+    rerankCandidates(surv, corpus, queries, idCol, vecCol, k)
+  }
 
   /** Embedding-space decontamination — the semantic twin of the n-gram
     * protocol ([[graft.dedup.Dedup.contamination]]): a training vector is

@@ -446,6 +446,85 @@ object Streaming {
     servedExactTopK(cands, tsCol, k)
   }
 
+  /** [[ivfTopKStream]]'s IVFPQ upgrade (VERDICT r17 item 1) — the
+    * FAISS IVFADC serving composition over the persisted
+    * [[graft.sim.Similarity.IvfPqIndex]] layout: candidates are scored
+    * from their STORED PQ codes (m byte-table lookups inside the probe
+    * join's projection — the per-query lookup table rides the bounded
+    * query row as a stateless [[graft.functions.PqAdcTable]]
+    * projection), a first stateful aggregate keeps the ≤ rerank+ε
+    * ADC-margin survivor IDS per query, and only those survivors
+    * re-attach true vectors (a stateless stream-static join against
+    * the id-bucketed corpus) for the shared [[servedExactTopK]] exact
+    * re-rank. The flat-IVF stream ships every probe candidate's full
+    * 64-double vector into the aggregate — the measured ~59 q/s
+    * candidate-mass ceiling at 1M/256 q/s (SCALE.md round 17); here a
+    * candidate row crossing the join is (ids + m codes + one double).
+    *
+    * This is a CHAINED-stateful-operator query (two aggregations with
+    * a stream-static join between — supported in append mode since
+    * Spark 3.4): results for a query emit after the watermark passes
+    * its event time TWICE (agg1's emission feeds agg2 one trigger
+    * later), so end-to-end latency is ~2 triggers + watermark vs the
+    * single-agg streams' 1. Per-micro-batch outputs are bit-equal to
+    * [[graft.sim.Similarity.ivfPqTopKFromIndex]] at the same
+    * (nProbe, rerank) — same probe rule, same ADC lookup projection,
+    * same margin retention, same exact re-rank (StreamingSpec pins
+    * it). Ids must be LongType. Checkpoints are NOT compatible with
+    * the flat [[ivfTopKStream]]'s (different operator layout — the
+    * round-17 upgrade note applies here by construction).
+    *
+    * Output: (tsCol, query_id, rnk, neighbor_id, cosine) — true exact
+    * cosine, not the quantized ADC (the IVFADC re-rank contract).
+    */
+  def ivfPqTopKStream(queries: DataFrame, tsCol: String, idCol: String,
+                      vecCol: String, cells: DataFrame,
+                      centroids: DataFrame, codebook: DataFrame,
+                      corpus: DataFrame, k: Int, m: Int, dim: Int,
+                      nProbe: Int = 16, rerank: Int = 64,
+                      watermark: String = "10 minutes"): DataFrame = {
+    import graft.sim.Similarity
+    import org.apache.spark.sql.graft.Bridge
+    // the shared probe + ADC-table rules (no-drift principle: batch and
+    // stream compute bit-identical probes and lookup tables)
+    val nearestCells = Similarity.nearestCellsUdf(centroids, nProbe)
+    val (nCodes, qtCol) = Similarity.adcTableCol(codebook, m, dim, col(vecCol))
+    val qb = queries
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
+        qtCol.as("__qt"),
+        explode(nearestCells(col(vecCol).cast("array<double>"))).as("cell"))
+    // ADC scoring INSIDE the join projection: only
+    // (ts, query_id, qv, neighbor_id, dcos) survives it — the stored
+    // codes and the lookup table never outlive the projection
+    val dscored = qb.join(cells, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col(tsCol), col("query_id"), col("qv"), col("neighbor_id"),
+        (-Similarity.adcLookupSum(col("__qt"), col("codes"), m, nCodes))
+          .as("dcos"))
+    // stateful agg 1: margin-top-rerank survivor ids by negated ADC —
+    // the batch marginSurvivors retention verbatim (the native
+    // aggregate with a zero-length vector payload: id-only buffering)
+    val topIds = Bridge.column(graft.functions.VecTopKNative(
+      Bridge.expression(col("dcos")),
+      Bridge.expression(col("neighbor_id")),
+      Bridge.expression(array().cast("array<double>")),
+      rerank, Similarity.RerankMargin).toAggregateExpression())
+    val surv = dscored
+      .groupBy(col(tsCol), col("query_id"))
+      .agg(first(col("qv")).as("qv"), topIds.as("__surv"))
+      .select(col(tsCol), col("query_id"), col("qv"),
+        explode(col("__surv")).as("__t"))
+      .select(col(tsCol), col("query_id"), col("qv"),
+        col("__t._2").as("neighbor_id"))
+    // stateless stream-static attach: ≤ rerank+ε survivor rows per
+    // query fetch true vectors — the only place vectors enter the plan
+    val ce = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("cnD"))
+    servedExactTopK(surv.join(ce, Seq("neighbor_id")), tsCol, k)
+  }
+
   /** The shared two-stage scoring tail of [[annTopKStream]] and
     * [[ivfTopKStream]]: a DOUBLE-cosine margin-top-k prefilter as the
     * ONE stateful aggregation (the [[graft.ops.VecTopKAgg]] buffer —

@@ -95,6 +95,65 @@ class IndexAppendSpec extends AnyFunSuite {
     }
   }
 
+  // float variant for the PQ family (pqCodebook's cvec contract is
+  // array<float> — the registered embedding column type)
+  private def embF(ids: Seq[Long], dim: Int = 8) =
+    ids.map(i => (i, vec(i, dim).map(_.toFloat))).toDF("vec_id", "embedding")
+
+  test("PQ delta codes ≡ fresh codes under the frozen codebook; pqAppend keeps the table") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val base = embF(0L to 39L)
+    val delta = embF(40L to 49L)
+    val full = embF(0L to 49L)
+    try {
+      val idx = Similarity.pqIndex(base, "vec_id", "embedding",
+        m = 4, k = 4, dim = 8)
+      graft.sources.Csv.bucketedSink(idx.codes, "append_spec_pq_codes",
+        Seq("neighbor_id"), buckets = 4)
+      // persist the codebook like a deployment would (the model artifact)
+      graft.sources.Csv.bucketedSink(idx.codebook, "append_spec_pq_cb",
+        Seq("j", "code"), buckets = 1)
+      Similarity.pqAppend("append_spec_pq_codes",
+        spark.table("append_spec_pq_cb"), delta, "vec_id", "embedding",
+        m = 4, dim = 8, buckets = 4)
+      val got = spark.table("append_spec_pq_codes")
+      // fresh encode of the FULL corpus under the SAME frozen codebook
+      val want = Similarity.pqDeltaCodes(spark.table("append_spec_pq_cb"),
+        full, "vec_id", "embedding", m = 4, dim = 8)
+      assert(rows(got) === rows(want),
+        "base ∪ delta codes must equal the fresh full encode under the frozen codebook")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val agg = got.groupBy("neighbor_id").count()
+        val exchanges = agg.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e
+        }
+        assert(exchanges.isEmpty,
+          "appended PQ codes table must keep HashPartitioning(neighbor_id)")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS append_spec_pq_codes")
+      spark.sql("DROP TABLE IF EXISTS append_spec_pq_cb")
+    }
+  }
+
+  test("IVFPQ delta cells ≡ fresh assignment+encode under the frozen models") {
+    val base = embF(10L to 49L)
+    val delta = embF(50L to 59L)
+    val full = embF(10L to 59L)
+    val idx = Similarity.ivfPqIndex(base, "vec_id", "embedding",
+      nCells = 4, m = 4, k = 4, dim = 8)
+    val deltaCells = Similarity.ivfPqDeltaCells(idx.centroids, idx.codebook,
+      delta, "vec_id", "embedding", m = 4, dim = 8)
+    val fullCells = Similarity.ivfPqDeltaCells(idx.centroids, idx.codebook,
+      full, "vec_id", "embedding", m = 4, dim = 8)
+    assert(rows(idx.cells) ++ rows(deltaCells) === rows(fullCells),
+      "base ∪ delta must equal the fresh full (cell, codes) frame")
+    assert(rows(idx.cells.select("neighbor_id"))
+      .intersect(rows(deltaCells.select("neighbor_id"))).isEmpty)
+  }
+
   test("LSH delta ∪ existing ≡ fresh rebuild below the cap (including smaller delta ids)") {
     val base = emb(20L to 49L)
     val delta = emb(0L to 9L)   // ids BELOW every existing member

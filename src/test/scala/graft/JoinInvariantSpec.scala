@@ -72,6 +72,12 @@ class JoinInvariantSpec extends AnyFunSuite {
         "bounded by the query-batch contract exactly like q41's frame; " +
         "a grouped aggregate is not mechanically bounded, but its " +
         "grouping key is the bounded external query id"),
+    "q207_pq_persisted_index" ->
+      ("q120's persisted-index sibling: the same packed ADC scan whose " +
+        "BNLJ build side is the per-query flat lookup-table aggregate — " +
+        "one row per QUERY (vec_id < 3 literal filter), bounded by the " +
+        "query-batch contract; the scanned side is the persisted codes " +
+        "table, which streams"),
     "q123_semantic_decon" ->
       ("the build side is the pinned stratified EVAL sample (2 vectors " +
         "per label, ≤ 2×|labels| rows by the rn ≤ 2 window); Pin " +
@@ -211,6 +217,24 @@ class JoinInvariantSpec extends AnyFunSuite {
     "q120_pq_ann" ->
       ("same bounded query-set contract as q41 (plus the PQ codebook, " +
         "k×m centroid rows by construction)"),
+    "q207_pq_persisted_index" ->
+      ("q120's persisted-index sibling: the hinted frames are the " +
+        "≤ 3-row query set (vec_id < 3 literal filter), its per-query " +
+        "lookup-table aggregate, and the persisted codebook table " +
+        "(m×k rows by the pqCodebook build contract — the model " +
+        "artifact, not data); the codes table side is never hinted"),
+    "q208_ivfpq_persisted_index" ->
+      ("q204's IVFPQ sibling: the hinted frames are the bounded query " +
+        "batch (vec_id < 10 from the bucketed corpus table) carrying " +
+        "its probe cells and ADC lookup table — one row per (query, " +
+        "probed cell), ≤ |queries|·nProbe by construction — in the " +
+        "probe join and both re-rank stages; the cells side is never " +
+        "hinted"),
+    "q209_ivfpq_adc_rerank" ->
+      ("q208's exact-ADC audit twin: the same bounded query-batch " +
+        "frames (vec_id < 3) plus the per-(query, j, code) decimal " +
+        "table — ≤ |queries|·m·k rows by the codebook contract, the " +
+        "q120 shape"),
     "q153_rrf_fusion" ->
       ("the hinted sides are two two-stage top-k outputs (≤ 50 rows — " +
         "the bound WindowInvariantSpec reviews for this query)"),

@@ -143,6 +143,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("IVFPQ query stream (chained stateful ops) equals the batch operator") {
+    // the FAISS IVFADC serving shape (VERDICT r17 item 1): ADC-prefilter
+    // aggregate → stateless survivor-vector attach → exact-re-rank
+    // aggregate. Two stateful operators chained in APPEND mode, so a
+    // query's rows emit only after the watermark passes its event time
+    // twice — the test advances it with two later dummy batches and
+    // compares the t0 rows against the batch twin bit-for-bit.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 16
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 4, m = 4, k = 8, dim = dim)
+    val cells = graft.ops.Pin.pin(idx.cells)
+    val qIds = Seq(2L, 7L, 11L)
+    val batch = Similarity.ivfPqTopKFromIndex(cells, idx.centroids,
+        idx.codebook, corpus, corpus.filter(col("vec_id").isin(qIds: _*)),
+        "vec_id", "embedding", k = 5, m = 4, dim = dim, nProbe = 2,
+        rerank = 10)
+      .orderBy("query_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val qVecs = corpus.filter(col("vec_id").isin(qIds: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dummyVec = corpus.filter(col("vec_id") === 0L)
+      .head.getSeq[Float](1).toArray
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val served = Streaming.ivfPqTopKStream(
+      input.toDF().toDF("ts", "vec_id", "embedding"),
+      "ts", "vec_id", "embedding", cells, idx.centroids, idx.codebook,
+      corpus, k = 5, m = 4, dim = dim, nProbe = 2, rerank = 10,
+      watermark = "5 seconds")
+    val q = served.writeStream.format("memory")
+      .queryName("ivfpq_stream").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+      input.addData(qVecs.map { case (id, v) => (t0, id, v) }.toSeq: _*)
+      q.processAllAvailable()
+      // two watermark advances flush agg1 then agg2 for the t0 groups
+      input.addData((Timestamp.valueOf("2024-01-01 00:01:00"), 1000L, dummyVec))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 00:02:00"), 1001L, dummyVec))
+      q.processAllAvailable()
+      val got = spark.table("ivfpq_stream")
+        .filter(col("ts") === t0)
+        .orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      assert(got === batch,
+        "streamed IVFPQ results must be bit-identical to the batch operator")
+    } finally q.stop()
+  }
+
   test("IVF stream state survives a checkpointed stop/restart") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
