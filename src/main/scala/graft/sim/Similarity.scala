@@ -1406,12 +1406,31 @@ object Similarity {
 
   /** The m-lookup ADC sum over a packed codes column against a
     * j-major lookup table column — the scoring projection of the
-    * IVFPQ candidate join (batch and stream share it verbatim).
+    * BATCH IVFPQ candidate join (the broadcast build side holds the
+    * table once per query; candidates pay m lookups).
     */
   private[graft] def adcLookupSum(qt: Column, codes: Column,
                                   m: Int, nCodes: Int): Column =
     (0 until m).map(j => element_at(qt,
       lit(j * nCodes + 1) + element_at(codes, j + 1))).reduce(_ + _)
+
+  /** Direct ADC score column — Σ_j ‖sub_j − centroid(j, codes_j)‖²
+    * computed per (query vector, codes) pair, bit-identical to summing
+    * [[adcTableCol]] lookups (IvfPqSpec pins it). The STREAM's form:
+    * a stream side cannot broadcast, and a table column riding the
+    * stream-static join is copied into every candidate row (see
+    * [[graft.functions.PqAdcScore]]'s measured trap).
+    */
+  private[graft] def adcScoreCol(codebook: DataFrame, m: Int, dim: Int,
+                                 vec: Column, codes: Column): Column = {
+    val dsub = dim / m
+    val (nCodes, cents) = codebookArrays(codebook, m)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqAdcScore(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        org.apache.spark.sql.graft.Bridge.expression(codes),
+        cents, m, nCodes, dsub))
+  }
 
   /** IVFPQ top-k against a PREBUILT [[IvfPqIndex]] — the serving shape:
     *

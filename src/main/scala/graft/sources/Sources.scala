@@ -212,6 +212,50 @@ object Csv {
       .saveAsTable(table)
   }
 
+  /** Compact an appended [[bucketedSink]] table back to one file per
+    * bucket (VERDICT r17 item 2). [[bucketedAppend]] adds one file per
+    * bucket per append, so a daily-append deployment accumulates
+    * appends × buckets small files — the classic small-files scan
+    * killer at corpus scale (every file costs a footer read, an open,
+    * and a scheduler task split). Compaction rewrites the table
+    * through the same (keys, buckets) spec, so content, bucketing
+    * metadata, and the exchange-free join/agg proofs (PlanSpec,
+    * IndexAppendSpec) are all preserved — and per-bucket SORT is
+    * RESTORED (each bucket is one sorted file again, which appends had
+    * forfeited).
+    *
+    * The rewrite stages the rows to a temp parquet directory first:
+    * [[bucketedSink]] drops the table before writing, so writing
+    * straight from a reader of the same table would read after the
+    * delete. Staging costs one extra table write — the safe local
+    * shape (the staged copy survives a crash between the drop and the
+    * rewrite); a cluster deployment would compact bucket-by-bucket
+    * with a commit protocol instead, but the semantics pinned here
+    * (same spec in, one file per bucket out, content identical) are
+    * the contract either implementation honors.
+    */
+  def bucketedCompact(spark: SparkSession, table: String): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"bucketedCompact requires a simple unqualified table name, got '$table'")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$table' carries no bucketing spec — nothing to compact to"))
+    require(spec.sortColumnNames.isEmpty ||
+        spec.sortColumnNames == spec.bucketColumnNames,
+      s"bucketedCompact only rewrites sinks of this library's layout " +
+        s"(sorted by the bucket keys or unsorted); '$table' sorts by " +
+        s"${spec.sortColumnNames.mkString(",")}")
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_compact_$table").toString
+    try {
+      spark.table(table).write.mode("overwrite").parquet(tmp)
+      bucketedSink(spark.read.parquet(tmp), table,
+        spec.bucketColumnNames, spec.numBuckets,
+        sortBuckets = spec.sortColumnNames.nonEmpty)
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Size-bounded shard writer — the training-shard layout of a curated
     * corpus: every output file carries at most `rowsPerShard` records
     * (`maxRecordsPerFile` splits within a task; the repartition keeps

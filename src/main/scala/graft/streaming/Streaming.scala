@@ -449,10 +449,11 @@ object Streaming {
   /** [[ivfTopKStream]]'s IVFPQ upgrade (VERDICT r17 item 1) — the
     * FAISS IVFADC serving composition over the persisted
     * [[graft.sim.Similarity.IvfPqIndex]] layout: candidates are scored
-    * from their STORED PQ codes (m byte-table lookups inside the probe
-    * join's projection — the per-query lookup table rides the bounded
-    * query row as a stateless [[graft.functions.PqAdcTable]]
-    * projection), a first stateful aggregate keeps the ≤ rerank+ε
+    * from their STORED PQ codes inside the probe join's projection (the
+    * direct [[graft.functions.PqAdcScore]] form — bit-identical to the
+    * batch path's table lookups, shaped for a join whose stream-side
+    * fields are copied per candidate row), a first stateful aggregate
+    * keeps the ≤ rerank+ε
     * ADC-margin survivor IDS per query, and only those survivors
     * re-attach true vectors (a stateless stream-static join against
     * the id-bucketed corpus) for the shared [[servedExactTopK]] exact
@@ -485,22 +486,27 @@ object Streaming {
                       watermark: String = "10 minutes"): DataFrame = {
     import graft.sim.Similarity
     import org.apache.spark.sql.graft.Bridge
-    // the shared probe + ADC-table rules (no-drift principle: batch and
-    // stream compute bit-identical probes and lookup tables)
+    // the shared probe rule (no-drift principle: batch and stream
+    // compute bit-identical probes). Scoring uses the DIRECT form —
+    // PqAdcScore(qv, codes), bit-identical to the batch path's table
+    // lookups — because a stream side cannot broadcast: its rows ride
+    // a stream-static sort-merge join that copies every stream field
+    // into each joined candidate row, and a m×k-double table column
+    // there measured 70 s micro-batches at a 50 k corpus (the
+    // PqAdcScore scaladoc's 92 GB row-copy trap). The stream row
+    // carries only (ts, id, qv, cell).
     val nearestCells = Similarity.nearestCellsUdf(centroids, nProbe)
-    val (nCodes, qtCol) = Similarity.adcTableCol(codebook, m, dim, col(vecCol))
     val qb = queries
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
-        qtCol.as("__qt"),
         explode(nearestCells(col(vecCol).cast("array<double>"))).as("cell"))
     // ADC scoring INSIDE the join projection: only
     // (ts, query_id, qv, neighbor_id, dcos) survives it — the stored
-    // codes and the lookup table never outlive the projection
+    // codes never outlive the projection
     val dscored = qb.join(cells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col(tsCol), col("query_id"), col("qv"), col("neighbor_id"),
-        (-Similarity.adcLookupSum(col("__qt"), col("codes"), m, nCodes))
+        (-Similarity.adcScoreCol(codebook, m, dim, col("qv"), col("codes")))
           .as("dcos"))
     // stateful agg 1: margin-top-rerank survivor ids by negated ADC —
     // the batch marginSurvivors retention verbatim (the native

@@ -557,6 +557,12 @@ object ScaleStress {
       val cpusI = cpus.toInt
       val rates = (if (args.length > 2) args(2) else "64,512")
         .split(",").map(_.trim.toInt).toSeq
+      // optional fourth arg: comma-separated family substrings (the ann
+      // mode convention) so one family's A/B re-runs don't pay the
+      // whole campaign; "_pinned" arms match via the base name too
+      val serveFams = if (args.length > 3) args(3).split(",").toSeq
+                      else Seq("")
+      def wantServe(name: String): Boolean = serveFams.exists(name.contains)
       // The serving aggregate is an ObjectHashAggregate (typed udaf);
       // Spark falls back to SORT-based aggregation after 128 distinct
       // groups per partition — measured as an 86 s batch at 2.3k
@@ -594,6 +600,22 @@ object ScaleStress {
         Seq("neighbor_id"), buckets = cpusI)
       graft.sources.Csv.bucketedSink(idx.centroids,
         "graft_serve_ivf_centroids", Seq("cell"), buckets = 1)
+      // IVFPQ layout (VERDICT r17 item 1): same quantizer sizing, PQ
+      // codes at m = 8, 256 codes/subspace (8 bytes/vector) stored in
+      // the cells table; rerank = 64 true-vector fetches per query.
+      // Its own index build (the same seeded train re-runs) keeps the
+      // flat-IVF family's tables byte-identical to the r17 campaign.
+      val serveM = 8; val serveCodes = 256; val serveRerank = 64
+      if (wantServe("serve_ivfpq_topk")) {
+        val pqIdx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+          nCells = serveCells, m = serveM, k = serveCodes, dim = dim)
+        graft.sources.Csv.bucketedSink(pqIdx.cells,
+          "graft_serve_ivfpq_cells", Seq("neighbor_id"), buckets = cpusI)
+        graft.sources.Csv.bucketedSink(pqIdx.centroids,
+          "graft_serve_ivfpq_centroids", Seq("cell"), buckets = 1)
+        graft.sources.Csv.bucketedSink(pqIdx.codebook,
+          "graft_serve_ivfpq_cb", Seq("j", "code"), buckets = 1)
+      }
       val corpus = spark.table("graft_serve_corpus")
       val serveSec = sys.env.getOrElse("SPARK_GRAFT_SERVE_SEC", "45").toInt
       def pct(xs: Seq[Double], p: Double): Double =
@@ -656,19 +678,128 @@ object ScaleStress {
           s""""state_rows_last":${stateRows.lastOption.getOrElse(-1L)},""" +
           s""""state_mb_last":${fmt(stateMb.lastOption.getOrElse(0L) / 1e6)}}""")
       }
+      // Snapshot-pin A/B (VERDICT r17 item 4): the measured per-batch
+      // floor at 10M is the STATIC side's re-scan every trigger. The
+      // "_pinned" arms persist (MEMORY_AND_DISK) the per-trigger-scanned
+      // static frames — the index/cells table and the corpus — and
+      // force materialization before the stream starts, so each
+      // trigger reads cached blocks instead of re-scanning parquet.
+      // Centroids/codebook pin implicitly (driver-collected once at
+      // stream build). Blocks unpersist after each family so arms
+      // don't cross-pressure.
+      def pinStatic(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+      }
+      def unpinAll(): Unit = spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      def lshStream(index: org.apache.spark.sql.DataFrame,
+                    c: org.apache.spark.sql.DataFrame)
+                   (qs: org.apache.spark.sql.DataFrame) =
+        graft.streaming.Streaming.annTopKStream(qs, "ts", "vec_id",
+          "embedding", index, c, k,
+          dim = dim, bits = 12, tables = 4, watermark = "10 seconds")
+      def ivfStream(cells: org.apache.spark.sql.DataFrame,
+                    c: org.apache.spark.sql.DataFrame)
+                   (qs: org.apache.spark.sql.DataFrame) =
+        graft.streaming.Streaming.ivfTopKStream(qs, "ts", "vec_id",
+          "embedding", cells,
+          spark.table("graft_serve_ivf_centroids"), c, k,
+          nProbe = serveProbe, watermark = "10 seconds")
+      def ivfPqStream(cells: org.apache.spark.sql.DataFrame,
+                      c: org.apache.spark.sql.DataFrame)
+                     (qs: org.apache.spark.sql.DataFrame) =
+        graft.streaming.Streaming.ivfPqTopKStream(qs, "ts", "vec_id",
+          "embedding", cells,
+          spark.table("graft_serve_ivfpq_centroids"),
+          spark.table("graft_serve_ivfpq_cb"), c, k,
+          m = serveM, dim = dim, nProbe = serveProbe,
+          rerank = serveRerank, watermark = "10 seconds")
       rates.foreach { rps =>
-        serveOne("serve_lsh_topk", rps) { qs =>
-          graft.streaming.Streaming.annTopKStream(qs, "ts", "vec_id",
-            "embedding", spark.table("graft_serve_lsh"), corpus, k,
-            dim = dim, bits = 12, tables = 4, watermark = "10 seconds")
+        if (wantServe("serve_lsh_topk"))
+          serveOne("serve_lsh_topk", rps)(
+            lshStream(spark.table("graft_serve_lsh"), corpus))
+        if (wantServe("serve_lsh_topk_pinned")) {
+          serveOne("serve_lsh_topk_pinned", rps)(lshStream(
+            pinStatic(spark.table("graft_serve_lsh")), pinStatic(corpus)))
+          unpinAll()
         }
-        serveOne("serve_ivf_topk", rps) { qs =>
-          graft.streaming.Streaming.ivfTopKStream(qs, "ts", "vec_id",
-            "embedding", spark.table("graft_serve_ivf_cells"),
-            spark.table("graft_serve_ivf_centroids"), corpus, k,
-            nProbe = serveProbe, watermark = "10 seconds")
+        if (wantServe("serve_ivf_topk"))
+          serveOne("serve_ivf_topk", rps)(
+            ivfStream(spark.table("graft_serve_ivf_cells"), corpus))
+        if (wantServe("serve_ivf_topk_pinned")) {
+          serveOne("serve_ivf_topk_pinned", rps)(ivfStream(
+            pinStatic(spark.table("graft_serve_ivf_cells")),
+            pinStatic(corpus)))
+          unpinAll()
+        }
+        if (wantServe("serve_ivfpq_topk"))
+          serveOne("serve_ivfpq_topk", rps)(
+            ivfPqStream(spark.table("graft_serve_ivfpq_cells"), corpus))
+        if (wantServe("serve_ivfpq_topk_pinned")) {
+          serveOne("serve_ivfpq_topk_pinned", rps)(ivfPqStream(
+            pinStatic(spark.table("graft_serve_ivfpq_cells")),
+            pinStatic(corpus)))
+          unpinAll()
         }
       }
+      spark.stop(); return
+    }
+
+    // ---- bucketed-table compaction decade (VERDICT r17 item 2) ----
+    // bucketedAppend adds one file per bucket per append; a daily-append
+    // deployment accumulates appends × buckets small files. This mode
+    // measures what that costs a scan and what bucketedCompact buys
+    // back: a bucketed corpus at nDocs takes `appends` small appends
+    // (0.2% of nDocs each), the scan wall is timed before, the
+    // compaction rewrite is timed, and the scan re-timed after. The
+    // scan body is a grouping-less aggregate over the vector column —
+    // pure scan + file-open cost, the term small files inflate.
+    if (mode == "compact") {
+      val cpusI = cpus.toInt
+      val appends = if (args.length > 2) args(2).toInt else 50
+      val dim = 64
+      val emb = annEmbeddings(spark, nDocs, dim)
+      graft.sources.Csv.bucketedSink(emb, "graft_compact_corpus",
+        Seq("vec_id"), buckets = cpusI)
+      def tableFiles(): Long = {
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("graft_compact_corpus"))
+          .location
+        new java.io.File(loc).listFiles()
+          .count(f => f.getName.endsWith(".parquet")).toLong
+      }
+      def scan(): Long = {
+        val r = spark.table("graft_compact_corpus")
+          .agg(sum(element_at(col("embedding"), 1)).as("s"),
+            count(lit(1)).as("n")).collect()
+        r(0).getLong(1)
+      }
+      scan() // warm the JIT + page cache so before/after compare cleanly
+      run("compact_scan_1file") { scan() }
+      val deltaN = math.max(1L, nDocs / 500L)
+      run("compact_appends") {
+        (0 until appends).foreach { a =>
+          val lo = nDocs + a * deltaN
+          graft.sources.Csv.bucketedAppend(
+            annEmbeddings(spark, lo + deltaN, dim)
+              .filter(col("vec_id") >= lo),
+            "graft_compact_corpus", Seq("vec_id"), buckets = cpusI)
+        }
+        appends.toLong * deltaN
+      }
+      println(s"""{"family":"compact_files_before","n_docs":$nDocs,""" +
+        s""""files":${tableFiles()},"appends":$appends}""")
+      run("compact_scan_small_files") { scan() }
+      run("compact_rewrite") {
+        graft.sources.Csv.bucketedCompact(spark, "graft_compact_corpus")
+        nDocs + appends.toLong * deltaN
+      }
+      println(s"""{"family":"compact_files_after","n_docs":$nDocs,""" +
+        s""""files":${tableFiles()},"appends":$appends}""")
+      run("compact_scan_compacted") { scan() }
       spark.stop(); return
     }
 

@@ -154,6 +154,63 @@ class IndexAppendSpec extends AnyFunSuite {
       .intersect(rows(deltaCells.select("neighbor_id"))).isEmpty)
   }
 
+  test("bucketedCompact: content hash, bucketing, and one-file-per-bucket restored") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val buckets = 4
+    try {
+      val idx = Similarity.ivfIndex(emb(0L to 39L), "vec_id", "embedding",
+        nCells = 4)
+      graft.sources.Csv.bucketedSink(idx.cells, "compact_spec_cells",
+        Seq("neighbor_id"), buckets)
+      // five appends -> up to 5 extra files per bucket (the small-files
+      // accumulation bucketedCompact exists to undo)
+      (0 until 5).foreach { a =>
+        graft.sources.Csv.bucketedAppend(
+          Similarity.ivfDeltaCells(idx.centroids,
+            emb((40L + a * 10) until (50L + a * 10)), "vec_id", "embedding"),
+          "compact_spec_cells", Seq("neighbor_id"), buckets)
+      }
+      def tableFiles(): Int = {
+        val loc = spark.sessionState.catalog
+          .getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier("compact_spec_cells"))
+          .location
+        new java.io.File(loc).listFiles()
+          .count(f => f.getName.endsWith(".parquet"))
+      }
+      val before = rows(spark.table("compact_spec_cells"))
+      val filesBefore = tableFiles()
+      assert(filesBefore > buckets,
+        s"precondition: appends must leave >$buckets files, got $filesBefore")
+      graft.sources.Csv.bucketedCompact(spark, "compact_spec_cells")
+      assert(rows(spark.table("compact_spec_cells")) === before,
+        "compaction must not change table content")
+      assert(tableFiles() === buckets,
+        "compaction must leave exactly one file per bucket")
+      // bucketing metadata survives the rewrite: id-keyed agg plans
+      // with no exchange above the scan
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val agg = spark.table("compact_spec_cells")
+          .groupBy("neighbor_id").count()
+        assert(agg.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e }.isEmpty,
+          "compacted table must keep HashPartitioning(neighbor_id)")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // a non-bucketed table is rejected, not silently rewritten
+      spark.range(10).write.mode("overwrite")
+        .saveAsTable("compact_spec_plain")
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Csv.bucketedCompact(spark, "compact_spec_plain")
+      }
+      assert(e.getMessage.contains("no bucketing spec"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS compact_spec_cells")
+      spark.sql("DROP TABLE IF EXISTS compact_spec_plain")
+    }
+  }
+
   test("LSH delta ∪ existing ≡ fresh rebuild below the cap (including smaller delta ids)") {
     val base = emb(20L to 49L)
     val delta = emb(0L to 9L)   // ids BELOW every existing member

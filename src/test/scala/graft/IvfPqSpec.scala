@@ -70,6 +70,29 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got(3) === 49.0)
   }
 
+  test("PqAdcScore (direct, the stream's form) ≡ summed PqAdcTable lookups, bit-for-bit") {
+    // the batch path scores candidates via m lookups into the per-query
+    // table (broadcast build side); the stream scores directly per
+    // (qv, codes) pair — same inner (x−c)² loop, same j-order sum, so
+    // the doubles must be IDENTICAL or the stream≡batch retention drifts
+    val m = 4; val kCodes = 8
+    val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding", m, kCodes, dim)
+    val codes = Similarity.pqIndex(corpus, "vec_id", "embedding",
+      m = m, k = kCodes, dim = dim).codes
+    val paired = corpus.join(
+      codes.withColumnRenamed("neighbor_id", "vec_id"), "vec_id")
+    val (nCodes, qt) = Similarity.adcTableCol(cb, m, dim, col("embedding"))
+    val viaTable = paired.select(col("vec_id"),
+        Similarity.adcLookupSum(qt, col("codes"), m, nCodes).as("s"))
+      .orderBy("vec_id").collect()
+      .map(r => java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val direct = paired.select(col("vec_id"),
+        Similarity.adcScoreCol(cb, m, dim, col("embedding"), col("codes")).as("s"))
+      .orderBy("vec_id").collect()
+      .map(r => java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    assert(direct === viaTable)
+  }
+
   test("IVFPQ at full coverage (nProbe = nCells, rerank ≥ n) equals exact search") {
     val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
       nCells = 4, m = 4, k = 8, dim = dim)
