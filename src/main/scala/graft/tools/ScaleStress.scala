@@ -420,6 +420,33 @@ object ScaleStress {
         recallOf("ann_pq_recall_m16k256",
           Similarity.pqTopK(emb, qs, "vec_id", "embedding",
             m = 16, k = 256, dim = dim, topK = k, exactEncode = false))
+        // IVFPQ (round 18): the serving path's recall knobs are nProbe
+        // (which cells) × rerank (how many ADC survivors fetch true
+        // vectors). The question the sweep answers: does the ADC
+        // prefilter COST recall vs flat IVF at the same nProbe — i.e.
+        // is rerank = 64 enough for the 8-byte codes to recover the
+        // flat path's candidates at k = 10?
+        locally {
+          val pqIdx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+            nCells = 64, m = 8, k = 256, dim = dim)
+          val cellsP = graft.ops.Pin.pin(pqIdx.cells)
+          def ivfpq(nProbe: Int, rerank: Int) =
+            Similarity.ivfPqTopKFromIndex(cellsP, pqIdx.centroids,
+              pqIdx.codebook, emb, qs, "vec_id", "embedding", k = k,
+              m = 8, dim = dim, nProbe = nProbe, rerank = rerank)
+          recallOf("ann_ivfpq_recall_probe8_rr64", ivfpq(8, 64))
+          recallOf("ann_ivfpq_recall_probe16_rr64", ivfpq(16, 64))
+          recallOf("ann_ivfpq_recall_probe16_rr16", ivfpq(16, 16))
+          recallOf("ann_ivfpq_recall_probe16_rr256", ivfpq(16, 256))
+          // the code-width knob: 16 subspaces × 256 codes = 16 B/vector
+          val pqIdx16 = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+            nCells = 64, m = 16, k = 256, dim = dim)
+          val cells16 = graft.ops.Pin.pin(pqIdx16.cells)
+          recallOf("ann_ivfpq_recall_m16_probe16_rr64",
+            Similarity.ivfPqTopKFromIndex(cells16, pqIdx16.centroids,
+              pqIdx16.codebook, emb, qs, "vec_id", "embedding", k = k,
+              m = 16, dim = dim, nProbe = 16, rerank = 64))
+        }
       }
       spark.stop(); return
     }
@@ -496,6 +523,56 @@ object ScaleStress {
         Similarity.ivfAppend("graft_append_ivf_cells",
           spark.table("graft_append_ivf_centroids"), delta,
           "vec_id", "embedding", buckets = cpusI)
+        deltaN
+      }
+      // ---- PQ + IVFPQ (round 18: the index families gained the same
+      // persisted+append lifecycle; production fast encode both arms) ----
+      val pqM = 8; val pqK = 256
+      run("pq_index_rebuild") {
+        val idx = Similarity.pqIndex(full, "vec_id", "embedding",
+          m = pqM, k = pqK, dim = dim)
+        graft.sources.Csv.bucketedSink(idx.codes, "graft_append_pq_codes",
+          Seq("neighbor_id"), buckets = cpusI)
+        graft.sources.Csv.bucketedSink(idx.codebook, "graft_append_pq_cb",
+          Seq("j", "code"), buckets = 1)
+        nDocs + deltaN
+      }
+      val pqB = Similarity.pqIndex(base, "vec_id", "embedding",
+        m = pqM, k = pqK, dim = dim)
+      graft.sources.Csv.bucketedSink(pqB.codes, "graft_append_pq_codes",
+        Seq("neighbor_id"), buckets = cpusI)
+      graft.sources.Csv.bucketedSink(pqB.codebook, "graft_append_pq_cb",
+        Seq("j", "code"), buckets = 1)
+      run("pq_index_append") {
+        Similarity.pqAppend("graft_append_pq_codes",
+          spark.table("graft_append_pq_cb"), delta, "vec_id", "embedding",
+          m = pqM, dim = dim, buckets = cpusI)
+        deltaN
+      }
+      run("ivfpq_index_rebuild") {
+        val idx = Similarity.ivfPqIndex(full, "vec_id", "embedding",
+          nCells = 64, m = pqM, k = pqK, dim = dim)
+        graft.sources.Csv.bucketedSink(idx.cells, "graft_append_ivfpq_cells",
+          Seq("neighbor_id"), buckets = cpusI)
+        graft.sources.Csv.bucketedSink(idx.centroids,
+          "graft_append_ivfpq_centroids", Seq("cell"), buckets = 1)
+        graft.sources.Csv.bucketedSink(idx.codebook,
+          "graft_append_ivfpq_cb", Seq("j", "code"), buckets = 1)
+        nDocs + deltaN
+      }
+      val ipqB = Similarity.ivfPqIndex(base, "vec_id", "embedding",
+        nCells = 64, m = pqM, k = pqK, dim = dim)
+      graft.sources.Csv.bucketedSink(ipqB.cells, "graft_append_ivfpq_cells",
+        Seq("neighbor_id"), buckets = cpusI)
+      graft.sources.Csv.bucketedSink(ipqB.centroids,
+        "graft_append_ivfpq_centroids", Seq("cell"), buckets = 1)
+      graft.sources.Csv.bucketedSink(ipqB.codebook,
+        "graft_append_ivfpq_cb", Seq("j", "code"), buckets = 1)
+      run("ivfpq_index_append") {
+        Similarity.ivfPqAppend("graft_append_ivfpq_cells",
+          spark.table("graft_append_ivfpq_centroids"),
+          spark.table("graft_append_ivfpq_cb"), delta,
+          "vec_id", "embedding", m = pqM, dim = dim, buckets = cpusI)
         deltaN
       }
       spark.stop(); return
