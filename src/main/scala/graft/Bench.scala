@@ -26,6 +26,13 @@ import org.apache.spark.sql.SparkSession
   *  - `"calib_cpu_ms_post"`: the CPU probe repeated after the last rep,
   *    so the pre/post pair brackets the whole run — a box that degrades
   *    mid-suite shows as an in-band pre + blown-out post (ADVICE r16).
+  *  - `"calib_par_ms"` / `"calib_bw_ms"` (round 18): the busy loop on
+  *    `cpus` threads at once, and a 256 MB array streamed on `cpus`
+  *    threads — the PARALLEL-ALU and MEMORY-BANDWIDTH discriminators
+  *    the single-thread probes cannot provide: host contention that
+  *    only bites when all cores are busy (SMT/steal) or when the
+  *    memory controller saturates reads flat on calib_cpu/calib_query
+  *    but inflates these together with the 32-thread heavy queries.
   *  - `"qorder_md5"`: 8-hex digest of the registration-order name list —
   *    two rounds' positional arrays are joinable iff these match; the
   *    full name→median map is in `BENCH_DETAIL.json`'s `by_name`.
@@ -219,12 +226,73 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e6
     }
+    // PARALLEL throughput probe (round 18): the single-thread busy loop
+    // and the pinned query both read FLAT across a run pair whose
+    // 32-thread-parallel heavy queries diverged 20% (293.6 vs 351.7 s
+    // same-code back-to-back — BASELINE.md round-18 note). Neither
+    // existing probe can see host-level SMT/steal contention that only
+    // bites when all cores are busy, so this one runs the SAME busy
+    // loop on `cpus` threads at once and reports the wall — on an
+    // uncontended box it reads ≈ the single-thread number (each thread
+    // does the same work in parallel); above it, sibling pressure.
+    def parProbeMs(): Double = {
+      val n = cpus.toInt
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { i =>
+        val t = new Thread(() => {
+          var h = 0x811c9dc5L ^ i
+          var j = 0
+          while (j < 200000000) { h = (h ^ j) * 0x100000001b3L; j += 1 }
+          calibSink ^= h
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    // MEMORY-BANDWIDTH probe (round 18, with calib_par): the round-18
+    // epoch read 293.6 / 351.7 / 351.4 s same-code back-to-back while
+    // calib_cpu sat flat at 253-259 and calib_par at ~1.15× of it —
+    // single-thread AND parallel ALU both quiet, yet the heavy
+    // shuffle/scan queries ran 40-70% over the record. Those queries
+    // are memory-bandwidth-bound, and every existing probe fits in
+    // registers/L1 — blind to a host co-tenant saturating the memory
+    // controller. This probe streams a 256 MB long array on `cpus`
+    // threads (disjoint slices, sum into the sink) and reports the
+    // wall: the aggregate-bandwidth number that moves with exactly the
+    // queries the ALU probes cannot explain.
+    val bwArr = new Array[Long](32 * 1024 * 1024) // 256 MB
+    java.util.Arrays.fill(bwArr, 0x9E3779B97F4A7C15L)
+    def bwProbeMs(): Double = {
+      val n = cpus.toInt
+      val slice = bwArr.length / n
+      val t0 = System.nanoTime()
+      val ts = (0 until n).map { i =>
+        val t = new Thread(() => {
+          var h = 0L
+          var pass = 0
+          while (pass < 4) {
+            var j = i * slice
+            val end = j + slice
+            while (j < end) { h += bwArr(j); j += 1 }
+            pass += 1
+          }
+          calibSink ^= h
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
     // One discarded warm-up iteration first: the probe loop's own JIT
     // compilation otherwise lands inside the first measured iteration
     // and inflates the median on a quiet box (ADVICE r16).
     busyProbeMs()
     val calibCpuMs = medianD((1 to 3).map(_ => busyProbeMs()))
     val calibQueryMs = medianD((1 to 3).map(_ => queryProbeMs()))
+    val calibParMs = medianD((1 to 3).map(_ => parProbeMs()))
+    bwProbeMs() // page-fault + JIT warm-up, discarded
+    val calibBwMs = medianD((1 to 3).map(_ => bwProbeMs()))
     if (calibSink == 42L) System.err.println("") // keep the loop live
     // Optional comma-separated name filter for local iteration; the
     // driver never sets it, so the recorded bench always covers everything.
@@ -416,7 +484,7 @@ object Bench {
       val byName = results
         .map(r => "\"" + r._1 + "\":" + fmtQ2(med(r))).mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
       // index↔name registry map as a machine-readable artifact (VERDICT
       // r10 item 7): BENCH_r*.json's positional "queries" array joins to
       // names through this file instead of a hand-run `runMain QOrder`.
@@ -426,7 +494,7 @@ object Bench {
         .mkString("[\n", ",\n", "\n]\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

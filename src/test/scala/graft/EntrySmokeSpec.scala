@@ -21,8 +21,9 @@ class EntrySmokeSpec extends AnyFunSuite {
     // `"audit":NN.NN` (+16), `"ambient_suspect":false` (+24), the
     // round-16 fields `"calib_cpu_ms":NNNNN` (+21),
     // `"calib_query_ms":NNNNN` (+23), `"qorder_md5":"deadbeef"` (+24),
-    // and round 17's `"calib_cpu_ms_post":NNNNN` (+26).
-    val line = 175 + 94 + SparkEntry.registry.size * 7 + 40
+    // round 17's `"calib_cpu_ms_post":NNNNN` (+26), and round 18's
+    // `"calib_par_ms":NNNNN` (+21) + `"calib_bw_ms":NNNNN` (+20).
+    val line = 175 + 135 + SparkEntry.registry.size * 7 + 40
     // 1800 keeps headroom against the ~1900 usable budget at the
     // current ~220-query scale; the next tightening step if the registry
     // passes ~220 is moving the positional array to integer centiseconds.
