@@ -77,6 +77,13 @@ case class PqAdcScore(left: Expression, right: Expression,
     var total = 0.0
     var j = 0
     while (j < m) {
+      // a null code slot would read as 0 through getInt and silently
+      // mis-score against centroid 0 — the built paths never emit null
+      // codes, but this expression accepts arbitrary columns (and a
+      // parquet round-trip marks elements nullable), so keep the
+      // 'throw loudly rather than mis-score' contract (ADVICE r18)
+      require(!codes.isNullAt(j),
+        s"null code at subspace $j — corrupt packed index")
       val c = codes.getInt(j)
       require(c >= 0 && c < k,
         s"code $c at subspace $j outside [0, $k) — corrupt packed index")
