@@ -13,19 +13,29 @@ import org.apache.spark.sql.SparkSession
   *  - `"audit"`: the audit tier's own sum — a NUMBER on unfiltered runs,
   *    the literal `null` on BENCH_ONLY-filtered iteration runs (a
   *    partial sum would be indistinguishable from the real one).
+  *  - `"build"` (round 19): the [[BuildQueries]] index-lifecycle tier's
+  *    own sum — same number-or-null convention. These queries re-train
+  *    and re-write persisted index tables every run; their from-index
+  *    QUERY halves stay in the headline as q210–q212.
   *  - `"core100"`: sum over the pinned [[CoreQueries]] — same
   *    number-or-null convention as `"audit"`; frozen membership, so it
   *    still INCLUDES q77 (membership never drifts, even into tiers).
   *  - `"queries"`: positional array of ALL registered queries' medians
-  *    in registration order (audit members included at their index), or
-  *    a name-keyed object on filtered runs.
+  *    in registration order (audit/build members included at their
+  *    index), or a name-keyed object on filtered runs. Values are
+  *    integer DECISECONDS since round 19 (the budget tightening step);
+  *    exact 2-decimal seconds travel by name in BENCH_DETAIL.json.
   *  - `"calib_cpu_ms"` / `"calib_query_ms"`: fixed-cost slow-box probes
   *    (median-of-3 after a discarded JIT warm-up, run once before
   *    rep 1) — a single-thread busy loop and one pinned 25-row query;
   *    see the in-method comment and the BASELINE.md protocol sentence.
-  *  - `"calib_cpu_ms_post"`: the CPU probe repeated after the last rep,
-  *    so the pre/post pair brackets the whole run — a box that degrades
-  *    mid-suite shows as an in-band pre + blown-out post (ADVICE r16).
+  *  - `"calib_post"` (round 19): ALL FOUR probes repeated after the
+  *    last rep, as one array in probe order [cpu, query, par, bw] —
+  *    the pre/post pairs bracket the whole run, so a box that degrades
+  *    mid-suite shows as an in-band pre + blown-out post, and a
+  *    contended instant that CLEARS mid-suite (round 18's run 5) shows
+  *    the reverse (ADVICE r16; VERDICT r18 item 4). BENCH_DETAIL.json
+  *    carries the same values under full `calib_*_ms_post` names.
   *  - `"calib_par_ms"` / `"calib_bw_ms"` (round 18): the busy loop on
   *    `cpus` threads at once, and a 256 MB array streamed on `cpus`
   *    threads — the PARALLEL-ALU and MEMORY-BANDWIDTH discriminators
@@ -162,6 +172,27 @@ object Bench {
   val AuditQueries: Set[String] = Set(
     "q77_jaccard_pairs",
     "q170_lsh_recall_audit")
+  /** Index-LIFECYCLE certifications (VERDICT r18 item 2, the audit-tier
+    * precedent): q202–q209 each re-train and re-write persisted index
+    * tables every run — legitimate build+append+read certification, but
+    * ~22 s of the round-18 judge headline was index BUILD cost that
+    * grows mechanically with every index family, eroding the 2× band
+    * without any engine change. They still RUN every bench (timings in
+    * the positional array, CORRECTNESS rows from Verify untouched) but
+    * the HEADLINE total excludes them and reports their sum as the
+    * separate `"build"` field; the from-index QUERY halves stay in the
+    * headline as the read-only twins q210–q212, which read the tables
+    * these builders wrote and run only the serving query.
+    */
+  val BuildQueries: Set[String] = Set(
+    "q202_lsh_bucketed_corpus",
+    "q203_lsh_persisted_index",
+    "q204_ivf_persisted_index",
+    "q205_ivf_appended_index",
+    "q206_lsh_appended_index",
+    "q207_pq_persisted_index",
+    "q208_ivfpq_persisted_index",
+    "q209_ivfpq_adc_rerank")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -261,28 +292,37 @@ object Bench {
     // threads (disjoint slices, sum into the sink) and reports the
     // wall: the aggregate-bandwidth number that moves with exactly the
     // queries the ALU probes cannot explain.
-    val bwArr = new Array[Long](32 * 1024 * 1024) // 256 MB
-    java.util.Arrays.fill(bwArr, 0x9E3779B97F4A7C15L)
-    def bwProbeMs(): Double = {
-      val n = cpus.toInt
-      val slice = bwArr.length / n
-      val t0 = System.nanoTime()
-      val ts = (0 until n).map { i =>
-        val t = new Thread(() => {
-          var h = 0L
-          var pass = 0
-          while (pass < 4) {
-            var j = i * slice
-            val end = j + slice
-            while (j < end) { h += bwArr(j); j += 1 }
-            pass += 1
-          }
-          calibSink ^= h
-        })
-        t.start(); t
+    // The 256 MB probe array is SCOPED to each measurement (allocated,
+    // filled, probed, released): the round-18 form kept it reachable
+    // via the probe closure for the whole bench run, permanently
+    // inflating old-gen during every measured query (ADVICE r18) — and
+    // the post-run bracket below needs a fresh measurement anyway.
+    def measureBwMs(): Double = {
+      val bwArr = new Array[Long](32 * 1024 * 1024) // 256 MB
+      java.util.Arrays.fill(bwArr, 0x9E3779B97F4A7C15L)
+      def bwProbeMs(): Double = {
+        val n = cpus.toInt
+        val slice = bwArr.length / n
+        val t0 = System.nanoTime()
+        val ts = (0 until n).map { i =>
+          val t = new Thread(() => {
+            var h = 0L
+            var pass = 0
+            while (pass < 4) {
+              var j = i * slice
+              val end = j + slice
+              while (j < end) { h += bwArr(j); j += 1 }
+              pass += 1
+            }
+            calibSink ^= h
+          })
+          t.start(); t
+        }
+        ts.foreach(_.join())
+        (System.nanoTime() - t0) / 1e6
       }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e6
+      bwProbeMs() // page-fault + JIT warm-up, discarded
+      medianD((1 to 3).map(_ => bwProbeMs()))
     }
     // One discarded warm-up iteration first: the probe loop's own JIT
     // compilation otherwise lands inside the first measured iteration
@@ -291,8 +331,7 @@ object Bench {
     val calibCpuMs = medianD((1 to 3).map(_ => busyProbeMs()))
     val calibQueryMs = medianD((1 to 3).map(_ => queryProbeMs()))
     val calibParMs = medianD((1 to 3).map(_ => parProbeMs()))
-    bwProbeMs() // page-fault + JIT warm-up, discarded
-    val calibBwMs = medianD((1 to 3).map(_ => bwProbeMs()))
+    val calibBwMs = measureBwMs()
     if (calibSink == 42L) System.err.println("") // keep the loop live
     // Optional comma-separated name filter for local iteration; the
     // driver never sets it, so the recorded bench always covers everything.
@@ -372,12 +411,18 @@ object Bench {
       ambience += ((loadAvg1, memAvailMb))
       (q.name, times, errReps, ambience.toSeq)
     }
-    // Re-run the CPU probe AFTER the last rep: the pre-run calib pair
-    // only certifies the box at rep-1 time, so a box that degrades
-    // mid-suite (thermal, a co-tenant arriving) read as quiet (ADVICE
-    // r16). The pre/post bracket bounds the run: both in-band means the
-    // whole window was quiet; a post-probe blowout names the drift.
+    // Re-run ALL FOUR probes AFTER the last rep: the pre-run snapshots
+    // only certify the box at rep-1 time, so a box that degrades (or
+    // clears) mid-suite read as quiet (or slow) — round 18's run 5
+    // fired its probes into a contended instant that cleared mid-suite
+    // and carried alarming anchors on a quiet suite (BASELINE.md run-5
+    // note; VERDICT r18 item 4). The pre/post bracket bounds the run:
+    // all in-band means the whole window was quiet; a one-sided blowout
+    // names the drift and its direction.
     val calibCpuMsPost = medianD((1 to 3).map(_ => busyProbeMs()))
+    val calibQueryMsPost = medianD((1 to 3).map(_ => queryProbeMs()))
+    val calibParMsPost = medianD((1 to 3).map(_ => parProbeMs()))
+    val calibBwMsPost = measureBwMs()
     // The driver captures a bounded 2000-char tail of the output, so the
     // line must stay well inside it (rounds 2 and 3 overflowed and
     // recorded parsed=null). Per-query times are a positional ARRAY in
@@ -389,14 +434,16 @@ object Bench {
     // queries keep their successful-rep median and appear in "errors"
     // (short name → failed-rep count), which is {} on a clean run.
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
-    // STDOUT-line per-query precision is 1 decimal (the EntrySmokeSpec
-    // budget guard's documented tightening step, taken in round 16 when
-    // the calib/qorder fields landed): ambient drift is ±25%, and exact
-    // 2-decimal medians travel by NAME in BENCH_DETAIL.json's `by_name`
-    // on every unfiltered run — per-query forensics should read that
-    // committed artifact, not the positional stdout array.
+    // STDOUT-line per-query values are integer DECISECONDS since round
+    // 19 (the EntrySmokeSpec budget guard's documented next tightening
+    // step, taken when q210–q212 + the build/calib_post fields pushed
+    // the worst case past the window; round 16 had dropped to 1
+    // decimal): ambient drift is ±25%, and exact 2-decimal SECOND
+    // medians travel by NAME in BENCH_DETAIL.json's `by_name` on every
+    // unfiltered run — per-query forensics and cross-round diffs should
+    // read that committed artifact, not the positional stdout array.
     def fmtQ(v: Double): String =
-      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.1f", v)
+      if (v < 0) "-1" else math.round(v * 10).toString
     // full centisecond precision for the detail-file fields
     def fmtQ2(v: Double): String =
       if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.2f", v)
@@ -412,13 +459,17 @@ object Bench {
     val errs = results.filter(_._3 > 0).map { case (n, _, e, _) =>
       "\"" + n.takeWhile(_ != '_') + "\":" + e
     }.mkString("{", ",", "}")
-    // headline total excludes the audit tier (schema note in the object
-    // Scaladoc); the tier's own sum travels as the separate "audit" field
-    val total = results.filterNot(r => AuditQueries(r._1))
+    // headline total excludes the audit AND build tiers (schema note in
+    // the object Scaladoc); each tier's own sum travels as its separate
+    // field — same number-or-null convention
+    val total = results.filterNot(r => AuditQueries(r._1) || BuildQueries(r._1))
       .map(med).filter(_ >= 0).sum
     val auditTotal = results.filter(r => AuditQueries(r._1))
       .map(med).filter(_ >= 0).sum
     val auditField = if (only.isDefined) "null" else fmt(auditTotal)
+    val buildTotal = results.filter(r => BuildQueries(r._1))
+      .map(med).filter(_ >= 0).sum
+    val buildField = if (only.isDefined) "null" else fmt(buildTotal)
     // suite-growth-stable metric: sum of medians over the pinned
     // CoreQueries only. Meaningful ONLY on the unfiltered full run: a
     // BENCH_ONLY iteration sums whichever core members it happened to
@@ -484,7 +535,7 @@ object Bench {
       val byName = results
         .map(r => "\"" + r._1 + "\":" + fmtQ2(med(r))).mkString("{", ",", "}")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath),
-        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
+        s"""{"reps":$reps,"sf":"$sfDir","total_median":${fmt(total)},"core100_median":${fmt(coreTotal)},"audit_median":${fmt(auditTotal)},"build_median":${fmt(buildTotal)},"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"calib_query_ms_post":${calibQueryMsPost.round},"calib_par_ms":${calibParMs.round},"calib_par_ms_post":${calibParMsPost.round},"calib_bw_ms":${calibBwMs.round},"calib_bw_ms_post":${calibBwMsPost.round},"qorder_md5":"$qorderMd5","by_name":$byName,"queries":$detail}\n""")
       // index↔name registry map as a machine-readable artifact (VERDICT
       // r10 item 7): BENCH_r*.json's positional "queries" array joins to
       // names through this file instead of a hand-run `runMain QOrder`.
@@ -494,7 +545,13 @@ object Bench {
         .mkString("[\n", ",\n", "\n]\n")
       java.nio.file.Files.writeString(java.nio.file.Paths.get(qorderPath), qorder)
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_cpu_ms_post":${calibCpuMsPost.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // stdout keeps the post brackets COMPACT — one array in probe order
+    // [cpu, query, par, bw] — because the driver's capture window is the
+    // budget EntrySmokeSpec guards; the detail file carries them under
+    // full names.
+    val calibPost = Seq(calibCpuMsPost, calibQueryMsPost, calibParMsPost,
+      calibBwMsPost).map(_.round).mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"build":$buildField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"calib_post":$calibPost,"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

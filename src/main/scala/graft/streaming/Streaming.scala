@@ -500,14 +500,17 @@ object Streaming {
       .withWatermark(tsCol, watermark)
       .select(col(tsCol), col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(nearestCells(col(vecCol).cast("array<double>"))).as("cell"))
-    // ADC scoring INSIDE the join projection: only
-    // (ts, query_id, qv, neighbor_id, dcos) survives it — the stored
-    // codes never outlive the projection
+    // RESIDUAL ADC scoring INSIDE the join projection: the candidate's
+    // stored codes describe x − centroid(cell), so the query re-bases
+    // into the candidate's cell — the native triple form computes
+    // ((q−cc)−cen)² on the fly (no per-candidate residual allocation,
+    // no table column riding the stream side); only
+    // (ts, query_id, qv, neighbor_id, dcos) survives the projection
     val dscored = qb.join(cells, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col(tsCol), col("query_id"), col("qv"), col("neighbor_id"),
-        (-Similarity.adcScoreCol(codebook, m, dim, col("qv"), col("codes")))
-          .as("dcos"))
+        (-Similarity.ivfPqAdcScoreCol(centroids, codebook, m, dim,
+          col("qv"), col("codes"), col("cell"))).as("dcos"))
     // stateful agg 1: margin-top-rerank survivor ids by negated ADC —
     // the batch marginSurvivors retention verbatim (the native
     // aggregate with a zero-length vector payload: id-only buffering)

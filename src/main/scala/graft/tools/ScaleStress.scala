@@ -448,6 +448,89 @@ object ScaleStress {
               m = 16, dim = dim, nProbe = 16, rerank = 64))
         }
       }
+      // ---- clustered-corpus recall: the residual-encoding regime
+      // (round 19, VERDICT r18 item 1). The residual IVFADC encode
+      // measured FLAT vs round 18's raw codes on the hash-UNIFORM
+      // corpus (0.33 @ m8/nProbe16/rr64 both rounds) — and should: on
+      // isotropic data the rate-distortion bound says a coarse
+      // quantizer barely compresses (64—or even 4096—cells in 64-dim
+      // buy ≤ ~25% MSE), so residuals ≈ raw vectors and the codes face
+      // the same job. Residual encoding pays exactly where deployments
+      // live: CLUSTERED embeddings with nCells sized near the cluster
+      // count (the FAISS √n rule), where the residual shrinks to noise
+      // scale while raw codes must still span the whole space. This
+      // family plants that regime — nClusters hash-uniform centers,
+      // x = center(id % nClusters) + σ·noise, nCells ≳ nClusters via
+      // the deterministic quantizer — and measures the three-way
+      // separation: flat IVF (the no-codes ceiling at the probe
+      // width), residual IVFPQ (this round's encode), and the RAW-code
+      // dominance baseline: plain-PQ ADC top-64 at FULL coverage (a
+      // strict candidate SUPERSET of the IVFPQ probe — if residual
+      // IVFPQ on fewer candidates beats raw ADC on all of them, the
+      // code resolution itself is proven, not the probe). Filter name:
+      // "clustered".
+      if (want("clustered")) {
+        val nClusters = 1024L
+        val nCellsC = 4096
+        val sigma = 0.15
+        // centers and noise drawn from the SAME deterministic family as
+        // annEmbeddings, in disjoint id spaces
+        def cembCol(id: Column): Column = zip_with(
+          embeddingCol(pmod(id, lit(nClusters)) + lit(2000000000L), dim),
+          embeddingCol(id + lit(4000000000L), dim),
+          (c, e) => (c + lit(sigma) * e).cast("float"))
+        def cemb(n: Long) = spark.range(n)
+          .select(col("id").as("vec_id"), cembCol(col("id")).as("embedding"))
+        val cc = cemb(nDocs)
+        val cqs = cemb(qn)
+        val exactC = graft.ops.Pin.pin(
+          Similarity.cosineTopK(cc, cqs, "vec_id", "embedding", k)
+            .select(col("query_id"), col("neighbor_id")))
+        val nExactC = exactC.count()
+        def recallC(name: String, res: DataFrame): Unit = {
+          val hit = res.select(col("query_id"), col("neighbor_id"))
+            .join(exactC, Seq("query_id", "neighbor_id")).count()
+          println(s"""{"family":"$name","n_docs":$nDocs,"k":$k,""" +
+            s""""n_clusters":$nClusters,"sigma":$sigma,"n_cells":$nCellsC,""" +
+            s""""recall_at_k":${fmt(hit.toDouble / math.max(1L, nExactC))},""" +
+            s""""hits":$hit,"exact_pairs":$nExactC}""")
+        }
+        val centsC = Similarity.deterministicCentroids(cc, "vec_id",
+          "embedding", nCellsC)
+        // flat IVF under the SAME quantizer (ivfDeltaCells on the full
+        // corpus IS assignment under a frozen quantizer)
+        val flatCells = graft.ops.Pin.pin(
+          Similarity.ivfDeltaCells(centsC, cc, "vec_id", "embedding"))
+        recallC("ann_clustered_ivf_probe16",
+          Similarity.ivfTopKFromIndex(flatCells, centsC, cc, cqs,
+            "vec_id", "embedding", k, nProbe = 16))
+        val ipqC = Similarity.ivfPqIndexWith(cc, "vec_id", "embedding",
+          centsC, m = 8, k = 256, dim = dim)
+        val cellsC = graft.ops.Pin.pin(ipqC.cells)
+        def ivfpqC(nProbe: Int, rerank: Int) =
+          Similarity.ivfPqTopKFromIndex(cellsC, centsC, ipqC.codebook,
+            cc, cqs, "vec_id", "embedding", k = k, m = 8, dim = dim,
+            nProbe = nProbe, rerank = rerank)
+        recallC("ann_clustered_ivfpq_probe16_rr16", ivfpqC(16, 16))
+        recallC("ann_clustered_ivfpq_probe16_rr64", ivfpqC(16, 64))
+        recallC("ann_clustered_ivfpq_probe16_rr256", ivfpqC(16, 256))
+        // code-width slope on the clustered regime (16 B/vector)
+        val ipq16 = Similarity.ivfPqIndexWith(cc, "vec_id", "embedding",
+          centsC, m = 16, k = 256, dim = dim)
+        val cells16C = graft.ops.Pin.pin(ipq16.cells)
+        recallC("ann_clustered_ivfpq_m16_probe16_rr64",
+          Similarity.ivfPqTopKFromIndex(cells16C, centsC, ipq16.codebook,
+            cc, cqs, "vec_id", "embedding", k = k, m = 16, dim = dim,
+            nProbe = 16, rerank = 64))
+        // raw-code dominance baseline: top-64 by RAW-vector ADC over
+        // the WHOLE corpus (full coverage — strictly more candidates
+        // than any probe). recallC counts |top64 ∩ exact top-10|, i.e.
+        // exactly the recall a rerank = 64 exact re-rank would recover.
+        recallC("ann_clustered_pq_raw_full_top64",
+          Similarity.pqTopK(cc, cqs, "vec_id", "embedding",
+            m = 8, k = 256, dim = dim, topK = 64, exactEncode = false)
+            .select(col("query_id"), col("neighbor_id")))
+      }
       spark.stop(); return
     }
 
@@ -699,7 +782,19 @@ object ScaleStress {
         if (xs.isEmpty) -1.0
         else xs.sorted.apply(math.min(xs.size - 1,
           (p * xs.size).toInt))
-      def serveOne(name: String, rps: Int)
+      // count-weighted percentile over per-batch (latency, rows) pairs
+      // — the e2e arms' summary statistic
+      def wpct(xs: Seq[(Double, Long)], p: Double): Double =
+        if (xs.isEmpty) -1.0
+        else {
+          val sorted = xs.sortBy(_._1)
+          val tot = sorted.map(_._2).sum
+          val thr = math.max(1L, (p * tot).toLong)
+          var acc = 0L
+          sorted.find { case (_, n) => acc += n; acc >= thr }
+            .map(_._1).getOrElse(sorted.last._1)
+        }
+      def serveOne(name: String, rps: Int, e2e: Boolean = false)
                   (mk: DataFrame => DataFrame): Unit = {
         // query ids offset far past any corpus id so the stream never
         // collides with a corpus row's self-match guard
@@ -710,7 +805,37 @@ object ScaleStress {
             embeddingCol(qid, dim).as("embedding"))
         val ckpt = java.nio.file.Files
           .createTempDirectory(s"graft_serve_$name").toString
-        val q = mk(qs).writeStream.format("noop")
+        // EVENT-TIME → EMISSION latency (VERDICT r18 item 6): trigger
+        // p50 measures processing, not query-to-answer — append-mode
+        // results emit only after the watermark passes their event time
+        // (TWICE for the chained IVFPQ topology), so the user-visible
+        // latency is watermark + trigger cadence + backlog, invisible
+        // to the noop arms. The `_e2e` arms swap the noop sink for a
+        // foreachBatch that aggregates each EMITTED batch's median
+        // event time (one tiny agg on the ≤ k·|queries| output rows)
+        // and records now − median as that batch's latency sample,
+        // count-weighted into the family percentiles. Kept as separate
+        // arms so the noop-based trigger stats stay comparable to the
+        // r17/r18 campaigns.
+        val e2eSamples =
+          scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+        val writer0 = mk(qs).writeStream
+        val writer =
+          if (e2e) writer0.foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              val r = b.agg(count(lit(1)).as("n"),
+                expr("percentile_approx(unix_millis(ts), 0.5)").as("t50"))
+                .head
+              if (r.getLong(0) > 0L) {
+                val lat = System.currentTimeMillis() -
+                  r.getAs[Number](1).longValue()
+                e2eSamples.synchronized {
+                  e2eSamples += ((lat.toDouble, r.getLong(0))); ()
+                }
+              }
+          }
+          else writer0.format("noop")
+        val q = writer
           .option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger
             .ProcessingTime("1 second"))
@@ -724,8 +849,15 @@ object ScaleStress {
         // qps_processed at saturation IS the throughput ceiling; the
         // deadline bounds the run either way.
         val deadline = System.nanoTime + serveSec.toLong * 3L * 1000000000L
-        while (System.nanoTime < deadline &&
-               q.recentProgress.count(_.numInputRows > 0) < 6)
+        // e2e arms must observe EMISSIONS, which start only after the
+        // watermark passes the first queries (once for the single-agg
+        // streams, twice for the chained IVFPQ) — 6 input batches can
+        // elapse before the first output row, so gate on emitted-batch
+        // samples there instead
+        def done(): Boolean =
+          if (e2e) e2eSamples.synchronized { e2eSamples.size } >= 6
+          else q.recentProgress.count(_.numInputRows > 0) >= 6
+        while (System.nanoTime < deadline && !done())
           Thread.sleep(1000)
         // full per-batch forensics to stderr (kept: the first serve
         // campaign read 0 measured batches and the stdout line alone
@@ -746,9 +878,18 @@ object ScaleStress {
         val wallSec = trig.sum / 1000.0
         val stateRows = progs.map(_.stateOperators.map(_.numRowsTotal).sum)
         val stateMb = progs.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+        val e2eFields =
+          if (e2e) {
+            val samples = e2eSamples.synchronized { e2eSamples.toSeq }
+            s""""e2e_ms_p50":${fmt(wpct(samples, 0.50))},""" +
+              s""""e2e_ms_p95":${fmt(wpct(samples, 0.95))},""" +
+              s""""e2e_batches":${samples.size},""" +
+              s""""e2e_rows":${samples.map(_._2).sum},"""
+          } else ""
         println(s"""{"family":"$name","n_docs":$nDocs,"rps_in":$rps,""" +
           s""""batches":${progs.size},"rows":$rows,""" +
           s""""qps_processed":${fmt(if (wallSec > 0) rows / wallSec else -1.0)},""" +
+          e2eFields +
           s""""trigger_ms_p50":${fmt(pct(trig, 0.50))},""" +
           s""""trigger_ms_p95":${fmt(pct(trig, 0.95))},""" +
           s""""state_rows_first":${stateRows.headOption.getOrElse(-1L)},""" +
@@ -821,6 +962,17 @@ object ScaleStress {
             pinStatic(corpus)))
           unpinAll()
         }
+        // query-to-answer latency arms (VERDICT r18 item 6) — all three
+        // families, same protocol, foreachBatch emission clock
+        if (wantServe("serve_lsh_e2e"))
+          serveOne("serve_lsh_e2e", rps, e2e = true)(
+            lshStream(spark.table("graft_serve_lsh"), corpus))
+        if (wantServe("serve_ivf_e2e"))
+          serveOne("serve_ivf_e2e", rps, e2e = true)(
+            ivfStream(spark.table("graft_serve_ivf_cells"), corpus))
+        if (wantServe("serve_ivfpq_e2e"))
+          serveOne("serve_ivfpq_e2e", rps, e2e = true)(
+            ivfPqStream(spark.table("graft_serve_ivfpq_cells"), corpus))
       }
       spark.stop(); return
     }

@@ -12,21 +12,22 @@ class EntrySmokeSpec extends AnyFunSuite {
     // the arithmetic as the registry grows: prefix + "999.99," per query
     // + suffix must stay inside the ~1900 usable budget with headroom
     // (the window also has to fit sbt's trailing [success] line).
-    // Round 16 took the documented tightening step — per-query stdout
-    // precision dropped to 1 decimal (exact 2-decimal medians travel in
-    // BENCH_DETAIL.json's by_name) — so worst case per query is
-    // "9999.9," = 7 chars (4 integer digits: a 1000+ s median is
-    // plausible for the O(n²) audit members on a slow box — ADVICE
-    // r16's undercount fix). Prefix includes `"core100":NNN.NN` (+20),
-    // `"audit":NN.NN` (+16), `"ambient_suspect":false` (+24), the
-    // round-16 fields `"calib_cpu_ms":NNNNN` (+21),
-    // `"calib_query_ms":NNNNN` (+23), `"qorder_md5":"deadbeef"` (+24),
-    // round 17's `"calib_cpu_ms_post":NNNNN` (+26), and round 18's
-    // `"calib_par_ms":NNNNN` (+21) + `"calib_bw_ms":NNNNN` (+20).
-    val line = 175 + 135 + SparkEntry.registry.size * 7 + 40
-    // 1800 keeps headroom against the ~1900 usable budget at the
-    // current ~220-query scale; the next tightening step if the registry
-    // passes ~220 is moving the positional array to integer centiseconds.
+    // Round 19 took the documented tightening step — per-query stdout
+    // values are integer DECISECONDS (exact 2-decimal second medians
+    // travel in BENCH_DETAIL.json's by_name) — so worst case per query
+    // is "99999," = 6 chars (a 10 000 s median would mean a hung query,
+    // not a slow box). Prefix worst case ≈ 310: the round-18 fields
+    // (`"core100"`, `"audit"`, `"ambient_suspect"`, the four pre-run
+    // `calib_*_ms`, `"qorder_md5"`, `"errors"`) plus round 19's
+    // `"build":NNNNN.NN` (+17) and `"calib_post":[N,N,N,N]` (+40 — the
+    // four post-run brackets as one compact array; full names live in
+    // the detail file).
+    val line = 310 + SparkEntry.registry.size * 6 + 40
+    // 1800 keeps headroom against the ~1900 usable budget to ~240
+    // registered queries; the next tightening step beyond that is
+    // dropping the positional array from stdout entirely (QORDER.json +
+    // BENCH_DETAIL.json already carry the per-query data by index and
+    // by name).
     assert(line < 1800, s"bench line worst case $line chars; tighten format")
     // error keys (rare) still use the short qNN prefix — keep it unique
     val short = SparkEntry.registry.map(_.name.takeWhile(_ != '_'))
@@ -65,11 +66,41 @@ class EntrySmokeSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("BuildQueries stay registered and deliberate (headline exclusion must not orphan them)") {
+    // same contract as the audit tier: build members keep RUNNING every
+    // bench; membership changes reshape the headline's meaning and must
+    // stay a documented act (Bench Scaladoc + BASELINE.md arithmetic)
+    val registered = SparkEntry.registry.map(_.name).toSet
+    val missing = Bench.BuildQueries -- registered
+    assert(missing.isEmpty,
+      s"build members missing from the registry: ${missing.toSeq.sorted.mkString(", ")}")
+    assert(Bench.BuildQueries == Set(
+      "q202_lsh_bucketed_corpus", "q203_lsh_persisted_index",
+      "q204_ivf_persisted_index", "q205_ivf_appended_index",
+      "q206_lsh_appended_index", "q207_pq_persisted_index",
+      "q208_ivfpq_persisted_index", "q209_ivfpq_adc_rerank"),
+      "build tier membership changed — update the Bench Scaladoc + BASELINE.md contract language")
+    // every read-only twin's builder must be registered BEFORE it (the
+    // twins read tables their builders write; registration order is the
+    // only thing guaranteeing builder-before-twin on unfiltered drives)
+    val order = SparkEntry.registry.map(_.name).zipWithIndex.toMap
+    Seq("q210_lsh_index_read" -> "q203_lsh_persisted_index",
+        "q211_ivf_index_read" -> "q204_ivf_persisted_index",
+        "q212_ivfpq_index_read" -> "q208_ivfpq_persisted_index")
+      .foreach { case (twin, builder) =>
+        assert(order(builder) < order(twin),
+          s"$twin must register after its builder $builder")
+      }
+  }
+
   test("every query runs on sf0.001 and returns rows") {
     val dir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val n = fn(spark, dir).count()
-      assert(n > 0, s"query $name returned 0 rows")
+    // REGISTRATION order, not map order: the read-only index twins
+    // (q210–q212) read tables their builders write earlier in the
+    // registry — an unordered map sweep could run a twin first
+    SparkEntry.registry.foreach { q =>
+      val n = q.impl(spark, dir).count()
+      assert(n > 0, s"query ${q.name} returned 0 rows")
     }
   }
 

@@ -4,9 +4,11 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sim.Similarity
 
-/** IVFPQ (VERDICT r17 item 1) and the persisted PQ index (item 3):
-  * the native ADC lookup table, the composed probe→ADC-prefilter→
-  * exact-re-rank operator, and the from-index PQ query path.
+/** IVFPQ (VERDICT r17 item 1; RESIDUAL-encoded since round 19 — VERDICT
+  * r18 item 1) and the persisted PQ index (item 3): the native ADC
+  * lookup table, the fused assign+residual-encode index scan, the
+  * composed probe→residual-ADC-prefilter→exact-re-rank operator, the
+  * stream's direct residual score, and the from-index PQ query path.
   */
 class IvfPqSpec extends AnyFunSuite {
   lazy val spark = TestSession.spark
@@ -23,6 +25,22 @@ class IvfPqSpec extends AnyFunSuite {
     df.orderBy("query_id", "rnk").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         java.lang.Double.doubleToLongBits(r.getDouble(3))))
+
+  /** the ExactSqDist capture rule, replayed independently on the driver:
+    * IEEE double subtract/multiply, shortest-repr HALF_UP capture at
+    * scale 18, exact sum.
+    */
+  private def exactSq(a: Array[Double], b: Array[Double]): BigDecimal =
+    (0 until math.min(a.length, b.length)).map { i =>
+      val d = a(i) - b(i)
+      BigDecimal(java.math.BigDecimal.valueOf(d * d)
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+    }.foldLeft(BigDecimal(0))(_ + _)
+
+  private def corpusVecs: Map[Long, Array[Double]] =
+    corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
 
   test("PqAdcTable entries equal the exact-decimal sub-distances within double rounding") {
     val m = 4; val kCodes = 8; val dsub = dim / m
@@ -70,11 +88,11 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got(3) === 49.0)
   }
 
-  test("PqAdcScore (direct, the stream's form) ≡ summed PqAdcTable lookups, bit-for-bit") {
+  test("PqAdcScore (direct, the plain-PQ form) ≡ summed PqAdcTable lookups, bit-for-bit") {
     // the batch path scores candidates via m lookups into the per-query
-    // table (broadcast build side); the stream scores directly per
+    // table (broadcast build side); the direct form scores per
     // (qv, codes) pair — same inner (x−c)² loop, same j-order sum, so
-    // the doubles must be IDENTICAL or the stream≡batch retention drifts
+    // the doubles must be IDENTICAL or retention rules drift
     val m = 4; val kCodes = 8
     val cb = Similarity.pqCodebook(corpus, "vec_id", "embedding", m, kCodes, dim)
     val codes = Similarity.pqIndex(corpus, "vec_id", "embedding",
@@ -93,6 +111,41 @@ class IvfPqSpec extends AnyFunSuite {
     assert(direct === viaTable)
   }
 
+  test("IvfPqAdcScore (stream's residual form) ≡ PqAdcScore over the zip_with residual ≡ residual table lookups, bit-for-bit") {
+    // the batch path re-bases the query into each probed cell and
+    // builds a per-(query, cell) lookup table from that residual; the
+    // stream scores each candidate directly from (qv, codes, cell).
+    // All three must produce IDENTICAL doubles or the stream≡batch
+    // retention drifts. Pair every corpus row (as its own query) with
+    // its index row so every cell and code path is exercised.
+    val m = 4; val kCodes = 8; val nCells = 4
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = nCells, m = m, k = kCodes, dim = dim)
+    val centFrame = broadcast(idx.centroids.select(
+      col("cell").cast("int").as("cell"),
+      col("cvec").cast("array<double>").as("__cc")))
+    val withR = corpus
+      .join(idx.cells.withColumnRenamed("neighbor_id", "vec_id"), "vec_id")
+      .join(centFrame, "cell")
+      .select(col("vec_id"), col("cell"), col("codes"), col("embedding"),
+        zip_with(col("embedding").cast("array<double>"), col("__cc"),
+          (x, c) => x - c).as("__rq"))
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    val direct = bits(withR.select(col("vec_id"),
+      Similarity.ivfPqAdcScoreCol(idx.centroids, idx.codebook, m, dim,
+        col("embedding"), col("codes"), col("cell")).as("s")))
+    val viaScore = bits(withR.select(col("vec_id"),
+      Similarity.adcScoreCol(idx.codebook, m, dim,
+        col("__rq"), col("codes")).as("s")))
+    val (nCodes, qt) = Similarity.adcTableCol(idx.codebook, m, dim, col("__rq"))
+    val viaTable = bits(withR.select(col("vec_id"),
+      Similarity.adcLookupSum(qt, col("codes"), m, nCodes).as("s")))
+    assert(direct === viaScore)
+    assert(direct === viaTable)
+  }
+
   test("IVFPQ at full coverage (nProbe = nCells, rerank ≥ n) equals exact search") {
     val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
       nCells = 4, m = 4, k = 8, dim = dim)
@@ -104,70 +157,103 @@ class IvfPqSpec extends AnyFunSuite {
     assert(got === exact)
   }
 
-  test("exact-ADC audit variant: strict top-rerank by exact ADC, then exact cosine") {
-    // Engine-twin reference: at FULL probe the exactAdc survivor rule —
-    // strict top-rerank by (exact decimal ADC, id) over all candidates —
-    // is exactly pqTopK's output contract at topK = rerank under the
-    // same (md5-sampled, therefore identical) codebook; the final stage
-    // is the exact cosine top-k among those survivors, i.e. cosineTopK
-    // over the survivor-restricted corpus. (The production DOUBLE path
-    // is deliberately a SUPERSET at the boundary: its margin retention
-    // keeps whole ADC-tie groups — code-identical candidates tie
-    // exactly — where the strict replayable rule cuts inside them by
-    // id; full-coverage equality is the previous test's pin, and q209's
-    // oracle replays this strict rule in SQL.)
+  test("exact-ADC audit variant: strict top-rerank by exact residual ADC, then exact cosine") {
+    // Independent driver replay of the whole audit rule (the q209
+    // protocol): deterministic centroids, exact-decimal assignment,
+    // exact residual codes, per-(query, cell) residual ADC, strict
+    // (adc asc, id) top-rerank, exact cosine over the survivors. (The
+    // production DOUBLE path is deliberately a SUPERSET at the
+    // boundary: same-cell code-identical candidates tie exactly in
+    // ADC, the margin retention keeps the whole tie group, the strict
+    // replayable rule cuts inside it by id; full-coverage equality is
+    // the previous test's pin.)
     val rerank = 12
-    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
-      nCells = 4, m = 4, k = 8, dim = dim, exactEncode = true)
+    val m = 4; val kCodes = 8; val nCells = 4
+    val cents = Similarity.deterministicCentroids(corpus, "vec_id",
+      "embedding", nCells)
+    val idx = Similarity.ivfPqIndexWith(corpus, "vec_id", "embedding",
+      cents, m = m, k = kCodes, dim = dim, exactEncode = true)
     val got = rows(Similarity.ivfPqTopKFromIndex(idx.cells, idx.centroids,
       idx.codebook, corpus, queries, "vec_id", "embedding",
-      k = 5, m = 4, dim = dim, nProbe = 4, rerank = rerank, exactAdc = true))
-    val survByQuery = Similarity.pqTopK(corpus, queries,
-        "vec_id", "embedding", m = 4, k = 8, dim = dim, topK = rerank,
-        exactEncode = true)
-      .select("query_id", "neighbor_id").collect()
-      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
-    val want = survByQuery.toSeq.sortBy(_._1).flatMap { case (qid, surv) =>
+      k = 5, m = m, dim = dim, nProbe = nCells, rerank = rerank,
+      exactAdc = true))
+    val dsub = dim / m
+    val centArr = idx.centroids.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cellsMap = idx.cells.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Int](2)))).toMap
+    val cbMap = idx.codebook.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val vecs = corpusVecs
+    val want = queries.collect().map(_.getLong(0)).sorted.flatMap { qid =>
+      val qv = vecs(qid)
+      val adcByN = cellsMap.toSeq.filter(_._1 != qid)
+        .map { case (nid, (cell, codes)) =>
+          val rq = Array.tabulate(dim)(d => qv(d) - centArr(cell)(d))
+          val adc = (0 until m).map { j =>
+            exactSq(rq.slice(j * dsub, (j + 1) * dsub), cbMap((j, codes(j))))
+          }.foldLeft(BigDecimal(0))(_ + _)
+          (nid, adc)
+        }
+      val surv = adcByN.sortBy { case (nid, adc) => (adc, nid) }
+        .take(rerank).map(_._1)
       rows(Similarity.cosineTopK(
-        corpus.filter(col("vec_id").isin(surv.toSeq: _*)),
+        corpus.filter(col("vec_id").isin(surv: _*)),
         queries.filter(col("vec_id") === qid),
         "vec_id", "embedding", k = 5))
-    }.toArray
+    }
     assert(got === want)
   }
 
-  test("exactEncode index carries the pqEncode codes; fast index the fast codes") {
+  test("fused index: cells ≡ flat ivfIndex assignment; residual codes ≡ the exact-decimal argmin replay") {
+    val m = 4; val kCodes = 8; val nCells = 4
     val fast = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
-      nCells = 4, m = 4, k = 8, dim = dim)
-    val cb = fast.codebook
-    val wantFast = Similarity.pqIndex(corpus, "vec_id", "embedding",
-      m = 4, k = 8, dim = dim).codes.orderBy("neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-    val gotFast = fast.cells.select("neighbor_id", "codes")
-      .orderBy("neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-    assert(gotFast === wantFast)
-    val exact = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
-      nCells = 4, m = 4, k = 8, dim = dim, exactEncode = true)
-    val wantExact = Similarity.pqEncode(corpus, "vec_id", "embedding",
-        cb, m = 4, dim = dim)
-      .groupBy(col("vec_id")).agg(transform(
-        array_sort(collect_list(struct(col("j"), col("code")))),
-        g => g.getField("code")).as("codes"))
-      .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-    val gotExact = exact.cells.select("neighbor_id", "codes")
-      .orderBy("neighbor_id").collect()
-      .map(r => (r.getLong(0), r.getSeq[Int](1)))
-    assert(gotExact === wantExact)
-    // and both index forms assign the SAME cells as the flat ivfIndex
-    val flat = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4)
+      nCells = nCells, m = m, k = kCodes, dim = dim)
+    // the fused production scan assigns the SAME cells as the flat
+    // ivfIndex (the frozen-quantizer append contract depends on it)
+    val flat = Similarity.ivfIndex(corpus, "vec_id", "embedding",
+        nCells = nCells)
       .cells.orderBy("neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     val gotCells = fast.cells.select("neighbor_id", "cell")
       .orderBy("neighbor_id").collect()
       .map(r => (r.getLong(0), r.getInt(1)))
     assert(gotCells === flat)
+    // the fused scan's codes agree with a driver replay of the
+    // exact-decimal residual argmin UNDER THE SAME cells (true gaps on
+    // this corpus ≫ double rounding — the PqSpec fast≡exact relation)
+    val dsub = dim / m
+    val centArr = fast.centroids.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val cbMap = fast.codebook.collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray)).toMap
+    val vecs = corpusVecs
+    fast.cells.collect().foreach { r =>
+      val nid = r.getLong(0); val cell = r.getInt(1)
+      val codes = r.getSeq[Int](2)
+      val rq = Array.tabulate(dim)(d => vecs(nid)(d) - centArr(cell)(d))
+      (0 until m).foreach { j =>
+        val want = (0 until kCodes).minBy(c =>
+          (exactSq(rq.slice(j * dsub, (j + 1) * dsub), cbMap((j, c))), c))
+        assert(codes(j) === want, s"row $nid subspace $j")
+      }
+    }
+    // the exactEncode form under deterministic centroids: assignment
+    // replays the exact-decimal argmin (ties to the lower cell)
+    val cents = Similarity.deterministicCentroids(corpus, "vec_id",
+      "embedding", nCells)
+    val exact = Similarity.ivfPqIndexWith(corpus, "vec_id", "embedding",
+      cents, m = m, k = kCodes, dim = dim, exactEncode = true)
+    val dCentArr = cents.orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    exact.cells.select("neighbor_id", "cell").collect().foreach { r =>
+      val nid = r.getLong(0)
+      val want = (0 until nCells).minBy(c => (exactSq(vecs(nid), dCentArr(c)), c))
+      assert(r.getInt(1) === want, s"exact assignment for row $nid")
+    }
+    // and the residual codebook rows ARE the md5-sample residuals
+    assert(exact.codebook.count() === m.toLong * kCodes)
+    assert(exact.codebook.select("cvec").head.getSeq[Double](0).length === dsub)
   }
 
   test("pqTopKFromIndex over the built index equals the in-query pqTopK") {

@@ -226,15 +226,32 @@ class JoinInvariantSpec extends AnyFunSuite {
     "q208_ivfpq_persisted_index" ->
       ("q204's IVFPQ sibling: the hinted frames are the bounded query " +
         "batch (vec_id < 10 from the bucketed corpus table) carrying " +
-        "its probe cells and ADC lookup table — one row per (query, " +
-        "probed cell), ≤ |queries|·nProbe by construction — in the " +
-        "probe join and both re-rank stages; the cells side is never " +
-        "hinted"),
+        "its per-(query, probed cell) RESIDUAL ADC lookup tables — one " +
+        "row per (query, probed cell), ≤ |queries|·nProbe by " +
+        "construction — plus the nCells-row centroid frame the " +
+        "residuals re-base against, in the probe join and both re-rank " +
+        "stages; the cells side is never hinted"),
     "q209_ivfpq_adc_rerank" ->
-      ("q208's exact-ADC audit twin: the same bounded query-batch " +
-        "frames (vec_id < 3) plus the per-(query, j, code) decimal " +
-        "table — ≤ |queries|·m·k rows by the codebook contract, the " +
-        "q120 shape"),
+      ("q208's exact residual-ADC audit twin: the same bounded " +
+        "query-batch frames (vec_id < 3) re-based per probed cell " +
+        "(≤ |queries|·nProbe rows), the per-(query, cell, j, code) " +
+        "decimal table (≤ |queries|·nProbe·m·k rows by the codebook " +
+        "contract), and the nCells-row centroid frame — all " +
+        "model/query-bounded; the cells side is never hinted"),
+    "q210_lsh_index_read" ->
+      ("q203's read-only from-index twin (same query half, no build): " +
+        "the same bounded query-set contract, query frame read from " +
+        "the bucketed corpus table the builder wrote"),
+    "q211_ivf_index_read" ->
+      ("q204's read-only from-index twin: the same bounded query batch " +
+        "(vec_id < 10 from the bucketed corpus table) hinted in the " +
+        "probe join and re-rank — the q41 contract; the cells side is " +
+        "never hinted"),
+    "q212_ivfpq_index_read" ->
+      ("q208's read-only from-index twin: the same bounded query batch " +
+        "carrying its per-(query, probed cell) residual ADC tables " +
+        "(≤ |queries|·nProbe rows) plus the nCells-row centroid frame; " +
+        "the cells side is never hinted"),
     "q153_rrf_fusion" ->
       ("the hinted sides are two two-stage top-k outputs (≤ 50 rows — " +
         "the bound WindowInvariantSpec reviews for this query)"),
