@@ -766,7 +766,8 @@ object ScaleStress {
       // Its own index build (the same seeded train re-runs) keeps the
       // flat-IVF family's tables byte-identical to the r17 campaign.
       val serveM = 8; val serveCodes = 256; val serveRerank = 64
-      if (wantServe("serve_ivfpq_topk")) {
+      // any ivfpq arm (topk, pinned, or e2e) needs the tables
+      if (wantServe("serve_ivfpq_topk") || wantServe("serve_ivfpq_e2e")) {
         val pqIdx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
           nCells = serveCells, m = serveM, k = serveCodes, dim = dim)
         graft.sources.Csv.bucketedSink(pqIdx.cells,
