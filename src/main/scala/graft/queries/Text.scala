@@ -4196,7 +4196,10 @@ object Text {
     // pqCodebook sample rule on the quantizer; recall comes from
     // nProbe, not centroid polish) with the fully-exact encode:
     // exact-decimal cell assignment (ties to the lower cell), residual
-    // codebook from the md5-sampled rows' residuals, exact-decimal
+    // codebook from the SALTED-md5-sampled rows' residuals (the salt —
+    // Similarity.IvfPqCbSalt — decorrelates the training sample from
+    // the centroid pick: the unsalted rule made every sampled residual
+    // exactly zero whenever nCells ≥ k), exact-decimal
     // residual codes, per-(query, cell) residual ADC tables, strict
     // (adc asc, id) top-rerank = 10, exact-cosine re-rank of those 10.
     // A wrong assignment, residual, code, table entry, or boundary

@@ -256,6 +256,30 @@ class IvfPqSpec extends AnyFunSuite {
     assert(exact.codebook.select("cvec").head.getSeq[Double](0).length === dsub)
   }
 
+  test("residual codebook training sample is DECORRELATED from the centroid pick (the zero-codebook regression)") {
+    // Both orderings once shared the unsalted md5 rule, so with
+    // nCells ≥ k every codebook sample row WAS a centroid, every
+    // training residual was x − x = 0, and the codebook collapsed to
+    // m×k zero vectors — every same-cell candidate tied exactly in ADC
+    // and no recall knob moved (measured: recall frozen at 0.48 with
+    // identical survivor sets across m and rerank, SCALE.md round 19).
+    // The salt (Similarity.IvfPqCbSalt) fixes it; this pins that a
+    // deterministic quantizer with MORE cells than codebook samples
+    // still trains on substantially NON-ZERO residuals.
+    val m = 4; val kCodes = 8; val nCells = 16 // nCells ≥ k: the trap regime
+    val cents = Similarity.deterministicCentroids(corpus, "vec_id",
+      "embedding", nCells)
+    val cb = Similarity.ivfPqCodebook(corpus, "vec_id", "embedding",
+      cents, m, kCodes, dim)
+    val rows = cb.collect().map(_.getSeq[Double](2))
+    val nonZero = rows.count(_.exists(math.abs(_) > 1e-12))
+    // a sampled row CAN legitimately be a centroid (its residual IS
+    // zero) — the degeneracy is ALL of them being centroids
+    assert(nonZero > rows.length / 2,
+      s"only $nonZero of ${rows.length} codebook residuals are non-zero — " +
+        "the training sample has re-collapsed onto the centroid pick")
+  }
+
   test("pqTopKFromIndex over the built index equals the in-query pqTopK") {
     val m = 4; val kCodes = 8
     val idx = Similarity.pqIndex(corpus, "vec_id", "embedding",
