@@ -28,6 +28,26 @@ object Text {
 
   private val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
 
+  /** Read a session-warehouse table a BUILDER query writes as a side
+    * effect (the read-only q210–q212 twins). `SparkEntry.queries` is an
+    * unordered Map, so any consumer iterating it out of registration
+    * order — or a name-filtered run naming only a twin — would hit a
+    * generic TABLE_OR_VIEW_NOT_FOUND here; rethrow naming the builder
+    * that must run first instead (ADVICE r19).
+    */
+  private[graft] def builderTable(s: org.apache.spark.sql.SparkSession,
+                                  table: String, builder: String):
+      org.apache.spark.sql.DataFrame =
+    try s.table(table)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"warehouse table `$table` not found: run its builder query " +
+            s"`$builder` first in this session (read-only index twins " +
+            "depend on registration order — include the builder in any " +
+            "name-filtered Verify/Bench run)", e)
+    }
+
   /** Decimal-exact dot product fragment for the DuckDB oracle: mirrors
     * [[Similarity.dotExact]] (per-term DECIMAL(38,18) capture, exact sum,
     * one final double rounding).
@@ -4304,8 +4324,10 @@ object Text {
     // invariant sweeps, because builder impls write eagerly).
     Q("q210_lsh_index_read", exactAnnTop5Sql) { (s, dir) =>
       Similarity.signLshTopKFromIndex(
-        s.table("graft_q203_lsh_index"), s.table("graft_q203_ann_corpus"),
-        s.table("graft_q203_ann_corpus").filter(col("vec_id") < 10),
+        builderTable(s, "graft_q203_lsh_index", "q203_lsh_persisted_index"),
+        builderTable(s, "graft_q203_ann_corpus", "q203_lsh_persisted_index"),
+        builderTable(s, "graft_q203_ann_corpus", "q203_lsh_persisted_index")
+          .filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, bits = 0, tables = 2)
         .withColumn("cosine",
           col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
@@ -4314,9 +4336,11 @@ object Text {
 
     Q("q211_ivf_index_read", exactAnnTop5Sql) { (s, dir) =>
       Similarity.ivfTopKFromIndex(
-        s.table("graft_q204_ivf_cells"), s.table("graft_q204_ivf_centroids"),
-        s.table("graft_q204_ann_corpus"),
-        s.table("graft_q204_ann_corpus").filter(col("vec_id") < 10),
+        builderTable(s, "graft_q204_ivf_cells", "q204_ivf_persisted_index"),
+        builderTable(s, "graft_q204_ivf_centroids", "q204_ivf_persisted_index"),
+        builderTable(s, "graft_q204_ann_corpus", "q204_ivf_persisted_index"),
+        builderTable(s, "graft_q204_ann_corpus", "q204_ivf_persisted_index")
+          .filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, nProbe = 16)
         .withColumn("cosine",
           col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
@@ -4325,11 +4349,12 @@ object Text {
 
     Q("q212_ivfpq_index_read", exactAnnTop5Sql) { (s, dir) =>
       Similarity.ivfPqTopKFromIndex(
-        s.table("graft_q208_ivfpq_cells"),
-        s.table("graft_q208_ivfpq_centroids"),
-        s.table("graft_q208_ivfpq_cb"),
-        s.table("graft_q208_ann_corpus"),
-        s.table("graft_q208_ann_corpus").filter(col("vec_id") < 10),
+        builderTable(s, "graft_q208_ivfpq_cells", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ivfpq_centroids", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ivfpq_cb", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ann_corpus", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ann_corpus", "q208_ivfpq_persisted_index")
+          .filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, m = 8, dim = 64,
         nProbe = 16, rerank = 1000000)
         .withColumn("cosine",

@@ -1429,15 +1429,20 @@ object Similarity {
     * the [[assignCellsExact]] rule on one vector, with the engine's own
     * margin-prefilter trick so a production-sized quantizer does not
     * cost O(nCells·dim) BigDecimal ops per sample: a plain double
-    * sq-dist pass picks the candidates within an absolute 1e-6 margin
-    * of the min (double-vs-exact skew is ≤ ~dim·ulp·magnitude ≈ 1e-11
-    * at embedding scale — 5 orders inside the margin), and only those
-    * few near-ties pay the [[graft.functions.ExactSqDist]] kernel.
-    * Bit-identical to the all-exact argmin by the margin argument, so
-    * q209's SQL replay holds.
+    * sq-dist pass picks the candidates within a MAGNITUDE-AWARE margin
+    * of the min — `minD·1e-9 + 1e-6`, the relative term covering
+    * large-component inputs (double sq-dist error is ~dim·ulp·minD ≈
+    * minD·1e-14 at dim ≤ 4k — 5 orders inside minD·1e-9 at ANY scale)
+    * and the absolute term covering minD ≈ 0 where the relative term
+    * vanishes — and only those few near-ties pay the
+    * [[graft.functions.ExactSqDist]] kernel. Bit-identical to the
+    * all-exact argmin by the margin argument WITHOUT a unit-scale
+    * precondition (ADVICE r19: the old absolute-only 1e-6 margin could
+    * silently exclude the true argmin once sq-dists reached ~1e6), so
+    * q209's SQL replay holds for arbitrary-magnitude embeddings.
     */
-  private def exactArgminCell(v: Array[Double],
-                              centers: Array[Array[Double]]): Int = {
+  private[graft] def exactArgminCell(v: Array[Double],
+                                     centers: Array[Array[Double]]): Int = {
     val dd = new Array[Double](centers.length)
     var minD = Double.PositiveInfinity
     var c = 0
@@ -1453,7 +1458,8 @@ object Similarity {
     // degenerate (NaN) distances never pass the ≤ filter — fall through
     // to the exact loop, whose decimal capture throws LOUDLY on NaN
     // (the similarity family's degenerate-input contract)
-    val cand0 = (0 until centers.length).filter(i => dd(i) <= minD + 1e-6)
+    val margin = minD * 1e-9 + 1e-6
+    val cand0 = (0 until centers.length).filter(i => dd(i) <= minD + margin)
     val cand = if (cand0.nonEmpty) cand0 else 0 until centers.length
     if (cand.length == 1) cand.head
     else {
@@ -1705,9 +1711,22 @@ object Similarity {
             posexplode(col("codes")))
           .select(col("query_id"), col("cell"), col("neighbor_id"),
             col("pos").cast("int").as("j"), col("col").as("code"))
+        // the inner join drops any null/out-of-range code slot, which
+        // would UNDER-sum that candidate's ADC and wrongly promote it
+        // into the strict rerank (ADVICE r19) — a complete code array
+        // joins exactly one table row per j, so require m terms and
+        // throw LOUDLY otherwise (the production paths' PqAdcScore /
+        // IvfPqAdcScore null-code contract, replayed here)
         val adc = cands
           .join(broadcast(table), Seq("query_id", "cell", "j", "code"))
-          .groupBy("query_id", "neighbor_id").agg(sum(col("td")).as("adc"))
+          .groupBy("query_id", "neighbor_id")
+          .agg(sum(col("td")).as("__adc"), count(lit(1)).as("__nt"))
+          .select(col("query_id"), col("neighbor_id"),
+            when(col("__nt") === m, col("__adc"))
+              .otherwise(raise_error(format_string(
+                s"exactAdc: candidate %s joined %s != $m ADC terms — " +
+                  "null or out-of-range code slots in the cells table",
+                col("neighbor_id"), col("__nt")))).as("adc"))
         // STRICT top-rerank by the exact decimal (replayable — no
         // double margin): row_number over (adc asc, neighbor_id)
         val w = Window.partitionBy("query_id")

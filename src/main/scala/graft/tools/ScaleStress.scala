@@ -766,8 +766,13 @@ object ScaleStress {
       // Its own index build (the same seeded train re-runs) keeps the
       // flat-IVF family's tables byte-identical to the r17 campaign.
       val serveM = 8; val serveCodes = 256; val serveRerank = 64
-      // any ivfpq arm (topk, pinned, or e2e) needs the tables
-      if (wantServe("serve_ivfpq_topk") || wantServe("serve_ivfpq_e2e")) {
+      // any ivfpq arm (topk, pinned, or e2e) needs the tables — gate on
+      // every arm NAME (wantServe matches filter substrings against the
+      // arm name, so a run filtered exactly to the pinned arm would
+      // otherwise skip the build and fail on missing tables; ADVICE r19)
+      if (wantServe("serve_ivfpq_topk") ||
+          wantServe("serve_ivfpq_topk_pinned") ||
+          wantServe("serve_ivfpq_e2e")) {
         val pqIdx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
           nCells = serveCells, m = serveM, k = serveCodes, dim = dim)
         graft.sources.Csv.bucketedSink(pqIdx.cells,

@@ -280,6 +280,75 @@ class IvfPqSpec extends AnyFunSuite {
         "the training sample has re-collapsed onto the centroid pick")
   }
 
+  test("exactArgminCell matches the all-exact argmin at large magnitudes (the relative-margin fix)") {
+    // ADVICE r19 (medium): the old ABSOLUTE 1e-6 prefilter margin held
+    // only for unit-scale embeddings — at sq-dists ≳1e6 the double-pass
+    // rounding exceeds it and the true exact argmin can be silently
+    // excluded from the exact re-check. The margin is now
+    // minD·1e-9 + 1e-6; pin bit-identity to a driver all-exact replay
+    // across magnitudes 1, 1e3, and 1e6 (sq-dists up to ~1e14).
+    val base = corpusVecs
+    for (scale <- Seq(1.0, 1e3, 1e6)) {
+      val centers = (0L until 8L).map(i => base(i).map(_ * scale)).toArray
+      (8L until 40L).foreach { i =>
+        val v = base(i).map(_ * scale)
+        val got = Similarity.exactArgminCell(v, centers)
+        val want = (0 until centers.length).minBy(c =>
+          (exactSq(v, centers(c)), c))
+        assert(got === want, s"vector $i at scale $scale")
+      }
+    }
+    // the adversarial case the absolute margin could break: two centers
+    // whose diffs-to-v are PERMUTATIONS of each other — exact sq-dists
+    // tie precisely (same multiset of terms), while the large-magnitude
+    // double sums can differ by several ulps (≈2e-6 per term at 1e10)
+    // in either direction. The exact tie must resolve to the LOWER
+    // index no matter which center the double pass happens to favor.
+    val big = Array.tabulate(dim)(d => 1e5 + d * 137.0 + 0.123 * d * d)
+    val perturb = Array.tabulate(dim)(d => if (d % 2 == 0) 1.75 else -2.25)
+    val cA = Array.tabulate(dim)(d => big(d) + perturb(d))
+    val cB = Array.tabulate(dim)(d => big(d) + perturb(dim - 1 - d))
+    assert(exactSq(big, cA) === exactSq(big, cB))
+    assert(Similarity.exactArgminCell(big, Array(cA, cB)) === 0)
+    assert(Similarity.exactArgminCell(big, Array(cB, cA)) === 0)
+  }
+
+  test("exactAdc throws LOUDLY on a null code slot instead of under-summing the candidate") {
+    // ADVICE r19: the audit path's inner join silently dropped a null
+    // slot's j term, UNDER-summing that candidate's ADC and wrongly
+    // promoting it into the strict top-rerank; production paths
+    // (PqAdcScore / IvfPqAdcScore) already throw. Pin the audit parity.
+    val m = 4; val kCodes = 8; val nCells = 4
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = nCells, m = m, k = kCodes, dim = dim)
+    val holed = idx.cells.withColumn("codes",
+      when(col("neighbor_id") === 7L,
+        array(col("codes")(0), lit(null).cast("int"),
+          col("codes")(2), col("codes")(3)))
+        .otherwise(col("codes")))
+    val e = intercept[Exception] {
+      Similarity.ivfPqTopKFromIndex(holed, idx.centroids, idx.codebook,
+        corpus, queries, "vec_id", "embedding", k = 5, m = m, dim = dim,
+        nProbe = nCells, rerank = 1000, exactAdc = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("ADC terms")),
+      s"expected the exactAdc m-terms guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("builderTable rethrows a missing warehouse table naming the builder query") {
+    // ADVICE r19: a name-filtered run (or any consumer iterating the
+    // unordered queries Map) naming only a read-only twin used to fail
+    // with a generic TABLE_OR_VIEW_NOT_FOUND.
+    val e = intercept[IllegalStateException] {
+      graft.queries.Text.builderTable(spark,
+        "graft_no_such_table_xyz", "q999_builder")
+    }
+    assert(e.getMessage.contains("q999_builder"))
+    assert(e.getMessage.contains("graft_no_such_table_xyz"))
+  }
+
   test("pqTopKFromIndex over the built index equals the in-query pqTopK") {
     val m = 4; val kCodes = 8
     val idx = Similarity.pqIndex(corpus, "vec_id", "embedding",
