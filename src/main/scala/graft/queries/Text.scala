@@ -4362,6 +4362,179 @@ object Text {
         .orderBy("query_id", "rnk")
     },
 
+    // ---- predicate-constrained ANN (round 20, VERDICT r19 item 5) ----
+    // Production ANN queries routinely carry a filter ("top-5 within
+    // lang = fr"); post-filtering a plain top-k silently returns < k
+    // rows. These two read-only twins push the predicate into candidate
+    // generation: the caller's metadata filter becomes a one-column
+    // allowed-id frame (predicate pushed down to the METADATA scan),
+    // semi-joined onto the persisted cells scan BEFORE the probe join —
+    // id-only, broadcast under a selective filter, so the bucketed
+    // index layout survives and disallowed rows never reach ADC/re-rank
+    // (Similarity.restrictIndex). At full coverage the result must
+    // equal EXACT search over the filtered corpus — the q85/q78
+    // full-coverage-≡-exact pattern, with the filter inside both sides.
+    // Recall-vs-selectivity under partial probes is measured by the
+    // `ann filtered` ScaleStress family (SCALE.md round 20).
+    Q("q213_ivf_filtered_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS cv
+        |        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        |        WHERE d.lang = 'fr'),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val allowed = documents(s, dir).filter(col("lang") === "fr")
+        .select(col("doc_id"))
+      Similarity.ivfTopKFromIndex(
+        builderTable(s, "graft_q204_ivf_cells", "q204_ivf_persisted_index"),
+        builderTable(s, "graft_q204_ivf_centroids", "q204_ivf_persisted_index"),
+        builderTable(s, "graft_q204_ann_corpus", "q204_ivf_persisted_index"),
+        builderTable(s, "graft_q204_ann_corpus", "q204_ivf_persisted_index")
+          .filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16,
+        allowed = Some(allowed))
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
+    Q("q214_ivfpq_filtered_topk",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |        FROM embeddings WHERE label IN (1, 3, 5)),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val allowed = embeddings(s, dir)
+        .filter(col("label").isin(1, 3, 5)).select(col("vec_id"))
+      Similarity.ivfPqTopKFromIndex(
+        builderTable(s, "graft_q208_ivfpq_cells", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ivfpq_centroids", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ivfpq_cb", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ann_corpus", "q208_ivfpq_persisted_index"),
+        builderTable(s, "graft_q208_ann_corpus", "q208_ivfpq_persisted_index")
+          .filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, dim = 64,
+        nProbe = 16, rerank = 1000000, allowed = Some(allowed))
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
+    // ---- delete-from-index (round 20, VERDICT r19 item 2) ----
+    // A takedown (q160) removes rows from the corpus; until round 20 a
+    // persisted index could only append and compact, so forgetting a
+    // row meant a full rebuild. These two drive BOTH delete arms end
+    // to end in the q205/q206 appended-index pattern: build the index,
+    // persist it, DELETE a slice, query at full coverage — the oracle
+    // is exact search over the POST-DELETE corpus, so a surviving
+    // deleted row (or a lost survivor) breaks the hash. Models stay
+    // frozen through both arms: removing rows cannot re-home the
+    // survivors, so frozen-model delete is exact (IndexAppendSpec pins
+    // delete ≡ rebuild-minus-rows).
+    // q215 = the ANTI-JOIN REWRITE arm (Csv.bucketedDelete): one scan +
+    // rewrite through the catalog bucketing spec, zero model work,
+    // read overhead zero afterwards. q216 = the TOMBSTONE arm
+    // (Similarity.withoutTombstones): O(|deleted|) tombstone write,
+    // readers anti-join the tombstone table before candidate
+    // generation. The `append` ScaleStress decade prices the arms.
+    Q("q215_ivf_deleted_index",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 7 <> 0),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = Similarity.ivfIndex(emb, "vec_id", "embedding", nCells = 16)
+      graft.sources.Csv.bucketedSink(idx.cells, "graft_q215_ivf_cells",
+        Seq("neighbor_id"), buckets = 8)
+      graft.sources.Csv.bucketedSink(idx.centroids,
+        "graft_q215_ivf_centroids", Seq("cell"), buckets = 1)
+      graft.sources.Csv.bucketedSink(emb, "graft_q215_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      graft.sources.Csv.bucketedDelete(s, "graft_q215_ivf_cells",
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+        "neighbor_id")
+      Similarity.ivfTopKFromIndex(
+        s.table("graft_q215_ivf_cells"), s.table("graft_q215_ivf_centroids"),
+        s.table("graft_q215_ann_corpus"),
+        s.table("graft_q215_ann_corpus").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nProbe = 16)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
+    Q("q216_ivfpq_tombstoned_index",
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |  c AS (SELECT vec_id AS neighbor_id, embedding AS cv
+        |        FROM embeddings WHERE vec_id % 9 <> 0),
+        |  scored AS (
+        |    SELECT query_id, neighbor_id,
+        |      ${dotSql("qv", "cv")}
+        |      / (SQRT(${dotSql("qv", "qv")}) * SQRT(${dotSql("cv", "cv")})) AS cosine
+        |    FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+        |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+        |  CAST(CAST(cosine AS DECIMAL(18,9)) AS DOUBLE) AS cosine FROM (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin) { (s, dir) =>
+      val emb = embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val idx = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+        nCells = 16, m = 8, k = 16, dim = 64)
+      graft.sources.Csv.bucketedSink(idx.cells, "graft_q216_ivfpq_cells",
+        Seq("neighbor_id"), buckets = 8)
+      graft.sources.Csv.bucketedSink(idx.centroids,
+        "graft_q216_ivfpq_centroids", Seq("cell"), buckets = 1)
+      graft.sources.Csv.bucketedSink(idx.codebook, "graft_q216_ivfpq_cb",
+        Seq("j", "code"), buckets = 1)
+      graft.sources.Csv.bucketedSink(emb, "graft_q216_ann_corpus",
+        Seq("vec_id"), buckets = 8)
+      // the takedown itself: O(|deleted|) tombstone write, no index scan
+      graft.sources.Csv.bucketedSink(
+        emb.filter(col("vec_id") % 9 === 0).select(col("vec_id")),
+        "graft_q216_tombstones", Seq("vec_id"), buckets = 1)
+      Similarity.ivfPqTopKFromIndex(
+        Similarity.withoutTombstones(s.table("graft_q216_ivfpq_cells"),
+          s.table("graft_q216_tombstones")),
+        s.table("graft_q216_ivfpq_centroids"),
+        s.table("graft_q216_ivfpq_cb"),
+        s.table("graft_q216_ann_corpus"),
+        s.table("graft_q216_ann_corpus").filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 8, dim = 64,
+        nProbe = 16, rerank = 1000000)
+        .withColumn("cosine",
+          col("cosine").cast(org.apache.spark.sql.types.DecimalType(18, 9)).cast("double"))
+        .orderBy("query_id", "rnk")
+    },
+
     // ---- global top-k via the map-side margin-top-k aggregate ----
     // The ops/TopKAgg.scala combiner registered as its own surface (it
     // also runs inside every cosineTopK / rerankCandidates plan —

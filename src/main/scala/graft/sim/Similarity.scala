@@ -400,10 +400,72 @@ object Similarity {
                            vecCol: String, k: Int, dim: Int,
                            bits: Int = 12, tables: Int = 4,
                            seed: Long = 42L,
-                           exactPlaneDots: Boolean = false): DataFrame = {
-    val cands = signLshCandidatesFromIndex(index, queries, idCol, vecCol,
+                           exactPlaneDots: Boolean = false,
+                           allowed: Option[DataFrame] = None): DataFrame = {
+    val cands = signLshCandidatesFromIndex(
+      restrictIndex(index, allowed), queries, idCol, vecCol,
       dim, bits, tables, seed, exactPlaneDots)
     rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
+  }
+
+  /** Predicate-constrained ANN (VERDICT r19 item 5): restrict a
+    * persisted index frame to the ids in `allowed` BEFORE candidate
+    * generation, so a filtered top-k ("top-k within lang = X") still
+    * returns k rows of MATCHING neighbors instead of scoring everything
+    * and letting the caller post-filter down to < k survivors.
+    *
+    * `allowed` is a one-column frame of permitted neighbor ids — the
+    * caller materializes their metadata predicate as
+    * `meta.filter(pred).select(id)`, which keeps the scale contract
+    * honest: the predicate pushes down to the METADATA scan (its own
+    * pruned parquet read), and what reaches the index is an id-only
+    * LEFT-SEMI join — under a selective filter the id frame broadcasts
+    * (no exchange at all, the bucketed cells layout survives intact
+    * for the downstream probe/attach joins); under a broad one it
+    * shuffles 8-byte ids, never vectors or payloads. Filtering BEFORE
+    * the probe join also shrinks the candidate mass itself — the ADC /
+    * re-rank stages never see a disallowed row. Recall under a
+    * selective filter interacts with nProbe (a probed cell may hold
+    * few matching rows); the `ann filtered` ScaleStress family
+    * measures that slope.
+    */
+  private def restrictIndex(index: DataFrame,
+                            allowed: Option[DataFrame]): DataFrame =
+    allowed match {
+      case None => index
+      case Some(a) =>
+        require(a.columns.length == 1,
+          s"allowed-id frame must have exactly one id column, " +
+            s"got [${a.columns.mkString(", ")}]")
+        index.join(a.select(col(a.columns.head).as("neighbor_id")),
+          Seq("neighbor_id"), "left_semi")
+    }
+
+  /** The TOMBSTONE arm of index deletion (VERDICT r19 item 2, the
+    * complement of [[graft.sources.Csv.bucketedDelete]]'s anti-join
+    * rewrite): a takedown appends its ids to a small tombstone table
+    * (O(|deleted|) — no index scan, no rewrite, no model work), and
+    * every from-index reader wraps its cells/codes/index frame in this
+    * LEFT-ANTI join before candidate generation — deleted rows never
+    * reach ADC scoring or the re-rank, exactly as if the table had
+    * been rewritten. Read cost recurs per query: an id-only anti-join
+    * whose tombstone side broadcasts while the list stays bounded, so
+    * the bucketed index layout survives un-exchanged. The two arms
+    * compose into the standard LSM-ish lifecycle — tombstone at
+    * takedown time (cheap, immediate), [[graft.sources.Csv
+    * .bucketedDelete]] at the next maintenance window (fold the
+    * tombstones into the table, truncate the tombstone list, read
+    * overhead back to zero). IndexAppendSpec pins tombstone-read ≡
+    * rewrite ≡ rebuild-minus-rows under the frozen models; the
+    * `append` ScaleStress decade prices all three.
+    */
+  def withoutTombstones(index: DataFrame, tombstones: DataFrame): DataFrame = {
+    require(tombstones.columns.length == 1,
+      s"tombstone frame must have exactly one id column, " +
+        s"got [${tombstones.columns.mkString(", ")}]")
+    index.join(
+      tombstones.select(col(tombstones.columns.head).as("neighbor_id")),
+      Seq("neighbor_id"), "left_anti")
   }
 
   /** Exact top-k over a bounded (query_id, neighbor_id) candidate set:
@@ -767,9 +829,10 @@ object Similarity {
   def ivfTopKFromIndex(cells: DataFrame, centroids: DataFrame,
                        corpus: DataFrame, queries: DataFrame,
                        idCol: String, vecCol: String, k: Int,
-                       nProbe: Int = 4): DataFrame = {
-    val cands = ivfCandidatesFromIndex(cells, centroids, queries, idCol,
-      vecCol, nProbe)
+                       nProbe: Int = 4,
+                       allowed: Option[DataFrame] = None): DataFrame = {
+    val cands = ivfCandidatesFromIndex(restrictIndex(cells, allowed),
+      centroids, queries, idCol, vecCol, nProbe)
     rerankCandidates(cands, corpus, queries, idCol, vecCol, k)
   }
 
@@ -1669,11 +1732,16 @@ object Similarity {
     * Output: (query_id, rnk, neighbor_id, cosine) — cosine is the true
     * exact cosine, not the quantized ADC (the IVFADC re-rank contract).
     */
-  def ivfPqTopKFromIndex(cells: DataFrame, centroids: DataFrame,
+  def ivfPqTopKFromIndex(cells0: DataFrame, centroids: DataFrame,
                          codebook: DataFrame, corpus: DataFrame,
                          queries: DataFrame, idCol: String, vecCol: String,
                          k: Int, m: Int, dim: Int, nProbe: Int,
-                         rerank: Int, exactAdc: Boolean = false): DataFrame = {
+                         rerank: Int, exactAdc: Boolean = false,
+                         allowed: Option[DataFrame] = None): DataFrame = {
+    // the allowed-id restriction lands on the CELLS scan, before the
+    // probe join — disallowed rows never reach ADC scoring or the
+    // re-rank (see [[restrictIndex]])
+    val cells = restrictIndex(cells0, allowed)
     val nearestCells = nearestCellsUdf(centroids, nProbe)
     val centFrame = broadcast(centroids.select(
       col("cell").cast("int").as("cell"),

@@ -270,6 +270,68 @@ object Csv {
     } finally deleteRecursively(new java.io.File(tmp))
   }
 
+  /** Delete rows from an EXISTING [[bucketedSink]] table WITHOUT any
+    * model work — the takedown half of index maintenance (VERDICT r19
+    * item 2): a takedown removes rows from the corpus, and before this
+    * the four persisted ANN index families could only append and
+    * compact, so forgetting a row meant a FULL index rebuild
+    * (quantizer retrain + corpus re-assignment/re-encode). This is the
+    * anti-join REWRITE arm: one scan of the table, a LEFT-ANTI join
+    * against the id frame (id-only — under a bounded takedown list the
+    * ids broadcast and the scan never exchanges), and a rewrite
+    * through the table's own catalog bucketing spec — so content,
+    * bucketing metadata, the exchange-free join proofs, AND the
+    * one-file-per-bucket compaction all survive the delete, while the
+    * quantizer/codebook/hyperplane models stay frozen (deleting rows
+    * cannot re-home the survivors, so frozen models are exact, not an
+    * approximation — IndexAppendSpec pins delete ≡ rebuild-minus-rows
+    * under the frozen models). Cost is O(n) scan+write but ZERO
+    * model/encode work — the `append`-decade delete rows put numbers
+    * on that against the tombstone arm
+    * ([[graft.sim.Similarity.withoutTombstones]]: O(|deleted|) write,
+    * recurring per-query anti-join at read time) and the full rebuild.
+    *
+    * `keyCol` is the join column IN THE TABLE (e.g. `neighbor_id` for
+    * a cells/codes table bucketed by it; an LSH index bucketed by
+    * (t, b) still deletes by `neighbor_id`). `ids` is a one-column
+    * frame of keys to remove, any column name.
+    *
+    * The same serve-vs-compact contract as [[bucketedCompact]]
+    * applies: a serving stream started before the delete holds the
+    * pre-delete file listing and FAILS LOUDLY on its next trigger; a
+    * checkpointed restart resumes bit-correct over the post-delete
+    * table.
+    */
+  def bucketedDelete(spark: SparkSession, table: String, ids: DataFrame,
+                     keyCol: String): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"bucketedDelete requires a simple unqualified table name, got '$table'")
+    require(ids.columns.length == 1,
+      s"delete-id frame must have exactly one key column, " +
+        s"got [${ids.columns.mkString(", ")}]")
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"table '$table' carries no bucketing spec — bucketedDelete only " +
+        "rewrites this library's bucketed index layouts"))
+    require(spec.sortColumnNames.isEmpty ||
+        spec.sortColumnNames == spec.bucketColumnNames,
+      s"bucketedDelete only rewrites sinks of this library's layout " +
+        s"(sorted by the bucket keys or unsorted); '$table' sorts by " +
+        s"${spec.sortColumnNames.mkString(",")}")
+    val tmp = java.nio.file.Files
+      .createTempDirectory(s"graft_delete_$table").toString
+    try {
+      spark.table(table)
+        .join(ids.select(col(ids.columns.head).as(keyCol)),
+          Seq(keyCol), "left_anti")
+        .write.mode("overwrite").parquet(tmp)
+      bucketedSink(spark.read.parquet(tmp), table,
+        spec.bucketColumnNames, spec.numBuckets,
+        sortBuckets = spec.sortColumnNames.nonEmpty)
+    } finally deleteRecursively(new java.io.File(tmp))
+  }
+
   /** Size-bounded shard writer — the training-shard layout of a curated
     * corpus: every output file carries at most `rowsPerShard` records
     * (`maxRecordsPerFile` splits within a task; the repartition keeps

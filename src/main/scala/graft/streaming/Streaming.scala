@@ -462,18 +462,23 @@ object Streaming {
     * candidate-mass ceiling at 1M/256 q/s (SCALE.md round 17); here a
     * candidate row crossing the join is (ids + m codes + one double).
     *
-    * This is a CHAINED-stateful-operator query (two aggregations with
-    * a stream-static join between — supported in append mode since
-    * Spark 3.4): results for a query emit after the watermark passes
-    * its event time TWICE (agg1's emission feeds agg2 one trigger
-    * later), so end-to-end latency is ~2 triggers + watermark vs the
-    * single-agg streams' 1. Per-micro-batch outputs are bit-equal to
+    * SINGLE-WATERMARK-PASS topology (round 20 — VERDICT r19 item 1):
+    * one stateful aggregate (the ADC prefilter), then a stateless
+    * survivor-vector attach and an IMMEDIATE-emission
+    * flatMapGroupsWithState assembly feeding the stateless exact
+    * re-rank — results for a query emit in the SAME trigger as the
+    * ADC aggregate's watermark emission, so end-to-end latency
+    * matches the single-agg streams (the round-19 two-aggregate
+    * layout paid the watermark TWICE — measured +6–8 s at a 10 s
+    * watermark; see the inline comment at the assembly for why zero
+    * state is correct). Per-micro-batch outputs are bit-equal to
     * [[graft.sim.Similarity.ivfPqTopKFromIndex]] at the same
     * (nProbe, rerank) — same probe rule, same ADC lookup projection,
     * same margin retention, same exact re-rank (StreamingSpec pins
     * it). Ids must be LongType. Checkpoints are NOT compatible with
-    * the flat [[ivfTopKStream]]'s (different operator layout — the
-    * round-17 upgrade note applies here by construction).
+    * the flat [[ivfTopKStream]]'s NOR with the round-19 two-aggregate
+    * layout (different stateful-operator set — the round-17 upgrade
+    * note applies here by construction).
     *
     * Output: (tsCol, query_id, rnk, neighbor_id, cosine) — true exact
     * cosine, not the quantized ADC (the IVFADC re-rank contract).
@@ -529,10 +534,62 @@ object Streaming {
     // stateless stream-static attach: ≤ rerank+ε survivor rows per
     // query fetch true vectors — the only place vectors enter the plan
     val ce = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).as("cv"),
-      sqrt(Similarity.dot(col(vecCol), col(vecCol))).as("cnD"))
-    servedExactTopK(surv.join(ce, Seq("neighbor_id")), tsCol, k)
+      col(vecCol).cast("array<double>").as("cv"))
+    val joined = surv.join(ce, Seq("neighbor_id"))
+      .select(col(tsCol).as("ts"), col("query_id"),
+        col("qv").cast("array<double>").as("qv"),
+        col("neighbor_id"), col("cv"))
+    // SINGLE-PASS re-rank (round 20, VERDICT r19 item 1): the second
+    // stateful aggregate this topology used to end with made results
+    // wait for the watermark to pass a query's event time TWICE
+    // (measured +6–8 s of query-to-answer latency at a 10 s watermark,
+    // SCALE.md round 19). But agg1 emits a query's survivors
+    // ATOMICALLY — one append-mode emission, exploded and joined
+    // inside the SAME micro-batch — so the group arriving at this
+    // point is complete-in-batch by construction, and a stateful
+    // buffer that waits for a second watermark pass buys nothing. The
+    // flatMapGroupsWithState below assembles each (ts, query) group's
+    // survivor rows back into one array row and emits IMMEDIATELY,
+    // keeping NO state (the GroupState is never set), so emission
+    // happens in the same trigger as agg1's — e2e latency back to the
+    // single-aggregate families' one watermark pass. The exact
+    // re-rank itself stays in Catalyst (the shared [[exactRerankTail]]
+    // native-decimal projection — bit-equal to the batch operator; it
+    // re-ranks all ≤ rerank+ε survivors instead of double-prefiltering
+    // to k+ε first, which by the RerankMargin superset argument
+    // selects the identical top-k). Checkpoints are NOT compatible
+    // with the round-19 two-aggregate layout (different stateful
+    // operator set — the round-17 upgrade note applies again).
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val grouped = joined.as[IvfPqSurvRow]
+      .groupByKey(r => (r.ts.getTime, r.query_id))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: (Long, Long), rows: Iterator[IvfPqSurvRow],
+         state: GroupState[Boolean]) =>
+          val rs = rows.toVector
+          if (rs.isEmpty) Iterator.empty
+          else Iterator(IvfPqSurvGroup(rs.head.ts, key._2, rs.head.qv,
+            rs.map(r => (0.0, r.neighbor_id, r.cv))))
+      }
+    exactRerankTail(
+      grouped.toDF().select(col("ts").as(tsCol), col("query_id"),
+        col("qv"), col("cands").as("__surv")),
+      tsCol, k)
   }
+
+  /** Row/group shapes of [[ivfPqTopKStream]]'s single-pass assembly
+    * (encoders need object-level case classes). `cands` mirrors the
+    * [[graft.ops.VecTopKAgg]] (_1 score, _2 id, _3 vector) struct
+    * layout [[exactRerankTail]] consumes; the score slot is unused.
+    */
+  private[streaming] final case class IvfPqSurvRow(
+      ts: java.sql.Timestamp, query_id: Long, qv: Seq[Double],
+      neighbor_id: Long, cv: Seq[Double])
+  private[streaming] final case class IvfPqSurvGroup(
+      ts: java.sql.Timestamp, query_id: Long, qv: Seq[Double],
+      cands: Seq[(Double, Long, Seq[Double])])
 
   /** The shared two-stage scoring tail of [[annTopKStream]] and
     * [[ivfTopKStream]]: a DOUBLE-cosine margin-top-k prefilter as the
@@ -574,9 +631,23 @@ object Streaming {
     val surv = dscored
       .groupBy(col(tsCol), col("query_id"))
       .agg(first(col("qv")).as("qv"), vecTopK.as("__surv"))
-      // per-row constants lifted OUT of the per-element lambda (the
-      // documented HOF re-evaluation trap)
-      .withColumn("__qn", Similarity.normExact(col("qv")))
+    exactRerankTail(surv, tsCol, k)
+  }
+
+  /** The STATELESS exact-rerank tail shared by [[servedExactTopK]] and
+    * the single-pass [[ivfPqTopKStream]] assembly: input carries one
+    * row per (tsCol, query_id) with `qv` and a `__surv` array of
+    * (_1 score, _2 neighbor_id, _3 vector) structs (the
+    * [[graft.ops.VecTopKAgg]] buffer layout; _1 is ignored here — the
+    * ranking below is the exact-decimal cosine); output is the final
+    * (tsCol, query_id, rnk, neighbor_id, cosine) contract.
+    */
+  private def exactRerankTail(surv0: DataFrame, tsCol: String,
+                              k: Int): DataFrame = {
+    import graft.sim.Similarity
+    // per-row constants lifted OUT of the per-element lambda (the
+    // documented HOF re-evaluation trap)
+    val surv = surv0.withColumn("__qn", Similarity.normExact(col("qv")))
     val rescored = surv.withColumn("__scored",
       transform(col("__surv"), s =>
         struct(

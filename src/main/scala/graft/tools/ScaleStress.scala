@@ -448,6 +448,57 @@ object ScaleStress {
               m = 16, dim = dim, nProbe = 16, rerank = 64))
         }
       }
+      // ---- filtered-ANN recall (round 20, VERDICT r19 item 5) ----
+      // Predicate-constrained top-k: the reference is EXACT search over
+      // the filtered corpus, the engine side the from-index paths with
+      // the allowed-id restriction pushed into the cells scan
+      // (Similarity.restrictIndex). The question the sweep answers: how
+      // does recall move when a selective filter thins the probed
+      // cells' matching mass — per-probed-cell survivors shrink by the
+      // selectivity, so at 5% a cell holding ~n/nCells rows offers only
+      // ~5% of them, and nProbe has to climb to recover the same
+      // matching-candidate count. Two selectivities (50% and 5%, id-mod
+      // predicates — uncorrelated with cell geometry), nProbe at the
+      // production 8 and the 2× 16, IVFPQ at the serving rr64.
+      // Filter name: "filtered".
+      if (want("filtered")) {
+        val ivfIdxF = Similarity.ivfIndex(emb, "vec_id", "embedding",
+          nCells = 64)
+        val ivfCellsF = graft.ops.Pin.pin(ivfIdxF.cells)
+        val pqIdxF = Similarity.ivfPqIndex(emb, "vec_id", "embedding",
+          nCells = 64, m = 8, k = 256, dim = dim)
+        val pqCellsF = graft.ops.Pin.pin(pqIdxF.cells)
+        for ((selName, modulus) <- Seq(("sel50", 2), ("sel5", 20))) {
+          val pred = col("vec_id") % modulus === 0
+          val allowed = emb.filter(pred).select(col("vec_id"))
+          val exactF = graft.ops.Pin.pin(
+            Similarity.cosineTopK(emb.filter(pred), qs,
+              "vec_id", "embedding", k)
+              .select(col("query_id"), col("neighbor_id")))
+          val nExactF = exactF.count()
+          def recallF(name: String, res: DataFrame): Unit = {
+            val hit = res.select(col("query_id"), col("neighbor_id"))
+              .join(exactF, Seq("query_id", "neighbor_id")).count()
+            println(s"""{"family":"$name","n_docs":$nDocs,"k":$k,""" +
+              s""""selectivity":${fmt(1.0 / modulus)},""" +
+              s""""recall_at_k":${fmt(hit.toDouble / math.max(1L, nExactF))},""" +
+              s""""hits":$hit,"exact_pairs":$nExactF}""")
+          }
+          recallF(s"ann_filtered_ivf_probe8_$selName",
+            Similarity.ivfTopKFromIndex(ivfCellsF, ivfIdxF.centroids,
+              emb, qs, "vec_id", "embedding", k, nProbe = 8,
+              allowed = Some(allowed)))
+          recallF(s"ann_filtered_ivf_probe16_$selName",
+            Similarity.ivfTopKFromIndex(ivfCellsF, ivfIdxF.centroids,
+              emb, qs, "vec_id", "embedding", k, nProbe = 16,
+              allowed = Some(allowed)))
+          recallF(s"ann_filtered_ivfpq_probe16_rr64_$selName",
+            Similarity.ivfPqTopKFromIndex(pqCellsF, pqIdxF.centroids,
+              pqIdxF.codebook, emb, qs, "vec_id", "embedding", k = k,
+              m = 8, dim = dim, nProbe = 16, rerank = 64,
+              allowed = Some(allowed)))
+        }
+      }
       // ---- clustered-corpus recall: the residual-encoding regime
       // (round 19, VERDICT r18 item 1). The residual IVFADC encode
       // measured FLAT vs round 18's raw codes on the hash-UNIFORM
@@ -657,6 +708,51 @@ object ScaleStress {
           spark.table("graft_append_ivfpq_cb"), delta,
           "vec_id", "embedding", m = pqM, dim = dim, buckets = cpusI)
         deltaN
+      }
+      // ---- delete-from-index (round 20, VERDICT r19 item 2) ----
+      // A 1% takedown against the persisted layouts, all three prices:
+      // tombstone write (O(|deleted|), read overhead recurs per query),
+      // anti-join rewrite (O(n) scan+write, ZERO model/encode work,
+      // read overhead zero afterwards), and the full rebuild the two
+      // arms exist to avoid (already priced above as *_index_rebuild —
+      // the rebuild arm re-trains and re-encodes). The read-overhead
+      // pair prices what the tombstone arm costs every query batch
+      // until the next maintenance-window fold.
+      val delIds = base.filter(col("vec_id") % 100L === 37L)
+        .select(col("vec_id"))
+      run("ivfpq_delete_tombstone_write") {
+        graft.sources.Csv.bucketedSink(delIds, "graft_append_tombstones",
+          Seq("vec_id"), buckets = 1)
+        spark.table("graft_append_tombstones").count()
+      }
+      val qsDel = base.filter(col("vec_id") < 64L)
+      run("ivfpq_fromindex_plain") {
+        Similarity.ivfPqTopKFromIndex(
+          spark.table("graft_append_ivfpq_cells"),
+          spark.table("graft_append_ivfpq_centroids"),
+          spark.table("graft_append_ivfpq_cb"),
+          full, qsDel, "vec_id", "embedding", k = 10, m = pqM, dim = dim,
+          nProbe = 8, rerank = 64).count()
+      }
+      run("ivfpq_fromindex_tombstoned") {
+        Similarity.ivfPqTopKFromIndex(
+          Similarity.withoutTombstones(
+            spark.table("graft_append_ivfpq_cells"),
+            spark.table("graft_append_tombstones")),
+          spark.table("graft_append_ivfpq_centroids"),
+          spark.table("graft_append_ivfpq_cb"),
+          full, qsDel, "vec_id", "embedding", k = 10, m = pqM, dim = dim,
+          nProbe = 8, rerank = 64).count()
+      }
+      run("ivf_delete_rewrite") {
+        graft.sources.Csv.bucketedDelete(spark, "graft_append_ivf_cells",
+          delIds, "neighbor_id")
+        spark.table("graft_append_ivf_cells").count()
+      }
+      run("ivfpq_delete_rewrite") {
+        graft.sources.Csv.bucketedDelete(spark, "graft_append_ivfpq_cells",
+          delIds, "neighbor_id")
+        spark.table("graft_append_ivfpq_cells").count()
       }
       spark.stop(); return
     }
@@ -893,6 +989,8 @@ object ScaleStress {
               s""""e2e_rows":${samples.map(_._2).sum},"""
           } else ""
         println(s"""{"family":"$name","n_docs":$nDocs,"rps_in":$rps,""" +
+          s""""watermark":"${sys.env.getOrElse("SPARK_GRAFT_SERVE_WM",
+            "10 seconds")}",""" +
           s""""batches":${progs.size},"rows":$rows,""" +
           s""""qps_processed":${fmt(if (wallSec > 0) rows / wallSec else -1.0)},""" +
           e2eFields +
@@ -919,19 +1017,24 @@ object ScaleStress {
       }
       def unpinAll(): Unit = spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
+      // the serve watermark is the dominant e2e-latency term (results
+      // emit only after it passes an event time — twice for chained
+      // topologies); `SPARK_GRAFT_SERVE_WM` lets the e2e arms sweep it
+      // (round-20 item 1: the r19 e2e table sampled only 10 s)
+      val serveWm = sys.env.getOrElse("SPARK_GRAFT_SERVE_WM", "10 seconds")
       def lshStream(index: org.apache.spark.sql.DataFrame,
                     c: org.apache.spark.sql.DataFrame)
                    (qs: org.apache.spark.sql.DataFrame) =
         graft.streaming.Streaming.annTopKStream(qs, "ts", "vec_id",
           "embedding", index, c, k,
-          dim = dim, bits = 12, tables = 4, watermark = "10 seconds")
+          dim = dim, bits = 12, tables = 4, watermark = serveWm)
       def ivfStream(cells: org.apache.spark.sql.DataFrame,
                     c: org.apache.spark.sql.DataFrame)
                    (qs: org.apache.spark.sql.DataFrame) =
         graft.streaming.Streaming.ivfTopKStream(qs, "ts", "vec_id",
           "embedding", cells,
           spark.table("graft_serve_ivf_centroids"), c, k,
-          nProbe = serveProbe, watermark = "10 seconds")
+          nProbe = serveProbe, watermark = serveWm)
       def ivfPqStream(cells: org.apache.spark.sql.DataFrame,
                       c: org.apache.spark.sql.DataFrame)
                      (qs: org.apache.spark.sql.DataFrame) =
@@ -940,7 +1043,7 @@ object ScaleStress {
           spark.table("graft_serve_ivfpq_centroids"),
           spark.table("graft_serve_ivfpq_cb"), c, k,
           m = serveM, dim = dim, nProbe = serveProbe,
-          rerank = serveRerank, watermark = "10 seconds")
+          rerank = serveRerank, watermark = serveWm)
       rates.foreach { rps =>
         if (wantServe("serve_lsh_topk"))
           serveOne("serve_lsh_topk", rps)(

@@ -154,6 +154,113 @@ class IndexAppendSpec extends AnyFunSuite {
       .intersect(rows(deltaCells.select("neighbor_id"))).isEmpty)
   }
 
+  test("bucketedDelete ≡ rebuild-minus-rows under the frozen quantizer; bucketing and one-file-per-bucket survive") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val buckets = 4
+    val full = emb(0L to 49L)
+    val delIds = Seq(3L, 7L, 21L, 44L)
+    try {
+      val idx = Similarity.ivfIndex(full, "vec_id", "embedding", nCells = 4)
+      graft.sources.Csv.bucketedSink(idx.cells, "del_spec_ivf_cells",
+        Seq("neighbor_id"), buckets)
+      // an append first, so the delete also proves it compacts the
+      // multi-file layout back down
+      graft.sources.Csv.bucketedAppend(
+        Similarity.ivfDeltaCells(idx.centroids, emb(50L to 59L),
+          "vec_id", "embedding"),
+        "del_spec_ivf_cells", Seq("neighbor_id"), buckets)
+      graft.sources.Csv.bucketedDelete(spark, "del_spec_ivf_cells",
+        delIds.toDF("vec_id"), "neighbor_id")
+      val got = spark.table("del_spec_ivf_cells")
+      // rebuild-minus-rows under the FROZEN quantizer: fresh assignment
+      // of exactly the survivors under the same persisted centroids
+      val want = Similarity.ivfDeltaCells(idx.centroids,
+        emb((0L to 59L).filterNot(delIds.contains)), "vec_id", "embedding")
+      assert(rows(got) === rows(want),
+        "post-delete table must equal the survivor re-assignment")
+      // one file per bucket (the rewrite compacts), bucketing survives
+      val loc = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("del_spec_ivf_cells"))
+        .location
+      assert(new java.io.File(loc).listFiles()
+        .count(_.getName.endsWith(".parquet")) === buckets)
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        assert(got.groupBy("neighbor_id").count()
+          .queryExecution.executedPlan.collect {
+            case e: ShuffleExchangeExec => e }.isEmpty,
+          "deleted table must keep HashPartitioning(neighbor_id)")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      // guards: multi-column id frame and non-bucketed table are
+      // rejected, not silently rewritten
+      intercept[IllegalArgumentException] {
+        graft.sources.Csv.bucketedDelete(spark, "del_spec_ivf_cells",
+          delIds.map(i => (i, i)).toDF("a", "b"), "neighbor_id")
+      }
+      spark.range(10).write.mode("overwrite").saveAsTable("del_spec_plain")
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Csv.bucketedDelete(spark, "del_spec_plain",
+          delIds.toDF("id"), "id")
+      }
+      assert(e.getMessage.contains("no bucketing spec"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS del_spec_ivf_cells")
+      spark.sql("DROP TABLE IF EXISTS del_spec_plain")
+    }
+  }
+
+  test("tombstone read ≡ rewrite ≡ rebuild-minus-rows (IVFPQ), and the full-probe query forgets the rows") {
+    val full = embF(0L to 49L)
+    val delIds = Seq(2L, 13L, 28L, 41L)
+    try {
+      val idx = Similarity.ivfPqIndex(full, "vec_id", "embedding",
+        nCells = 4, m = 4, k = 4, dim = 8)
+      graft.sources.Csv.bucketedSink(idx.cells, "del_spec_ivfpq_cells",
+        Seq("neighbor_id"), buckets = 4)
+      val tomb = delIds.toDF("vec_id")
+      // TOMBSTONE arm, materialized BEFORE the rewrite (the rewrite
+      // invalidates the old file listing)
+      val viaTomb = rows(Similarity.withoutTombstones(
+        spark.table("del_spec_ivfpq_cells"), tomb))
+      // REWRITE arm
+      graft.sources.Csv.bucketedDelete(spark, "del_spec_ivfpq_cells",
+        tomb, "neighbor_id")
+      val viaRewrite = rows(spark.table("del_spec_ivfpq_cells"))
+      // rebuild-minus-rows under the FROZEN models: fresh
+      // assignment+encode of exactly the survivors
+      val survivors = full.filter(!col("vec_id").isin(delIds: _*))
+      val want = rows(Similarity.ivfPqDeltaCells(idx.centroids,
+        idx.codebook, survivors, "vec_id", "embedding", m = 4, dim = 8))
+      assert(viaTomb === viaRewrite, "tombstone read must equal the rewrite")
+      assert(viaRewrite === want, "delete must equal rebuild-minus-rows")
+      // the query path actually FORGETS the rows: full coverage over the
+      // post-delete table equals exact search over the survivors, and no
+      // deleted id ever surfaces as a neighbor
+      val queries = full.filter(col("vec_id") < 3)
+      def qrows(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("query_id", "rnk").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            java.lang.Double.doubleToLongBits(r.getDouble(3))))
+      val got = qrows(Similarity.ivfPqTopKFromIndex(
+        spark.table("del_spec_ivfpq_cells"), idx.centroids, idx.codebook,
+        full, queries, "vec_id", "embedding", k = 5, m = 4, dim = 8,
+        nProbe = 4, rerank = 1000))
+      val exact = qrows(Similarity.cosineTopK(survivors, queries,
+        "vec_id", "embedding", k = 5))
+      assert(got === exact)
+      assert(!got.exists(r => delIds.contains(r._3)),
+        "a deleted id surfaced as a neighbor")
+      // withoutTombstones rejects a multi-column tombstone frame
+      intercept[IllegalArgumentException] {
+        Similarity.withoutTombstones(spark.table("del_spec_ivfpq_cells"),
+          delIds.map(i => (i, i)).toDF("a", "b"))
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS del_spec_ivfpq_cells")
+    }
+  }
+
   test("bucketedCompact: content hash, bucketing, and one-file-per-bucket restored") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val buckets = 4

@@ -349,6 +349,52 @@ class IvfPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft_no_such_table_xyz"))
   }
 
+  test("filtered ANN: full-coverage filtered top-k ≡ exact search over the pre-filtered corpus (IVF and IVFPQ)") {
+    // VERDICT r19 item 5: the allowed-id restriction lands on the cells
+    // scan BEFORE candidate generation, so at full coverage the result
+    // must be bit-equal to exact search over the filtered corpus.
+    val allowedPred = col("vec_id") % 3 === 0
+    val allowed = corpus.filter(allowedPred).select(col("vec_id"))
+    val exact = rows(Similarity.cosineTopK(corpus.filter(allowedPred),
+      queries, "vec_id", "embedding", k = 5))
+    val ivf = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4)
+    val gotIvf = rows(Similarity.ivfTopKFromIndex(ivf.cells, ivf.centroids,
+      corpus, queries, "vec_id", "embedding", k = 5, nProbe = 4,
+      allowed = Some(allowed)))
+    assert(gotIvf === exact)
+    val pq = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 4, m = 4, k = 8, dim = dim)
+    val gotPq = rows(Similarity.ivfPqTopKFromIndex(pq.cells, pq.centroids,
+      pq.codebook, corpus, queries, "vec_id", "embedding", k = 5, m = 4,
+      dim = dim, nProbe = 4, rerank = 1000, allowed = Some(allowed)))
+    assert(gotPq === exact)
+    // LSH at bits = 0 (every row in every bucket) is also full coverage
+    val lshIdx = Similarity.signLshIndex(corpus, "vec_id", "embedding",
+      dim = dim, bits = 0, tables = 2)
+    val gotLsh = rows(Similarity.signLshTopKFromIndex(lshIdx, corpus,
+      queries, "vec_id", "embedding", k = 5, dim = dim, bits = 0,
+      tables = 2, allowed = Some(allowed)))
+    assert(gotLsh === exact)
+  }
+
+  test("filtered ANN: partial probes return ONLY allowed neighbors, and a multi-column allowed frame is rejected") {
+    val allowed = corpus.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val okIds = allowed.collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfIndex(corpus, "vec_id", "embedding", nCells = 4)
+    val got = Similarity.ivfTopKFromIndex(ivf.cells, ivf.centroids,
+      corpus, queries, "vec_id", "embedding", k = 5, nProbe = 1,
+      allowed = Some(allowed)).collect()
+    assert(got.nonEmpty)
+    got.foreach(r => assert(okIds.contains(r.getLong(2)),
+      s"disallowed neighbor ${r.getLong(2)} survived the restriction"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromIndex(ivf.cells, ivf.centroids, corpus,
+        queries, "vec_id", "embedding", k = 5, nProbe = 1,
+        allowed = Some(corpus.select("vec_id", "embedding")))
+    }
+    assert(e.getMessage.contains("one id column"))
+  }
+
   test("pqTopKFromIndex over the built index equals the in-query pqTopK") {
     val m = 4; val kCodes = 8
     val idx = Similarity.pqIndex(corpus, "vec_id", "embedding",

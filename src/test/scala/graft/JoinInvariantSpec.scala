@@ -252,6 +252,26 @@ class JoinInvariantSpec extends AnyFunSuite {
         "carrying its per-(query, probed cell) residual ADC tables " +
         "(≤ |queries|·nProbe rows) plus the nCells-row centroid frame; " +
         "the cells side is never hinted"),
+    "q213_ivf_filtered_topk" ->
+      ("q211's predicate-constrained variant: the hinted frames are " +
+        "the SAME bounded query batch (vec_id < 10) in the probe join " +
+        "and re-rank; the allowed-id restriction is an UNHINTED " +
+        "left-semi join on the cells side (AQE sizes it), so neither " +
+        "the cells table nor the metadata-derived id frame is forced"),
+    "q214_ivfpq_filtered_topk" ->
+      ("q212's predicate-constrained variant: the same bounded query " +
+        "batch carrying its per-(query, probed cell) residual ADC " +
+        "tables plus the nCells-row centroid frame; the allowed-id " +
+        "left-semi join on the cells side is unhinted"),
+    "q215_ivf_deleted_index" ->
+      ("q204's delete-rewrite twin: the same bounded query batch " +
+        "(vec_id < 10) hinted in the probe join and re-rank; the " +
+        "bucketedDelete anti-join runs in the builder side-effect and " +
+        "is unhinted (AQE sizes the id frame)"),
+    "q216_ivfpq_tombstoned_index" ->
+      ("q208's tombstone twin: the same bounded query-batch residual " +
+        "ADC frames plus the nCells-row centroid frame; the tombstone " +
+        "left-anti join on the cells side is unhinted"),
     "q153_rrf_fusion" ->
       ("the hinted sides are two two-stage top-k outputs (≤ 50 rows — " +
         "the bound WindowInvariantSpec reviews for this query)"),

@@ -143,13 +143,16 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("IVFPQ query stream (chained stateful ops) equals the batch operator") {
-    // the FAISS IVFADC serving shape (VERDICT r17 item 1): ADC-prefilter
-    // aggregate → stateless survivor-vector attach → exact-re-rank
-    // aggregate. Two stateful operators chained in APPEND mode, so a
-    // query's rows emit only after the watermark passes its event time
-    // twice — the test advances it with two later dummy batches and
-    // compares the t0 rows against the batch twin bit-for-bit.
+  test("IVFPQ query stream (single-pass IVFADC) equals the batch operator and emits after ONE watermark pass") {
+    // the FAISS IVFADC serving shape (VERDICT r17 item 1; single-pass
+    // since round 20 — VERDICT r19 item 1): ADC-prefilter aggregate →
+    // stateless survivor-vector attach → immediate-emission
+    // flatMapGroupsWithState assembly → stateless exact re-rank. ONE
+    // watermark-gated operator, so a query's rows emit in the same
+    // trigger the ADC aggregate flushes — the test pins that the t0
+    // rows are ALREADY in the sink after the FIRST watermark advance
+    // (the round-19 two-aggregate layout needed two), then compares
+    // them against the batch twin bit-for-bit.
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     import graft.sim.Similarity
@@ -184,17 +187,23 @@ class StreamingSpec extends AnyFunSuite {
       val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
       input.addData(qVecs.map { case (id, v) => (t0, id, v) }.toSeq: _*)
       q.processAllAvailable()
-      // two watermark advances flush agg1 then agg2 for the t0 groups
+      // ONE watermark advance must flush the t0 groups end to end (the
+      // single-pass latency pin — the two-aggregate layout emitted
+      // nothing until a second advance)
       input.addData((Timestamp.valueOf("2024-01-01 00:01:00"), 1000L, dummyVec))
       q.processAllAvailable()
-      input.addData((Timestamp.valueOf("2024-01-01 00:02:00"), 1001L, dummyVec))
-      q.processAllAvailable()
-      val got = spark.table("ivfpq_stream")
+      def t0Rows() = spark.table("ivfpq_stream")
         .filter(col("ts") === t0)
         .orderBy("query_id", "rnk").collect()
         .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-      assert(got === batch,
-        "streamed IVFPQ results must be bit-identical to the batch operator")
+      val afterOneAdvance = t0Rows()
+      assert(afterOneAdvance === batch,
+        "single-pass IVFPQ must emit bit-identical results after ONE watermark pass")
+      // a further advance must not duplicate or change anything
+      input.addData((Timestamp.valueOf("2024-01-01 00:02:00"), 1001L, dummyVec))
+      q.processAllAvailable()
+      assert(t0Rows() === batch,
+        "a later watermark advance must not re-emit or mutate t0 rows")
     } finally q.stop()
   }
 
@@ -251,6 +260,73 @@ class StreamingSpec extends AnyFunSuite {
         .toSeq
       assert(late === want,
         s"post-restart IVF ranks must equal the batch operator: $late vs $want")
+    } finally q2.stop()
+  }
+
+  test("IVFPQ stream state survives a checkpointed stop/restart (single-pass layout)") {
+    // the IVF restart proof on the round-20 single-pass topology: the
+    // only streaming state is the ADC-prefilter aggregate (the
+    // flatMapGroupsWithState assembly keeps NONE — its GroupState is
+    // never set, which this restart also exercises: recovery must not
+    // depend on any assembly-state snapshot). Queries arriving only
+    // AFTER the restart must rank bit-identically to the batch
+    // operator.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sim.Similarity
+    val dim = 16
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.tabulate(dim)(d =>
+        (math.sin(i * 31 + d * 7) * 10 + d * 0.01 * i).toFloat))
+    }.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfPqIndex(corpus, "vec_id", "embedding",
+      nCells = 4, m = 4, k = 8, dim = dim)
+    val cells = graft.ops.Pin.pin(idx.cells)
+    val vecs = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_ckpt").toString
+    val input = MemoryStream[(Timestamp, Long, Array[Float])]
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    def start() = Streaming.ivfPqTopKStream(
+        input.toDF().toDF("ts", "vec_id", "embedding"),
+        "ts", "vec_id", "embedding", cells, idx.centroids, idx.codebook,
+        corpus, k = 5, m = 4, dim = dim, nProbe = 2, rerank = 10)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          out.add((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def t(min: Int) = new Timestamp(
+      Timestamp.valueOf("2024-01-01 00:00:00").getTime + min * 60000L)
+    val q1 = start()
+    try {
+      input.addData((t(0), 2L, vecs(2L)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      input.addData((t(40), 7L, vecs(7L)), (t(40), 11L, vecs(11L)))
+      q2.processAllAvailable()
+      input.addData((t(120), 98L, vecs(0L)))
+      q2.processAllAvailable()
+      input.addData((t(240), 99L, vecs(0L)))
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val late = out.asScala.filter(r => r._1 == 7L || r._1 == 11L)
+        .toSeq.sortBy(r => (r._1, r._2))
+      val want = Similarity.ivfPqTopKFromIndex(cells, idx.centroids,
+          idx.codebook, corpus,
+          corpus.filter(col("vec_id").isin(7L, 11L)),
+          "vec_id", "embedding", k = 5, m = 4, dim = dim, nProbe = 2,
+          rerank = 10)
+        .orderBy("query_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      assert(late === want,
+        s"post-restart IVFPQ ranks must equal the batch operator: $late vs $want")
     } finally q2.stop()
   }
 
