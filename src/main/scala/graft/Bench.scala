@@ -328,10 +328,55 @@ object Bench {
     // compilation otherwise lands inside the first measured iteration
     // and inflates the median on a quiet box (ADVICE r16).
     busyProbeMs()
-    val calibCpuMs = medianD((1 to 3).map(_ => busyProbeMs()))
-    val calibQueryMs = medianD((1 to 3).map(_ => queryProbeMs()))
-    val calibParMs = medianD((1 to 3).map(_ => parProbeMs()))
-    val calibBwMs = measureBwMs()
+    // RETRY-UNTIL-QUIET (round 20, VERDICT r19 item 6): three
+    // consecutive driver artifacts (r17 391 / r18 391 / r19 423
+    // calib_query) came from non-qualifying windows, and each burned a
+    // full judge bench on adjudication. If the PRE anchors read blown,
+    // sleep and re-probe (bounded attempts) before starting the suite —
+    // contended instants on this box are usually epochs of minutes
+    // (BASELINE.md round-19 ledger: runs 1/3 blown-pre/clean-post), so
+    // a 45 s backoff often lands the suite in a quiet window. Every
+    // attempt's anchors are recorded in the artifact
+    // (`calib_attempts`), so a run that started anyway after exhausting
+    // retries is slow-box by artifact. Thresholds are the BASELINE.md
+    // quiet-band ceilings (cpu ≤ 360, query ≤ 420, par ≤ 500,
+    // bw ≤ 45 ms — generous vs the 253/316/294/15 record anchors, so
+    // only clearly-blown windows retry); override with
+    // `SPARK_GRAFT_CALIB_MAX=cpu,query,par,bw`, disable with
+    // `SPARK_GRAFT_BENCH_RETRY=0`.
+    val retryMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRY", "2").toInt
+    val calibMax = sys.env.getOrElse("SPARK_GRAFT_CALIB_MAX",
+      "360,420,500,45").split(",").map(_.trim.toDouble)
+    require(calibMax.length == 4,
+      "SPARK_GRAFT_CALIB_MAX must be cpu,query,par,bw")
+    def probeAll(): Array[Double] = Array(
+      medianD((1 to 3).map(_ => busyProbeMs())),
+      medianD((1 to 3).map(_ => queryProbeMs())),
+      medianD((1 to 3).map(_ => parProbeMs())),
+      measureBwMs())
+    val calibAttempts =
+      scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var calibArr = probeAll()
+    calibAttempts += calibArr
+    var calibTries = 0
+    while (calibTries < retryMax &&
+        calibArr.zip(calibMax).exists { case (v, m) => v > m }) {
+      System.err.println(s"[bench] pre-anchors blown " +
+        s"(${calibArr.map(_.round).mkString(",")} vs max " +
+        s"${calibMax.map(_.round).mkString(",")}) — retry " +
+        s"${calibTries + 1}/$retryMax after 45 s")
+      Thread.sleep(45000)
+      calibArr = probeAll()
+      calibAttempts += calibArr
+      calibTries += 1
+    }
+    val calibCpuMs = calibArr(0)
+    val calibQueryMs = calibArr(1)
+    val calibParMs = calibArr(2)
+    val calibBwMs = calibArr(3)
+    val calibAttemptsJson = calibAttempts
+      .map(_.map(_.round).mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
     if (calibSink == 42L) System.err.println("") // keep the loop live
     // Optional comma-separated name filter for local iteration; the
     // driver never sets it, so the recorded bench always covers everything.
@@ -551,7 +596,7 @@ object Bench {
     // full names.
     val calibPost = Seq(calibCpuMsPost, calibQueryMsPost, calibParMsPost,
       calibBwMsPost).map(_.round).mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"build":$buildField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"calib_post":$calibPost,"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"core100":$coreField,"audit":$auditField,"build":$buildField,"ambient_suspect":$ambientSuspect,"calib_cpu_ms":${calibCpuMs.round},"calib_query_ms":${calibQueryMs.round},"calib_par_ms":${calibParMs.round},"calib_bw_ms":${calibBwMs.round},"calib_post":$calibPost,"calib_attempts":$calibAttemptsJson,"qorder_md5":"$qorderMd5","errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -520,7 +520,7 @@ object ScaleStress {
       // IVFPQ on fewer candidates beats raw ADC on all of them, the
       // code resolution itself is proven, not the probe). Filter name:
       // "clustered".
-      if (want("clustered")) {
+      if (want("clustered") || want("clustered_trained")) {
         val nClusters = 1024L
         val nCellsC = 4096
         val sigma = 0.15
@@ -546,6 +546,47 @@ object ScaleStress {
             s""""recall_at_k":${fmt(hit.toDouble / math.max(1L, nExactC))},""" +
             s""""hits":$hit,"exact_pairs":$nExactC}""")
         }
+        // ---- trained-quantizer arms (round 20, VERDICT r19 item 3):
+        // the round-19 residual-dominance table ran under the
+        // DETERMINISTIC (md5-sampled) quantizer; production builds use
+        // the seeded-KMeans trainQuantizer. These arms re-run the
+        // headline configs under ivfPqIndex's own trained quantizer at
+        // the same 4096 cells, plus the serve tier's 1024-cell cap —
+        // quantifying what Lloyd iterations buy (or cost) on planted
+        // structure. Filter name: "clustered_trained" (separate from
+        // "clustered": the 4096-cell KMeans train is the expensive
+        // step). The flat-IVF ceiling reuses the SAME trained cells
+        // frame (ivfTopKFromIndex ignores the codes column), so the
+        // quantizer trains once per cell count. EXACT fam match, not
+        // the substring rule: "clustered" as a filter must keep
+        // running only the deterministic family (r19 cost envelope),
+        // never silently pull in the KMeans train.
+        if (fams.contains("clustered_trained")) {
+          val tpq = Similarity.ivfPqIndex(cc, "vec_id", "embedding",
+            nCells = nCellsC, m = 8, k = 256, dim = dim)
+          val tCells = graft.ops.Pin.pin(tpq.cells)
+          recallC("ann_clustered_trained_ivf_probe16",
+            Similarity.ivfTopKFromIndex(tCells, tpq.centroids, cc, cqs,
+              "vec_id", "embedding", k, nProbe = 16))
+          def tIvfpq(nProbe: Int, rerank: Int) =
+            Similarity.ivfPqTopKFromIndex(tCells, tpq.centroids,
+              tpq.codebook, cc, cqs, "vec_id", "embedding", k = k,
+              m = 8, dim = dim, nProbe = nProbe, rerank = rerank)
+          recallC("ann_clustered_trained_ivfpq_probe16_rr64",
+            tIvfpq(16, 64))
+          recallC("ann_clustered_trained_ivfpq_probe16_rr256",
+            tIvfpq(16, 256))
+          // the serve tier's cell cap: 1024 trained cells (= the
+          // planted cluster count) at the same probe width
+          val tpq1k = Similarity.ivfPqIndex(cc, "vec_id", "embedding",
+            nCells = 1024, m = 8, k = 256, dim = dim)
+          val tCells1k = graft.ops.Pin.pin(tpq1k.cells)
+          recallC("ann_clustered_trained1k_ivfpq_probe16_rr64",
+            Similarity.ivfPqTopKFromIndex(tCells1k, tpq1k.centroids,
+              tpq1k.codebook, cc, cqs, "vec_id", "embedding", k = k,
+              m = 8, dim = dim, nProbe = 16, rerank = 64))
+        }
+        if (!want("clustered")) { spark.stop(); return }
         val centsC = Similarity.deterministicCentroids(cc, "vec_id",
           "embedding", nCellsC)
         // flat IVF under the SAME quantizer (ivfDeltaCells on the full
