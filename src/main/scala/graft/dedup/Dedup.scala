@@ -98,7 +98,20 @@ object Dedup {
     * one hash shuffle on the doc id (even distribution at any scale),
     * then a distinct.
     */
-  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleRowsRaw(df, idCol, textCol, n).distinct()
+
+  /** [[shingleRows]] WITHOUT the final distinct — one (id, shingle) row
+    * per token POSITION, so a shingle occurring k times in a doc appears
+    * k times. Correct (and one full-stream exchange cheaper) for any
+    * consumer invariant under per-doc shingle multiplicity — the MinHash
+    * signature paths: min(h⊕c) over the multiset equals min over the
+    * distinct set (round-20 measurement: the distinct was ~25% of the
+    * q79 signature pipeline). Set-semantics consumers (Jaccard counts)
+    * keep using [[shingleRows]].
+    */
+  private[graft] def shingleRowsRaw(df: DataFrame, idCol: String,
+                                    textCol: String, n: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       TextOps.tokens(coalesce(col(textCol), lit(""))).as("t"))
     val short = toks.filter(size(col("t")) < n)
@@ -112,7 +125,7 @@ object Dedup {
       .withColumn("s", concat_ws(" ", parts: _*))
       .filter(col("p") <= col("len") - n)
       .select("id", "s")
-    full.union(short).distinct()
+    full.union(short)
   }
 
   /** Distinct 64-bit identities of word n-gram shingles: tokens are
@@ -468,19 +481,43 @@ object Dedup {
     */
   def minhashTableMd5(df: DataFrame, idCol: String, textCol: String,
                       nHashes: Int = 16, shingleSize: Int = 3): DataFrame = {
-    val consts = Array.tabulate(nHashes)(i => md5Const64(s"graft-minhash#$i"))
-    val sh = shingleRows(df.where(col(textCol).isNotNull), idCol, textCol,
-        shingleSize)
-      .select(col("id"), md5Hash64(col("s")).as("h"))
-    val sig = sh
-      .select(col("id"), col("h"), posexplode(lit(consts)).as(Seq("h_idx", "c")))
+    val sig = minhashSigArrayMd5(df, idCol, textCol, nHashes, shingleSize)
+      .select(col("id"), posexplode(col("sig")).as(Seq("h_idx", "minhash")))
       .withColumn("h_idx", col("h_idx").cast("long"))
-      .groupBy("id", "h_idx")
-      .agg(min(col("h").bitwiseXOR(col("c"))).as("minhash"))
     val idx = broadcast(df.sparkSession.range(nHashes).toDF("h_idx"))
     df.select(col(idCol).as("id")).crossJoin(idx)
       .join(sig, Seq("id", "h_idx"), "left")
       .select(col("id").as(idCol), col("h_idx"), col("minhash"))
+  }
+
+  /** (id, sig: array<long> of length nHashes) — the md5-family MinHash
+    * signature of every non-null-text doc, as ONE groupBy(id) with
+    * nHashes `min` aggregates over the NON-DISTINCT shingle stream
+    * ([[shingleRowsRaw]] — min is multiplicity-invariant). Value-wise
+    * sig[i] = the long-form minhash at h_idx i ([[minhashTableMd5]]
+    * posexplodes exactly this array, so the two forms cannot drift).
+    *
+    * Plan shape vs the round-19 long form (q79 plan audit, round 20):
+    * the (id, shingle) distinct exchange is GONE, the ×nHashes
+    * posexplode row blowup is GONE (each row computes the nHashes xors
+    * in one projection), and the remaining exchange after the
+    * shingle window carries ≤|ids| partially-aggregated rows instead of
+    * |ids|×nHashes — 3 full-stream exchanges down to 1 (+1 bounded).
+    */
+  private[graft] def minhashSigArrayMd5(df: DataFrame, idCol: String,
+                                        textCol: String, nHashes: Int,
+                                        shingleSize: Int): DataFrame = {
+    val consts = Array.tabulate(nHashes)(i => md5Const64(s"graft-minhash#$i"))
+    val sh = shingleRowsRaw(df.where(col(textCol).isNotNull), idCol, textCol,
+        shingleSize)
+      .select(col("id"), md5Hash64(col("s")).as("h"))
+    val aggs = consts.zipWithIndex.map { case (c, i) =>
+      min(col("h").bitwiseXOR(lit(c))).as(s"__m$i")
+    }
+    sh.groupBy("id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until nHashes).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** Driver-side twin of [[md5Hash64]] for literal constants: first 16 hex
@@ -511,20 +548,29 @@ object Dedup {
                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     require(nHashes % bands == 0, "nHashes must divide into bands")
     val r = nHashes / bands
-    val sigs = minhashTableMd5(df, idCol, textCol, nHashes, shingleSize)
-      .filter(col("minhash").isNotNull)
+    // Band keys derive PER ROW from the signature array (round 20): the
+    // long form's ×nHashes explode + groupBy(id, band) + collect_list
+    // re-assembly rebuilt by aggregation what [[minhashSigArrayMd5]]
+    // already holds in h_idx order — each band key is a concat_ws over
+    // an array slice, zero extra exchanges. Key strings are identical
+    // (minhashes in h_idx order, comma-joined); null-text docs are
+    // already absent from the array form, which is what the long form's
+    // isNotNull filter re-established.
+    //
     // The band table is referenced on both sides of the self-join and the
     // candidate table three times downstream; Spark replans (not reuses)
     // each reference, re-running the whole signature pipeline per copy.
     // Both are BOUNDED intermediates (ids x bands rows / candidate pairs),
     // so pin them (ops.Pin: localCheckpoint in local mode, reliable
     // checkpoint on a cluster): compute once, reuse everywhere.
+    val sigs = minhashSigArrayMd5(df, idCol, textCol, nHashes, shingleSize)
     val banded = sigs
-      .withColumn("band", floor(col("h_idx") / lit(r)).cast("long"))
-      .groupBy(col(idCol).as("id"), col("band"))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("h_idx"), col("minhash")))),
-        s => s.getField("minhash").cast("string")), ",").as("key"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",", (b * r until (b + 1) * r)
+            .map(i => element_at(col("sig"), i + 1).cast("string")): _*)
+        }: _*)).as(Seq("band", "key")))
+      .select(col("id"), col("band").cast("long").as("band"), col("key"))
       .transform(graft.ops.Pin.pin)
     val cands = banded.select(col("id").as("id_a"), col("band"), col("key"))
       .join(banded.select(col("id").as("id_b"), col("band"), col("key")),
