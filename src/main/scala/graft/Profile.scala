@@ -15,6 +15,7 @@ object Profile {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
@@ -50,7 +51,7 @@ object Profile {
       Thread.sleep(1500)
       import scala.jdk.CollectionConverters._
       stageStats.asScala.toSeq.sortBy(_._1).foreach { case (sid, (cnt, mx, sm, gc)) =>
-        if (mx > 2000)
+        if (mx > 500 || sm > 2000)
           println(f"  stage $sid%4d tasks=$cnt%4d max=${mx / 1000.0}%7.1fs " +
             f"sum=${sm / 1000.0}%8.1fs gc=${gc / 1000.0}%8.1fs  " +
             stageNames.getOrDefault(sid, "?"))
@@ -59,6 +60,28 @@ object Profile {
     }
 
     val mode = if (args.length > 1) args(1) else "pq"
+    if (mode == "q") {
+      // round 20: per-stage histogram of any registered query (bench
+      // shape — noop sink, cache-clear+GC between reps). args(0) is
+      // unused; args(2) = comma-separated name substrings; sf dir from
+      // SPARK_GRAFT_SF_DIR (default sf0.1).
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      graft.SparkEntry.registry
+        .filter(qq => names.exists(qq.name.contains)).foreach { qq =>
+        (1 to 3).foreach { i =>
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = true))
+          spark.catalog.clearCache()
+          System.gc()
+          time(s"${qq.name} rep$i") {
+            qq.impl(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      spark.stop(); return
+    }
     if (mode == "nb") {
       // round-15: the classifier decade's 200k anomaly — one task is
       // ~80% of a 9-26 s wall at a flat 2.65 MB shuffle. Which stage?

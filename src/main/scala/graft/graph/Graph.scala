@@ -61,10 +61,31 @@ object Graph {
     * `distinct` (round-8 q131 measurement: the dedup was pure overlap).
     */
   def coOccurrenceEdges(df: DataFrame, groupCol: String, itemCol: String,
-                        distinctPairs: Boolean = true): DataFrame = {
-    val pairs = coOccurrencePairs(df, groupCol, itemCol, distinctPairs)
-    pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
-  }
+                        distinctPairs: Boolean = true): DataFrame =
+    if (distinctPairs) {
+      // the distinct pair set is the expensive part — compute it once,
+      // then symmetrize (two references of a post-distinct frame replan
+      // only the cheap final exchange's output, and the distinct is
+      // needed anyway)
+      val pairs = coOccurrencePairs(df, groupCol, itemCol, distinctPairs = true)
+      pairs.unionAll(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    } else {
+      // Round 20: the union-of-two-references form replanned (and
+      // re-RAN) the whole groupBy(g)+pair-explode subtree once per
+      // direction — Spark replans, not reuses, each textual reference.
+      // Emit BOTH directions in the one explode instead: for item x at
+      // index ix, dsts = s minus x — each ordered pair exactly once,
+      // identical multiset to pairs ∪ swapped(pairs), one subtree.
+      val sets = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+        .groupBy("g").agg(array_sort(collect_set(col("i"))).as("s"))
+      sets
+        .select(explode(expr(
+          "flatten(transform(s, (x, ix) -> " +
+            "transform(concat(slice(s, 1, ix), slice(s, ix + 2, size(s))), " +
+            "y -> struct(x AS src, y AS dst))))"))
+          .as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    }
 
   /** The undirected pair set behind [[coOccurrenceEdges]]: distinct
     * (src < dst) item pairs sharing a group — half the rows of the
