@@ -201,6 +201,23 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE partition-coalescing floor (round 20, guide §2.2/§2.5): AQE
+      // sizes post-shuffle partitions by BYTES (parallelismFirst respects
+      // the 1 MB default minPartitionSize), which under-parallelizes
+      // stages whose cost is CPU, not I/O — this engine's candidate-pair
+      // verify joins (array_intersect per pair), decimal-exact
+      // aggregations, and unrolled-DP projections carry kilobytes per
+      // multi-second task. Measured round 20 at sf0.1/local[32]: the
+      // q128 prefix-verify chain coalesced to ONE task (5.2 s warm; 2.2 s
+      // at a 64k floor), q170 10.8 -> 6.6 s, q158 7.8 -> 5.5 s, q164
+      // 2.6 -> 1.5 s, flat elsewhere. The floor is parameterized
+      // (SPARK_GRAFT_MIN_PART_SIZE); at production scale post-shuffle
+      // partitions exceed any floor in this range, so the setting is
+      // inert there — it exists so small-BYTE big-CPU stages (a 50 MB
+      // candidate list that needs hours of verify CPU exists at 100 TB
+      // too) keep the cluster's parallelism.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "64k"))
       .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
