@@ -23,13 +23,21 @@ object Dedup {
     df.groupBy(TextOps.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
-  /** Keep exactly one row (min id) per canonical text. */
-  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(TextOps.fingerprint(col(textCol)))
-      .orderBy(col(idCol))
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
+  /** Keep exactly one row (min id) per canonical text.
+    *
+    * Round 20 (guide §2.3 — shuffle keys, not payloads): the
+    * row_number window over fingerprint(text) shuffled FULL ROWS —
+    * text included — to elect a winner the 16-byte fingerprint and the
+    * id already determine. Now: a map-side-combined min(id) per
+    * fingerprint (the [[exactGroups]] aggregate, ids+fps only cross
+    * the exchange), then an AQE-sized semi-join pulls the winners'
+    * full rows. Identical keep rule (rn=1 under orderBy id ⟺ min id —
+    * ids are unique), identical output columns.
+    */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exactGroups(df, idCol, textCol)
+        .select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
 
   /** Per-duplicate-group keep decision by QUALITY, not id — the keep
     * policy a curated training set actually wants (min-id keeps are

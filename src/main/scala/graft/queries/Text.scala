@@ -2510,10 +2510,16 @@ object Text {
       val scored = documents(s, dir).select(col("doc_id"), col("text"),
         TextOps.qualityScore(col("text"), stops).as("quality"))
       val gated = scored.filter(col("quality") >= 0.45)
-      val exact = gated
-        .withColumn("__rn", row_number().over(
-          w.partitionBy(md5(col("text"))).orderBy("doc_id")))
-        .filter(col("__rn") === 1).drop("__rn")
+      // round 20 (guide §2.3): elect the min-id keeper per fingerprint
+      // with a map-side-combined aggregate + semi-join — the row_number
+      // window shuffled full TEXT rows to make a decision (md5, min id)
+      // determines. rn=1 under orderBy doc_id ⟺ min doc_id (unique ids);
+      // the oracle's fpd/rn CTE replays the same keep rule.
+      val exact = gated.join(
+        gated.groupBy(md5(col("text")).as("__fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id"),
+        Seq("doc_id"), "left_semi")
       val pairs = Dedup.minhashNearDupsMd5(exact.select("doc_id", "text"),
           "doc_id", "text", nHashes = 16, bands = 4, shingleSize = 3,
           threshold = 0.5)
