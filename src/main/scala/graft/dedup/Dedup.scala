@@ -413,27 +413,7 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // Shingle sets as 64-bit identities from the [[shingleHashes]] scan
-    // projection (the [[verifyJaccard]] identity space — no per-token
-    // window, no text in flight). One explode feeds the global document
-    // frequency via a count window over the hash (one shuffle gives df
-    // per ROW — the groupBy+re-join form costs a second full-stream
-    // shuffle; same trick as the dup-span gram counting), then the stream
-    // collapses back to ONE ROW PER DOC: shingles sorted by (df, h) — the
-    // shared canonical order. From here on nothing is per-shingle except
-    // the prefix stream: the doc frame is |docs| rows, and exact
-    // verification is an in-codegen array_intersect against it (LONG
-    // elements keep Spark's hash-set fast path; binary/struct elements
-    // fall back to a nested-loop compare), not a re-join of the full
-    // shingle stream.
-    val ex = df.select(col(idCol).as("id"),
-        explode(shingleHashes(coalesce(col(textCol), lit("")), shingleSize)).as("h"))
-    val docSets = graft.ops.Pin.pin(
-      ex.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
-        .groupBy("id")
-        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ss"))
-        .select(col("id"), expr("transform(ss, x -> x.h)").as("shs"),
-          size(col("ss")).cast("long").as("nsh")))
+    val docSets = canonicalDocSets(df, idCol, textCol, shingleSize)
     // Prefix length p = |d| - ceil(t*|d|) + 1 (AllPairs, jaccard form);
     // rk is the 1-based rank of the shingle in the canonical order.
     val prefix = docSets.select(col("id"), col("nsh"),
@@ -470,6 +450,111 @@ object Dedup {
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+  }
+
+  /** Pinned canonical doc-set frame shared by the prefix-filtered
+    * similarity joins ([[prefixJaccardPairs]], [[prefixContainmentPairs]]):
+    * one row per doc — (id, shs: 64-bit shingle identities sorted by
+    * (global document frequency, hash) — the shared canonical order
+    * rarest-first, nsh = |set|).
+    *
+    * Shingle sets are 64-bit identities from the [[shingleHashes]] scan
+    * projection (the [[verifyJaccard]] identity space — no per-token
+    * window, no text in flight). One explode feeds the global document
+    * frequency via a count window over the hash (one shuffle gives df
+    * per ROW — the groupBy+re-join form costs a second full-stream
+    * shuffle; same trick as the dup-span gram counting), then the stream
+    * collapses back to ONE ROW PER DOC. From here on nothing is
+    * per-shingle except the prefix stream: the doc frame is |docs| rows,
+    * and exact verification is an in-codegen array_intersect against it
+    * (LONG elements keep Spark's hash-set fast path; binary/struct
+    * elements fall back to a nested-loop compare), not a re-join of the
+    * full shingle stream.
+    */
+  private def canonicalDocSets(df: DataFrame, idCol: String, textCol: String,
+                               shingleSize: Int): DataFrame = {
+    val ex = df.select(col(idCol).as("id"),
+      explode(shingleHashes(coalesce(col(textCol), lit("")), shingleSize)).as("h"))
+    graft.ops.Pin.pin(
+      ex.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("h")))).as("ss"))
+        .select(col("id"), expr("transform(ss, x -> x.h)").as("shs"),
+          size(col("ss")).cast("long").as("nsh")))
+  }
+
+  /** EXACT containment join at scale: same output contract as
+    * [[containmentPairs]] (all pairs with n_common / min(n_a, n_b) >=
+    * threshold), but candidate generation uses the ASYMMETRIC prefix
+    * filter instead of the full shingle equi-join.
+    *
+    * Why [[containmentPairs]] cannot reuse the jaccard prefix bound: its
+    * required overlap t·min(|A|,|B|) depends on the PARTNER's size, so a
+    * big doc's own prefix would have to assume the smallest possible
+    * partner (length 1) — i.e. the whole doc. The standard asymmetric
+    * reduction (the PPJoin family's containment/overlap variant): only
+    * the pair's SMALLER side needs a prefix. For a pair with
+    * m = min(|A|,|B|), overlap o >= t·m and o integer force
+    * o >= ceil(t·m); if none of the smaller doc's first
+    * m - ceil(t·m) + 1 canonical-order shingles appeared in the larger
+    * doc, o <= ceil(t·m) - 1 < t·m — contradiction. So joining
+    * small-side PREFIX rows against the FULL ranked stream (ordered by
+    * (nsh, id) so each unordered pair has exactly one small side)
+    * misses no qualifying pair, while a boilerplate shingle shared by
+    * m docs contributes (its prefix count)·m join rows instead of m²/2
+    * — and frequent shingles, sorting to the suffix, rarely enter any
+    * prefix. The per-row positional filter is PPJoin's: at the pair's
+    * FIRST common canonical shingle (ranks rk_a, rk_b — common elements
+    * appear in the same relative order on both sides), o <= 1 +
+    * min(nsh_a - rk_a, nsh_b - rk_b), so rows whose upper bound misses
+    * t·min drop before the distinct; the first-common-shingle row of a
+    * qualifying pair always survives. Algebra kept multiplicative with
+    * a 1e-9 slack on the double threshold product (ceil over a binary
+    * double like 0.8·5 = 4.000000000000000222 would otherwise SHRINK a
+    * boundary prefix and lose pairs).
+    *
+    * Scale shape: one [[canonicalDocSets]] build (one full-stream
+    * shuffle + one per-doc aggregate), a prefix×full equi-join on
+    * 64-bit hashes — never text — and a candidate-bounded
+    * array_intersect verify against the |docs|-row set frame. This is
+    * the scale path that upgrades [[containmentPairs]] (kept as the
+    * labeled quadratic oracle baseline) exactly as
+    * [[prefixJaccardPairs]] upgraded [[jaccardPairs]].
+    */
+  def prefixContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                             shingleSize: Int = 3,
+                             threshold: Double = 0.8): DataFrame = {
+    val docSets = canonicalDocSets(df, idCol, textCol, shingleSize)
+    // full ranked stream: every (doc, shingle) with its 1-based rank in
+    // the canonical order — re-exploded per join side from the PINNED
+    // docSets frame (cheap projection, no extra pin job)
+    def ranked = docSets.select(col("id"), col("nsh"), posexplode(col("shs")))
+      .select(col("id"), col("nsh"), (col("pos") + 1).as("rk"),
+        col("col").as("shh"))
+    // small-side prefix: m - ceil(t·m) + 1 rarest shingles
+    val prefix = ranked.filter(col("rk") <=
+      col("nsh") - ceil(lit(threshold) * col("nsh") - lit(1e-9)) + lit(1))
+    val cand = prefix.as("a")
+      .join(ranked.as("b"),
+        col("a.shh") === col("b.shh") &&
+          // a is the pair's unique smaller side ((nsh, id) total order)
+          struct(col("a.nsh"), col("a.id")) < struct(col("b.nsh"), col("b.id")) &&
+          (lit(1) + least(col("a.nsh") - col("a.rk"), col("b.nsh") - col("b.rk")))
+            >= lit(threshold) * col("a.nsh") - lit(1e-9))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val ca = docSets.select(col("id").as("id_a"), col("shs").as("shs_a"),
+      col("nsh").as("n_a"))
+    val cb = docSets.select(col("id").as("id_b"), col("shs").as("shs_b"),
+      col("nsh").as("n_b"))
+    cand.join(ca, "id_a").join(cb, "id_b")
+      .withColumn("n_common",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "n_common", "n_a", "n_b", "containment")
   }
 
   /** Oracle-checkable MinHash signatures in long form (id, h_idx, minhash):

@@ -3518,13 +3518,18 @@ object Text {
     },
 
     // ---- asymmetric containment join (subset near-dups) ----
-    // [[Dedup.containmentPairs]]: a short doc swallowed by a longer one
-    // has arbitrarily LOW jaccard but containment 1.0 — the planted
-    // pair (-31 ⊂ -30) has jaccard 3/8 (invisible to every symmetric
-    // query at 0.5) and containment 1.0. Same shingle equi-join
-    // machinery as q77, different final metric; at scale the prefix-
-    // filtered path (q128) applies the same way with the containment
-    // bound t·min instead of the jaccard bound.
+    // [[Dedup.prefixContainmentPairs]]: a short doc swallowed by a
+    // longer one has arbitrarily LOW jaccard but containment 1.0 — the
+    // planted pair (-31 ⊂ -30) has jaccard 3/8 (invisible to every
+    // symmetric query at 0.5) and containment 1.0. Round 20 (guide
+    // §2.5/§3): the engine path is the ASYMMETRIC prefix filter
+    // (small-side prefix × full ranked stream with the t·min overlap
+    // bound) instead of [[Dedup.containmentPairs]]' full shingle
+    // equi-join at threshold 0 — the hot-shingle m²/2 blow-up q128
+    // already removed for jaccard. The oracle still replays the PLAIN
+    // equi-join chain, so the hash compare proves the asymmetric
+    // prefix loses no qualifying pair (the q128 cross-algorithm
+    // pattern).
     Q("q181_containment_pairs",
       """WITH src AS (
         |  SELECT doc_id, text FROM documents
@@ -3555,7 +3560,7 @@ object Text {
       val planted = Seq(
         (-30L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
         (-31L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
-      Dedup.containmentPairs(
+      Dedup.prefixContainmentPairs(
           documents(s, dir).select("doc_id", "text").unionByName(planted),
           "doc_id", "text", shingleSize = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")
@@ -3674,8 +3679,13 @@ object Text {
           lit("#lshaudit"))).cast("double") + lit(9.223372036854776e18)) /
         lit(1.8446744073709552e19)
       val sdocs = documents(s, dir).filter(u < 0.3)
+      // round 20 (guide §3): the exact arm runs the prefix-filtered
+      // AllPairs chain — q128's oracle certifies prefixJaccardPairs ≡
+      // jaccardPairs, so the recall arithmetic is unchanged while the
+      // sampled ground-truth side stops paying the hot-shingle
+      // equi-join blow-up the p² sample only attenuates
       val exact = graft.ops.Pin.pin(
-        Dedup.jaccardPairs(sdocs, "doc_id", "text", shingleSize = 3,
+        Dedup.prefixJaccardPairs(sdocs, "doc_id", "text", shingleSize = 3,
           threshold = 0.5).select("id_a", "id_b"))
       val lsh = Dedup.minhashNearDupsMd5(sdocs, "doc_id", "text",
         nHashes = 16, bands = 4, shingleSize = 3, threshold = 0.5)
@@ -3731,8 +3741,11 @@ object Text {
       val u = (Dedup.md5Hash64(concat(col("doc_id").cast("string"),
           lit("#jacsample"))).cast("double") + lit(9.223372036854776e18)) /
         lit(1.8446744073709552e19)
-      Dedup.jaccardPairs(documents(s, dir).filter(u < 0.3), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5)
+      // round 20 (guide §3): prefix-filtered exact chain over the
+      // sample — identical output (q128's cross-algorithm certificate),
+      // no hot-shingle equi-join in the deployable estimator
+      Dedup.prefixJaccardPairs(documents(s, dir).filter(u < 0.3), "doc_id",
+        "text", shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
 

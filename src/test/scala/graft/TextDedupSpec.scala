@@ -849,6 +849,61 @@ class IvfSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(jac.contains((1L, 4L)))
   }
 
+  test("prefixContainmentPairs = containmentPairs exactly, incl. subset + boilerplate") {
+    // Union of the containment fixture (subset pair (1,2), exact dup
+    // (1,4)) and the boilerplate corpus from the prefixJaccardPairs
+    // test: the hot boilerplate shingles sort to the suffix and must
+    // never generate candidates, while subset pairs — whose jaccard
+    // the symmetric prefix bound would discard — must survive the
+    // asymmetric small-side prefix. Thresholds bracket the boundary,
+    // including t where t·nsh is an inexact binary double (0.8·5).
+    val boiler = "copyright footer boilerplate trailer all rights reserved"
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e"), // 3 shingles, all inside doc 1: containment 1.0
+      (3L, "x y z w v"),
+      (4L, "a b c d e f g h i j"), // exact dup of 1
+      (11L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (12L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (13L, s"alpha beta gamma delta epsilon eta $boiler"),
+      (14L, s"one two three four five six seven $boiler"),
+      (15L, s"one two three four nine ten eleven $boiler"),
+      (16L, "tiny doc"),
+      (17L, "tiny doc")).toDF("doc_id", "text")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5))
+    for (t <- Seq(0.5, 0.8, 0.9, 1.0)) {
+      val exact = Dedup.containmentPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      val pref = Dedup.prefixContainmentPairs(docs, "doc_id", "text", 3, t)
+        .collect().map(key).toSet
+      assert(pref === exact, s"threshold $t")
+      assert(exact.nonEmpty, s"threshold $t fixture must produce pairs")
+    }
+    // the subset pair survives the asymmetric prefix at t = 1.0
+    val at1 = Dedup.prefixContainmentPairs(docs, "doc_id", "text", 3, 1.0)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(at1.contains((1L, 2L)) && at1.contains((1L, 4L)))
+  }
+
+  test("prefixContainmentPairs prefix prune: hot shingle generates no candidates") {
+    // Every doc shares ONE hot shingle; contents otherwise disjoint and
+    // equally sized, so no pair can reach containment 0.8. The plain
+    // equi-join would push n²/2 candidate rows through the hot key; the
+    // prefix path must emit zero pairs, with the hot shingle falling
+    // outside every (equal-length ⇒ same prefix length) doc's prefix.
+    val hot = "shared hot shingle"
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f u${i}g"))
+      .toDF("doc_id", "text")
+    assert(Dedup.prefixContainmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .count() === 0L)
+    assert(Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.8)
+      .count() === 0L)
+  }
+
   // 3 planted duplicate families (tight cones around orthogonal axes)
   // plus isolated singletons; cosine within a family ≥ ~0.999, across
   // families ~0 — threshold 0.9 separates them cleanly.
