@@ -25,6 +25,41 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan fan-out for UNSPLITTABLE fact-table inputs (round 20, guide
+    * §2.5 "input skew"): every testdata table is ONE parquet file with
+    * ONE row group, so any scan of it is a single task no matter how
+    * many cores the session has — and the suite's expensive per-row
+    * work that runs inside the scan stage (tokenizing splits, shingle
+    * explodes, gram hashing, vector math) was measured running
+    * SERIALLY at local[32] (q117's gram explode: a 0.9–3.5 s
+    * single-task stage; the same shape heads every text/embedding
+    * query). The guide's prescription for unsplittable inputs (gzip
+    * files, single-row-group parquet) is to repartition immediately
+    * after the read; this helper does that ONLY when the scan's
+    * planned parallelism is below the session's default parallelism,
+    * so it is scale-adaptive, not a local-mode constant: a production
+    * table (many files / many row groups) plans at or above cluster
+    * parallelism and the gate never fires. Round-robin repartition —
+    * no key, so no skew and no hot-key hazard; the payload crossing
+    * the one exchange is the table's scan output, the cheapest thing
+    * this engine ever shuffles. Applied to the two CPU-DENSE corpora
+    * only — `documents` (tokenizing splits, regex, shingle hashing run
+    * 10–100× the decode cost per row) and `embeddings` (vector math) —
+    * NOT to the relational tables: their per-row expressions are cheap
+    * vectorized arithmetic, so across the ~100 small lineitem/orders/
+    * events queries the added exchange costs more in aggregate than
+    * the few heavy consumers gain (measured: the documents fan-out
+    * moved q120 3.2→1.8 s and q201 2.8→1.9 s while a lineitem/events
+    * fan-out read flat-to-negative on q01/q53/q144).
+    * `SPARK_GRAFT_SCAN_FANOUT=0` disables (measurement knob).
+    */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    val enabled = !sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("0")
+    if (enabled && df.rdd.getNumPartitions < want) df.repartition(want)
+    else df
+  }
+
   /** Calendar day of the canonical ns-long `ts` column (UTC). */
   def eventDay: Column = to_date(timestamp_micros(expr("ts div 1000")))
 
@@ -65,6 +100,6 @@ object Tables {
           s"events.ts: unsupported physical type $other (expected ns-LONG or TIMESTAMP[_NTZ])")
     }
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame  = fanOut(spark, t(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = fanOut(spark, t(spark, dir, "embeddings"))
 }

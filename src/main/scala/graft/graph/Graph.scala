@@ -255,17 +255,23 @@ object Graph {
           .unionAll(adj.select(explode(col("adj")).as("id"))).distinct())
       val bcast = broadcastRanks.getOrElse(nodes.count() <= broadcastNodeLimit)
       var rank = nodes.withColumn("rank", lit(1.0))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val r = if (bcast) broadcast(rank) else rank
         val inbound = adj.join(r, col("src") === col("id"))
           .select(explode(col("adj")).as("dst"),
             (col("rank") / col("outdeg")).as("x"))
           .groupBy("dst").agg(gsum10(col("x")).as("s"))
-        rank = Pin.pin(nodes
+        val next = nodes
           .join(inbound, col("id") === col("dst"), "left")
           .select(col("id"),
             (lit(1.0 - damping) +
-              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        // pin intermediate ranks (each is re-executed by the next
+        // iteration's broadcast build AND referenced by its join), but
+        // never the LAST one — it flows straight to the single output
+        // consumer, so its pin was one pure-overhead materialization
+        // job per query (round 20)
+        rank = if (i == iters) next else Pin.pin(next)
       }
       rank
     } else {
@@ -286,16 +292,18 @@ object Graph {
           .unionAll(e.select(col("dst").as("id"))).distinct())
       val bcast = broadcastRanks.getOrElse(nodes.count() <= broadcastNodeLimit)
       var rank = nodes.withColumn("rank", lit(1.0))
-      for (_ <- 1 to iters) {
+      for (i <- 1 to iters) {
         val r = if (bcast) broadcast(rank) else rank
         val inbound = e.join(r, col("src") === col("id"))
           .select(col("dst"), (col("rank") / col("outdeg")).as("x"))
           .groupBy("dst").agg(gsum10(col("x")).as("s"))
-        rank = Pin.pin(nodes
+        val next = nodes
           .join(inbound, col("id") === col("dst"), "left")
           .select(col("id"),
             (lit(1.0 - damping) +
-              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+        // same last-iteration pin skip as the adjacency form (round 20)
+        rank = if (i == iters) next else Pin.pin(next)
       }
       rank
     }
