@@ -84,6 +84,26 @@ object Profile {
       }
       spark.stop(); return
     }
+    if (mode == "explain") {
+      // round 20: dump .explain("formatted") for named queries to
+      // plans/r20/<name>_<suffix>.txt (args(2) = name substrings,
+      // args(3) = suffix, default "after"). Used for the optimization
+      // round's before/after plan evidence.
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val names = args(2).split(",").map(_.trim).filter(_.nonEmpty)
+      val suffix = if (args.length > 3) args(3) else "after"
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      graft.SparkEntry.registry
+        .filter(qq => names.exists(qq.name.contains)).foreach { qq =>
+        val plan = qq.impl(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get("plans", "r20", s"${qq.name}_$suffix.txt")
+        java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.writeString(p, plan)
+        println(s"wrote $p (${plan.length} chars)")
+      }
+      spark.stop(); return
+    }
     if (mode == "nb") {
       // round-15: the classifier decade's 200k anomaly — one task is
       // ~80% of a 9-26 s wall at a flat 2.65 MB shuffle. Which stage?

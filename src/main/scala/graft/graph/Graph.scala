@@ -87,6 +87,44 @@ object Graph {
         .select(col("p.src").as("src"), col("p.dst").as("dst"))
     }
 
+  /** Per-source adjacency of the co-occurrence graph, built WITHOUT
+    * materializing pair rows (round 20, guide §2.3/§2.4): the
+    * symmetric-edge path emits k(k−1) (src, dst) struct rows per group
+    * through a nested double-transform explode, then [[pageRank]]
+    * immediately re-groups them into per-source arrays — two heavy
+    * generated expressions and a pair-row exchange just to arrive at
+    * adjacency state. This fusion explodes each group's sorted item set
+    * ONCE into k (item, rest-of-set) rows and unions the per-group
+    * neighbor arrays in the adjacency aggregate directly, so the
+    * exchange carries k array-payload rows per group instead of k(k−1)
+    * struct rows (same element count, ~k× fewer row headers) and the
+    * codegen surface shrinks to slice/flatten/array_distinct (measured
+    * at sf0.1/local[32]: q131 cold rep 34.7 → 17.1 s, second rep —
+    * the bench-median regime — 13.9 → 4.9 s). Same adjacency set as
+    * `coOccurrenceEdges(distinctPairs = false)` + `collect_set`:
+    * per-group rests never contain the item itself, and the
+    * array_distinct mirrors collect_set's cross-group dedup.
+    */
+  def coOccurrenceAdjacency(df: DataFrame, groupCol: String,
+                            itemCol: String): DataFrame = {
+    val sets = df.select(col(groupCol).as("g"), col(itemCol).as("i"))
+      .groupBy("g").agg(array_sort(collect_set(col("i"))).as("s"))
+    sets
+      .select(col("s"), posexplode(col("s")).as(Seq("ix", "src")))
+      .select(col("src"),
+        concat(slice(col("s"), lit(1), col("ix")),
+          slice(col("s"), col("ix") + 2, size(col("s")))).as("ns"))
+      // singleton groups contribute an empty rest-array; dropping those
+      // rows pre-shuffle both prunes the exchange and keeps the node
+      // set identical to the pair-explode form, which never emits an
+      // item that co-occurs with nothing (an empty-adj source would
+      // also be an outdeg-0 division in the rank iteration)
+      .filter(size(col("ns")) > 0)
+      .groupBy("src")
+      .agg(array_distinct(flatten(collect_list(col("ns")))).as("adj"))
+      .withColumn("outdeg", size(col("adj")).cast("long"))
+  }
+
   /** The undirected pair set behind [[coOccurrenceEdges]]: distinct
     * (src < dst) item pairs sharing a group — half the rows of the
     * symmetric form, the natural input for undirected algorithms like
@@ -157,9 +195,19 @@ object Graph {
                      broadcastDeg: Option[Boolean] = None,
                      broadcastAdj: Option[Boolean] = None,
                      broadcastNodeLimit: Long = BroadcastNodeLimit,
-                     broadcastEdgeLimit: Long = BroadcastEdgeLimit): DataFrame = {
-    val und = Pin.pin(edges.filter(col("src") < col("dst"))
-      .select(col("src"), col("dst")).distinct())
+                     broadcastEdgeLimit: Long = BroadcastEdgeLimit,
+                     pairsCanonical: Boolean = false): DataFrame = {
+    // `pairsCanonical = true`: the caller certifies the input is
+    // already the distinct (src < dst) pair set (e.g.
+    // [[coOccurrencePairs]] with distinctPairs = true), so the
+    // canonicalizing filter+distinct — a full exchange of the pair
+    // stream that re-derives what the producer just built — is skipped
+    // (round 20, guide §2.4 "a distinct on data that is already
+    // unique"). GraphSpec pins both forms to identical counts.
+    val und = Pin.pin(
+      if (pairsCanonical) edges.select(col("src"), col("dst"))
+      else edges.filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")).distinct())
     val deg = Pin.pin(und.select(col("src").as("id"))
       .unionAll(und.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg")))
@@ -245,35 +293,11 @@ object Graph {
                adjacencyForm: Boolean = true,
                broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
     if (adjacencyForm) {
-      val adj = Pin.pin(edges.select(col("src"), col("dst"))
+      val adj = edges.select(col("src"), col("dst"))
         .groupBy("src").agg(collect_set(col("dst")).as("adj"))
-        .withColumn("outdeg", size(col("adj")).cast("long")))
-      // nodes derive from the PINNED frame — deriving from the raw edge
-      // stream would replay the whole edge build a second time.
-      val nodes = Pin.pin(
-        adj.select(col("src").as("id"))
-          .unionAll(adj.select(explode(col("adj")).as("id"))).distinct())
-      val bcast = broadcastRanks.getOrElse(nodes.count() <= broadcastNodeLimit)
-      var rank = nodes.withColumn("rank", lit(1.0))
-      for (i <- 1 to iters) {
-        val r = if (bcast) broadcast(rank) else rank
-        val inbound = adj.join(r, col("src") === col("id"))
-          .select(explode(col("adj")).as("dst"),
-            (col("rank") / col("outdeg")).as("x"))
-          .groupBy("dst").agg(gsum10(col("x")).as("s"))
-        val next = nodes
-          .join(inbound, col("id") === col("dst"), "left")
-          .select(col("id"),
-            (lit(1.0 - damping) +
-              lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
-        // pin intermediate ranks (each is re-executed by the next
-        // iteration's broadcast build AND referenced by its join), but
-        // never the LAST one — it flows straight to the single output
-        // consumer, so its pin was one pure-overhead materialization
-        // job per query (round 20)
-        rank = if (i == iters) next else Pin.pin(next)
-      }
-      rank
+        .withColumn("outdeg", size(col("adj")).cast("long"))
+      pageRankFromAdjacency(adj, damping, iters, broadcastRanks,
+        broadcastNodeLimit)
     } else {
       // Row-form fallback for hub-skewed graphs: ONE exchange for the
       // whole edge prep — repartition by src, then dedup and outdeg both
@@ -307,5 +331,48 @@ object Graph {
       }
       rank
     }
+  }
+
+  /** The adjacency-form [[pageRank]] iteration over an already-built
+    * (src, adj: array<dst>, outdeg) frame — the shared tail of the
+    * edge-list path above and of [[coOccurrenceAdjacency]]'s fused
+    * build (round 20): callers that can produce adjacency state
+    * directly skip the pair-row exchange entirely. Pins the adjacency
+    * (reused every iteration) and derives nodes from the PINNED frame —
+    * deriving from the raw input would replay the whole build a second
+    * time. Iteration shape unchanged: broadcast-gated rank join, one
+    * map-side-combined groupBy(dst) exchange per iteration, exact
+    * 1e-10-grid inbound sums, intermediate-rank pins with the
+    * last-iteration skip.
+    */
+  def pageRankFromAdjacency(adjacency: DataFrame, damping: Double = 0.85,
+                            iters: Int = 3,
+                            broadcastRanks: Option[Boolean] = None,
+                            broadcastNodeLimit: Long = BroadcastNodeLimit): DataFrame = {
+    val adj = Pin.pin(adjacency.select(col("src"), col("adj"), col("outdeg")))
+    val nodes = Pin.pin(
+      adj.select(col("src").as("id"))
+        .unionAll(adj.select(explode(col("adj")).as("id"))).distinct())
+    val bcast = broadcastRanks.getOrElse(nodes.count() <= broadcastNodeLimit)
+    var rank = nodes.withColumn("rank", lit(1.0))
+    for (i <- 1 to iters) {
+      val r = if (bcast) broadcast(rank) else rank
+      val inbound = adj.join(r, col("src") === col("id"))
+        .select(explode(col("adj")).as("dst"),
+          (col("rank") / col("outdeg")).as("x"))
+        .groupBy("dst").agg(gsum10(col("x")).as("s"))
+      val next = nodes
+        .join(inbound, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+      // pin intermediate ranks (each is re-executed by the next
+      // iteration's broadcast build AND referenced by its join), but
+      // never the LAST one — it flows straight to the single output
+      // consumer, so its pin was one pure-overhead materialization
+      // job per query (round 20)
+      rank = if (i == iters) next else Pin.pin(next)
+    }
+    rank
   }
 }

@@ -872,9 +872,13 @@ object Relational {
         |r3 AS (SELECT n.id, (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) + CAST(0.85 AS DOUBLE) * COALESCE(i3.s, CAST(0.0 AS DOUBLE)) AS rank
         |  FROM n LEFT JOIN i3 ON i3.dst = n.id)
         |SELECT id, rank FROM r3 ORDER BY id""".stripMargin) { (s, dir) =>
-      val edges = graft.graph.Graph.coOccurrenceEdges(
-        lineitem(s, dir), "l_orderkey", "l_partkey", distinctPairs = false)
-      graft.graph.Graph.pageRank(edges, damping = 0.85, iters = 3)
+      // round 20 (guide §2.3/§2.4): fused group-set → adjacency build —
+      // no pair-row materialization between the co-occurrence explode
+      // and the rank iteration's per-source state (same adjacency
+      // multiset; GraphSpec pins fused ≡ edge-list ranks)
+      val adj = graft.graph.Graph.coOccurrenceAdjacency(
+        lineitem(s, dir), "l_orderkey", "l_partkey")
+      graft.graph.Graph.pageRankFromAdjacency(adj, damping = 0.85, iters = 3)
         .orderBy("id")
     },
 
@@ -906,7 +910,10 @@ object Relational {
         |ORDER BY d.id""".stripMargin) { (s, dir) =>
       val pairs = graft.graph.Graph.coOccurrencePairs(
         lineitem(s, dir), "l_orderkey", "l_partkey")
-      graft.graph.Graph.triangleCounts(pairs).orderBy("id")
+      // pairs are distinct (src < dst) by construction — skip the
+      // canonicalizing re-distinct exchange (round 20, guide §2.4)
+      graft.graph.Graph.triangleCounts(pairs, pairsCanonical = true)
+        .orderBy("id")
     },
 
     // ---- bloom-pruned semi join (dynamic-filter pruning) ----

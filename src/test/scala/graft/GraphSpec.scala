@@ -107,6 +107,42 @@ class GraphSpec extends AnyFunSuite {
     assert(gatedOn === forced)
   }
 
+  test("fused coOccurrenceAdjacency pageRank ≡ edge-list pageRank (round 20)") {
+    // the q131 shape: grouped baskets → co-occurrence ranks. The fused
+    // group-set → adjacency build must produce bit-identical ranks to
+    // the materialized-pair-rows path it replaces (exact-decimal gsum
+    // makes the compare exact), including duplicate (g, i) rows and
+    // multi-group overlap.
+    val rnd = new scala.util.Random(31)
+    val baskets = (1 to 600).map(_ => (rnd.nextInt(80), s"p${rnd.nextInt(50)}"))
+      .toDF("g", "i")
+    val viaEdges = Graph.pageRank(
+        Graph.coOccurrenceEdges(baskets, "g", "i", distinctPairs = false),
+        0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fused = Graph.pageRankFromAdjacency(
+        Graph.coOccurrenceAdjacency(baskets, "g", "i"), 0.85, 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fused === viaEdges)
+    // an item that only ever appears alone in its groups must be ABSENT
+    // (the pair-explode form never emits it; an empty-adj row would
+    // also be an outdeg-0 division in the rank iteration)
+    val lone = Seq((1, "x"), (2, "y"), (2, "z")).toDF("g", "i")
+    val adjOnly = Graph.coOccurrenceAdjacency(lone, "g", "i")
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(adjOnly === Map("y" -> Set("z"), "z" -> Set("y")))
+  }
+
+  test("triangleCounts pairsCanonical skips the re-distinct but keeps the answer (round 20)") {
+    val pairs = Seq(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),("a","e"))
+      .toDF("src","dst")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(asMap(Graph.triangleCounts(pairs, pairsCanonical = true)) ===
+      asMap(Graph.triangleCounts(pairs)))
+  }
+
   test("triangleCounts broadcast auto-gate: both paths agree") {
     val pairs = Seq(("a","b"),("a","c"),("b","c"),("b","d"),("c","d"),("a","e"))
       .toDF("src","dst")
