@@ -161,6 +161,15 @@ class JoinInvariantSpec extends AnyFunSuite {
         "(deg ≤ BroadcastNodeLimit, edges ≤ BroadcastEdgeLimit) before " +
         "hinting — the hint only exists when the runtime count proved " +
         "the bound; above the gate the joins degrade to shuffles"),
+    "q131_coorder_pagerank" ->
+      ("Graph.pageRank auto-gates the per-iteration rank-frame hint on " +
+        "the MEASURED count of the pinned node frame " +
+        "(≤ BroadcastNodeLimit — one (id, double) row per node) — the " +
+        "q139 rationale; above the gate the join degrades to " +
+        "sort-merge. The hint was always here: it only became VISIBLE " +
+        "to this sweep when round 20 stopped pinning the final " +
+        "iteration's rank frame (the pin truncated the analyzed plan " +
+        "at a LogicalRDD leaf)"),
     "q177_retention_cohorts" ->
       ("the hinted cohort-size frame is one row per cohort MONTH — " +
         "bounded by the data's calendar span, not its row count"),
