@@ -53,7 +53,16 @@ object Tables {
     * fan-out read flat-to-negative on q01/q53/q144).
     * `SPARK_GRAFT_SCAN_FANOUT=0` disables (measurement knob).
     */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame = {
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
+    fanOutScan(spark, df)
+
+  /** Per-query form of the gate above, for the handful of RELATIONAL
+    * queries whose per-row work is heavy enough to beat the exchange
+    * (q12's 4-way unpivot + decimal sums, q143's from_json parse):
+    * repartition only when the planned scan parallelism is below the
+    * session's — inert on any production layout with splittable input.
+    */
+  def fanOutScan(spark: SparkSession, df: DataFrame): DataFrame = {
     val want = spark.sparkContext.defaultParallelism
     val enabled = !sys.env.get("SPARK_GRAFT_SCAN_FANOUT").contains("0")
     if (enabled && df.rdd.getNumPartitions < want) df.repartition(want)

@@ -223,7 +223,13 @@ object Relational {
         |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
         |GROUP BY measure
         |ORDER BY measure""".stripMargin) { (s, dir) =>
-      Reshape.melt(lineitem(s, dir), Nil,
+      // round 20 (guide §2.5 input skew): the single-row-group scan ran
+      // the whole 4-way generate + decimal partial-agg in ONE task
+      // (1.7 s warm); the gated fan-out parallelizes it for ~20 MB of
+      // round-robin exchange (inert when the scan is already parallel)
+      Reshape.melt(
+          graft.Tables.fanOutScan(s, lineitem(s, dir).select(
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax")), Nil,
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
           "measure", "val")
         .groupBy("measure")
